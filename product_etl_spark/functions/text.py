@@ -1,0 +1,176 @@
+"""Text-analysis expressions for training-data pipelines.
+
+Language ID, quality scoring, token counting, shingling, and
+fingerprinting — all as pure Catalyst expressions so they vectorize
+over 100 TB of documents with zero Python in the hot path.
+
+Hash discipline: every hash used for dedup/sketching is md5-based
+(``hash64`` below) so results are engine-portable (the DuckDB oracle
+computes the identical value as ``('0x'||substr(md5(x),1,15))::BIGINT``)
+and stable across Spark versions — unlike ``xxhash64``, whose seed is
+an implementation detail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash64(col: Column | str) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as bigint."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string> (no empties)."""
+    return F.filter(
+        F.split(F.coalesce(_c(col), F.lit("")), r"\s+"), lambda t: t != ""
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits words from digits and
+    punctuation runs, the usual cheap proxy for BPE token counts when
+    no tokenizer model is shippable."""
+    pieces = F.regexp_extract_all(
+        F.coalesce(_c(col), F.lit("")),
+        F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"),
+        0,
+    )
+    return F.size(pieces)
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles (lowercased) -> array<string>.
+
+    Implemented with sequence+transform instead of a UDF: for a
+    string of length L produce L-n+1 substrings.
+    """
+    s = F.lower(F.coalesce(_c(col), F.lit("")))
+    return F.when(F.length(s) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+            lambda i: F.substr(s, i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (space-joined)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+        )
+    )
+
+
+# A tiny, fixed English stopword list — enough for a ratio feature;
+# a real deployment would broadcast a fuller lexicon.
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "for on with as at by from"
+).split()
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokens(F.lower(_c(col)))
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(stop) / F.size(toks)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    s = F.coalesce(_c(col), F.lit(""))
+    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(
+        n_punct / F.length(s)
+    )
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total / F.size(toks)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme shortness,
+    high punctuation, and stopword-free (keyword-stuffed) text."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    stop = stopword_ratio(col)
+    stop_score = F.least(stop * 5, F.lit(1.0))
+    return F.round((len_score + punct_score + stop_score) / 3, 4)
+
+
+#: Script-detection character classes for the n-gram-free language
+#: heuristic: presence ratios of CJK / Cyrillic / Thai / Latin.
+_SCRIPTS = {
+    "cjk": r"[一-鿿]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "thai": r"[฀-๿]",
+    "latin": r"[A-Za-z]",
+}
+
+
+def script_ratio(col: Column | str, script: str) -> Column:
+    """Fraction of non-space chars belonging to a script class."""
+    s = F.regexp_replace(F.coalesce(_c(col), F.lit("")), r"\s", "")
+    kept = F.regexp_replace(s, r"(?!" + _SCRIPTS[script] + r").", "")
+    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(
+        F.length(kept) / F.length(s)
+    )
+
+
+def detect_script(col: Column | str) -> Column:
+    """Best-effort language-family ID from character scripts.
+
+    The reference's corpus is zh/en (machine-translated to en/ru/th —
+    utils/universal_translator.py); script detection is the first
+    stage of its language routing. Returns one of
+    cjk|cyrillic|thai|latin|unknown.
+    """
+    ratios = [(name, script_ratio(col, name)) for name in _SCRIPTS]
+    expr = F.lit("unknown")
+    # Highest-ratio script wins, threshold 0.3; precedence order is
+    # fixed so the expression is deterministic.
+    best_name = F.lit("unknown")
+    best_ratio = F.lit(0.0)
+    for name, r in ratios:
+        take = r > best_ratio
+        best_name = F.when(take, F.lit(name)).otherwise(best_name)
+        best_ratio = F.when(take, r).otherwise(best_ratio)
+    expr = F.when(best_ratio >= 0.3, best_name).otherwise(F.lit("unknown"))
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: lowercase, collapse whitespace,
+    strip punctuation, md5. Two documents differing only in case,
+    spacing, or punctuation collide — the cheap first-pass dedup key.
+    """
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"[^\w\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.md5(canon)

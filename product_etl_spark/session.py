@@ -1,0 +1,100 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the same config block is what we
+would ship to a 1000-executor cluster (AQE on, adaptive skew-join,
+UTC session time, Arrow for the few Pandas-UDF stages).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Deterministic semantics
+    "spark.sql.session.timeZone": "UTC",
+    # Let the runtime re-plan: coalesce small shuffle partitions,
+    # split skewed ones — essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas_udf / mapInPandas stages.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast small dimensions aggressively (lang=4 rows,
+    # region=5, nation=25 ... anything under 64 MB).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet: vectorized reader + pushdown are on by default; keep
+    # explicit so a misconfigured cluster can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # The driver's events table carries TIMESTAMP(NANOS) parquet
+    # columns, which Spark refuses by default; read as long nanos and
+    # convert in load_tables (micro truncation matches DuckDB).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "product_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    32) so tests and bench share one code path; on a real cluster the
+    submitter sets master and we leave it alone.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Keep the UI off for test/bench runs (port churn, memory).
+    conf.setdefault("spark.ui.enabled", "false")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register every parquet table under ``sf_dir`` as a temp view.
+
+    Returns a dict name -> DataFrame. Column pruning and predicate
+    pushdown reach the parquet scans because these are plain
+    ``spark.read.parquet`` scans with no materialization.
+    """
+    all_names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # TIMESTAMP(NANOS) columns arrive as long (see _DEFAULTS);
+            # restore timestamp type at microsecond precision.
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,29 @@
+"""Deterministic-id tests: uuid5_col must equal Python uuid.uuid5."""
+
+from __future__ import annotations
+
+import uuid
+
+from product_etl_spark import ids
+
+
+def test_uuid5_matches_python(spark):
+    rows = [("963cef",), ("733940343335",), ("品牌:游梨",), ("",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = df.select(ids.uuid5_col(ids.NS_COLLECTION, "k").alias("u"), "k").collect()
+    for r in got:
+        assert r["u"] == str(uuid.uuid5(ids.NS_COLLECTION, r["k"]))
+
+
+def test_uuid5_composite_key_separator(spark):
+    # ('a','b') vs ('ab','') must not collide
+    df = spark.createDataFrame([("a", "b"), ("ab", "")], "x string, y string")
+    got = df.select(ids.uuid5_col(ids.NS_TRANSLATION, "x", "y").alias("u")).collect()
+    assert got[0]["u"] != got[1]["u"]
+
+
+def test_stable_long_positive_and_stable(spark):
+    df = spark.createDataFrame([("abc",)], "k string")
+    a = df.select(ids.stable_long("k").alias("h")).collect()[0]["h"]
+    b = df.select(ids.stable_long("k").alias("h")).collect()[0]["h"]
+    assert a == b and a >= 0
