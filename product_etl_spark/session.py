@@ -35,6 +35,23 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an externally
+    created SparkSession (e.g. the verification driver's).
+
+    Everything in _DEFAULTS is a SQL runtime conf, so this works on a
+    live session — crucially ``nanosAsLong`` (the events table is
+    unreadable without it) and the UTC session timezone (timestamp
+    arithmetic parity with the oracle).
+    """
+    for k, v in _DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build: keep going
+    return spark
+
+
 def get_spark(
     app_name: str = "product_etl_spark",
     master: str | None = None,

@@ -1,0 +1,45 @@
+"""Raw product CSV ingest.
+
+The reference reads the scraped export with
+``pd.read_csv(RAW_CSV_PATH, sep=';')`` (utils/importer/ETL.py:103)
+and lets pandas infer types — which float-coerces numeric SKUs (the
+``.0`` corruption, utils/SKU_DOT_ZERO_FIX_README.md). We read
+**everything as string** (types are applied later by the mapping
+projection) and capture the source row order, because "first row per
+master code is the collection template" (ETL.py:131-140) makes file
+order load-bearing (SURVEY.md §2.5 W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Name of the injected ingest-order column.
+ROW_IDX = "_source_row_idx"
+
+
+def read_raw_products(
+    spark: SparkSession, path: str, sep: str = ";", encoding: str = "UTF-8"
+) -> DataFrame:
+    """Read a raw export CSV with all-string columns + ``_source_row_idx``.
+
+    The row index comes from the per-file record position
+    (monotonically increasing within each file split read in order;
+    with a single CSV file, Spark reads line-ordered). For
+    multi-file ingest the caller should sort by (input_file_name,
+    _source_row_idx).
+    """
+    df = (
+        spark.read.option("sep", sep)
+        .option("header", True)
+        .option("encoding", encoding)
+        .option("inferSchema", False)  # everything arrives as string
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    # monotonically_increasing_id is ordered within a partition and by
+    # partition id across partitions, which preserves file order for
+    # ordered file formats like CSV.
+    return df.withColumn(ROW_IDX, F.monotonically_increasing_id())
