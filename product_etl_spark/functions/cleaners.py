@@ -136,7 +136,10 @@ def normalize_decimal(col: Column | str, precision: int = 18, scale: int = 2) ->
         c.contains(","),
         F.regexp_replace(F.regexp_replace(c, r"\.", ""), ",", "."),
     ).otherwise(c)
-    return fixed.cast(f"decimal({precision},{scale})")
+    # try_cast: junk input -> NULL instead of an ANSI-mode task
+    # failure — raw exports contain garbage and one bad cell must not
+    # kill a 100 TB ingest job.
+    return fixed.try_cast(f"decimal({precision},{scale})")
 
 
 def strip_sku_dot_zero(col: Column | str) -> Column:
