@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata.
+
+The reference touches multimodality three ways: image download to
+disk (utils/product_collection_img_array_processor.py:55-68), OCR
+over images (utils/details_translator/2_ocr_from_images.py:38-66),
+and HTML->PDF rendering (utils/ai-helper/pupeeter.py). Generalized
+here the way a training-data pipeline needs it:
+
+- binary payloads live in a ``content: binary`` column next to typed
+  metadata (uri, media_type, width/height, ...);
+- decode / feature-extract / resize / frame-sample run as Arrow-
+  batched ``mapInPandas`` stages, one decoder instance per batch;
+- the actual codecs are NOT shippable in this container (no PIL /
+  ffmpeg / tesseract), so the decode kernels are **deterministic
+  stubs** behind an injection point — the Spark-side contract
+  (schema, partitioning, batch shape, null handling) is real and
+  tested, and a real deployment swaps the kernel only.
+
+``spark.read.format("binaryFile")`` is the scan for on-disk corpora
+(S7); synthetic binary frames work identically for tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal record schema (metadata + opaque payload).
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("uri", StringType()),
+        StructField("media_type", StringType()),  # image/jpeg, audio/wav, ...
+        StructField("content", BinaryType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+DecodeKernel = Callable[[bytes], dict]
+
+
+def stub_image_decode(content: bytes) -> dict:
+    """Deterministic fake decoder: derives pseudo width/height and a
+    perceptual-hash stand-in from the bytes. A real deployment
+    replaces this with PIL/opencv; everything around it is unchanged.
+    """
+    if content is None:
+        raise NotImplementedError("real image decoding requires PIL/opencv")
+    h = hashlib.md5(content).hexdigest()
+    return {
+        "width": 64 + int(h[:4], 16) % 1920,
+        "height": 64 + int(h[4:8], 16) % 1080,
+        "n_bytes": len(content),
+        "phash": h[:16],
+    }
+
+
+def extract_image_features(
+    media: DataFrame, kernel: DecodeKernel = stub_image_decode
+) -> DataFrame:
+    """Binary image column -> typed feature rows via mapInPandas.
+
+    Arrow-batched; the kernel runs once per row but is instantiated
+    per partition — at scale, repartition the corpus so each task
+    holds a few hundred MB of payloads and the decoder amortizes.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                feats = kernel(bytes(content)) if content is not None else {}
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": feats.get("width"),
+                        "height": feats.get("height"),
+                        "n_bytes": feats.get("n_bytes"),
+                        "phash": feats.get("phash"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def synthesize_media(df: DataFrame, uri_col: str, media_type: str) -> DataFrame:
+    """Deterministic fake payloads for tests/benchmarks: content =
+    md5(uri) bytes repeated. Lets the full multimodal plumbing run in
+    an environment with no codecs and no network."""
+    return df.select(
+        F.md5(F.col(uri_col)).alias("media_id"),
+        F.col(uri_col).alias("uri"),
+        F.lit(media_type).alias("media_type"),
+        F.repeat(F.unhex(F.md5(F.col(uri_col))), 4).cast("binary").alias("content"),
+    )

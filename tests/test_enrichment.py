@@ -1,0 +1,119 @@
+"""Enrichment pipeline tests: HTML img extraction, staged OCR ->
+group-concat -> translate -> logistics with resumability, and the
+multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import os
+
+from product_etl_spark.operators.multimodal import (
+    extract_image_features,
+    synthesize_media,
+)
+from product_etl_spark.pipelines.enrichment import (
+    extract_image_urls,
+    group_ocr_text,
+    run_enrichment,
+)
+
+
+def _products(spark):
+    rows = [
+        (
+            "p1",
+            '<div><img src="https://x/1.jpg"><p>text</p>'
+            "<img class='z' src='https://x/2.jpg'></div>",
+        ),
+        ("p2", '<img src="https://y/a.png">'),
+        ("p3", ""),  # empty html -> excluded by driving predicate
+        ("p4", None),  # null html -> excluded
+    ]
+    return spark.createDataFrame(rows, "product_id string, details_html string")
+
+
+def _kernels(track_dir: str):
+    os.makedirs(track_dir, exist_ok=True)
+
+    def ocr(url: str) -> str:
+        with open(os.path.join(track_dir, url.replace("/", "_")), "w") as fh:
+            fh.write(url)
+        return f"ocr::{url.rsplit('/', 1)[-1]}"
+
+    def translate(batch: list[str]) -> list[str]:
+        return [f"T[{t}]" for t in batch]
+
+    def logistics(text: str) -> dict:
+        return {
+            "packaging_features": f"pack:{len(text)}",
+            "dimensions_cm": "10x10x10",
+            "volumetric_weight_kg": "1.0",
+            "actual_weight_kg": "0.8",
+            "logistics_notes": text[:10],
+        }
+
+    return ocr, translate, logistics
+
+
+def test_extract_image_urls_both_quote_styles(spark):
+    urls = extract_image_urls(_products(spark)).collect()
+    got = {(r["product_id"], r["image_index"], r["image_url"]) for r in urls}
+    assert got == {
+        ("p1", 1, "https://x/1.jpg"),
+        ("p1", 2, "https://x/2.jpg"),
+        ("p2", 1, "https://y/a.png"),
+    }
+
+
+def test_group_ocr_orders_by_image_index(spark):
+    rows = [
+        ("p1", 2, "second"),
+        ("p1", 1, "first"),
+        ("p1", 3, ""),  # empty fragment dropped
+        ("p2", 1, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "product_id string, image_index int, ocr_text string"
+    )
+    got = {r["product_id"]: r["ocr_document"] for r in group_ocr_text(df).collect()}
+    assert got == {"p1": "first second", "p2": "solo"}
+
+
+def test_full_pipeline_and_resume(spark, tmp_path):
+    stage_root = str(tmp_path / "stages")
+    track = str(tmp_path / "ocr_calls")
+    ocr, translate, logistics = _kernels(track)
+
+    stages = run_enrichment(
+        spark, _products(spark), stage_root, ocr, translate, logistics
+    )
+    log = {r["product_id"]: r for r in stages["logistics"].collect()}
+    assert set(log) == {"p1", "p2"}
+    assert log["p1"]["dimensions_cm"] == "10x10x10"
+    # translated doc flowed through: T[ocr::1.jpg ocr::2.jpg]
+    tr = {r["product_id"]: r["translated_text"] for r in stages["translated"].collect()}
+    assert tr["p1"] == "T[ocr::1.jpg ocr::2.jpg]"
+    n_ocr_calls = len(os.listdir(track))
+    assert n_ocr_calls == 3  # one per image
+
+    # Rerun: stage tables exist, nothing pending -> no new OCR calls
+    stages2 = run_enrichment(
+        spark, _products(spark), stage_root, ocr, translate, logistics
+    )
+    assert len(os.listdir(track)) == n_ocr_calls
+    assert stages2["logistics"].count() == 2
+
+
+def test_multimodal_feature_extraction(spark):
+    df = spark.createDataFrame(
+        [("https://x/1.jpg",), ("https://x/2.jpg",)], "url string"
+    )
+    media = synthesize_media(df, "url", "image/jpeg")
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert r["n_bytes"] == 64  # 16-byte md5 repeated 4x
+        assert 64 <= r["width"] < 64 + 1920
+        assert len(r["phash"]) == 16
+    # deterministic: same input -> same features
+    again = extract_image_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
