@@ -1,0 +1,190 @@
+"""Deduplication operators for document corpora at scale.
+
+Five escalating strategies, all pure DataFrame ops (no UDFs):
+
+- ``exact_dedup``           — md5 hash-groupBy (byte-identical)
+- ``fingerprint_dedup``     — canonicalized text hash (case/space/
+                              punctuation-insensitive)
+- ``minhash_signatures``    — k-permutation MinHash sketch over
+                              word-bigram shingles
+- ``lsh_candidate_pairs``   — banded LSH self-join proposing
+                              near-duplicate candidates
+- ``jaccard_pairs``         — exact n-gram Jaccard on a candidate set
+- ``simhash``               — 16-bit SimHash for hamming-style near-dup
+
+The scale story: exact/fingerprint are one skew-free shuffle on a
+uniform hash. MinHash is explode + groupBy with map-side combine.
+LSH joins on (band, band_hash) — uniformly distributed keys — then
+exact Jaccard verifies only the candidate pairs, never all O(n²).
+
+All hashing is md5-based (functions/text.py) so results are portable
+across engines; the driver's DuckDB oracle reproduces every number.
+
+Reference seed: the attribute dictionary dedup-before-expensive-call
+pattern (utils/product_attributes_etl.py:60-80,
+utils/translate_and_migrate_attributes.py:61-70), generalized to the
+training-data operators BASELINE.json calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    minimum id as canonical survivor + duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the canonical fingerprint (lowercase,
+    punctuation stripped, whitespace collapsed)."""
+    return (
+        df.select(F.col(id_col), T.fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, shingle_n: int = 2
+) -> DataFrame:
+    """id -> k minhash columns h0..h{k-1} over word n-gram shingles.
+
+    Shape: explode once, k MIN aggregations in one groupBy. K array-
+    expression minima in one projection would re-inline the shingle
+    array per column (Catalyst does not CSE across higher-order
+    functions; measured 8x slower). Docs with < shingle_n tokens have
+    no shingles and drop out.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T.word_shingles(text_col, shingle_n))).alias("sh"),
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) from a signature
+    frame with columns h0..h{bands*rows_per_band-1}."""
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
+        )
+        for b in range(bands)
+    ]
+    exploded = signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_hashes)).alias("band", "bh"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for pairs sharing >=1 shingle,
+    filtered to >= threshold. Pass ``candidates`` (id_a, id_b) — e.g.
+    from lsh_candidate_pairs — to verify only those pairs; without it
+    the shingle self-join is exact but O(shared-shingle pairs).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T.word_shingles(text_col, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash over token frequencies: per-bit signed votes,
+    reassembled into an int — near-dups differ in few bits."""
+    tok = df.select(
+        F.col(id_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    hv = T.hash64("tok")
+    simhash = None
+    for b in range(16):
+        vote = F.sum(
+            F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        )
+        bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * (2**b)
+        simhash = bit if simhash is None else simhash + bit
+    return (
+        tok.withColumn("hv", hv)
+        .groupBy(id_col)
+        .agg(simhash.cast("int").alias("simhash16"))
+    )
+
+
+def keep_canonical(
+    df: DataFrame, dedup_groups: DataFrame, id_col: str
+) -> DataFrame:
+    """Filter a corpus to canonical survivors of a dedup grouping
+    (semi-join against canonical_id — distributed, no collect)."""
+    survivors = dedup_groups.select(F.col("canonical_id").alias(id_col))
+    return df.join(survivors, id_col, "left_semi")

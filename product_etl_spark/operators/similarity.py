@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — broadcast the query set
+  against the fully-partitioned corpus; per-query top-k via window.
+  The corpus side never shuffles: at 100 TB this is a map + window
+  over query-id partitions (queries are small by construction).
+- ``lsh_assign_buckets`` / ``knn_lsh``: random-hyperplane LSH — the
+  scale path. Vectors hash to 2^planes buckets by dot-product sign
+  against deterministic hyperplanes; queries probe only their bucket,
+  cutting the candidate set ~2^planes-fold with the usual recall
+  trade-off (probe neighboring buckets for higher recall).
+
+Hyperplanes are md5-derived constants (portable + reproducible in
+the DuckDB oracle); vector math is zip_with/aggregate — JVM-side,
+no UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import vectors as V
+
+
+def hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1,1]^dim, derived
+    from md5 so any engine/language reproduces them exactly."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"plane{p},{j}".encode()).hexdigest()[:8], 16)
+            row.append(round((h % 2001) / 1000.0 - 1.0, 3))
+        planes.append(row)
+    return planes
+
+
+def bucket_expr(emb_col: str, planes: list[list[float]]):
+    bucket = None
+    for p, row in enumerate(planes):
+        w = F.array(*[F.lit(v) for v in row])
+        term = F.when(V.dot(emb_col, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def lsh_assign_buckets(
+    df: DataFrame, emb_col: str, n_planes: int = 4, dim: int = 64
+) -> DataFrame:
+    return df.withColumn("bucket", bucket_expr(emb_col, hyperplanes(n_planes, dim)))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    emb_col: str,
+    id_col: str,
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim).
+
+    ``queries`` must be small (it is broadcast); ``corpus`` scale is
+    unbounded. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(emb_col).alias("_q_emb")
+    )
+    sims = corpus.join(
+        F.broadcast(q), F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine("_q_emb", emb_col).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    emb_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine *within the query's LSH
+    bucket only*. Same output schema as knn_bruteforce; recall < 1.0
+    by construction, candidate set ~|corpus| / 2^n_planes."""
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.withColumn("bucket", bucket_expr(emb_col, planes))
+    q = queries.withColumn("_q_bucket", bucket_expr(emb_col, planes)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_q_emb"),
+        "_q_bucket",
+    )
+    sims = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("_q_bucket"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine("_q_emb", emb_col).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )

@@ -21,13 +21,14 @@ operator inventory; reference citations are in the docstrings there.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from product_etl_spark.functions import cleaners as C
+from product_etl_spark.operators import dedup as D
+from product_etl_spark.operators import similarity as SIM
 from product_etl_spark.functions import text as T
 from product_etl_spark.functions import vectors as V
 from product_etl_spark.session import load_tables
@@ -847,6 +848,7 @@ def q29_doc_fingerprint_dedup(spark, sf_dir):
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+    # (operators/dedup.fingerprint_dedup is the library form of this)
 
 
 @register(
@@ -871,29 +873,6 @@ def q30_doc_script_langid(spark, sf_dir):
     with real multilingual strings (tests/test_cleaners.py)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", T.detect_script("text").alias("script"))
-
-
-def _minhash_signatures(d: DataFrame, k: int = 8) -> DataFrame:
-    """doc_id -> k portable minhash columns h0..h{k-1} over word-bigram
-    shingles.
-
-    Shape matters: explode once, then k MIN aggregations in a single
-    groupBy. Computing k array-expression minima in one projection
-    would re-inline (and re-compute) the shingle array per column —
-    Catalyst does not CSE across higher-order functions (measured 8x
-    slower). The explode+agg form also gets map-side partial
-    aggregation, which is the shape that survives 100 TB.
-    """
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(T.word_shingles("text", 2))).alias("sh"),
-    )
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-            for i in range(k)
-        ]
-    )
 
 
 _MINHASH_ORACLE_COLS = ",\n           ".join(
@@ -933,7 +912,7 @@ def q31_minhash_signatures(spark, sf_dir):
     combine. Docs with <2 tokens have no shingles and drop out, same
     as the oracle's empty-list unnest."""
     d = _t(spark, sf_dir, "documents")
-    return _minhash_signatures(d, 8)
+    return D.minhash_signatures(d, "text", "doc_id", k=8)
 
 
 @register(
@@ -962,31 +941,10 @@ def q32_lsh_near_dup_pairs(spark, sf_dir):
     — uniformly distributed keys, so the shuffle is skew-free at any
     scale (unlike joining on raw shingles)."""
     d = _t(spark, sf_dir, "documents")
-    sig = _minhash_signatures(d, 8)
-    # One pass: 4 band hashes per doc via posexplode (a 4-branch union
-    # would recompute the signature aggregation per branch).
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws("|", f"h{2*b}", f"h{2*b+1}"))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "bh"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    sig = D.minhash_signatures(d, "text", "doc_id", k=8)
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
 
@@ -1026,34 +984,14 @@ def q33_ngram_jaccard_pairs(spark, sf_dir):
     scale, q32 proposes candidates and this computes true Jaccard on
     the (tiny) candidate set only."""
     d = _t(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.col("doc_id") < 100)
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(T.word_shingles("text", 2))).alias("shingle"),
-        )
+    pairs = D.jaccard_pairs(
+        d.filter(F.col("doc_id") < 100), "text", "doc_id",
+        shingle_n=2, threshold=0.2,
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
     )
 
 
@@ -1095,23 +1033,7 @@ def q34_simhash(spark, sf_dir):
     reassembled as an int. One explode + one groupBy — the standard
     scalable shape (map-side partial aggregation applies)."""
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
-    )
-    hv = T.hash64("tok")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        )
-        for b in range(16)
-    ]
-    simhash = None
-    for b, v in enumerate(votes):
-        bit = F.when(v > 0, F.lit(1)).otherwise(F.lit(0)) * (2**b)
-        simhash = bit if simhash is None else simhash + bit
-    return tok.withColumn("hv", hv).groupBy("doc_id").agg(
-        simhash.cast("int").alias("simhash16")
-    )
+    return D.simhash16(d, "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1145,37 +1067,13 @@ def q35_knn_bruteforce(spark, sf_dir):
     At 100 TB the corpus side stays partitioned, queries broadcast —
     no shuffle of the big side at all."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    sims = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            V.cosine("q_emb", "embedding").alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    return SIM.knn_bruteforce(
+        e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5
     )
 
 
 def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes derived from md5 —
-    reproducible in any engine / language, embedded as literals in
-    both the Spark plan and the oracle SQL."""
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for j in range(dim):
-            h = int(hashlib.md5(f"plane{p},{j}".encode()).hexdigest()[:8], 16)
-            row.append(round((h % 2001) / 1000.0 - 1.0, 3))
-        planes.append(row)
-    return planes
+    return SIM.hyperplanes(n_planes, dim)
 
 
 def _lsh_bucket_sql() -> str:
@@ -1201,14 +1099,8 @@ def q36_lsh_bucket_histogram(spark, sf_dir):
     Map-only + one tiny aggregation; the bucket id computation is
     pure array math inside codegen."""
     e = _t(spark, sf_dir, "embeddings")
-    bucket = None
-    for p, row in enumerate(_hyperplanes()):
-        w = F.array(*[F.lit(v) for v in row])
-        d = V.dot("embedding", w)
-        term = F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
     return (
-        e.select("vec_id", bucket.cast("int").alias("bucket"))
+        SIM.lsh_assign_buckets(e, "embedding")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )

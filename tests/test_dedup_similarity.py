@@ -1,0 +1,118 @@
+"""Dedup + similarity operator tests on synthetic corpora with
+planted duplicates / near-duplicates (the testdata corpus is
+all-distinct, so planting is the only way to exercise recall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators import dedup as D
+from product_etl_spark.operators import similarity as S
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "THE QUICK brown fox, jumps over the lazy dog near the river bank!"),  # case/punct dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (3, "completely different text about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (5, "tiny"),  # < 2 tokens: no shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    groups = D.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_canon = {r["canonical_id"]: r["n_docs"] for r in groups}
+    assert by_canon[0] == 2  # docs 0 and 4
+    assert by_canon[1] == 1  # case variant is NOT an exact dup
+
+
+def test_fingerprint_dedup_collapses_case_punct(spark):
+    groups = D.fingerprint_dedup(_docs(spark), "text", "doc_id").collect()
+    by_canon = {r["canonical_id"]: r["n_docs"] for r in groups}
+    assert by_canon[0] == 3  # 0, 1(case/punct), 4(exact)
+
+
+def test_keep_canonical(spark):
+    docs = _docs(spark)
+    groups = D.fingerprint_dedup(docs, "text", "doc_id")
+    kept = sorted(r["doc_id"] for r in D.keep_canonical(docs, groups, "doc_id").collect())
+    assert kept == [0, 2, 3, 5]
+
+
+def test_lsh_finds_planted_near_dup(spark):
+    docs = _docs(spark)
+    sig = D.minhash_signatures(docs, "text", "doc_id", k=8)
+    # short doc 5 drops out (no bigrams)
+    assert sorted(r["doc_id"] for r in sig.select("doc_id").collect()) == [0, 1, 2, 3, 4]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "doc_id").collect()
+    }
+    assert (0, 4) in pairs  # exact dup always collides
+    assert (0, 2) in pairs  # 1-word-changed near-dup shares bands
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_with_candidates(spark):
+    docs = _docs(spark)
+    sig = D.minhash_signatures(docs, "text", "doc_id", k=8)
+    cand = D.lsh_candidate_pairs(sig, "doc_id")
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, candidates=cand
+        ).collect()
+    }
+    assert verified[(0, 4)] == 1.0
+    assert 0.5 <= verified[(0, 2)] < 1.0
+
+
+def test_simhash_near_dup_hamming(spark):
+    sh = {r["doc_id"]: r["simhash16"] for r in D.simhash16(_docs(spark), "text", "doc_id").collect()}
+    assert sh[0] == sh[4]  # identical text -> identical simhash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near <= ham_far  # near-dup at most as far as unrelated
+
+
+def _embeddings(spark, n=64, dim=8):
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        vec = [
+            (int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[:6], 16) % 1000) / 500.0
+            - 1.0
+            for j in range(dim)
+        ]
+        rows.append((i, vec))
+    # plant 1000 as a clone of 0 (slightly perturbed)
+    rows.append((1000, [v * 1.001 for v in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_bruteforce_finds_clone(spark):
+    emb = _embeddings(spark)
+    out = S.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3
+    ).collect()
+    assert out[0]["neighbor_id"] == 1000  # planted clone is rank 1
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_knn_lsh_same_bucket_clone(spark):
+    emb = _embeddings(spark)
+    out = S.knn_lsh(
+        emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3, dim=8
+    ).collect()
+    # the clone hashes to the same bucket (identical signs) and wins
+    assert out and out[0]["neighbor_id"] == 1000
+    # candidate set is bucket-restricted: fewer rows examined than corpus
+    buckets = S.lsh_assign_buckets(emb, "embedding", dim=8)
+    bucket0 = buckets.filter(F.col("vec_id") == 0).collect()[0]["bucket"]
+    n_in_bucket = buckets.filter(F.col("bucket") == bucket0).count()
+    assert n_in_bucket < 65

@@ -1,0 +1,106 @@
+"""Maintenance-job + verification-suite tests, including running the
+full warehouse audit over the ingest fixture output."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from product_etl_spark import ids
+from product_etl_spark.pipelines.maintenance import (
+    cleanup_orphans,
+    consistency_report,
+    find_orphans,
+    fix_sku_dot_zero,
+    relink_products_by_master_code,
+)
+from product_etl_spark.pipelines.verification import (
+    assert_all,
+    check_inheritance,
+    check_no_orphans,
+    check_unique_keys,
+    run_warehouse_checks,
+)
+
+
+def _products(spark):
+    rows = [
+        ("x", "748846541635.0", "m1", "c-bad"),
+        ("x", "100.0", "m1", "c1"),
+        ("x", "100", "m2", "c2"),
+        ("x", "1.00", "m2", None),
+    ]
+    return spark.createDataFrame(
+        rows, "id string, sku string, master_code string, collection_id string"
+    )
+
+
+def test_fix_sku_dot_zero_anchored(spark):
+    fixed = {r["sku"] for r in fix_sku_dot_zero(_products(spark)).collect()}
+    # "100.0" -> "100" (collides with existing "100": both now valid rows,
+    # dedup is the upsert writer's job); "1.00" untouched
+    assert fixed == {"748846541635", "100", "1.00"}
+    # ids re-derived deterministically from the fixed sku
+    row = (
+        fix_sku_dot_zero(_products(spark))
+        .filter(F.col("sku") == "748846541635")
+        .collect()[0]
+    )
+    assert row["id"] == str(uuid.uuid5(ids.NS_PRODUCT, "748846541635"))
+
+
+def test_find_and_cleanup_orphans(spark):
+    child = spark.createDataFrame(
+        [("a", "p1"), ("b", "p2"), ("c", "p_missing")], "id string, fk string"
+    )
+    parent = spark.createDataFrame([("p1",), ("p2",)], "pk string")
+    orphans = find_orphans(child, parent, "fk", "pk").collect()
+    assert [r["id"] for r in orphans] == ["c"]
+    kept = sorted(r["id"] for r in cleanup_orphans(child, parent, "fk", "pk").collect())
+    assert kept == ["a", "b"]
+
+
+def test_relink_by_master_code(spark):
+    product = _products(spark)
+    collection = spark.createDataFrame(
+        [("c1", "m1"), ("c2", "m2")], "id string, master_code string"
+    )
+    fixed = relink_products_by_master_code(product, collection).collect()
+    by_sku = {r["sku"]: r["collection_id"] for r in fixed}
+    assert by_sku["748846541635.0"] == "c1"  # repaired from c-bad
+    assert by_sku["1.00"] == "c2"  # null FK repaired too
+
+
+def test_consistency_report(spark):
+    left = spark.createDataFrame([("a",), ("b",), ("c",)], "k1 string")
+    right = spark.createDataFrame([("b",), ("c",), ("d",)], "k2 string")
+    row = consistency_report(left, right, "k1", "k2").collect()[0]
+    assert (row["in_both"], row["only_in_left"], row["only_in_right"]) == (2, 1, 1)
+
+
+def test_checks_catch_violations(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
+    assert not check_unique_keys(df, ["k"], "t").ok
+    child = spark.createDataFrame([("x", "missing")], "id string, fk string")
+    parent = spark.createDataFrame([("other",)], "pk string")
+    assert not check_no_orphans(child, parent, "fk", "pk", "t").ok
+    p = spark.createDataFrame([("p1", "c1", "http://wrong")], "id string, collection_id string, url string")
+    c = spark.createDataFrame([("c1", "http://right")], "id string, url string")
+    assert not check_inheritance(p, c).ok
+
+
+def test_warehouse_audit_on_ingest_fixture(spark, tmp_path):
+    # full-circle: ingest the F1 fixture, then the audit must pass
+    import test_ingest as TI
+    from product_etl_spark.pipelines.ingest import run_ingest
+    from product_etl_spark.sources.csv_reader import read_raw_products
+
+    csv = tmp_path / "raw.csv"
+    csv.write_text(TI.HEADER + "\n" + "\n".join(TI.ROWS), encoding="utf-8")
+    result = run_ingest(
+        spark, read_raw_products(spark, str(csv)), str(tmp_path / "wh")
+    )
+    results = run_warehouse_checks(result.tables)
+    assert_all(results)
+    assert len(results) > 15

@@ -1,0 +1,102 @@
+"""Structured Streaming tests: windowed rollup and session windows
+under Trigger.AvailableNow with exactly-once file-source semantics.
+
+Append mode only emits windows the watermark has closed, so each
+batch carries a far-future 'flush' event that advances the watermark
+past the windows under test.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from product_etl_spark.streaming.pipeline import (
+    run_available_now,
+    stream_events_rollup,
+    stream_sessionize,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(path)
+
+
+def _stream(spark, src):
+    return spark.readStream.schema(SCHEMA).parquet(src)
+
+
+def test_rollup_available_now_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, BASE, 1, "click", 1.0),
+            (2, BASE + dt.timedelta(minutes=30), 1, "click", 2.0),
+            (3, BASE + dt.timedelta(hours=1, minutes=5), 2, "view", 5.0),
+            # watermark pusher: closes the 10:00 and 11:00 windows
+            (99, BASE + dt.timedelta(hours=10), 9, "flush", 0.0),
+        ],
+    )
+    run_available_now(
+        stream_events_rollup(_stream(spark, src), watermark="1 second"), out, ckpt
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], str(r["total_value"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(BASE, "click")] == (2, "3.00")
+    assert got[(BASE + dt.timedelta(hours=1), "view")] == (1, "5.00")
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == 2  # flush window still open
+
+    # second drain with no new files: nothing re-emitted (exactly-once)
+    run_available_now(
+        stream_events_rollup(_stream(spark, src), watermark="1 second"), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == n_rows
+
+    # new file arrives -> next drain emits only newly closed windows
+    _write_events(
+        spark, src, [(100, BASE + dt.timedelta(hours=20), 9, "flush", 0.0)]
+    )
+    run_available_now(
+        stream_events_rollup(_stream(spark, src), watermark="1 second"), out, ckpt
+    )
+    got2 = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2[(BASE + dt.timedelta(hours=10), "flush")] == 1
+    assert spark.read.parquet(out).count() == n_rows + 1
+
+
+def test_sessionize_gap_semantics(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, BASE, 1, "click", 1.0),
+            (2, BASE + dt.timedelta(minutes=10), 1, "click", 1.0),
+            # 40-min gap -> new session
+            (3, BASE + dt.timedelta(minutes=50), 1, "click", 1.0),
+            (4, BASE, 2, "view", 1.0),
+            (99, BASE + dt.timedelta(hours=10), 9, "flush", 0.0),
+        ],
+    )
+    run_available_now(
+        stream_sessionize(_stream(spark, src), watermark="1 second"), out, ckpt
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in spark.read.parquet(out).collect():
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(by_user[1]) == [1, 2]  # two sessions: 2 events + 1 event
+    assert by_user[2] == [1]
