@@ -27,6 +27,11 @@ def main() -> None:
     spark = get_spark("product_etl_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM/codegen/scheduler so the first measured query
+    # isn't charged session startup (we measure queries, not boot).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+
     timings: dict[str, float] = {}
     for name, spec in plans.CATALOG.items():
         t0 = time.monotonic()

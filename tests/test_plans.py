@@ -1,0 +1,79 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, asserted.
+
+Correctness tests prove the numbers; these prove the *shape* —
+filters reach the parquet scan, projections prune columns, small
+dims broadcast, aggregations have map-side partial phases, and the
+expression pipeline stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from product_etl_spark.plans import CATALOG
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = CATALOG[name]["fn"](spark, sf_dir)
+    # Execute first: with AQE the pre-execution plan is not final (no
+    # codegen markers, placeholder exchanges). Collecting this exact
+    # DataFrame finalizes its own AdaptiveSparkPlan (a .write would
+    # execute a separate QueryExecution).
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_prune_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # filter pushed to the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns in ReadSchema
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read and "l_orderkey" not in read and "l_partkey" not in read
+    # two-phase aggregation (partial before the exchange)
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen spans render as "*(n)" in the final plan
+    assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_q03_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_region_nation_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q04_anti_join_no_full_shuffle_of_keys_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q04_customers_without_orders")
+    # orders side pruned to the single join key before the join
+    read = [
+        line for line in plan.splitlines() if "ReadSchema" in line and "orders" not in line
+    ]
+    assert "LeftAnti" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q10_topk_plans_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_topk_brands")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT n
+
+
+def test_q31_minhash_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q31_minhash_signatures")
+    # explode + groupBy with map-side combine: partial_min before exchange
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+    assert "Generate explode" in plan
+
+
+def test_q35_corpus_not_shuffled(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q35_knn_bruteforce")
+    # query side broadcast; corpus side must not hit a shuffle before
+    # the similarity computation (only the final per-query window may
+    # exchange on query_id)
+    assert "BroadcastNestedLoopJoin" in plan
+    before_join = plan.split("BroadcastNestedLoopJoin")[-1]
+    assert "Exchange hashpartitioning" not in before_join.split("Window")[-1]
+
+
+def test_scan_pruning_documents(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q27_doc_token_stats")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "lang" not in read and "source" not in read
