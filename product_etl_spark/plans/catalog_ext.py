@@ -1,0 +1,385 @@
+"""Extended query catalog: operator families beyond the reference's
+own surface that a complete analytics engine must cover — grouping
+sets, exact percentiles, statistical aggregates, range (theta) joins,
+as-of joins, pivot/unpivot, JSON extraction, ranking windows,
+correlated-subquery shapes. Registered into the same CATALOG /
+oracle registry as catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from product_etl_spark.plans.catalog import _t, dec, register
+
+
+@register(
+    "q41_rollup_region_nation",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q41_rollup_region_nation(spark, sf_dir):
+    """GROUP BY ROLLUP: per-nation, per-region subtotal, grand total
+    in one pass (partial aggregation applies to every grouping set)."""
+    s, n, r = _t(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec("s_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q42_cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q42_cube_flag_status(spark, sf_dir):
+    """GROUP BY CUBE over the two low-cardinality lineitem flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q43_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q43_price_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles (not approx — the
+    oracle is exact; at 100 TB swap in approx_percentile and drop the
+    oracle to rows-only, as q49 demonstrates)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "q44_acctbal_stats",
+    """
+    SELECT c_mktsegment,
+           ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS mean_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 3) AS stddev_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q44_acctbal_stats(spark, sf_dir):
+    """Statistical aggregates; the mean goes through decimal for
+    exactness, stddev is rounded to absorb summation-order noise."""
+    cu = _t(spark, sf_dir, "customer")
+    return cu.groupBy("c_mktsegment").agg(
+        F.round(F.avg(dec("c_acctbal")), 2).cast("decimal(18,2)").alias("mean_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 3).alias("stddev_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "q45_price_band_range_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0),
+             ('medium', 50000.0, 150000.0),
+             ('large', 150000.0, 1000000000.0)
+    )
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q45_price_band_range_join(spark, sf_dir):
+    """Range (theta) join against a band dimension — broadcast nested
+    loop on the tiny side; the fact side streams through unshuffled."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 50_000.0),
+            ("medium", 50_000.0, 150_000.0),
+            ("large", 150_000.0, 1_000_000_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "q46_asof_purchase_signup",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           epoch_us(ts) AS ts_us,
+           epoch_us(last_signup_ts) AS signup_ts_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q46_asof_purchase_signup(spark, sf_dir):
+    """As-of join (nearest preceding match): each purchase paired
+    with the user's latest prior-or-same-instant signup. The union-
+    window formulation needs no range join at all: one window over
+    (user, time) — the canonical Spark shape for as-of semantics."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_ts", last_signup)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros("last_signup_ts").alias("signup_ts_us"),
+        )
+    )
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "q47_event_pivot",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q47_event_pivot(spark, sf_dir):
+    """Pivot event types to columns. Explicit value list — at scale an
+    implicit pivot triggers a distinct-values job first; never do that
+    on a high-cardinality column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@register(
+    "q48_lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def q48_lineitem_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long): two measures melted into rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .withColumnsRenamed(
+            {"l_quantity": "quantity", "l_extendedprice": "extendedprice"}
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice"],
+            "measure",
+            "val",
+        )
+    )
+
+
+@register("q49_approx_distinct_users", None)
+def q49_approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB form of
+    COUNT(DISTINCT). Approximate by design, so no value oracle: the
+    driver records the rows-only check. Exact twin: q08."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q50_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           LEN(regexp_extract_all(COALESCE(text,''),
+               '[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q50_bpe_token_count(spark, sf_dir):
+    """Sub-word-ish token counting (BPE proxy regex)."""
+    from product_etl_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "q51_props_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events
+    WHERE props IS NOT NULL AND props <> ''
+    GROUP BY 1
+    """,
+)
+def q51_props_json_extract(spark, sf_dir):
+    """JSON field extraction from the events props column (F21 — the
+    reference has no JSON, this is the engine extension)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").isNotNull() & (F.col("props") != ""))
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q52_value_delta_lag",
+    """
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 2) AS delta
+    FROM events WHERE user_id < 10
+    """,
+)
+def q52_value_delta_lag(spark, sf_dir):
+    """LAG-based per-user deltas (window beyond row_number/sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.filter(F.col("user_id") < 10).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "q53_order_rank_in_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS price_rank,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           ROUND(PERCENT_RANK() OVER w, 4) AS price_pct_rank
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q53_order_rank_in_customer(spark, sf_dir):
+    """rank / dense_rank / percent_rank coverage."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.filter(F.col("o_custkey") < 50).select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 4).alias("price_pct_rank"),
+    )
+
+
+@register(
+    "q54_above_nation_average",
+    """
+    WITH nation_avg AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey
+    FROM customer c JOIN nation_avg a ON a.c_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    """,
+)
+def q54_above_nation_average(spark, sf_dir):
+    """Correlated-scalar-subquery shape (customers above their
+    nation's average balance) decorrelated into an aggregate + join —
+    what Catalyst's RewriteCorrelatedScalarSubquery does; written
+    explicitly so the plan is join-reorderable."""
+    cu = _t(spark, sf_dir, "customer")
+    nation_avg = cu.groupBy("c_nationkey").agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cu.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+@register(
+    "q55_events_per_day_of_week",
+    """
+    SELECT dayofweek(ts) AS dow, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q55_events_per_day_of_week(spark, sf_dir):
+    """Calendar extraction parity (dayofweek: Sunday=1 in Spark;
+    DuckDB dayofweek is Sunday=0 — normalized in the Spark expression
+    to match ISO-ish DuckDB numbering)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
