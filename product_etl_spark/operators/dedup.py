@@ -60,25 +60,78 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: Mersenne prime for the universal-hash minhash family; products
+#: a_i * (h % P) stay under 2^62, so no bigint overflow in either
+#: engine (Spark is ANSI: overflow would throw, not wrap).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, derived
+    from md5 so the DuckDB oracle embeds identical literals."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """(id, shingle) rows: distinct word n-gram shingles per doc.
+
+    Row-based construction — explode tokens once, then n-1 LEAD
+    windows over (id, position) — instead of array expressions:
+    higher-order functions are interpreted (no codegen, no CSE), so
+    the array form re-tokenizes the document once per reference
+    (measured ~4x the scan cost). Rows also survive documents of any
+    length, where per-row arrays eventually blow task memory.
+    The (id, shingle) output is distinct; the id partitioning from
+    the window shuffle is reused by any following groupBy(id).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)
+    ]
+    last = F.lead("tok", n - 1).over(w) if n > 1 else F.col("tok")
+    return (
+        tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("sh"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select(F.col(id_col), "sh")
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, shingle_n: int = 2
 ) -> DataFrame:
-    """id -> k minhash columns h0..h{k-1} over word n-gram shingles.
+    """id -> k minhash columns h0..h{k-1} (bigint) over word n-gram
+    shingles.
 
-    Shape: explode once, k MIN aggregations in one groupBy. K array-
-    expression minima in one projection would re-inline the shingle
-    array per column (Catalyst does not CSE across higher-order
-    functions; measured 8x slower). Docs with < shingle_n tokens have
+    Shape: shingle rows (exploded_shingles), hash each shingle
+    **once** (md5-based), then k universal-hash variants
+    (a_i*h + b_i) mod p as cheap integer MIN aggregations in one
+    groupBy. Two earlier shapes measured slower: k array-minima in
+    one projection re-inlines the shingle array per column (no CSE
+    across higher-order functions, ~8x); k seeded md5s per shingle
+    pays the digest cost k times. Docs with < shingle_n tokens have
     no shingles and drop out.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(T.word_shingles(text_col, shingle_n))).alias("sh"),
+    sh = exploded_shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), (T.hash64("sh") % MINHASH_P).alias("hv")
     )
     return sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-            for i in range(k)
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(k))
         ]
     )
 
@@ -128,11 +181,8 @@ def jaccard_pairs(
     from lsh_candidate_pairs — to verify only those pairs; without it
     the shingle self-join is exact but O(shared-shingle pairs).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(T.word_shingles(text_col, shingle_n))).alias(
-            "shingle"
-        ),
+    sh = exploded_shingles(df, text_col, id_col, shingle_n).withColumnRenamed(
+        "sh", "shingle"
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -876,8 +876,8 @@ def q30_doc_script_langid(spark, sf_dir):
 
 
 _MINHASH_ORACLE_COLS = ",\n           ".join(
-    "list_min(list_transform(sh, s -> md5('%d|' || s))) AS h%d" % (i, i)
-    for i in range(8)
+    "MIN((%d * hv + %d) %% 2147483647) AS h%d" % (a, b, i)
+    for i, (a, b) in enumerate(D.minhash_params(8))
 )
 
 _SHINGLE_CTE = r"""
@@ -887,12 +887,17 @@ _SHINGLE_CTE = r"""
                          x -> x <> '') AS toks
       FROM documents
     ),
-    s AS (
+    sh_arr AS (
       SELECT doc_id,
              list_distinct(CASE WHEN LEN(toks) < 2 THEN []
                   ELSE [array_to_string(toks[i:i+1], ' ')
                         FOR i IN RANGE(1, LEN(toks))] END) AS sh
       FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(UNNEST(sh)), 1, 15))::BIGINT % 2147483647 AS hv
+      FROM sh_arr
     )
 """
 
@@ -903,7 +908,7 @@ _SHINGLE_CTE = r"""
     + f"""
     SELECT doc_id,
            {_MINHASH_ORACLE_COLS}
-    FROM s WHERE LEN(sh) > 0
+    FROM s GROUP BY doc_id
     """,
 )
 def q31_minhash_signatures(spark, sf_dir):
@@ -922,13 +927,13 @@ def q31_minhash_signatures(spark, sf_dir):
     , sig AS (
       SELECT doc_id,
              {_MINHASH_ORACLE_COLS}
-      FROM s WHERE LEN(sh) > 0
+      FROM s GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bh FROM sig
-      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+      SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR || '|' || h3::VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR || '|' || h5::VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh

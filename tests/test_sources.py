@@ -1,0 +1,95 @@
+"""Source-layer tests: HTTP fetch stage (retry/backoff/rate limit),
+token bucket, mapping loader, excel gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from product_etl_spark.operators.ratelimit import TokenBucket
+from product_etl_spark.sources.http_fetch import fetch_urls
+from product_etl_spark.sources.mapping import (
+    load_mapping,
+    projection_for_table,
+    translation_fields,
+)
+
+
+def test_token_bucket_paces():
+    t = [0.0]
+    sleeps = []
+
+    def clock():
+        return t[0]
+
+    def sleeper(s):
+        sleeps.append(s)
+        t[0] += s
+
+    b = TokenBucket(rate=2.0, burst=1.0, clock=clock, sleeper=sleeper)
+    for _ in range(5):
+        b.acquire()
+    # first token free (burst), then 4 waits of ~0.5s at 2/s
+    assert len(sleeps) == 4
+    assert all(abs(s - 0.5) < 1e-9 for s in sleeps)
+
+
+def test_fetch_retry_and_failure_recorded(spark):
+    urls = spark.createDataFrame(
+        [("http://ok/1",), ("http://flaky/2",), ("http://dead/3",)], "url string"
+    )
+
+    def fetcher(url: str) -> bytes:
+        if "dead" in url:
+            raise OSError("always down")
+        if "flaky" in url:
+            # fails on first attempt of each task run: deterministic by
+            # using a file-less trick is impossible across retries, so
+            # flaky here means: succeed (the retry loop is covered by
+            # the dead URL exhausting attempts)
+            return b"flaky-ok"
+        return b"payload:" + url.encode()
+
+    out = {
+        r["url"]: r
+        for r in fetch_urls(
+            urls, fetcher, max_attempts=2, backoff_s=0.0, sleeper=lambda s: None
+        ).collect()
+    }
+    assert out["http://ok/1"]["status"] == "ok"
+    assert bytes(out["http://ok/1"]["content"]) == b"payload:http://ok/1"
+    assert out["http://dead/3"]["status"] == "error"
+    assert out["http://dead/3"]["content"] is None
+    assert out["http://dead/3"]["n_attempts"] == 2  # retried, then recorded
+
+
+def test_mapping_loader_and_projection(spark, tmp_path):
+    p = tmp_path / "map.csv"
+    p.write_text(
+        "raw_input_field,db_table,field\n"
+        "Master Code,product_collection,master_code\n"
+        "SKU Code,product,sku\n"
+        "Price,product,selling_price\n"
+        "Product Name,product_collection_translations,\n"
+    )
+    mapping = load_mapping(spark, str(p))
+    assert mapping["Master Code"] == {"table": "product_collection", "column": "master_code"}
+    cols = projection_for_table(mapping, "product")
+    df = spark.createDataFrame(
+        [("963cef", "s1", "10", "名")],
+        "`Master Code` string, `SKU Code` string, Price string, `Product Name` string",
+    )
+    out = df.select(*cols)
+    assert set(out.columns) == {"sku", "selling_price"}
+    # empty-field rows route to translation sidecars
+    assert translation_fields(mapping, "product_collection_translations") == [
+        ("Product Name", "product_name")
+    ]
+
+
+def test_excel_gate_without_engine(spark, tmp_path):
+    from product_etl_spark.sources.excel import read_excel
+
+    fake = tmp_path / "wb.xlsx"
+    fake.write_bytes(b"not really an excel file")
+    with pytest.raises((NotImplementedError, Exception)):
+        read_excel(spark, str(fake))
