@@ -58,9 +58,15 @@ def test_q10_topk_plans_take_ordered(spark, sf_dir):
 
 def test_q31_minhash_partial_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q31_minhash_signatures")
-    # explode + groupBy with map-side combine: partial_min before exchange
+    # row-based shingling: one posexplode, lead window, then aggs with
+    # map-side combine (partial phase before the exchange)
+    assert "Generate posexplode" in plan
+    assert "Window" in plan
     assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
-    assert "Generate explode" in plan
+    # the doc_id partitioning from the window shuffle is reused: only
+    # the explode output is exchanged on doc_id, dedup + final agg
+    # must not re-shuffle on a different key
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_q35_corpus_not_shuffled(spark, sf_dir):
