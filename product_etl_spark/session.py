@@ -82,6 +82,12 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: (session id, sf_dir, table) -> DataFrame. Plans are lazy, so a
+#: cached frame is just the analyzed scan; reusing it skips repeated
+#: footer/schema reads when a catalog of queries runs back-to-back.
+_TABLE_CACHE: dict[tuple[int, str, str], object] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register every parquet table under ``sf_dir`` as a temp view.
 
@@ -103,6 +109,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     ]
     out = {}
     for name in names or all_names:
+        key = (id(spark), sf_dir, name)
+        if key in _TABLE_CACHE:
+            out[name] = _TABLE_CACHE[key]
+            continue
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
@@ -113,5 +123,6 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             df.createOrReplaceTempView(name)
+            _TABLE_CACHE[key] = df
             out[name] = df
     return out

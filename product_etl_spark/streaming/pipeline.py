@@ -82,6 +82,55 @@ def stream_sessionize(
     )
 
 
+def stream_ingest_csv(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint: str,
+    schema_cols: list[str],
+    sep: str = ";",
+):
+    """Continuous product ingest: a file-source stream over the raw
+    export directory; each micro-batch runs the full batch ingest
+    (pipelines/ingest.run_ingest) via foreachBatch — MERGE writes are
+    not a native streaming sink, and foreachBatch is exactly the
+    escape hatch for idempotent-batch sinks. The checkpoint tracks
+    processed files (exactly-once file pickup); the MERGE keyed on
+    natural keys makes replayed batches no-ops, so end-to-end the
+    pipeline is effectively exactly-once.
+
+    Run under Trigger.AvailableNow for drop-a-file batch operation or
+    a processing-time trigger for true continuous ingest.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from product_etl_spark.pipelines.ingest import run_ingest
+    from product_etl_spark.sources.csv_reader import ROW_IDX
+
+    schema = StructType([StructField(c, StringType()) for c in schema_cols])
+    raw_stream = (
+        spark.readStream.schema(schema)
+        .option("sep", sep)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        raw = batch_df.withColumn(ROW_IDX, F.monotonically_increasing_id())
+        run_ingest(batch_df.sparkSession, raw, warehouse)
+
+    return (
+        raw_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_path: str,

@@ -1,0 +1,76 @@
+"""Scale machinery tests: salted joins/aggs preserve semantics,
+bucketed joins eliminate exchanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.bucketing import bucketed_join, write_bucketed
+from product_etl_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_salted_join_semantics(spark):
+    # one hot key (k=hot appears 500x), small side not broadcast-worthy
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(10)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k string, label string"
+    )
+    out = salted_join(big, small, "k", n_salts=4)
+    assert out.count() == 510
+    labels = dict(
+        out.groupBy("label").count().rdd.map(lambda r: (r["label"], r["count"])).collect()
+    )
+    assert labels == {"H": 500, "C": 10}
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([("a", 1), ("orphan", 2)], "k string, v int")
+    small = spark.createDataFrame([("a", "A")], "k string, label string")
+    out = salted_join(big, small, "k", n_salts=4, how="left").collect()
+    by_k = {r["k"]: r["label"] for r in out}
+    assert by_k == {"a": "A", "orphan": None}
+
+
+def test_two_phase_agg_matches_direct(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 1.0)],
+        "k string, total double",
+    ).withColumn("n", F.lit(1).cast("long")).withColumn(
+        "total", F.col("total").cast("decimal(18,2)")
+    )
+    out = {
+        r["k"]: (r["n"], str(r["total"]))
+        for r in two_phase_agg(
+            df, ["k"], {"n": (F.sum, F.sum), "total": (F.sum, F.sum)}, n_salts=4
+        ).collect()
+    }
+    assert out["hot"] == (100, "4950.00")
+    assert out["cold"] == (1, "1.00")
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    orders = spark.createDataFrame(
+        [(i, f"c{i % 7}") for i in range(1000)], "o_orderkey long, cust string"
+    )
+    lineitem = spark.createDataFrame(
+        [(i % 1000, i) for i in range(5000)], "o_orderkey long, line int"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed(lineitem, "t_lineitem_b", "o_orderkey", n_buckets=8)
+    joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+    assert joined.count() == 5000
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+    # aggregation on the bucket key is exchange-free too
+    agg = spark.table("t_lineitem_b").groupBy("o_orderkey").count()
+    agg.collect()
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in agg_plan
