@@ -28,9 +28,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM/codegen/scheduler so the first measured query
-    # isn't charged session startup (we measure queries, not boot).
+    # isn't charged session startup (we measure queries, not boot),
+    # and pre-register all table scans (footer/schema reads).
+    from product_etl_spark.session import load_tables
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, spec in plans.CATALOG.items():
