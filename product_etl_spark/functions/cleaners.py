@@ -21,6 +21,13 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def strip_ws(col: Column | str) -> Column:
+    """Python-``str.strip()``-style whitespace trim. Spark's ``trim``
+    removes only 0x20 spaces; the reference strips tabs/newlines/CRs
+    too, so we trim the Java ``\\s`` class on both ends."""
+    return F.regexp_replace(_c(col), r"^\s+|\s+$", "")
+
+
 def clean_string(col: Column | str) -> Column:
     """Strip surrounding whitespace; empty/blank -> NULL.
 
@@ -28,7 +35,7 @@ def clean_string(col: Column | str) -> Column:
     for non-strings and strips otherwise; blank-to-null matches how
     the reference treats '' as missing before inserts.
     """
-    trimmed = F.trim(_c(col))
+    trimmed = strip_ws(col)
     return F.when(trimmed == "", F.lit(None).cast("string")).otherwise(trimmed)
 
 
@@ -91,8 +98,8 @@ def parse_attributes(col: Column | str) -> Column:
     structs = F.transform(
         pairs,
         lambda p: F.struct(
-            F.trim(F.substring_index(p, ":", 1)).alias("attr_key"),
-            F.trim(F.substr(p, F.locate(":", p) + F.lit(1))).alias("attr_value"),
+            strip_ws(F.substring_index(p, ":", 1)).alias("attr_key"),
+            strip_ws(F.substr(p, F.locate(":", p) + F.lit(1))).alias("attr_value"),
         ),
     )
     with_colon = F.zip_with(

@@ -84,6 +84,81 @@ def knn_bruteforce(
     )
 
 
+def ivf_centroids(corpus: DataFrame, emb_col: str, id_col: str, n_lists: int = 4):
+    """Deterministic IVF coarse centroids: the ``n_lists``
+    lowest-id vectors act as seed centroids (a real deployment runs
+    k-means; the assignment/probe machinery is identical and the
+    deterministic seed keeps the oracle reproducible)."""
+    w = Window.orderBy(F.col(id_col))
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_lists)
+        .select(
+            (F.col("_rn") - 1).alias("list_id"),
+            F.col(emb_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, emb_col: str, id_col: str
+) -> DataFrame:
+    """Assign every vector to its nearest (L2) centroid — the IVF
+    inverted-list build. Broadcast the centroids, window-argmin per
+    vector; ties break toward the lower list_id."""
+    joined = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        "list_id",
+        V.l2_distance(emb_col, "centroid").alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("list_id"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "list_id", F.round("dist", 4).alias("centroid_dist"))
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    emb_col: str,
+    id_col: str,
+    k: int = 5,
+    n_lists: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the query's nearest
+    inverted list (nprobe=1). Candidate set ~|corpus|/n_lists; same
+    output schema as knn_bruteforce."""
+    cents = ivf_centroids(corpus, emb_col, id_col, n_lists)
+    assigned = corpus.join(
+        ivf_assign(corpus, cents, emb_col, id_col).select(id_col, "list_id"),
+        id_col,
+    )
+    q_assigned = queries.join(
+        ivf_assign(queries, cents, emb_col, id_col).select(id_col, "list_id"),
+        id_col,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_q_emb"),
+        F.col("list_id").alias("_q_list"),
+    )
+    sims = assigned.join(
+        F.broadcast(q_assigned),
+        (F.col("list_id") == F.col("_q_list")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine("_q_emb", emb_col).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

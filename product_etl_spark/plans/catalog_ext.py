@@ -383,3 +383,34 @@ def q55_events_per_day_of_week(spark, sf_dir):
     return ev.groupBy(
         (F.dayofweek("ts") - 1).cast("long").alias("dow"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q56_ivf_assignment",
+    """
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 4
+    )
+    SELECT vec_id, list_id, ROUND(dist, 4) AS centroid_dist
+    FROM (
+      SELECT e.vec_id, c.list_id,
+             list_distance(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY dist, c.list_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+    """,
+)
+def q56_ivf_assignment(spark, sf_dir):
+    """IVF inverted-list build: every vector assigned to its nearest
+    coarse centroid (operators/similarity.ivf_assign). The probe-side
+    twin (knn_ivf) is covered by pytest; this pins the assignment —
+    the part whose distribution matters at 100 TB (broadcast
+    centroids, corpus never shuffles, one window argmin)."""
+    from product_etl_spark.operators import similarity as SIM_
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM_.ivf_centroids(e, "embedding", "vec_id", n_lists=4)
+    return SIM_.ivf_assign(e, cents, "embedding", "vec_id")
