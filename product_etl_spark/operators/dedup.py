@@ -231,6 +231,57 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram: int = 4,
+    window: int = 3,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling char-``gram`` hashes, minimum per sliding ``window``,
+    distinct selected hashes per doc -> (id, fingerprint) rows.
+
+    Two near-identical documents share most fingerprints even when
+    edits shift offsets — the local-minimum selection is
+    self-synchronizing, unlike fixed-stride sampling. Join on
+    fingerprint to find plagiarism-style overlaps.
+
+    Rolling hashes are built row-wise (posexplode of gram positions +
+    a min-over-window frame) for the same reasons as
+    exploded_shingles: no interpreted array HOF re-evaluation, no
+    per-row arrays for huge documents, and the (id) partitioning from
+    the window is reused by the distinct.
+    """
+    s = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    gram_positions = F.when(
+        F.length(s) < gram, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.length(s) - F.lit(gram - 1)))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(gram_positions, lambda i: F.substr(s, i, F.lit(gram)))
+        ).alias("pos", "g"),
+    )
+    hv = T.hash64("g") % MINHASH_P
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    selected = (
+        grams.select(F.col(id_col), F.col("pos"), hv.alias("hv"))
+        .withColumn("win_min", F.min("hv").over(w))
+        .withColumn("_n_following", F.count("hv").over(w))
+        # a full window ends at this position (mirror of the oracle's
+        # range over hash windows)
+        .filter(F.col("_n_following") == window)
+        .select(F.col(id_col), F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
+    return selected
+
+
 def keep_canonical(
     df: DataFrame, dedup_groups: DataFrame, id_col: str
 ) -> DataFrame:

@@ -77,6 +77,45 @@ def relink_products_by_master_code(
     )
 
 
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+):
+    """Small-files compaction + optional layout sort.
+
+    Incremental MERGE runs leave many small files; at 100 TB small
+    files dominate scan planning time. Rewrite the table at
+    ~``target_file_mb`` per file; ``sort_cols`` clusters rows so
+    parquet min/max statistics give data skipping on those columns
+    (the poor man's Z-order — effective for one or two correlated
+    predicates, which covers the reference's lookup patterns:
+    master_code, sku).
+    """
+    import shutil
+    import uuid as _uuid
+
+    df = spark.read.parquet(path)
+    n_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, n_bytes // (target_file_mb * 1024 * 1024))
+    out = df.repartition(int(n_files))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    staging = f"{path}__compact_{_uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{_uuid.uuid4().hex[:8]}"
+    import os as _os
+
+    _os.rename(path, backup)
+    _os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def consistency_report(
     left: DataFrame, right: DataFrame, left_key: str, right_key: str
 ) -> DataFrame:

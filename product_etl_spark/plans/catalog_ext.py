@@ -414,3 +414,39 @@ def q56_ivf_assignment(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     cents = SIM_.ivf_centroids(e, "embedding", "vec_id", n_lists=4)
     return SIM_.ivf_assign(e, cents, "embedding", "vec_id")
+
+
+@register(
+    "q57_winnowing_fingerprints",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             [('0x'||substr(md5(substr(LOWER(COALESCE(text,'')), i, 4)),1,15))::BIGINT
+                % 2147483647
+              FOR i IN RANGE(1, LEN(LOWER(COALESCE(text,''))) - 2)] AS hs
+      FROM documents WHERE doc_id < 200
+    ),
+    sel AS (
+      SELECT doc_id,
+             UNNEST(list_distinct([list_min(hs[i:i+2])
+                                   FOR i IN RANGE(1, LEN(hs) - 1)])) AS fingerprint
+      FROM g WHERE LEN(hs) >= 3
+    )
+    SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fingerprint) AS min_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q57_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint selection per document,
+    summarized as counts (the raw fingerprint rows are the overlap-
+    join input; operators/dedup.winnowing_fingerprints)."""
+    from product_etl_spark.operators import dedup as D_
+
+    d = _t(spark, sf_dir, "documents")
+    fp = D_.winnowing_fingerprints(
+        d.filter(F.col("doc_id") < 200), "text", "doc_id", gram=4, window=3
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+    )

@@ -116,3 +116,39 @@ def test_knn_lsh_same_bucket_clone(spark):
     bucket0 = buckets.filter(F.col("vec_id") == 0).collect()[0]["bucket"]
     n_in_bucket = buckets.filter(F.col("bucket") == bucket0).count()
     assert n_in_bucket < 65
+
+
+def test_knn_ivf_finds_clone_when_colocated(spark):
+    emb = _embeddings(spark)
+    from product_etl_spark.operators.similarity import ivf_assign, ivf_centroids, knn_ivf
+
+    out = knn_ivf(
+        emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3, n_lists=4
+    ).collect()
+    # the clone (1000) is a scaled copy of vec 0 -> same nearest
+    # centroid -> same inverted list -> found at rank 1
+    assert out and out[0]["neighbor_id"] == 1000
+    # assignment is total: every vector lands in exactly one list
+    cents = ivf_centroids(emb, "embedding", "vec_id", 4)
+    assigned = ivf_assign(emb, cents, "embedding", "vec_id")
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_winnowing_shared_fingerprints(spark):
+    from product_etl_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _docs(spark)
+    fp = winnowing_fingerprints(docs, "text", "doc_id", gram=4, window=3)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # identical docs -> identical fingerprint sets
+    assert by_doc[0] == by_doc[4]
+    # near-dup (one word changed) shares most fingerprints
+    inter = len(by_doc[0] & by_doc[2])
+    union = len(by_doc[0] | by_doc[2])
+    assert inter / union > 0.5
+    # unrelated doc shares almost none
+    inter3 = len(by_doc[0] & by_doc[3])
+    assert inter3 / len(by_doc[0] | by_doc[3]) < 0.2

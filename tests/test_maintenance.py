@@ -104,3 +104,17 @@ def test_warehouse_audit_on_ingest_fixture(spark, tmp_path):
     results = run_warehouse_checks(result.tables)
     assert_all(results)
     assert len(results) > 15
+
+
+def test_compact_table(spark, tmp_path):
+    from product_etl_spark.pipelines.maintenance import compact_table
+    import pathlib
+
+    path = str(tmp_path / "t")
+    spark.range(10000).selectExpr("id", "id % 100 as k").repartition(20).write.parquet(path)
+    n_before = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert n_before >= 20
+    out = compact_table(spark, path, target_file_mb=256, sort_cols=["k"])
+    n_after = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert n_after < n_before
+    assert out.count() == 10000
