@@ -173,6 +173,37 @@ def detect_script(col: Column | str) -> Column:
     return F.when(best["r"] >= 0.3, name_expr).otherwise(F.lit("unknown"))
 
 
+def gopher_quality_flags(col: Column | str) -> Column:
+    """Gopher-style quality-filter battery (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    and the share of words containing an alphabetic character —
+    returned as a struct of booleans plus the final keep decision.
+    All pure expressions; at 100 TB this is a map-only scan."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    mean_len = mean_word_length(col)
+    s = F.coalesce(_c(col), F.lit(""))
+    n_hash_ellipsis = F.regexp_count(s, F.lit(r"#|\.\.\.")).cast("double")
+    symbol_ratio = F.when(n_words == 0, F.lit(1.0)).otherwise(
+        n_hash_ellipsis / n_words
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        alpha_words / n_words
+    )
+    ok_words = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_symbols = symbol_ratio <= 0.1
+    ok_alpha = alpha_ratio >= 0.8
+    return F.struct(
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        (ok_words & ok_mean & ok_symbols & ok_alpha).alias("keep"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Canonical document fingerprint: lowercase, collapse whitespace,
     strip punctuation, md5. Two documents differing only in case,

@@ -450,3 +450,48 @@ def q57_winnowing_fingerprints(spark, sf_dir):
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fp"),
     )
+
+
+@register(
+    "q58_gopher_quality_filters",
+    r"""
+    WITH t AS (
+      SELECT doc_id, COALESCE(text,'') AS s,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             LEN(toks) AS n_words,
+             CASE WHEN LEN(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> LENGTH(x)))::DOUBLE
+                       / LEN(toks) END AS mean_len,
+             CASE WHEN LEN(toks) = 0 THEN 1.0
+                  ELSE LEN(regexp_extract_all(s, '#|\.\.\.'))::DOUBLE / LEN(toks)
+                  END AS symbol_ratio,
+             CASE WHEN LEN(toks) = 0 THEN 0.0
+                  ELSE LEN(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                       / LEN(toks) END AS alpha_ratio
+      FROM t
+    )
+    SELECT (n_words >= 50 AND n_words <= 100000)
+           AND (mean_len >= 3.0 AND mean_len <= 10.0)
+           AND (symbol_ratio <= 0.1)
+           AND (alpha_ratio >= 0.8) AS keep,
+           COUNT(*) AS n_docs
+    FROM m GROUP BY 1
+    """,
+)
+def q58_gopher_quality_filters(spark, sf_dir):
+    """Gopher-style quality-filter battery over the corpus,
+    summarized as keep/drop counts (functions/text.gopher_quality_flags
+    exposes the per-flag breakdown for filter tuning)."""
+    from product_etl_spark.functions import text as T_
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(T_.gopher_quality_flags("text")["keep"].alias("keep"))
+        .groupBy("keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
