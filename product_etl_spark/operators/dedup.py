@@ -289,3 +289,40 @@ def keep_canonical(
     (semi-join against canonical_id — distributed, no collect)."""
     survivors = dedup_groups.select(F.col("canonical_id").alias(id_col))
     return df.join(survivors, id_col, "left_semi")
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    strategy: str = "fingerprint",
+    jaccard_threshold: float = 0.8,
+    k: int = 8,
+) -> DataFrame:
+    """One-call corpus dedup returning the deduplicated frame.
+
+    strategy:
+      'exact'       — byte-identical collapse
+      'fingerprint' — case/space/punct-insensitive collapse
+      'near'        — MinHash-LSH candidates -> exact Jaccard verify
+                      (>= jaccard_threshold) -> drop the higher id of
+                      each confirmed pair
+
+    'near' is the full scale pipeline: sketch (map + one groupBy),
+    band join (uniform keys), exact verification only on candidates,
+    survivor semi-join. Nothing touches the driver.
+    """
+    if strategy == "exact":
+        return keep_canonical(df, exact_dedup(df, text_col, id_col), id_col)
+    if strategy == "fingerprint":
+        return keep_canonical(df, fingerprint_dedup(df, text_col, id_col), id_col)
+    if strategy != "near":
+        raise ValueError(f"unknown dedup strategy: {strategy}")
+    sig = minhash_signatures(df, text_col, id_col, k=k)
+    cand = lsh_candidate_pairs(sig, id_col, bands=k // 2, rows_per_band=2)
+    confirmed = jaccard_pairs(
+        df, text_col, id_col, threshold=jaccard_threshold, candidates=cand
+    )
+    # drop the higher id of each confirmed near-dup pair
+    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -495,3 +495,56 @@ def q58_gopher_quality_filters(spark, sf_dir):
         .groupBy("keep")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "q59_master_variant_split",
+    """
+    WITH numbered AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey AS group_key,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_templates,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_variants,
+           CAST(MAX(CASE WHEN rn > 1 THEN rn - 1 END) AS BIGINT) AS max_variant_index
+    FROM numbered GROUP BY o_custkey
+    """,
+)
+def q59_master_variant_split(spark, sf_dir):
+    """The master/variant split semantics (operators/split.py: first
+    row per group = template, later rows = variants carrying a
+    1-based in-group index) exercised on the orders table — the exact
+    window shape of the product ingest, oracle-checked."""
+    from product_etl_spark.operators.split import split_master_variants
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_orderkey"), F.col("o_orderdate")
+    )
+    # file order analog: (o_orderdate, o_orderkey)
+    ordered = o.withColumn(
+        "_source_row_idx",
+        F.row_number().over(
+            Window.orderBy("o_orderdate", "o_orderkey")
+        ),
+    )
+    templates, variants = split_master_variants(
+        ordered.withColumn("o_custkey_str", F.col("o_custkey").cast("string")),
+        master_code_col="o_custkey_str",
+    )
+    t = templates.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_templates"))
+    v = variants.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.max("in_collection_index").cast("long").alias("max_variant_index"),
+    )
+    return (
+        t.join(v, "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("group_key"),
+            "n_templates",
+            F.coalesce("n_variants", F.lit(0)).alias("n_variants"),
+            "max_variant_index",
+        )
+    )

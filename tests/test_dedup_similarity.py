@@ -152,3 +152,20 @@ def test_winnowing_shared_fingerprints(spark):
     # unrelated doc shares almost none
     inter3 = len(by_doc[0] & by_doc[3])
     assert inter3 / len(by_doc[0] | by_doc[3]) < 0.2
+
+
+def test_dedup_corpus_strategies(spark):
+    docs = _docs(spark)
+    exact = sorted(r["doc_id"] for r in D.dedup_corpus(docs, "text", "doc_id", "exact").collect())
+    assert exact == [0, 1, 2, 3, 5]  # only byte-dup 4 collapsed
+    fp = sorted(r["doc_id"] for r in D.dedup_corpus(docs, "text", "doc_id", "fingerprint").collect())
+    assert fp == [0, 2, 3, 5]  # case/punct variant 1 also collapsed
+    near = sorted(
+        r["doc_id"]
+        for r in D.dedup_corpus(
+            docs, "text", "doc_id", "near", jaccard_threshold=0.6
+        ).collect()
+    )
+    # near-dup 2 (one word changed, jaccard ~0.7) also collapsed;
+    # doc 5 has no shingles and is never a candidate -> survives
+    assert near == [0, 3, 5]
