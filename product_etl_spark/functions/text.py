@@ -153,14 +153,18 @@ def detect_script(col: Column | str) -> Column:
     """
     # Highest-ratio script wins, threshold 0.3; on ties the earlier
     # entry in _SCRIPTS wins (priority encoded as the struct's second
-    # field). One array_max over (ratio, priority) structs — a
+    # field). One array_max over (count, priority) structs — a
     # when-cascade would nest each ratio expression into itself and
     # blow up exponentially (measured 2x slower at 4 scripts).
+    # Comparing raw match counts (not ratios) needs the shared \S
+    # total only ONCE, for the final threshold — 5 regex passes
+    # instead of 8.
     names = list(_SCRIPTS)
+    s = F.coalesce(_c(col), F.lit(""))
     candidates = F.array(
         *[
             F.struct(
-                script_ratio(col, name).alias("r"),
+                F.regexp_count(s, F.lit(_SCRIPTS[name])).alias("c"),
                 F.lit(len(names) - i).alias("p"),
             )
             for i, name in enumerate(names)
@@ -170,7 +174,10 @@ def detect_script(col: Column | str) -> Column:
     name_expr = F.element_at(
         F.array(*[F.lit(n) for n in reversed(names)]), best["p"]
     )
-    return F.when(best["r"] >= 0.3, name_expr).otherwise(F.lit("unknown"))
+    n = F.regexp_count(s, F.lit(r"\S"))
+    return F.when(
+        (n > 0) & (best["c"] / n >= 0.3), name_expr
+    ).otherwise(F.lit("unknown"))
 
 
 def gopher_quality_flags(col: Column | str) -> Column:
