@@ -1,0 +1,76 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partitioning and not
+reproducible across engines or re-partitions; every operator here
+selects by **content hash** instead, so the same row is always in
+the same split — across reruns, engines (the DuckDB oracle computes
+identical picks), and cluster layouts. That property is what makes
+train/test splits auditable and dedupe-then-sample pipelines
+rerun-stable at 100 TB.
+
+All selections are md5-based (functions/text.hash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import text as T
+
+
+def _bucket(key: Column, n: int = 10_000) -> Column:
+    """Uniform deterministic bucket in [0, n) from a key column."""
+    return T.hash64(key.cast("string")) % n
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = 10_000
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible
+    anywhere, stable under repartitioning, and consistent across
+    tables sharing the key (sampling orders and lineitem at the same
+    fraction keeps them join-consistent)."""
+    threshold = int(fraction * buckets)
+    return df.filter(_bucket(F.col(key_col), buckets) < threshold)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, buckets: int = 10_000
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) with disjoint, exhaustive, hash-stable membership."""
+    threshold = int(test_fraction * buckets)
+    b = _bucket(F.col(key_col), buckets)
+    return df.filter(b >= threshold), df.filter(b < threshold)
+
+
+def stratified_cap(
+    df: DataFrame, strata_cols: list[str], cap: int, order_col: str
+) -> DataFrame:
+    """At most ``cap`` rows per stratum, picked in deterministic
+    ``order_col`` order (window row_number — the balanced-subset
+    primitive for class-skewed corpora)."""
+    w = Window.partitionBy(*strata_cols).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Data mixing: keep a per-source deterministic fraction
+    (source -> weight in [0,1]); unlisted sources drop. The standard
+    'mixture recipe' step of a pretraining pipeline, rerun-stable."""
+    expr = None
+    b = _bucket(F.col(key_col), buckets)
+    for source, w in weights.items():
+        cond = (F.col(source_col) == source) & (b < int(w * buckets))
+        expr = cond if expr is None else (expr | cond)
+    return df.filter(expr if expr is not None else F.lit(False))

@@ -548,3 +548,112 @@ def q59_master_variant_split(spark, sf_dir):
             "max_variant_index",
         )
     )
+
+
+_HASH_BUCKET = (
+    "('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 10000"
+)
+
+
+@register(
+    "q60_deterministic_sample",
+    f"""
+    SELECT COUNT(*) AS n_sampled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished
+    FROM orders
+    WHERE {_HASH_BUCKET.format(key='o_orderkey')} < 1000
+    """,
+)
+def q60_deterministic_sample(spark, sf_dir):
+    """Hash-based 10% sample (operators/sampling.deterministic_sample):
+    reproducible across engines/reruns/partitionings, unlike
+    seed-based df.sample. The oracle picks the identical rows."""
+    from product_etl_spark.operators.sampling import deterministic_sample
+
+    o = _t(spark, sf_dir, "orders")
+    s = deterministic_sample(o, "o_orderkey", 0.10)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+    )
+
+
+@register(
+    "q61_train_test_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_HASH_BUCKET.format(key='doc_id')} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM b GROUP BY 1
+    """,
+)
+def q61_train_test_split(spark, sf_dir):
+    """Hash-stable train/test split summary: disjoint, exhaustive,
+    and the same document always lands in the same split."""
+    from product_etl_spark.operators.sampling import train_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    train, test = train_test_split(d, "doc_id", test_fraction=0.10)
+    return (
+        train.select(F.lit("train").alias("split"), "doc_id")
+        .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "q62_stratified_cap",
+    """
+    SELECT lang, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    GROUP BY lang
+    """,
+)
+def q62_stratified_cap(spark, sf_dir):
+    """Balanced subset: at most 25 docs per language, deterministic
+    doc_id order (operators/sampling.stratified_cap)."""
+    from product_etl_spark.operators.sampling import stratified_cap
+
+    d = _t(spark, sf_dir, "documents")
+    capped = stratified_cap(d, ["lang"], 25, "doc_id")
+    return capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc_id")
+    )
+
+
+@register(
+    "q63_source_mixing",
+    f"""
+    WITH b AS (
+      SELECT source, doc_id, {_HASH_BUCKET.format(key='doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs
+    FROM b
+    WHERE (source = 'src0' AND bucket < 10000)
+       OR (source = 'src1' AND bucket < 5000)
+       OR (source = 'src2' AND bucket < 2500)
+    GROUP BY source
+    """,
+)
+def q63_source_mixing(spark, sf_dir):
+    """Mixture-recipe step: per-source deterministic keep fractions
+    (src0 100%, src1 50%, src2 25%; other sources dropped)."""
+    from product_etl_spark.operators.sampling import mix_sources
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = mix_sources(
+        d, "source", "doc_id", {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))

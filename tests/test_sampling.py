@@ -1,0 +1,62 @@
+"""Sampling-operator invariants: stability, disjointness, caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.sampling import (
+    deterministic_sample,
+    mix_sources,
+    stratified_cap,
+    train_test_split,
+)
+
+
+def _df(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 4).cast("string").alias("cls"),
+    )
+
+
+def test_sample_stable_and_repartition_invariant(spark):
+    df = _df(spark)
+    s1 = {r["key"] for r in deterministic_sample(df, "key", 0.2).collect()}
+    s2 = {r["key"] for r in deterministic_sample(df.repartition(13), "key", 0.2).collect()}
+    assert s1 == s2  # same rows regardless of layout
+    assert 0.15 < len(s1) / 2000 < 0.25  # ~fraction
+
+
+def test_sample_nested_fractions(spark):
+    # a 10% sample is a subset of the 20% sample (threshold semantics)
+    df = _df(spark)
+    s10 = {r["key"] for r in deterministic_sample(df, "key", 0.1).collect()}
+    s20 = {r["key"] for r in deterministic_sample(df, "key", 0.2).collect()}
+    assert s10 <= s20
+
+
+def test_split_disjoint_exhaustive(spark):
+    df = _df(spark)
+    train, test = train_test_split(df, "key", 0.25)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 2000
+    assert train.join(test, "key", "left_semi").count() == 0
+    assert 0.2 < n_test / 2000 < 0.3
+
+
+def test_stratified_cap(spark):
+    capped = stratified_cap(_df(spark), ["cls"], 50, "key")
+    per = {r["cls"]: r["n"] for r in capped.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 50 for v in per.values())
+    # deterministic picks: lowest keys per class
+    first = capped.filter(F.col("cls") == "0").agg(F.min("key"), F.max("key")).collect()[0]
+    assert first[0] == 0 and first[1] == 196  # keys 0,4,...,196
+
+
+def test_mix_sources(spark):
+    df = _df(spark).withColumn("source", F.concat(F.lit("s"), F.col("cls")))
+    mixed = mix_sources(df, "source", "key", {"s0": 1.0, "s1": 0.5})
+    per = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["s0"] == 500  # all of s0
+    assert 200 < per["s1"] < 300  # ~half of s1
+    assert "s2" not in per and "s3" not in per  # unlisted dropped
