@@ -224,3 +224,35 @@ def fingerprint(col: Column | str) -> Column:
         )
     )
     return F.md5(canon)
+
+
+#: PII-ish patterns for redaction (emails, bare URLs, long digit runs
+#: — the standard first-pass scrub for web-scraped training text).
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "digits": r"\b\d{7,}\b",
+}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails/URLs/long digit runs with typed placeholders —
+    pure regexp_replace chain, identical semantics in any engine."""
+    out = F.coalesce(_c(col), F.lit(""))
+    for name, pat in REDACT_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def line_repetition_ratio(col: Column | str) -> Column:
+    """Share of duplicate lines in a document (Gopher repetition
+    filter family): 1 - distinct_lines/total_lines; 0 for <=1 line."""
+    lines = F.filter(
+        F.split(F.coalesce(_c(col), F.lit("")), r"\n"),
+        lambda x: F.trim(x) != "",
+    )
+    n = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - n_distinct / n, 4)
+    )

@@ -657,3 +657,135 @@ def q63_source_mixing(spark, sf_dir):
         d, "source", "doc_id", {"src0": 1.0, "src1": 0.5, "src2": 0.25}
     )
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "q64_pii_redaction",
+    r"""
+    WITH raw AS (
+      SELECT p_partkey,
+             CONCAT('contact x', p_partkey, '@example.com or visit https://x.co/',
+                    p_brand, ' ref ', CAST(p_partkey + 10000000 AS VARCHAR)) AS s
+      FROM part WHERE p_partkey < 400
+    )
+    SELECT p_partkey,
+           regexp_replace(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '\b\d{7,}\b', '<DIGITS>', 'g') AS redacted
+    FROM raw
+    """,
+)
+def q64_pii_redaction(spark, sf_dir):
+    """PII scrub (emails/URLs/long digit runs) over synthesized
+    strings; oracle replicates the exact regex chain. NB the URL
+    pattern here is [^\\s]+ — both engines treat the synthesized
+    single-space strings identically."""
+    from product_etl_spark.functions import text as T_
+
+    p = _t(spark, sf_dir, "part")
+    raw = p.filter(F.col("p_partkey") < 400).select(
+        "p_partkey",
+        F.concat(
+            F.lit("contact x"),
+            F.col("p_partkey").cast("string"),
+            F.lit("@example.com or visit https://x.co/"),
+            "p_brand",
+            F.lit(" ref "),
+            (F.col("p_partkey") + 10_000_000).cast("string"),
+        ).alias("s"),
+    )
+    return raw.select("p_partkey", T_.redact_pii("s").alias("redacted"))
+
+
+@register(
+    "q65_line_repetition",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CONCAT(text, CHR(10), text, CHR(10),
+                    CASE WHEN doc_id % 2 = 0 THEN text ELSE 'unique tail' END) AS s
+      FROM documents WHERE doc_id < 300
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(s, CHR(10)), x -> TRIM(x) <> '') AS lines
+      FROM raw
+    )
+    SELECT doc_id,
+           CASE WHEN LEN(lines) <= 1 THEN 0.0
+                ELSE ROUND(1.0 - LEN(list_distinct(lines))::DOUBLE / LEN(lines), 4)
+           END AS rep_ratio
+    FROM t
+    """,
+)
+def q65_line_repetition(spark, sf_dir):
+    """Duplicate-line ratio (Gopher repetition-filter family) over
+    documents synthesized to contain repeated lines."""
+    from product_etl_spark.functions import text as T_
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+                F.lit("unique tail")
+            ),
+        ).alias("s"),
+    )
+    return raw.select(
+        "doc_id", T_.line_repetition_ratio("s").alias("rep_ratio")
+    )
+
+
+@register(
+    "q66_context_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             LEN(list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+      FROM t
+    )
+    SELECT CAST(COALESCE(cum_before, 0) // 512 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def q66_context_packing(spark, sf_dir):
+    """Context-window packing: documents (in deterministic doc_id
+    order) assigned to ~512-token packs by cumulative token count —
+    the sequence-packing step of a pretraining pipeline as a window
+    cumsum, identical in both engines."""
+    from product_etl_spark.functions import text as T_
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", T_.token_count("text").cast("long").alias("n_tokens"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            (F.coalesce("cum_before", F.lit(0)) / 512)
+            .cast("long")
+            .alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
