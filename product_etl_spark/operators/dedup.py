@@ -291,6 +291,63 @@ def keep_canonical(
     return df.join(survivors, id_col, "left_semi")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs -> (id, component) where
+    component is the minimum id reachable — iterative min-label
+    propagation (the GraphFrames-free connected components).
+
+    Each round: every node adopts the smallest label among itself and
+    its neighbors; converges in O(diameter) rounds (near-dup clusters
+    are shallow — chains longer than ~10 hops are pathological).
+    Intermediate frames are localCheckpointed to cut the growing
+    lineage, which otherwise re-executes the whole chain per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("neighbor_component", "component")
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_corpus(
     df: DataFrame,
     text_col: str,

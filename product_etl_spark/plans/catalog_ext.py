@@ -120,13 +120,30 @@ def q45_price_band_range_join(spark, sf_dir):
     """Range (theta) join against a band dimension — broadcast nested
     loop on the tiny side; the fact side streams through unshuffled."""
     o = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [
-            ("small", 0.0, 50_000.0),
-            ("medium", 50_000.0, 150_000.0),
-            ("large", 150_000.0, 1_000_000_000.0),
-        ],
-        "band string, lo double, hi double",
+    # inline literal dimension (exploded struct array): no driver-side
+    # createDataFrame round-trip, trivially broadcastable
+    band_rows = [
+        ("small", 0.0, 50_000.0),
+        ("medium", 50_000.0, 150_000.0),
+        ("large", 150_000.0, 1_000_000_000.0),
+    ]
+    bands = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.lit(lo).alias("lo"),
+                            F.lit(hi).alias("hi"),
+                        )
+                        for b, lo, hi in band_rows
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.*")
     )
     return (
         o.join(

@@ -169,3 +169,25 @@ def test_dedup_corpus_strategies(spark):
     # near-dup 2 (one word changed, jaccard ~0.7) also collapsed;
     # doc 5 has no shingles and is never a candidate -> survives
     assert near == [0, 3, 5]
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, pair (10,11), singleton edge (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+
+
+def test_connected_components_with_lsh_pipeline(spark):
+    # end-to-end: docs -> minhash -> lsh pairs -> components
+    docs = _docs(spark)
+    sig = D.minhash_signatures(docs, "text", "doc_id", k=8)
+    pairs = D.lsh_candidate_pairs(sig, "doc_id")
+    comp = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    # 0,1,2,4 are all near/exact dups of each other -> one cluster
+    assert comp[0] == comp[1] == comp[2] == comp[4] == 0
+    assert 3 not in comp  # unrelated doc has no pairs at all
