@@ -77,6 +77,10 @@ def upsert_parquet(
     mode='insert_only'  — whenNotMatchedInsert only (ON CONFLICT DO
                           NOTHING: existing rows win)
 
+    Contract: the returned DataFrame reads the post-merge state; any
+    handle obtained *before* a later merge goes stale (the swap
+    replaces the directory) and must be re-read.
+
     ``updates`` must be unique per key; we enforce with
     ``dropDuplicates(keys)`` (deterministic inputs make the kept row
     deterministic — ids are uuid5, and callers pre-aggregate).
@@ -122,4 +126,8 @@ def upsert_parquet(
     os.rename(staging, path)
     if os.path.exists(backup):
         shutil.rmtree(backup, ignore_errors=True)
+    # Invalidate any cached file listings for this path: DataFrames
+    # created before the swap would otherwise try to read the
+    # replaced files on their next action.
+    spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)

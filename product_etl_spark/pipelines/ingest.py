@@ -293,6 +293,24 @@ def build_collection_images(collections: DataFrame) -> DataFrame:
     )
 
 
+#: Seed languages of the reference deployment
+#: (backup_before_fix.sql:2316-2321).
+SEED_LANGS = ["en", "zh", "ru", "th"]
+
+
+def seed_lang_table(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Idempotent seed of the ``lang`` dimension (the reference
+    get-or-creates 'en' at startup, ETL.py:111-124; we insert-only
+    merge the full seed set with deterministic ids)."""
+    rows = spark.createDataFrame([(c,) for c in SEED_LANGS], "lang_code string")
+    langs = rows.select(
+        ids.uuid5_col(ids.NS_LANG, "lang_code").alias("id"), "lang_code"
+    )
+    return upsert_parquet(
+        spark, langs, f"{warehouse}/lang", keys=["lang_code"], mode="insert_only"
+    )
+
+
 def run_ingest(
     spark: SparkSession,
     raw: DataFrame,
@@ -332,7 +350,10 @@ def run_ingest(
         }
     )
     if write:
+        result.tables["lang"] = seed_lang_table(spark, warehouse)
         for name, df in result.tables.items():
+            if name == "lang":
+                continue
             merged = upsert_parquet(
                 spark,
                 df,
