@@ -806,3 +806,45 @@ def q66_context_packing(spark, sf_dir):
             F.sum("n_tokens").alias("pack_tokens"),
         )
     )
+
+
+@register(
+    "q67_nations_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q67_nations_intersect(spark, sf_dir):
+    """INTERSECT (set semantics) — completes the set-op family
+    (union q12, except q13)."""
+    cu, s = _t(spark, sf_dir, "customer", "supplier")
+    return cu.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "q68_user_event_type_sets",
+    """
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events WHERE user_id < 30
+    GROUP BY user_id
+    """,
+)
+def q68_user_event_type_sets(spark, sf_dir):
+    """Array aggregation: the distinct set of event types per user as
+    a sorted array (collect_set + sort_array — deterministic array
+    values both engines can hash)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
