@@ -74,3 +74,23 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     agg.collect()
     agg_plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in agg_plan
+
+
+def test_groupwise_zscore_and_scale(spark):
+    from product_etl_spark.operators.grouped import (
+        groupwise_minmax_scale,
+        groupwise_zscore,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)],
+        "g string, v double",
+    )
+    z = {(r["g"], r["v"]): r["zscore"] for r in groupwise_zscore(df, ["g"], "v").collect()}
+    assert abs(z[("a", 2.0)]) < 1e-9  # group mean -> 0
+    assert z[("a", 3.0)] > 0 and z[("a", 1.0)] < 0
+    assert z[("b", 10.0)] == 0.0  # constant group
+
+    s = {(r["g"], r["v"]): r["scaled"] for r in groupwise_minmax_scale(df, ["g"], "v").collect()}
+    assert s[("a", 1.0)] == 0.0 and s[("a", 3.0)] == 1.0 and s[("a", 2.0)] == 0.5
+    assert s[("b", 10.0)] == 0.5
