@@ -925,3 +925,163 @@ def q70_null_safe_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_matches"),
         F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H shapes (adapted to the columns present in the driver's
+# synthetic tables) — the canonical relational benchmarks, each with
+# the standard scale story in its docstring.
+
+
+@register(
+    "q71_tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q71_tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan + filter + agg — the pushdown benchmark.
+    Every predicate reaches the parquet reader; zero joins, one
+    map-side partial sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q72_tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q72_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: selective dimension filter -> join -> top-k. The
+    segment filter cuts customer before the join (semi-join
+    pushdown); per-order aggregation keys on the join key so the
+    lineitem exchange is reused."""
+    cu, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1997-06-30 00:00:00").cast("timestamp")
+    return (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o.filter(F.col("o_orderdate") < cutoff), o.o_custkey == cu.c_custkey)
+        .join(li.filter(F.col("l_shipdate") > cutoff), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", F.to_date("o_orderdate").alias("orderdate")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q73_tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q73_tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: the 6-way join with the customer-nation = supplier-
+    nation correlation. nation/region broadcast; the c/o/l spine
+    shuffles on its join keys once each; Catalyst orders the joins."""
+    cu, o, li, s, n, r = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        cu.join(o, o.o_custkey == cu.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == cu.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q74_tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q74_tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: returned-item reporting — fact filter, 3 joins,
+    top-k customers by lost revenue."""
+    cu, o, li, n = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        cu.join(o, o.o_custkey == cu.c_custkey)
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == o.o_orderkey,
+        )
+        .join(F.broadcast(n), n.n_nationkey == cu.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
