@@ -93,3 +93,27 @@ def test_excel_gate_without_engine(spark, tmp_path):
     fake.write_bytes(b"not really an excel file")
     with pytest.raises((NotImplementedError, Exception)):
         read_excel(spark, str(fake))
+
+
+def test_sentence_split_udtf(spark):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.functions.udtfs import SentenceSplit, register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM sentence_split('One sentence. Two! Three? ')"
+    ).collect()
+    assert [(r["sentence"], r["sent_idx"]) for r in rows] == [
+        ("One sentence.", 0),
+        ("Two!", 1),
+        ("Three?", 2),
+    ]
+    # lateral join usage over a frame
+    df = spark.createDataFrame([(1, "A b. C d!")], "id int, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT d.id, s.sentence FROM udtf_docs d, "
+        "LATERAL sentence_split(d.text) s"
+    ).collect()
+    assert len(out) == 2 and out[0]["id"] == 1
