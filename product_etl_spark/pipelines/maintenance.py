@@ -133,3 +133,16 @@ def consistency_report(
         F.count(F.lit(1)).alias("in_both")
     )
     return both.crossJoin(only_left).crossJoin(only_right)
+
+
+def snapshot_table(spark, path: str, tag: str = "backup"):
+    """Copy a table directory to a timestamped sibling before a risky
+    repair — the reference's documented backup-before-fix procedure
+    (SKU_DOT_ZERO_FIX_README.md:52-94) as one call. Returns the
+    snapshot path."""
+    import shutil
+    import time as _time
+
+    snap = f"{path}__{tag}_{int(_time.time())}"
+    shutil.copytree(path, snap)
+    return snap

@@ -184,3 +184,19 @@ def test_run_twice_idempotent(spark, raw_csv, warehouse, ingested):
         for name, df in again.tables.items()
     }
     assert before == after
+
+
+def test_dry_run_builds_without_writing(spark, raw_csv, tmp_path):
+    # DRY_RUN analog (ETL.py:620-626 rollback): write=False computes
+    # every table but persists nothing
+    import os
+
+    from product_etl_spark.pipelines.ingest import run_ingest
+
+    wh = str(tmp_path / "dry_wh")
+    raw = read_raw_products(spark, raw_csv)
+    result = run_ingest(spark, raw, wh, write=False)
+    # pre-merge frame: the duplicate-SKU row is still present (the
+    # writer's keyed dropDuplicates is what collapses it on write)
+    assert result.tables["product"].count() == 5
+    assert not os.path.exists(wh)

@@ -167,3 +167,13 @@ def test_seeded_lang_table(spark, tmp_path):
     # swaps the directory, so pre-merge handles must be re-read)
     again = seed_lang_table(spark, wh)
     assert sorted(map(str, again.select("id", "lang_code").collect())) == snapshot
+
+
+def test_snapshot_table(spark, tmp_path):
+    from product_etl_spark.pipelines.maintenance import snapshot_table
+
+    path = str(tmp_path / "t2")
+    spark.range(10).write.parquet(path)
+    snap = snapshot_table(spark, path, tag="prefix")
+    assert spark.read.parquet(snap).count() == 10
+    assert spark.read.parquet(path).count() == 10
