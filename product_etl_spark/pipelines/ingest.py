@@ -350,15 +350,23 @@ def run_ingest(
         }
     )
     if write:
+        from concurrent.futures import ThreadPoolExecutor
+
         result.tables["lang"] = seed_lang_table(spark, warehouse)
-        for name, df in result.tables.items():
-            if name == "lang":
-                continue
-            merged = upsert_parquet(
-                spark,
-                df,
-                f"{warehouse}/{name}",
-                keys=NATURAL_KEYS[name],
+
+        def merge(item):
+            name, df = item
+            return name, upsert_parquet(
+                spark, df, f"{warehouse}/{name}", keys=NATURAL_KEYS[name]
             )
-            result.tables[name] = merged
+
+        # The 11 output tables are independent: submit their MERGE
+        # jobs concurrently (Spark's scheduler interleaves them; on a
+        # cluster this keeps executors busy instead of draining
+        # between small jobs). Thread count bounded — each thread
+        # holds a job's driver-side state.
+        to_write = [(n, df) for n, df in result.tables.items() if n != "lang"]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for name, merged in pool.map(merge, to_write):
+                result.tables[name] = merged
     return result
