@@ -1108,3 +1108,32 @@ def q75_having_filter(spark, sf_dir):
         )
         .filter(F.col("n_orders") >= 5)
     )
+
+
+@register(
+    "q76_ntile_quartiles",
+    """
+    SELECT quartile, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    ) GROUP BY quartile
+    """,
+)
+def q76_ntile_quartiles(spark, sf_dir):
+    """NTILE bucketing (equal-frequency quartiles) with a total
+    tiebreak order so bucket membership is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
