@@ -1137,3 +1137,33 @@ def q76_ntile_quartiles(spark, sf_dir):
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "q77_vocabulary_topk",
+    r"""
+    WITH tok AS (
+      SELECT UNNEST(list_filter(string_split_regex(LOWER(COALESCE(text,'')),
+             '\s+'), x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT word, COUNT(*) AS freq
+    FROM tok GROUP BY word
+    ORDER BY freq DESC, word ASC
+    LIMIT 20
+    """,
+)
+def q77_vocabulary_topk(spark, sf_dir):
+    """Vocabulary build: corpus word frequencies, top-20 — explode +
+    count with map-side combine; the first step of any tokenizer
+    training run."""
+    from product_etl_spark.functions import text as T_
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T_.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )

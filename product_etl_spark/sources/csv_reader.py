@@ -43,3 +43,24 @@ def read_raw_products(
     # partition id across partitions, which preserves file order for
     # ordered file formats like CSV.
     return df.withColumn(ROW_IDX, F.monotonically_increasing_id())
+
+
+def read_raw_products_multi(
+    spark: SparkSession, path: str, sep: str = ";", encoding: str = "UTF-8"
+) -> DataFrame:
+    """Multi-file export ingest with a total row order.
+
+    When an export is split across files, partition-id ordering alone
+    is not a contract; this variant totals the order as
+    (file name, in-file position) — master/template selection then
+    behaves as if the files were concatenated in name order.
+    Export conventions must name files sortably (the usual
+    date-prefixed drops do).
+    """
+    from pyspark.sql import Window
+
+    df = read_raw_products(spark, path, sep, encoding).withColumn(
+        "_source_file", F.input_file_name()
+    )
+    w = Window.orderBy("_source_file", ROW_IDX)
+    return df.withColumn(ROW_IDX, F.row_number().over(w)).drop("_source_file")

@@ -191,3 +191,45 @@ def test_connected_components_with_lsh_pipeline(spark):
     # 0,1,2,4 are all near/exact dups of each other -> one cluster
     assert comp[0] == comp[1] == comp[2] == comp[4] == 0
     assert 3 not in comp  # unrelated doc has no pairs at all
+
+
+def test_embedding_normalize_and_quantize(spark):
+    from product_etl_spark.operators.embeddings import (
+        dequantize_int8,
+        quantize_int8,
+        unit_normalize,
+    )
+    from product_etl_spark.functions import vectors as V
+
+    emb = _embeddings(spark, n=16, dim=8)
+    normed = unit_normalize(emb, "embedding", "unit")
+    norms = normed.select(F.round(V.norm("unit"), 6).alias("n")).collect()
+    assert all(r["n"] == 1.0 for r in norms)
+
+    q = quantize_int8(emb, "embedding")
+    deq = dequantize_int8(q, "q_embedding", "scale_embedding", "restored")
+    # cosine(original, dequantized) ~ 1 (int8 keeps direction)
+    sims = deq.select(
+        F.round(V.cosine("embedding", "restored"), 3).alias("c")
+    ).collect()
+    assert all(r["c"] >= 0.99 for r in sims)
+    # codes bounded to int8 range
+    rng = q.select(
+        F.array_max("q_embedding").alias("hi"), F.array_min("q_embedding").alias("lo")
+    ).collect()
+    assert all(-127 <= r["lo"] and r["hi"] <= 127 for r in rng)
+
+
+def test_multi_file_ingest_order(spark, tmp_path):
+    from product_etl_spark.sources.csv_reader import read_raw_products_multi
+    from product_etl_spark.operators.split import split_master_variants
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    # file 01 holds the template row, file 02 the variant — name order
+    (d / "export_01.csv").write_text("Master Code;SKU Code\nm1;template-sku\n")
+    (d / "export_02.csv").write_text("Master Code;SKU Code\nm1;variant-sku\n")
+    raw = read_raw_products_multi(spark, str(d))
+    templates, variants = split_master_variants(raw)
+    assert [r["SKU Code"] for r in templates.collect()] == ["template-sku"]
+    assert [r["SKU Code"] for r in variants.collect()] == ["variant-sku"]
