@@ -185,20 +185,36 @@ def jaccard_pairs(
         "sh", "shingle"
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        # Candidate-restricted intersection: attach a's shingles to
+        # each candidate pair, then match b's shingles on
+        # (id_b, shingle). Work is |candidates| x shingle overlap —
+        # NEVER the full self-join (filtering after a full shingle
+        # self-join would do all the O(shared-shingle pairs) work the
+        # LSH stage exists to avoid; that shape OOMed at 100k docs
+        # with a shared vocabulary).
+        cand = candidates.select("id_a", "id_b")
+        a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            cand.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))

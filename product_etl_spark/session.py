@@ -73,6 +73,11 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Local driver JVM sizing (only effective at JVM launch; no-op on
+    # an existing session or a cluster submit that sets its own).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     # Keep the UI off for test/bench runs (port churn, memory).
     conf.setdefault("spark.ui.enabled", "false")
     if extra_conf:
