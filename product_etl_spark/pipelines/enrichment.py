@@ -149,6 +149,8 @@ def run_enrichment(
     translate_kernel: TranslateKernel,
     logistics_kernel: Callable[[str], dict],
     html_col: str = "details_html",
+    product_ids: list[str] | None = None,
+    limit: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline with per-stage persistence + incremental rerun.
 
@@ -156,7 +158,16 @@ def run_enrichment(
     processes only products absent from its stage table, then MERGEs
     — so a rerun after a mid-pipeline failure redoes only the missing
     tail, per-stage, exactly like the reference's skip flags.
+
+    ``product_ids`` / ``limit`` are the reference's dynamic driving-
+    set predicates (P8: db_orchestrator.py:157-174 appends id /
+    LIMIT filters from env/CLI) — applied to the driving frame before
+    stage 1, so a bounded test run touches only that slice.
     """
+    if product_ids:
+        products = products.filter(F.col("product_id").isin(*product_ids))
+    if limit is not None:
+        products = products.limit(limit)
     stages: dict[str, DataFrame] = {}
 
     # Stage 1: image URL extraction

@@ -117,3 +117,16 @@ def test_multimodal_feature_extraction(spark):
     # deterministic: same input -> same features
     again = extract_image_features(media).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_driving_set_predicates(spark, tmp_path):
+    # P8: bounded run touches only the selected product
+    stage_root = str(tmp_path / "stages_p8")
+    track = str(tmp_path / "ocr_calls_p8")
+    ocr, translate, logistics = _kernels(track)
+    stages = run_enrichment(
+        spark, _products(spark), stage_root, ocr, translate, logistics,
+        product_ids=["p2"],
+    )
+    assert {r["product_id"] for r in stages["logistics"].collect()} == {"p2"}
+    assert len(os.listdir(track)) == 1  # only p2's single image OCRed

@@ -83,3 +83,16 @@ def test_scan_pruning_documents(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q27_doc_token_stats")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read and "lang" not in read and "source" not in read
+
+
+def test_q02_aggregates_below_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_top_revenue_orders")
+    # the lineitem aggregation must happen before any join: in the
+    # rendered tree the first (innermost-listed) aggregate appears
+    # below the join operators — assert by checking that a
+    # HashAggregate exists whose input is the raw scan side (partial
+    # agg on l_orderkey), i.e. the string contains an aggregate on
+    # l_orderkey keys
+    assert "HashAggregate(keys=[l_orderkey" in plan
+    # and the top-k is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
