@@ -1167,3 +1167,39 @@ def q77_vocabulary_topk(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(20)
     )
+
+
+@register(
+    "q78_array_higher_order",
+    """
+    SELECT vec_id,
+           LEN(list_filter(embedding, x -> x > 0)) AS n_positive,
+           ROUND(list_max(list_transform(embedding::DOUBLE[], x -> ABS(x))), 4)
+             AS max_abs,
+           ROUND(list_sum(list_transform(embedding[1:8]::DOUBLE[], x -> x)), 4)
+             AS head_sum
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q78_array_higher_order(spark, sf_dir):
+    """Array higher-order functions at the query surface: filter /
+    transform / slice / aggregate over the embedding arrays (the
+    Spark lambda-expression family vs DuckDB list lambdas)."""
+    e = _t(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 8)
+    return e.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            ),
+            4,
+        ).alias("max_abs"),
+        F.round(
+            F.aggregate(
+                head, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("head_sum"),
+    )

@@ -117,3 +117,26 @@ def test_sentence_split_udtf(spark):
         "LATERAL sentence_split(d.text) s"
     ).collect()
     assert len(out) == 2 and out[0]["id"] == 1
+
+
+def test_automapper_suggestions(spark, tmp_path):
+    from product_etl_spark.sources.automapper import mapping_to_csv, suggest_mapping
+    from product_etl_spark.sources.mapping import load_mapping
+
+    raw_cols = [
+        "Master Code", "SKU Code", "Price", "Product Name", "Img Array",
+        "Inventory", "Collection URL", "Totally Unknown Column",
+    ]
+    m = suggest_mapping(raw_cols)
+    assert m["Master Code"] == {
+        "table": "product_collection", "column": "master_code", "confidence": "alias"
+    }
+    assert m["SKU Code"]["column"] == "sku"
+    assert m["Price"]["column"] == "selling_price"
+    assert m["Product Name"]["column"] == ""  # routes to translations
+    assert m["Totally Unknown Column"]["table"] == ""
+    # round-trips through the map.csv loader
+    p = tmp_path / "suggested_map.csv"
+    p.write_text(mapping_to_csv(m))
+    loaded = load_mapping(spark, str(p))
+    assert loaded["Master Code"]["column"] == "master_code"
