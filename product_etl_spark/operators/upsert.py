@@ -81,6 +81,13 @@ def upsert_parquet(
     handle obtained *before* a later merge goes stale (the swap
     replaces the directory) and must be re-read.
 
+    Concurrency: single-writer per table path (concurrent merges to
+    *different* tables are safe and used by run_ingest; two writers
+    swapping the same path would race on the rename). Multi-writer
+    tables are table-format territory — Delta/Iceberg MERGE with
+    optimistic concurrency replaces this writer unchanged at the
+    call site.
+
     ``updates`` must be unique per key; we enforce with
     ``dropDuplicates(keys)`` (deterministic inputs make the kept row
     deterministic — ids are uuid5, and callers pre-aggregate).

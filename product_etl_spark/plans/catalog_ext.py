@@ -1203,3 +1203,35 @@ def q78_array_higher_order(spark, sf_dir):
             4,
         ).alias("head_sum"),
     )
+
+
+@register(
+    "q79_json_schema_on_read",
+    """
+    SELECT k_bucket, COUNT(*) AS n,
+           CAST(MIN(k_val) AS BIGINT) AS min_k, CAST(MAX(k_val) AS BIGINT) AS max_k
+    FROM (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS k_bucket
+      FROM events WHERE props IS NOT NULL
+    ) GROUP BY k_bucket
+    """,
+)
+def q79_json_schema_on_read(spark, sf_dir):
+    """Typed schema-on-read JSON parsing: from_json with an explicit
+    schema (vs q51's string extraction) -> typed struct column,
+    then bucketed stats."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.filter(F.col("props").isNotNull()).select(
+        F.from_json("props", "k BIGINT").alias("p")
+    )
+    k = F.col("p.k")
+    return (
+        parsed.select(k.alias("k_val"), F.floor(k / 25).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )

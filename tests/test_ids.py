@@ -27,3 +27,13 @@ def test_stable_long_positive_and_stable(spark):
     a = df.select(ids.stable_long("k").alias("h")).collect()[0]["h"]
     b = df.select(ids.stable_long("k").alias("h")).collect()[0]["h"]
     assert a == b and a >= 0
+
+
+def test_natural_keys_exist_in_schemas():
+    from product_etl_spark.schemas import NATURAL_KEYS, REGISTRY
+
+    for table, keys in NATURAL_KEYS.items():
+        assert table in REGISTRY, table
+        cols = {f.name for f in REGISTRY[table].fields}
+        for k in keys:
+            assert k in cols, f"{table}.{k} missing from schema"
