@@ -131,6 +131,34 @@ def stream_ingest_csv(
     )
 
 
+def stream_dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop events whose key was already
+    seen within the watermark horizon (at-least-once sources emit
+    duplicates; this is the standard idempotence stage before any
+    downstream aggregation). State is bounded by the watermark — keys
+    older than the horizon are expired, so state never grows without
+    bound."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_enrich_with_dimension(
+    events: DataFrame, dimension: DataFrame, on: str
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the current
+    dimension snapshot (broadcast — the dimension is static per
+    batch). The streaming twin of the reference's per-row dimension
+    lookups (J8)."""
+    from pyspark.sql import functions as F2
+
+    return events.join(F2.broadcast(dimension), on, "left")
+
+
 def stream_user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     per-user running event count + value total, persisted in state

@@ -56,3 +56,39 @@ def test_state_survives_across_batches(spark, tmp_path):
         if r["user_id"] == 1 and r["n_events"] == 3
     ]
     assert latest and latest[0]["total_value"] == 17.5
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from product_etl_spark.streaming.pipeline import (
+        run_available_now,
+        stream_dedup_events,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("dsrc", "dout", "dckpt"))
+    _write(spark, src, [
+        (1, BASE, 1, "click", 1.0),
+        (1, BASE, 1, "click", 1.0),  # duplicate delivery
+        (2, BASE, 2, "view", 2.0),
+        (1, BASE + dt.timedelta(minutes=5), 1, "click", 1.0),  # dup within horizon
+    ])
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    run_available_now(stream_dedup_events(stream), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    from product_etl_spark.streaming.pipeline import (
+        run_available_now,
+        stream_enrich_with_dimension,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("jsrc", "jout", "jckpt"))
+    _write(spark, src, [(1, BASE, 1, "click", 1.0), (2, BASE, 99, "view", 2.0)])
+    dim = spark.createDataFrame([(1, "alice")], "user_id long, user_name string")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    run_available_now(
+        stream_enrich_with_dimension(stream, dim, "user_id"), out, ckpt
+    )
+    rows = {r["event_id"]: r["user_name"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "alice", 2: None}
