@@ -87,10 +87,13 @@ def get_spark(
     return builder.getOrCreate()
 
 
-#: (session id, sf_dir, table) -> DataFrame. Plans are lazy, so a
+#: (application id, sf_dir, table) -> DataFrame. Plans are lazy, so a
 #: cached frame is just the analyzed scan; reusing it skips repeated
 #: footer/schema reads when a catalog of queries runs back-to-back.
-_TABLE_CACHE: dict[tuple[int, str, str], object] = {}
+#: Keyed by Spark applicationId, NOT id(session) — Python reuses
+#: object ids after GC, which could resurrect frames from a stopped
+#: session.
+_TABLE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
@@ -113,8 +116,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "embeddings",
     ]
     out = {}
+    app_id = spark.sparkContext.applicationId
     for name in names or all_names:
-        key = (id(spark), sf_dir, name)
+        key = (app_id, sf_dir, name)
         if key in _TABLE_CACHE:
             out[name] = _TABLE_CACHE[key]
             continue
