@@ -93,7 +93,11 @@ def stopword_ratio(col: Column | str) -> Column:
 
 def punct_ratio(col: Column | str) -> Column:
     s = F.coalesce(_c(col), F.lit(""))
-    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    # \p{L}\p{N}: unicode letters/digits — ASCII \w would count every
+    # CJK character as punctuation
+    n_punct = F.length(s) - F.length(
+        F.regexp_replace(s, r"[^\p{L}\p{N}\s]", "")
+    )
     return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(
         n_punct / F.length(s)
     )
@@ -218,7 +222,14 @@ def fingerprint(col: Column | str) -> Column:
     """
     canon = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"[^\w\s]", ""),
+            F.regexp_replace(
+                F.lower(F.coalesce(_c(col), F.lit(""))),
+                # unicode letters/digits kept — ASCII \w would strip
+                # CJK text entirely and collapse a zh corpus into one
+                # fingerprint group
+                r"[^\p{L}\p{N}\s]",
+                "",
+            ),
             r"\s+",
             " ",
         )

@@ -810,7 +810,7 @@ def q27_doc_token_stats(spark, sf_dir):
                      'were','be','been','it','this','that','for','on','with',
                      'as','at','by','from')))::DOUBLE / LEN(toks) END AS stop_ratio,
              CASE WHEN LENGTH(s) = 0 THEN 0.0
-                  ELSE (LENGTH(s) - LENGTH(regexp_replace(s, '[^\w\s]', '', 'g')))::DOUBLE
+                  ELSE (LENGTH(s) - LENGTH(regexp_replace(s, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
                        / LENGTH(s) END AS punct_ratio
       FROM t
     )
@@ -834,7 +834,7 @@ def q28_doc_quality(spark, sf_dir):
     WITH fp AS (
       SELECT doc_id,
              md5(TRIM(regexp_replace(regexp_replace(LOWER(COALESCE(text,'')),
-                       '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+                       '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents
     )
     SELECT fingerprint,

@@ -136,3 +136,22 @@ def test_file_extension(spark):
     assert one(spark, file_extension, "https://x/y.png?sz=2") == ".png"
     assert one(spark, file_extension, "https://x/y.jpeg") == ".jpeg"
     assert one(spark, file_extension, "https://x/noext") == ".jpg"
+
+
+def test_fingerprint_multilingual_not_collapsed(spark):
+    # ASCII \w would strip CJK entirely -> every zh doc same hash;
+    # unicode classes must keep distinct zh texts distinct while still
+    # collapsing punctuation/case/space variants
+    from product_etl_spark.functions.text import fingerprint
+
+    rows = [
+        ("奶油色抱枕套",),
+        ("北欧风地毯",),
+        ("奶油色,抱枕套!",),  # punct variant of row 0
+        ("Nordic rug",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    fps = [r["f"] for r in df.select(fingerprint("s").alias("f")).collect()]
+    assert fps[0] == fps[2]  # punctuation-insensitive
+    assert fps[0] != fps[1]  # distinct zh texts stay distinct
+    assert len({fps[0], fps[1], fps[3]}) == 3
