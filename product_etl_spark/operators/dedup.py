@@ -270,14 +270,14 @@ def winnowing_fingerprints(
     the window is reused by the distinct.
     """
     s = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    gram_positions = F.when(
-        F.length(s) < gram, F.array().cast("array<int>")
-    ).otherwise(F.sequence(F.lit(1), F.length(s) - F.lit(gram - 1)))
+    # All overlapping char n-grams in ONE regex pass: a zero-width
+    # lookahead with a capture advances one char per match. The
+    # transform-over-positions form re-evaluates lower(text) per
+    # position (interpreted HOF, no CSE) — O(len²) characters.
+    grams_arr = F.regexp_extract_all(s, F.lit(f"(?s)(?=(.{{{gram}}}))"), 1)
     grams = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(gram_positions, lambda i: F.substr(s, i, F.lit(gram)))
-        ).alias("pos", "g"),
+        F.posexplode(grams_arr).alias("pos", "g"),
     )
     hv = T.hash64("g") % MINHASH_P
     w = (
