@@ -52,20 +52,20 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Character n-gram shingles (lowercased) -> array<string>.
 
-    Implemented with sequence+transform instead of a UDF: for a
-    string of length L produce L-n+1 substrings.
+    One regex pass: a zero-width lookahead with a capture yields every
+    overlapping n-gram (a transform over positions would re-evaluate
+    the lowercased string per position — interpreted HOFs don't CSE).
     """
     s = F.lower(F.coalesce(_c(col), F.lit("")))
-    return F.when(F.length(s) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
-            lambda i: F.substr(s, i, F.lit(n)),
-        )
-    )
+    return F.regexp_extract_all(s, F.lit(f"(?s)(?=(.{{{n}}}))"), 1)
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles -> array<string> (space-joined)."""
+    """Word n-gram shingles -> array<string> (space-joined).
+
+    Array form for small/driver-side use; hot paths use the row-wise
+    ``operators.dedup.exploded_shingles`` (this form re-tokenizes per
+    expression reference — interpreted HOFs don't CSE)."""
     toks = tokens(col)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
