@@ -1235,3 +1235,33 @@ def q79_json_schema_on_read(spark, sf_dir):
             F.max("k_val").alias("max_k"),
         )
     )
+
+
+@register(
+    "q80_running_distinct_types",
+    """
+    SELECT user_id, event_id,
+           LEN(list_distinct(list(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             AS n_types_so_far
+    FROM events WHERE user_id < 10
+    """,
+)
+def q80_running_distinct_types(spark, sf_dir):
+    """Running distinct count over a window (how many distinct event
+    types has this user produced so far) — collect_set over a running
+    frame; the exact windowed-distinct shape (at 100 TB the same
+    query ships as a stateful streaming aggregation instead of an
+    ever-growing frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.filter(F.col("user_id") < 10).select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+    )
