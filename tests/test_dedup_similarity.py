@@ -233,3 +233,36 @@ def test_multi_file_ingest_order(spark, tmp_path):
     templates, variants = split_master_variants(raw)
     assert [r["SKU Code"] for r in templates.collect()] == ["template-sku"]
     assert [r["SKU Code"] for r in variants.collect()] == ["variant-sku"]
+
+
+def test_minhash_estimates_track_jaccard(spark):
+    # statistical property: fraction of agreeing minhashes ~ true
+    # jaccard. Build doc pairs with controlled overlap and check the
+    # k=16 estimate lands near truth (loose bounds: k=16 -> stderr
+    # ~ sqrt(j(1-j)/16) ~ 0.12)
+    base = [f"tok{i}" for i in range(40)]
+    rows = []
+    for frac in (0, 25, 50, 75):  # replace `frac`% of tokens
+        words = list(base)
+        for i in range(0, 40 * frac // 100):
+            words[i] = f"repl{frac}_{i}"
+        rows.append((frac, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.minhash_signatures(docs, "text", "doc_id", k=16)
+    sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(16)] for r in sig.collect()}
+
+    sh = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in D.exploded_shingles(docs, "text", "doc_id").collect():
+        sh[r["doc_id"]].add(r["sh"])
+
+    for frac in (25, 50, 75):
+        true_j = len(sh[0] & sh[frac]) / len(sh[0] | sh[frac])
+        est = sum(a == b for a, b in zip(sigs[0], sigs[frac])) / 16
+        assert abs(est - true_j) <= 0.35, (frac, true_j, est)
+        # monotonicity: more replacement -> lower estimate
+    est25 = sum(a == b for a, b in zip(sigs[0], sigs[25])) / 16
+    est75 = sum(a == b for a, b in zip(sigs[0], sigs[75])) / 16
+    assert est25 > est75
