@@ -69,7 +69,8 @@ def q42_cube_flag_status(spark, sf_dir):
 def q43_price_percentiles(spark, sf_dir):
     """Exact linear-interpolation percentiles (not approx — the
     oracle is exact; at 100 TB swap in approx_percentile and drop the
-    oracle to rows-only, as q49 demonstrates)."""
+    oracle to rows-only — see test_catalog_ext.py's approx-distinct
+    error-bound pattern)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
@@ -82,7 +83,7 @@ def q43_price_percentiles(spark, sf_dir):
     "q44_acctbal_stats",
     """
     SELECT c_mktsegment,
-           ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS mean_bal,
+           CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS mean_bal,
            ROUND(STDDEV_SAMP(c_acctbal), 3) AS stddev_bal,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal
@@ -91,10 +92,11 @@ def q43_price_percentiles(spark, sf_dir):
 )
 def q44_acctbal_stats(spark, sf_dir):
     """Statistical aggregates; the mean goes through decimal for
-    exactness, stddev is rounded to absorb summation-order noise."""
+    exactness (summation-order-proof), then lands as DOUBLE so the
+    driver's typed hash agrees with the oracle's ROUND(...)::DOUBLE."""
     cu = _t(spark, sf_dir, "customer")
     return cu.groupBy("c_mktsegment").agg(
-        F.round(F.avg(dec("c_acctbal")), 2).cast("decimal(18,2)").alias("mean_bal"),
+        F.round(F.avg(dec("c_acctbal")), 2).cast("double").alias("mean_bal"),
         F.round(F.stddev_samp("c_acctbal"), 3).alias("stddev_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
@@ -256,14 +258,24 @@ def q48_lineitem_unpivot(spark, sf_dir):
     )
 
 
-@register("q49_approx_distinct_users", None)
-def q49_approx_distinct_users(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the 100 TB form of
-    COUNT(DISTINCT). Approximate by design, so no value oracle: the
-    driver records the rows-only check. Exact twin: q08."""
+@register(
+    "q49_distinct_users_by_type",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q49_distinct_users_by_type(spark, sf_dir):
+    """Exact per-type distinct users (oracle-checkable). The 100 TB
+    form is approx_count_distinct (HyperLogLog++), which can't
+    hash-match an exact oracle — that variant lives in
+    tests/test_catalog_ext.py::test_approx_distinct_error_bound with a
+    1%-rsd error assertion against this exact count. Exact twin: q08."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n"),
     )
 
