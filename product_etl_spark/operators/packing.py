@@ -1,0 +1,86 @@
+"""Scale-safe prefix sums + context packing.
+
+A naive running total (``Window.orderBy(key)`` with no partitionBy)
+moves the entire dataset to ONE task — fine on a laptop, fatal on a
+100 TB corpus. ``bucketed_cumsum`` computes the identical prefix sum in
+two phases:
+
+1. per-bucket cumsum, parallel across ``floor(order_col / width)``
+   buckets (order-preserving because order_col is numeric);
+2. per-bucket totals → cumulative offsets via a window over the
+   *bucket* frame (rows = n_buckets ≈ corpus/width — dimension-sized),
+   broadcast back and added.
+
+Reference parity: the packing semantics mirror the sequence-packing
+step of a pretraining data pipeline (greedy by cumulative token count);
+the reference engine has no streaming analogue — this is a
+forward-looking training-data operator (SURVEY §2 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ~1M ids per bucket: at 100 TB / ~1e10 docs that is ~1e4 buckets for
+# the offset frame — comfortably dimension-sized.
+DEFAULT_BUCKET_WIDTH = 1 << 20
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum_before",
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Prefix sum of ``val_col`` in ascending ``order_col`` order
+    without a whole-dataset window. ``inclusive=False`` (default) gives
+    the sum of *strictly preceding* rows (0 for the first row), the
+    shape context packing needs; ``inclusive=True`` includes the
+    current row. ``order_col`` must be numeric and unique."""
+    upper = 0 if inclusive else -1
+    bucket = F.floor(F.col(order_col) / F.lit(bucket_width))
+    w_in = (
+        Window.partitionBy("_pack_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    t = df.withColumn("_pack_bucket", bucket).withColumn(
+        "_cum_in", F.coalesce(F.sum(val_col).over(w_in), F.lit(0).cast("long"))
+    )
+    totals = t.groupBy("_pack_bucket").agg(F.sum(val_col).alias("_bucket_total"))
+    # Window over n_buckets rows only — dimension-sized at any scale.
+    w_bucket = Window.orderBy("_pack_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pack_bucket",
+        F.coalesce(F.sum("_bucket_total").over(w_bucket), F.lit(0).cast("long")).alias(
+            "_bucket_offset"
+        ),
+    )
+    return (
+        t.join(F.broadcast(offsets), "_pack_bucket")
+        .withColumn(out_col, (F.col("_cum_in") + F.col("_bucket_offset")).cast("long"))
+        .drop("_pack_bucket", "_cum_in", "_bucket_offset")
+    )
+
+
+def pack_contexts(
+    docs: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    pack_size: int = 512,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """Assign documents (in ``order_col`` order) to ~``pack_size``-token
+    context packs by cumulative token count; returns the input plus
+    ``pack_id``. Two-phase cumsum — no global window over the corpus."""
+    c = bucketed_cumsum(
+        docs, order_col, tokens_col, out_col="_cum_before", bucket_width=bucket_width
+    )
+    return c.withColumn(
+        "pack_id", F.floor(F.col("_cum_before") / F.lit(pack_size)).cast("long")
+    ).drop("_cum_before")

@@ -88,15 +88,18 @@ def ivf_centroids(corpus: DataFrame, emb_col: str, id_col: str, n_lists: int = 4
     """Deterministic IVF coarse centroids: the ``n_lists``
     lowest-id vectors act as seed centroids (a real deployment runs
     k-means; the assignment/probe machinery is identical and the
-    deterministic seed keeps the oracle reproducible)."""
+    deterministic seed keeps the oracle reproducible).
+
+    Scale shape: ``orderBy(id).limit(n)`` plans as
+    TakeOrderedAndProject (parallel per-partition top-k, no total
+    sort); the row_number window that assigns list_id then runs over
+    the ≤ n_lists surviving rows — dimension-sized at any corpus
+    scale, never over the corpus itself."""
+    seeds = corpus.orderBy(F.col(id_col)).limit(n_lists)
     w = Window.orderBy(F.col(id_col))
-    return (
-        corpus.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_lists)
-        .select(
-            (F.col("_rn") - 1).alias("list_id"),
-            F.col(emb_col).alias("centroid"),
-        )
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("list_id"),
+        F.col(emb_col).alias("centroid"),
     )
 
 

@@ -796,27 +796,19 @@ def q65_line_repetition(spark, sf_dir):
 def q66_context_packing(spark, sf_dir):
     """Context-window packing: documents (in deterministic doc_id
     order) assigned to ~512-token packs by cumulative token count —
-    the sequence-packing step of a pretraining pipeline as a window
-    cumsum, identical in both engines."""
+    the sequence-packing step of a pretraining pipeline. Spark side
+    uses the two-phase bucketed cumsum (operators/packing.py): no
+    whole-corpus window; bucket_width=64 so the multi-bucket path is
+    actually exercised at test scale."""
     from product_etl_spark.functions import text as T_
+    from product_etl_spark.operators.packing import pack_contexts
 
     d = _t(spark, sf_dir, "documents")
     t = d.select("doc_id", T_.token_count("text").cast("long").alias("n_tokens"))
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = t.withColumn("cum_before", F.sum("n_tokens").over(w))
-    return (
-        c.groupBy(
-            (F.coalesce("cum_before", F.lit(0)) / 512)
-            .cast("long")
-            .alias("pack_id")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("pack_tokens"),
-        )
+    packed = pack_contexts(t, "doc_id", "n_tokens", pack_size=512, bucket_width=64)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
     )
 
 

@@ -56,11 +56,29 @@ def read_raw_products_multi(
     behaves as if the files were concatenated in name order.
     Export conventions must name files sortably (the usual
     date-prefixed drops do).
+
+    Scale shape: no whole-ingest window. In-file position is a window
+    partitioned BY FILE (parallel across files); the cross-file part is
+    per-file counts -> cumulative offsets (a window over the n_files
+    frame — dimension-sized) broadcast back and added.
     """
     from pyspark.sql import Window
 
     df = read_raw_products(spark, path, sep, encoding).withColumn(
         "_source_file", F.input_file_name()
     )
-    w = Window.orderBy("_source_file", ROW_IDX)
-    return df.withColumn(ROW_IDX, F.row_number().over(w)).drop("_source_file")
+    w_in = Window.partitionBy("_source_file").orderBy(ROW_IDX)
+    df = df.withColumn("_in_file_rn", F.row_number().over(w_in))
+    counts = df.groupBy("_source_file").agg(F.count(F.lit(1)).alias("_n"))
+    w_files = Window.orderBy("_source_file").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_source_file",
+        F.coalesce(F.sum("_n").over(w_files), F.lit(0).cast("long")).alias("_offset"),
+    )
+    return (
+        df.join(F.broadcast(offsets), "_source_file")
+        .withColumn(ROW_IDX, F.col("_offset") + F.col("_in_file_rn"))
+        .drop("_source_file", "_in_file_rn", "_offset")
+    )

@@ -96,3 +96,23 @@ def test_q02_aggregates_below_join(spark, sf_dir):
     assert "HashAggregate(keys=[l_orderkey" in plan
     # and the top-k is TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q56_centroid_seed_plans_take_ordered(spark, sf_dir):
+    """ivf_centroids must seed via orderBy().limit() — a parallel
+    per-partition top-k (TakeOrderedAndProject), never a row_number
+    window over the whole corpus."""
+    plan = plan_of(spark, sf_dir, "q56_ivf_assignment")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q66_packing_no_corpus_wide_window(spark, sf_dir):
+    """The only unpartitioned window in the packing plan must run over
+    the bucket-offsets frame (n_buckets rows), not the documents."""
+    plan = plan_of(spark, sf_dir, "q66_context_packing")
+    # the in-bucket cumsum window is partitioned
+    assert "_pack_bucket" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "_pack_bucket" not in line:
+            # any other unpartitioned window would list doc columns
+            assert "n_tokens" not in line or "_bucket_total" in line

@@ -94,3 +94,42 @@ def test_groupwise_zscore_and_scale(spark):
     s = {(r["g"], r["v"]): r["scaled"] for r in groupwise_minmax_scale(df, ["g"], "v").collect()}
     assert s[("a", 1.0)] == 0.0 and s[("a", 3.0)] == 1.0 and s[("a", 2.0)] == 0.5
     assert s[("b", 10.0)] == 0.5
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """Two-phase prefix sum == naive whole-frame window, including
+    across bucket boundaries and for the first row of each bucket."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    from product_etl_spark.operators.packing import bucketed_cumsum, pack_contexts
+
+    rows = [(i * 3, (i * 7) % 11 + 1) for i in range(50)]  # sparse ids
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["cum_before"]
+        for r in bucketed_cumsum(df, "id", "v", bucket_width=16).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+    inc = {
+        r["id"]: r["cum_before"]
+        for r in bucketed_cumsum(
+            df, "id", "v", bucket_width=16, inclusive=True
+        ).collect()
+    }
+    assert all(inc[i] == want[i] + dict(rows)[i] for i, _ in rows)
+    # pack ids are monotone non-decreasing in id order
+    packs = (
+        pack_contexts(df, "id", "v", pack_size=10, bucket_width=16)
+        .orderBy("id")
+        .select("pack_id")
+        .collect()
+    )
+    seq = [r["pack_id"] for r in packs]
+    assert seq == sorted(seq) and seq[0] == 0
