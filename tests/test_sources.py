@@ -86,13 +86,118 @@ def test_mapping_loader_and_projection(spark, tmp_path):
     ]
 
 
-def test_excel_gate_without_engine(spark, tmp_path):
+def test_excel_rejects_non_workbook(spark, tmp_path):
     from product_etl_spark.sources.excel import read_excel
 
     fake = tmp_path / "wb.xlsx"
     fake.write_bytes(b"not really an excel file")
-    with pytest.raises((NotImplementedError, Exception)):
+    with pytest.raises(ValueError, match="not a readable .xlsx"):
         read_excel(spark, str(fake))
+
+
+def _write_xlsx(path, sheet_xml, shared=()):
+    """Minimal OOXML workbook writer for fixtures (no Excel engine)."""
+    import zipfile
+
+    ct = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org'
+        '/package/2006/content-types"><Default Extension="xml" ContentType='
+        '"application/xml"/></Types>'
+    )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats'
+        '.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxml'
+        'formats.org/package/2006/relationships"><Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main">'
+        + "".join(f"<si>{s}</si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        if shared:
+            zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main"><sheetData>'
+            + sheet_xml
+            + "</sheetData></worksheet>",
+        )
+
+
+def test_excel_end_to_end_with_mapping(spark, tmp_path):
+    """Dependency-free xlsx read (reference importer_etl.py:31 reads
+    the raw workbook with pd.read_excel): shared + rich-text + inline
+    strings, raw numerics, booleans, and cell gaps, then the mapping
+    projection applied on top — the automapper.py:27 flow."""
+    from product_etl_spark.sources.excel import read_excel
+    from product_etl_spark.sources.mapping import projection_for_table
+
+    wb = tmp_path / "export.xlsx"
+    _write_xlsx(
+        wb,
+        # header: A=SKU Code  B=Selling Price  C=Note
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c></row>'
+        # data row: shared string, raw numeric, inline string
+        '<row r="2">'
+        '<c r="A2" t="s"><v>3</v></c><c r="B2"><v>129.5</v></c>'
+        '<c r="C2" t="inlineStr"><is><t>as-is</t></is></c></row>'
+        # row 3 skips B entirely (gap -> NULL) + boolean in C
+        '<row r="3">'
+        '<c r="A3" t="s"><v>4</v></c><c r="C3" t="b"><v>1</v></c></row>',
+        shared=[
+            "<t>SKU Code</t>",
+            "<t>Selling Price</t>",
+            "<t>Note</t>",
+            "<r><t>SKU-</t></r><r><t>001</t></r>",  # rich text runs
+            "<t>SKU-002</t>",
+        ],
+    )
+    df = read_excel(spark, str(wb))
+    rows = {r["SKU Code"]: r for r in df.collect()}
+    assert set(rows) == {"SKU-001", "SKU-002"}
+    assert rows["SKU-001"]["Selling Price"] == "129.5"
+    assert rows["SKU-001"]["Note"] == "as-is"
+    assert rows["SKU-002"]["Selling Price"] is None
+    assert rows["SKU-002"]["Note"] == "True"
+    # mapping projection over the workbook, as the automapper does
+    mapping = {
+        "SKU Code": {"table": "product", "column": "sku"},
+        "Selling Price": {"table": "product", "column": "selling_price"},
+        "Note": {"table": "", "column": ""},
+    }
+    out = df.select(*projection_for_table(mapping, "product"))
+    assert set(out.columns) == {"sku", "selling_price"}
+    assert out.count() == 2
+
+
+def test_excel_sheet_by_name_and_missing_sheet(spark, tmp_path):
+    from product_etl_spark.sources.excel import read_excel
+
+    wb = tmp_path / "one.xlsx"
+    _write_xlsx(
+        wb,
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c></row>',
+    )
+    assert read_excel(spark, str(wb), sheet="Sheet1").collect()[0]["h"] == "7"
+    with pytest.raises(ValueError, match="not found"):
+        read_excel(spark, str(wb), sheet="Nope")
 
 
 def test_sentence_split_udtf(spark):
