@@ -9,7 +9,8 @@ Reference per-product serial loop (SURVEY.md §3.2):
 
 Spark shape: each arrow is a DataFrame transform; external systems
 (HTTP, tesseract, LLM) are injectable kernels wrapped in Arrow-batched
-UDF stages. Each stage persists to ``{stage_root}/{stage}`` and reruns
+UDF stages — production defaults (tesseract OCR, OpenAI translate /
+logistics, import-gated) live in ``product_etl_spark.kernels``. Each stage persists to ``{stage_root}/{stage}`` and reruns
 anti-join against existing output — the same resumability the
 reference gets from skip flags + read-back (db_orchestrator.py:240-258).
 """

@@ -3,7 +3,8 @@ utils/ai-helper/art-maker/namer.py:20-45 — gpt-4o, temp 0.4, builds a
 product name and SKU from category/collection/attributes).
 
 Spark form: an Arrow-batched stage over (category, collection,
-attrs) rows with an injectable kernel; production wires the LLM
+attrs) rows with an injectable kernel; production wires
+``kernels.gpt4o_namer_kernel`` — the LLM
 client (one per executor, token-bucket paced per M8), tests use a
 deterministic mock. Results are cached by input fingerprint so
 reruns never re-bill (the translation-cache pattern applied to

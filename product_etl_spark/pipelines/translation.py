@@ -19,8 +19,10 @@ Reference semantics preserved:
 The external MT/LLM call is pluggable: any
 ``list[str] -> list[str]`` callable, wrapped in a Pandas UDF so the
 executor calls it on Arrow batches (one client per batch, not per
-row). Tests use a deterministic mock; production would wire the real
-API with a token bucket (SURVEY.md §2.9 M3/M4/M8).
+row). Tests use a deterministic mock; production wires
+``kernels.google_translate_kernel`` / ``kernels.openai_translate_kernel``
+(import-gated defaults with the reference's retry/backoff/fallback
+semantics) plus a token bucket (SURVEY.md §2.9 M3/M4/M8).
 """
 
 from __future__ import annotations
