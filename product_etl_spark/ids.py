@@ -38,11 +38,22 @@ def uuid5_col(namespace: uuid.UUID, *parts: Column | str) -> Column:
     ``parts`` (joined by the unit separator ``\\x1f`` so composite
     keys can't collide by concatenation).
 
+    NULL parts in composite keys are replaced by a ``\\x00`` sentinel
+    *before* the join — ``concat_ws`` silently drops NULLs, which
+    would make (NULL, 'x'), ('x', NULL) and ('x',) hash identically.
+    With the sentinel every position contributes, so null patterns
+    stay distinct. A single-part NULL key yields a NULL id (callers
+    filter or guard those rows).
+
     Pure built-in expressions: sha1 over (namespace bytes ‖ name
     bytes), then version/variant nibbles patched in.
     """
     cols = [F.col(p) if isinstance(p, str) else p for p in parts]
-    name = cols[0] if len(cols) == 1 else F.concat_ws("\x1f", *cols)
+    name = (
+        cols[0]
+        if len(cols) == 1
+        else F.concat_ws("\x1f", *[F.coalesce(c, F.lit("\x00")) for c in cols])
+    )
     payload = F.concat(
         F.unhex(F.lit(namespace.hex)), F.encode(name, "UTF-8")
     )

@@ -175,12 +175,28 @@ def jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
+    max_self_join_docs: int = 10_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for pairs sharing >=1 shingle,
     filtered to >= threshold. Pass ``candidates`` (id_a, id_b) — e.g.
     from lsh_candidate_pairs — to verify only those pairs; without it
-    the shingle self-join is exact but O(shared-shingle pairs).
+    the shingle self-join is exact but O(shared-shingle pairs), which
+    OOMs at corpus scale (measured at 100k docs with a shared
+    vocabulary). The un-restricted path is therefore GUARDED: it
+    raises beyond ``max_self_join_docs`` rows so the full self-join
+    can't be reached by accident — run LSH first (or raise the cap
+    deliberately for a small corpus).
     """
+    if candidates is None:
+        n_docs = df.select(id_col).count()
+        if n_docs > max_self_join_docs:
+            raise ValueError(
+                f"jaccard_pairs without candidates on {n_docs} docs "
+                f"(cap {max_self_join_docs}): the full shingle "
+                "self-join is O(shared-shingle pairs) and OOMs at "
+                "corpus scale. Pass candidates=lsh_candidate_pairs(...) "
+                "or raise max_self_join_docs explicitly."
+            )
     sh = exploded_shingles(df, text_col, id_col, shingle_n).withColumnRenamed(
         "sh", "shingle"
     )

@@ -23,8 +23,13 @@ Iceberg is present — noted per method):
   is refreshed only for rows actually written.
 
 At 100 TB the swap rewrites only the partitions containing updated
-keys when the table is partitioned (``partition_cols``): we prune the
-current side to touched partitions (dynamic partition overwrite).
+keys when the table is partitioned (``partition_cols``): the current
+side is pruned to touched partitions before the merge and only those
+partition directories are swapped — untouched partitions are neither
+read nor rewritten. Contract: a key's partition values must be stable
+across updates (true for all our tables — partitions derive from the
+natural key); a moved key would leave its old row behind in the old
+partition.
 """
 
 from __future__ import annotations
@@ -38,9 +43,13 @@ from pyspark.sql import functions as F
 
 
 def _with_audit(updates: DataFrame, current: DataFrame | None, keys: list[str]):
-    """Apply created_on/modified_on semantics: keep created_on of
-    existing rows, stamp modified_on now for written rows."""
+    """Apply created_on/modified_on trigger semantics
+    (add_timestamps.py:62-126): keep created_on of existing rows;
+    modified_on refreshes ONLY when the row's payload actually changed
+    (null-safe struct compare against the current row) — so a rerun
+    over identical input is byte-identical, audit columns included."""
     now = F.current_timestamp()
+    payload = [c for c in updates.columns if c not in ("created_on", "modified_on")]
     upd = updates
     if "created_on" not in upd.columns:
         upd = upd.withColumn("created_on", now)
@@ -48,16 +57,30 @@ def _with_audit(updates: DataFrame, current: DataFrame | None, keys: list[str]):
         upd = upd.withColumn("modified_on", now)
     upd = upd.withColumn("modified_on", now)
     if current is not None and "created_on" in current.columns:
-        old = current.select(
-            *keys, F.col("created_on").alias("_old_created_on")
+        detect_change = "modified_on" in current.columns and all(
+            c in current.columns for c in payload
         )
-        upd = (
-            upd.join(old, on=keys, how="left")
-            .withColumn(
-                "created_on", F.coalesce("_old_created_on", "created_on")
+        old_cols = [*keys, F.col("created_on").alias("_old_created_on")]
+        if detect_change:
+            old_cols += [
+                F.struct(*[F.col(c) for c in payload]).alias("_old_payload"),
+                F.col("modified_on").alias("_old_modified_on"),
+            ]
+        old = current.select(*old_cols)
+        upd = upd.join(old, on=keys, how="left").withColumn(
+            "created_on", F.coalesce("_old_created_on", "created_on")
+        )
+        if detect_change:
+            unchanged = F.struct(*[F.col(c) for c in payload]).eqNullSafe(
+                F.col("_old_payload")
             )
-            .drop("_old_created_on")
-        )
+            upd = upd.withColumn(
+                "modified_on",
+                F.when(unchanged, F.col("_old_modified_on")).otherwise(
+                    F.col("modified_on")
+                ),
+            ).drop("_old_payload", "_old_modified_on")
+        upd = upd.drop("_old_created_on")
     return upd
 
 
@@ -96,6 +119,13 @@ def upsert_parquet(
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         current = spark.read.parquet(path)
 
+    # Partition-pruned path: only read/merge/rewrite the partitions
+    # the updates actually touch.
+    prune = bool(partition_cols) and current is not None
+    if prune:
+        touched = updates.select(*partition_cols).distinct()
+        current = current.join(F.broadcast(touched), partition_cols, "left_semi")
+
     # Canonical column order, fixed before any join can reorder it:
     # caller's columns first, audit columns last.
     col_order = list(updates.columns)
@@ -120,21 +150,47 @@ def upsert_parquet(
     order = col_order + [c for c in new_state.columns if c not in col_order]
     new_state = new_state.select(*order)
 
-    # Write-audit-publish: write to a staging dir, swap atomically.
+    # Write-audit-publish: write to a staging dir, then swap — the
+    # whole directory for unpartitioned tables, only the touched
+    # partition directories for the pruned path.
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     writer = new_state.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
 
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, backup)
-    os.rename(staging, path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup, ignore_errors=True)
+    if prune:
+        _swap_touched_partitions(staging, path, len(partition_cols))
+    else:
+        backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, backup)
+        os.rename(staging, path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup, ignore_errors=True)
     # Invalidate any cached file listings for this path: DataFrames
     # created before the swap would otherwise try to read the
     # replaced files on their next action.
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)
+
+
+def _swap_touched_partitions(staging: str, path: str, n_levels: int) -> None:
+    """Move every leaf partition directory from ``staging`` over its
+    counterpart under ``path``; untouched partition dirs are never
+    listed, read, or modified. Per-partition swaps are individually
+    atomic (rename); a failure mid-loop leaves a mix of old/new
+    partitions that the next idempotent MERGE rerun converges."""
+    import glob
+
+    pattern = os.path.join(staging, *(["*=*"] * n_levels))
+    for leaf in glob.glob(pattern):
+        rel = os.path.relpath(leaf, staging)
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        backup = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(dst):
+            os.rename(dst, backup)
+        os.rename(leaf, dst)
+        shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)

@@ -12,8 +12,9 @@ round-trips per product (ETL.py:134-618), this pipeline is:
 5. explode for one-to-many children (images, parsed attributes),
 6. idempotent MERGE writes per output table (operators/upsert.py).
 
-Run twice => byte-identical tables (tested); the reference gets the
-same property from upsert-by-natural-key, one row at a time.
+Run twice => byte-identical tables, audit timestamps included —
+modified_on refreshes only on payload change (tested); the reference
+gets the same property from upsert-by-natural-key, one row at a time.
 """
 
 from __future__ import annotations
@@ -60,6 +61,27 @@ COL_WXWERP = "Master WXWERP"
 def _opt(df: DataFrame, name: str) -> F.Column:
     """Column if present in the raw frame, else NULL (exports vary)."""
     return F.col(f"`{name}`") if name in df.columns else F.lit(None).cast("string")
+
+
+def _fits_broadcast(df: DataFrame, max_bytes: int | None = None) -> bool:
+    """True when Catalyst's size estimate for ``df`` is within the
+    session broadcast threshold — the gate for *forced* broadcast
+    hints on dimensions that are usually-but-not-provably small. On
+    any estimation failure, err toward False (Catalyst still
+    broadcasts provably-small sides by itself)."""
+    try:
+        if max_bytes is None:
+            max_bytes = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+                )
+            )
+        if max_bytes <= 0:
+            return False
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(est) <= max_bytes
+    except Exception:
+        return False
 
 
 def build_collections(templates: DataFrame) -> DataFrame:
@@ -117,8 +139,15 @@ def build_products(variants: DataFrame, collections: DataFrame) -> DataFrame:
         F.col("image").alias("_coll_image"),
         F.col("images").alias("_coll_images"),
     )
+    # Collections ≪ products in this domain, but a forced broadcast of
+    # an unboundedly-growing dimension is a 100 TB foot-gun: hint only
+    # while the plan's size estimate says it fits, else let
+    # Catalyst/AQE choose (they still broadcast small sides on their
+    # own below the threshold).
+    if _fits_broadcast(coll):
+        coll = F.broadcast(coll)
     return (
-        base.join(F.broadcast(coll), "master_code", "left")
+        base.join(coll, "master_code", "left")
         .select(
             "id",
             "collection_id",

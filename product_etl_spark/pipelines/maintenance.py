@@ -1,12 +1,15 @@
 """Maintenance jobs — the reference's repair/cleanup scripts as
 distributed one-shot jobs (SURVEY.md §7.3 phase 8).
 
-- ``fix_sku_dot_zero``: the `.0`-suffix repair
-  (utils/importer/fix_sku_dot_zero.py) done right: anchored regex,
-  not the buggy rstrip; updates product skus, derived ids stay
-  stable because repair writes new deterministic ids, and image
-  paths are rewritten like the reference's REPLACE on url_local
-  (fix_sku_dot_zero.py:66-71).
+- ``fix_sku_dot_zero`` + ``sku_repair_mapping`` + ``rekey_children``
+  + ``rewrite_image_paths``: the `.0`-suffix repair
+  (utils/fix_sku_dot_zero.py:47-77 runs THREE updates: the sku
+  column, the child images' collection_sku, and a REPLACE on
+  url_local) done right: anchored regex, not a buggy rstrip; because
+  our ids are uuid5(sku), repairing a sku CHANGES the id, so the
+  repair emits an (old_id, new_id) mapping and every referencing
+  table must be re-keyed through ``rekey_children`` (or the
+  ``run_sku_repair`` orchestrator, which does all tables at once).
 - ``find_orphans`` / ``cleanup_orphans``: orphan detection/removal
   (utils/importer/cleanup_incorrect_products.py:45-51,81-126) —
   anti-joins + filtered overwrite instead of 100-id DELETE batches.
@@ -28,12 +31,97 @@ from product_etl_spark.functions.cleaners import strip_sku_dot_zero
 
 def fix_sku_dot_zero(product: DataFrame) -> DataFrame:
     """Repair float-coerced skus: exactly one trailing '.0' removed
-    (never the reference's rstrip('.0') over-strip), ids re-derived
-    so the deterministic id invariant holds after repair."""
+    (never the reference's rstrip('.0') over-strip), ids re-derived so
+    the deterministic id invariant holds after repair.
+
+    Re-deriving the id ORPHANS child rows keyed on the old id — run
+    the full ``run_sku_repair`` (or ``rekey_children`` per table with
+    ``sku_repair_mapping``) whenever referencing tables exist.
+    """
     fixed_sku = strip_sku_dot_zero(F.col("sku"))
     return product.withColumn("sku", fixed_sku).withColumn(
         "id", ids.uuid5_col(ids.NS_PRODUCT, F.col("sku"))
     )
+
+
+def sku_repair_mapping(product: DataFrame) -> DataFrame:
+    """(old_sku, new_sku, old_id, new_id) for exactly the rows the
+    '.0' repair changes — the re-key contract for every referencing
+    table. Dimension-sized (corrupted skus only), so downstream
+    re-keys broadcast it."""
+    fixed = strip_sku_dot_zero(F.col("sku"))
+    return (
+        product.select(
+            F.col("sku").alias("old_sku"),
+            fixed.alias("new_sku"),
+            F.col("id").alias("old_id"),
+            ids.uuid5_col(ids.NS_PRODUCT, fixed).alias("new_id"),
+        )
+        .filter(F.col("new_sku") != F.col("old_sku"))
+        .distinct()
+    )
+
+
+def rekey_children(
+    child: DataFrame, mapping: DataFrame, fk_col: str = "product_id"
+) -> DataFrame:
+    """Re-point ``fk_col`` from old ids to new ids (broadcast update-
+    join); rows referencing unrepaired products pass through."""
+    m = mapping.select(F.col("old_id").alias(fk_col), "new_id")
+    return (
+        child.join(F.broadcast(m), fk_col, "left")
+        .withColumn(fk_col, F.coalesce("new_id", F.col(fk_col)))
+        .drop("new_id")
+    )
+
+
+def rewrite_image_paths(
+    images: DataFrame,
+    mapping: DataFrame,
+    sku_col: str = "collection_sku",
+    url_col: str = "url_local",
+) -> DataFrame:
+    """The reference's image-side repair (fix_sku_dot_zero.py:58-72):
+    update the child sku column AND REPLACE the old sku inside the
+    local path, one broadcast join."""
+    m = mapping.select(F.col("old_sku").alias(sku_col), "new_sku")
+    joined = images.join(F.broadcast(m), sku_col, "left")
+    return (
+        joined.withColumn(
+            url_col,
+            F.when(
+                F.col("new_sku").isNotNull(),
+                F.replace(F.col(url_col), F.col(sku_col), F.col("new_sku")),
+            ).otherwise(F.col(url_col)),
+        )
+        .withColumn(sku_col, F.coalesce("new_sku", F.col(sku_col)))
+        .drop("new_sku")
+    )
+
+
+def run_sku_repair(
+    product: DataFrame,
+    children: dict[str, tuple[DataFrame, str]] | None = None,
+    images: DataFrame | None = None,
+    image_sku_col: str = "collection_sku",
+    image_url_col: str = "url_local",
+) -> dict[str, DataFrame]:
+    """The whole repair as one transaction-shaped unit: returns
+    ``{"product": ..., "mapping": ..., <child>: ..., "images": ...}``
+    with every referencing table re-keyed. ``children`` maps table
+    name -> (frame, fk column)."""
+    mapping = sku_repair_mapping(product)
+    out: dict[str, DataFrame] = {
+        "product": fix_sku_dot_zero(product),
+        "mapping": mapping,
+    }
+    for name, (child, fk) in (children or {}).items():
+        out[name] = rekey_children(child, mapping, fk)
+    if images is not None:
+        out["images"] = rewrite_image_paths(
+            images, mapping, image_sku_col, image_url_col
+        )
+    return out
 
 
 def find_orphans(child: DataFrame, parent: DataFrame, child_fk: str, parent_key: str) -> DataFrame:
@@ -133,6 +221,64 @@ def consistency_report(
         F.count(F.lit(1)).alias("in_both")
     )
     return both.crossJoin(only_left).crossJoin(only_right)
+
+
+def add_audit_columns(
+    spark,
+    path: str,
+    backfill=None,
+) -> DataFrame:
+    """Retrofit ``created_on``/``modified_on`` onto an EXISTING table
+    that predates the audit era — the reference's dynamic migration
+    (utils/importer/add_timestamp_fields_dynamic.sql:8-126 +
+    add_timestamps.py:80-91: ADD COLUMN IF NOT EXISTS ... DEFAULT
+    CURRENT_TIMESTAMP per table, plus the modified_on trigger).
+
+    ``backfill`` seeds both columns for pre-existing rows: a timestamp
+    literal/string, or None to use the table directory's mtime (the
+    best on-disk approximation of "when these rows appeared", and
+    deterministic across reruns). Columns already present are left
+    untouched (IF NOT EXISTS semantics); the rewrite is
+    write-audit-publish like the MERGE writer. The trigger half needs
+    no retrofit here — every subsequent ``upsert_parquet`` refreshes
+    modified_on exactly on payload change.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+    from datetime import datetime, timezone
+
+    df = spark.read.parquet(path)
+    missing = [c for c in ("created_on", "modified_on") if c not in df.columns]
+    if not missing:
+        return df  # IF NOT EXISTS: nothing to do
+    if backfill is None:
+        mtime = _os.stat(path).st_mtime
+        backfill = datetime.fromtimestamp(mtime, tz=timezone.utc)
+    stamp = F.lit(backfill).cast("timestamp")
+    for c in missing:
+        df = df.withColumn(c, stamp)
+    staging = f"{path}__audit_{_uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{_uuid.uuid4().hex[:8]}"
+    _os.rename(path, backup)
+    _os.rename(staging, path)
+    _shutil.rmtree(backup, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
+
+
+def add_audit_columns_warehouse(spark, warehouse: str, backfill=None) -> dict:
+    """The ALL-tables loop of the reference migration: retrofit every
+    table directory under ``warehouse``. Returns {table: row_count}."""
+    import os as _os
+
+    out = {}
+    for name in sorted(_os.listdir(warehouse)):
+        p = _os.path.join(warehouse, name)
+        if _os.path.isdir(p) and _os.path.exists(_os.path.join(p, "_SUCCESS")):
+            out[name] = add_audit_columns(spark, p, backfill).count()
+    return out
 
 
 def snapshot_table(spark, path: str, tag: str = "backup"):

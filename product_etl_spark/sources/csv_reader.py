@@ -62,11 +62,24 @@ def read_raw_products_multi(
     per-file counts -> cumulative offsets (a window over the n_files
     frame — dimension-sized) broadcast back and added.
     """
+    df = read_raw_products(spark, path, sep, encoding)
+    return total_order_row_idx(df)
+
+
+def total_order_row_idx(df: DataFrame) -> DataFrame:
+    """Re-derive ``ROW_IDX`` as a total (file name, in-file position)
+    order for a frame whose existing ``ROW_IDX`` is only
+    monotone-within-file (``monotonically_increasing_id`` on an
+    ordered file read). Also used by the streaming foreachBatch ingest,
+    where one micro-batch may contain several files.
+
+    Scale shape: in-file position is a window partitioned by file;
+    cross-file offsets come from per-file counts cumulated over the
+    n_files frame (dimension-sized) and broadcast back.
+    """
     from pyspark.sql import Window
 
-    df = read_raw_products(spark, path, sep, encoding).withColumn(
-        "_source_file", F.input_file_name()
-    )
+    df = df.withColumn("_source_file", F.input_file_name())
     w_in = Window.partitionBy("_source_file").orderBy(ROW_IDX)
     df = df.withColumn("_in_file_rn", F.row_number().over(w_in))
     counts = df.groupBy("_source_file").agg(F.count(F.lit(1)).alias("_n"))

@@ -4,10 +4,11 @@
 (utils/importer/ETL.py:7)).
 
 Our engine's canonical storage is Parquet; these wrappers exist for
-interop with the reference's PostgreSQL world. Untestable in this
-container (no database, no JDBC driver jar) — thin, standard, and
-explicit about partitioned reads so a 100 TB-adjacent fact table
-never funnels through one connection.
+interop with the reference's PostgreSQL world. Exercised end-to-end
+against embedded Derby (the JDBC database Spark ships for its Hive
+metastore) in tests/test_jdbc.py: batched write, unpartitioned and
+bounded-partition reads, append. Explicit about partitioned reads so
+a 100 TB-adjacent fact table never funnels through one connection.
 """
 
 from __future__ import annotations

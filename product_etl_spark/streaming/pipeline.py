@@ -120,7 +120,17 @@ def stream_ingest_csv(
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        raw = batch_df.withColumn(ROW_IDX, F.monotonically_increasing_id())
+        # A micro-batch may hold SEVERAL files (availableNow batches
+        # aren't one-file); partition-layout order is not a contract,
+        # and "first row per master code = template" must be stable
+        # across checkpoint replays for the MERGE no-op guarantee to
+        # hold. Total the order as (file, in-file position) exactly
+        # like the batch reader does.
+        from product_etl_spark.sources.csv_reader import total_order_row_idx
+
+        raw = total_order_row_idx(
+            batch_df.withColumn(ROW_IDX, F.monotonically_increasing_id())
+        )
         run_ingest(batch_df.sparkSession, raw, warehouse)
 
     return (

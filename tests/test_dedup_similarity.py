@@ -266,3 +266,20 @@ def test_minhash_estimates_track_jaccard(spark):
     est25 = sum(a == b for a, b in zip(sigs[0], sigs[25])) / 16
     est75 = sum(a == b for a, b in zip(sigs[0], sigs[75])) / 16
     assert est25 > est75
+
+
+def test_jaccard_unrestricted_guard_trips(spark):
+    """The full shingle self-join must be unreachable by accident at
+    corpus scale: no candidates + docs over the cap -> ValueError."""
+    import pytest as _pytest
+
+    from product_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma "), F.col("id")).alias("text"),
+    )
+    with _pytest.raises(ValueError, match="full shingle"):
+        jaccard_pairs(docs, "text", "doc_id", max_self_join_docs=10)
+    # under the cap (or with candidates) it still runs
+    assert jaccard_pairs(docs, "text", "doc_id", max_self_join_docs=100).count() >= 0

@@ -37,3 +37,32 @@ def test_natural_keys_exist_in_schemas():
         cols = {f.name for f in REGISTRY[table].fields}
         for k in keys:
             assert k in cols, f"{table}.{k} missing from schema"
+
+
+def test_uuid5_null_patterns_do_not_collide(spark):
+    """concat_ws drops NULLs; the \x00 sentinel must keep every null
+    pattern of a composite key distinct (and match Python uuid5 of the
+    sentinel-joined name)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from product_etl_spark.ids import NS_PRODUCT, uuid5_col
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("", "x"), ("x", "")],
+        "a string, b string",
+    )
+    got = [
+        r["id"]
+        for r in df.select(uuid5_col(NS_PRODUCT, "a", "b").alias("id")).collect()
+    ]
+    assert len(set(got)) == 4  # all four null/empty patterns distinct
+    want = str(_uuid.uuid5(NS_PRODUCT, "x\x1f\x00"))
+    assert got[0] == want
+    # single-part NULL key -> NULL id
+    one = (
+        spark.createDataFrame([(None,)], "a string")
+        .select(uuid5_col(NS_PRODUCT, "a").alias("id"))
+        .collect()[0]["id"]
+    )
+    assert one is None

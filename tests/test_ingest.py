@@ -173,14 +173,17 @@ def test_translations_sidecar(ingested):
 
 
 def test_run_twice_idempotent(spark, raw_csv, warehouse, ingested):
+    """Rerunning the identical input is byte-identical INCLUDING audit
+    columns: change-detection preserves modified_on when the payload
+    didn't change (upsert._with_audit null-safe struct compare)."""
     before = {
-        name: sorted(map(str, df.drop("created_on", "modified_on").collect()))
+        name: sorted(map(str, df.collect()))
         for name, df in ingested.tables.items()
     }
     raw = read_raw_products(spark, raw_csv)
     again = run_ingest(spark, raw, warehouse)
     after = {
-        name: sorted(map(str, df.drop("created_on", "modified_on").collect()))
+        name: sorted(map(str, df.collect()))
         for name, df in again.tables.items()
     }
     assert before == after

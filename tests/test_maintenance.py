@@ -198,3 +198,128 @@ def test_profile_table(spark):
     prof2 = {r["column"]: r for r in profile_table(df2).collect()}
     assert prof2["arr"]["approx_distinct"] is None
     assert prof2["arr"]["n_nulls"] == 0
+
+
+def test_sku_repair_rekeys_children_and_rewrites_paths(spark):
+    """The '.0' repair must not orphan referencing rows: child FKs
+    follow the (old_id, new_id) mapping and image paths get the
+    reference's REPLACE treatment (fix_sku_dot_zero.py:47-77)."""
+    import uuid as _uuid
+
+    from product_etl_spark import ids as _ids
+    from product_etl_spark.pipelines.maintenance import (
+        find_orphans,
+        run_sku_repair,
+    )
+
+    def pid(sku):
+        return str(_uuid.uuid5(_ids.NS_PRODUCT, sku))
+
+    product = spark.createDataFrame(
+        [(pid("A100.0"), "A100.0"), (pid("B200"), "B200")], "id string, sku string"
+    )
+    attrs = spark.createDataFrame(
+        [(pid("A100.0"), "color"), (pid("B200"), "size")],
+        "product_id string, key string",
+    )
+    images = spark.createDataFrame(
+        [
+            ("A100.0", "pictures/A100.0/img_1.jpg"),
+            ("B200", "pictures/B200/img_1.jpg"),
+        ],
+        "collection_sku string, url_local string",
+    )
+    out = run_sku_repair(
+        product, children={"attrs": (attrs, "product_id")}, images=images
+    )
+    # mapping covers only the corrupted sku
+    m = out["mapping"].collect()
+    assert len(m) == 1 and m[0]["old_sku"] == "A100.0" and m[0]["new_sku"] == "A100"
+    # product repaired, id re-derived
+    prod = {r["sku"]: r["id"] for r in out["product"].collect()}
+    assert set(prod) == {"A100", "B200"} and prod["A100"] == pid("A100")
+    # children follow: zero orphans after the repair
+    assert find_orphans(out["attrs"], out["product"], "product_id", "id").count() == 0
+    # untouched FK passes through unchanged
+    fk = {r["key"]: r["product_id"] for r in out["attrs"].collect()}
+    assert fk["size"] == pid("B200") and fk["color"] == pid("A100")
+    # image path REPLACE + sku column update; clean rows untouched
+    img = {r["collection_sku"]: r["url_local"] for r in out["images"].collect()}
+    assert img["A100"] == "pictures/A100/img_1.jpg"
+    assert img["B200"] == "pictures/B200/img_1.jpg"
+
+
+def test_upsert_pruned_merge_leaves_untouched_partitions_alone(spark, tmp_path):
+    """A merge into a partitioned table must neither rewrite nor even
+    touch partition directories its updates don't hit (file inodes
+    and mtimes unchanged), while merging correctly into touched ones."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+    from product_etl_spark.operators.upsert import upsert_parquet
+
+    path = str(tmp_path / "pruned")
+    base = spark.createDataFrame(
+        [(1, "p0", "old1"), (2, "p0", "old2"), (3, "p1", "keep3"), (4, "p2", "keep4")],
+        "k long, part string, v string",
+    )
+    upsert_parquet(spark, base, path, keys=["k"], partition_cols=["part"])
+
+    def files_of(part):
+        return {
+            (f.name, f.stat().st_ino, f.stat().st_mtime_ns)
+            for f in pathlib.Path(path, f"part={part}").glob("*.parquet")
+        }
+
+    before_p1, before_p2 = files_of("p1"), files_of("p2")
+    upd = spark.createDataFrame(
+        [(2, "p0", "NEW2"), (5, "p0", "new5")], "k long, part string, v string"
+    )
+    out = upsert_parquet(spark, upd, path, keys=["k"], partition_cols=["part"])
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "old1", 2: "NEW2", 3: "keep3", 4: "keep4", 5: "new5"}
+    # untouched partitions: exact same files, byte-for-byte untouched
+    assert files_of("p1") == before_p1 and files_of("p2") == before_p2
+    # created_on preserved for updated key, modified_on refreshed only
+    # for written rows
+    audit = {r["k"]: r for r in out.select("k", "created_on", "modified_on").collect()}
+    assert audit[3]["modified_on"] == audit[3]["created_on"]
+
+
+def test_audit_retrofit_on_pre_audit_table(spark, tmp_path):
+    """A table written before the audit era gains created_on/modified_on
+    with a backfill stamp; a later MERGE updates modified_on ONLY on
+    rows whose payload changed (the trigger semantics,
+    add_timestamp_fields_dynamic.sql:8-126)."""
+    from pyspark.sql import functions as F
+    from product_etl_spark.operators.upsert import upsert_parquet
+    from product_etl_spark.pipelines.maintenance import (
+        add_audit_columns,
+        add_audit_columns_warehouse,
+    )
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    path = str(wh / "legacy")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"
+    ).write.parquet(path)
+
+    out = add_audit_columns(spark, path, backfill="2020-01-01 00:00:00")
+    assert {"created_on", "modified_on"} <= set(out.columns)
+    stamps = {r["k"]: r for r in out.collect()}
+    assert str(stamps["a"]["created_on"]).startswith("2020-01-01")
+    # rerun: IF NOT EXISTS no-op, stamps unchanged
+    again = add_audit_columns(spark, path, backfill="2024-06-06 00:00:00")
+    assert str(again.filter(F.col("k") == "a").collect()[0]["created_on"]).startswith("2020-01-01")
+
+    # post-retrofit MERGE: changed row refreshes modified_on, unchanged keeps it
+    upd = spark.createDataFrame([("a", 99), ("b", 2)], "k string, v int")
+    merged = {r["k"]: r for r in upsert_parquet(spark, upd, path, keys=["k"]).collect()}
+    assert str(merged["b"]["modified_on"]).startswith("2020-01-01")  # unchanged
+    assert not str(merged["a"]["modified_on"]).startswith("2020-01-01")  # changed
+    assert str(merged["a"]["created_on"]).startswith("2020-01-01")  # preserved
+
+    # warehouse-wide loop skips nothing and counts rows
+    counts = add_audit_columns_warehouse(spark, str(wh))
+    assert counts == {"legacy": 2}

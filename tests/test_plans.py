@@ -116,3 +116,18 @@ def test_q66_packing_no_corpus_wide_window(spark, sf_dir):
         if "Window" in line and "_pack_bucket" not in line:
             # any other unpartitioned window would list doc columns
             assert "n_tokens" not in line or "_bucket_total" in line
+
+
+def test_build_products_broadcast_gated_by_size(spark):
+    """The collection dim broadcast is hinted only under the size
+    estimate; over the threshold the forced hint disappears."""
+    from pyspark.sql import functions as F
+    from product_etl_spark.pipelines.ingest import _fits_broadcast
+
+    small = spark.range(10).select(
+        F.col("id").cast("string").alias("master_code"),
+        F.col("id").cast("string").alias("id"),
+    )
+    assert _fits_broadcast(small)
+    assert not _fits_broadcast(small, max_bytes=1)  # too big for a 1-byte cap
+    assert not _fits_broadcast(small, max_bytes=-1)  # broadcast disabled

@@ -51,3 +51,24 @@ def test_incremental_file_ingest(spark, tmp_path):
     assert coll2["m1"]["inventory"] == 7  # upsert refreshed the replayed row
     prods = {r["sku"] for r in spark.read.parquet(str(wh / "product")).collect()}
     assert prods == {"s2", "s4"}
+
+
+def test_multi_file_batch_orders_by_file_name(spark, tmp_path):
+    """One availableNow micro-batch holding TWO files: template
+    selection must follow (file name, in-file position) order — not
+    partition layout — so checkpoint replays MERGE identical values."""
+    src = tmp_path / "incoming2"
+    src.mkdir()
+    wh = tmp_path / "wh2"
+    ckpt = tmp_path / "ckpt2"
+
+    # file 01 holds the m9 template row; file 02 only variants. If the
+    # batch were ordered by partition layout, 02's row could win.
+    _drop_file(src, "export_01.csv", ["m9;tpl-sku;模板;10;1"])
+    _drop_file(src, "export_02.csv", ["m9;var-sku;;20;2"])
+    _drain(spark, src, wh, ckpt)
+
+    coll = spark.read.parquet(str(wh / "product_collection")).collect()
+    assert len(coll) == 1 and coll[0]["inventory"] == 1  # template = file 01 row
+    prods = {r["sku"] for r in spark.read.parquet(str(wh / "product")).collect()}
+    assert prods == {"var-sku"}
