@@ -11,11 +11,12 @@ here the way a training-data pipeline needs it:
   metadata (uri, media_type, width/height, ...);
 - decode / feature-extract / resize / frame-sample run as Arrow-
   batched ``mapInPandas`` stages, one decoder instance per batch;
-- the actual codecs are NOT shippable in this container (no PIL /
-  ffmpeg / tesseract), so the decode kernels are **deterministic
-  stubs** behind an injection point — the Spark-side contract
-  (schema, partitioning, batch shape, null handling) is real and
-  tested, and a real deployment swaps the kernel only.
+- decoding is REAL for PNG / BMP / PPM / WAV via the pure-stdlib
+  codecs in ``functions/codecs.py`` (``real_image_decode`` is the
+  default kernel: true dimensions + a real 64-bit average-hash);
+  only entropy-coded formats that need a codec library (JPEG, video)
+  raise a clearly-marked NotImplementedError — the injection point
+  remains for swapping in PIL/opencv/ffmpeg kernels.
 
 ``spark.read.format("binaryFile")`` is the scan for on-disk corpora
 (S7); synthetic binary frames work identically for tests.
@@ -31,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -57,22 +59,47 @@ IMAGE_FEATURES_SCHEMA = StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
 DecodeKernel = Callable[[bytes], dict]
 
 
 def stub_image_decode(content: bytes) -> dict:
     """Deterministic fake decoder: derives pseudo width/height and a
-    perceptual-hash stand-in from the bytes. A real deployment
-    replaces this with PIL/opencv; everything around it is unchanged.
-    """
+    perceptual-hash stand-in from the bytes — for benchmarks over
+    synthetic payloads that aren't real images."""
     if content is None:
-        raise NotImplementedError("real image decoding requires PIL/opencv")
+        raise NotImplementedError("no payload to decode")
     h = hashlib.md5(content).hexdigest()
     return {
         "width": 64 + int(h[:4], 16) % 1920,
         "height": 64 + int(h[4:8], 16) % 1080,
         "n_bytes": len(content),
         "phash": h[:16],
+    }
+
+
+def real_image_decode(content: bytes) -> dict:
+    """REAL decode via functions/codecs.py (PNG/BMP/PPM): true pixel
+    dimensions + 64-bit average-hash over the actual pixels. JPEG and
+    other entropy-coded formats raise NotImplementedError (a codec
+    library is genuinely required)."""
+    from product_etl_spark.functions import codecs
+
+    px = codecs.decode_image(bytes(content))
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "n_bytes": len(content),
+        "phash": codecs.average_hash(px),
     }
 
 
@@ -103,6 +130,69 @@ def extract_image_features(
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode PNG, as an
+    Arrow-batched mapInPandas stage (same MEDIA_SCHEMA out, so resize
+    stages compose/chain). Undecodable payloads pass through with
+    media_type 'error/undecodable' rather than failing the task."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from product_etl_spark.functions import codecs
+
+        for pdf in it:
+            rows = []
+            for media_id, uri, content in zip(
+                pdf["media_id"], pdf["uri"], pdf["content"]
+            ):
+                try:
+                    px = codecs.decode_image(bytes(content))
+                    out = codecs.encode_png(
+                        codecs.resize_nearest(px, out_w, out_h)
+                    )
+                    mt = "image/png"
+                except Exception:
+                    out, mt = bytes(content), "error/undecodable"
+                rows.append(
+                    {"media_id": media_id, "uri": uri, "media_type": mt,
+                     "content": out}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return media.select("media_id", "uri", "media_type", "content").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """WAV binary column -> (sample_rate, channels, duration, RMS)
+    via the stdlib wave codec — real audio decode, mapInPandas."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from product_etl_spark.functions import codecs
+
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    feats = codecs.decode_wav(bytes(content))
+                except Exception:
+                    feats = {}
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": feats.get("sample_rate"),
+                        "n_channels": feats.get("n_channels"),
+                        "duration_s": feats.get("duration_s"),
+                        "rms": feats.get("rms"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

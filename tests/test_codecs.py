@@ -1,0 +1,179 @@
+"""Pure-stdlib media codecs + the multimodal stages running REAL
+decodes end-to-end (PNG round-trip incl. all five filter types, BMP,
+PPM, WAV, average-hash invariance, Spark mapInPandas stages)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from product_etl_spark.functions import codecs
+
+
+def _gradient(h, w, ch=3):
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(x * 255 // max(w - 1, 1))] * ch, axis=2
+    ).astype(np.uint8)
+    px[:, :, ch - 1] = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+    return px
+
+
+def test_png_round_trip_rgb_rgba_gray():
+    for ch in (1, 2, 3, 4):
+        px = _gradient(13, 17, ch)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+def test_png_all_filter_types_reconstruct():
+    """Hand-build a PNG using every filter type (0..4) and check the
+    reconstruction against the reference algorithm."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 8, 3), dtype=np.uint8)
+    ch, stride = 3, 8 * 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    # filter each scanline y with type y%5
+    prior = np.zeros(stride, dtype=np.int32)
+    filtered = b""
+    for y in range(5):
+        line = px[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        out = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            left = int(line[x - ch]) if x >= ch else 0
+            up = int(prior[x])
+            ul = int(prior[x - ch]) if x >= ch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2, 4: paeth(left, up, ul)}[f]
+            out[x] = (int(line[x]) - pred) % 256
+        filtered += bytes([f]) + bytes(out.astype(np.uint8))
+        prior = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(filtered))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(data), px)
+
+
+def test_png_palette():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(data)
+    assert out.shape == (2, 2, 3) and tuple(out[1, 0]) == (0, 0, 255)
+
+
+def _bmp_bytes(px):  # 24-bit bottom-up BMP writer for fixtures
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):
+        line = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (row - len(line))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def test_bmp_and_ppm_decode():
+    px = _gradient(6, 5)
+    assert np.array_equal(codecs.decode_bmp(_bmp_bytes(px)), px)
+    ppm = b"P6\n# comment\n5 6\n255\n" + px.tobytes()
+    assert np.array_equal(codecs.decode_ppm(ppm), px)
+
+
+def test_average_hash_invariance_and_sensitivity():
+    px = _gradient(64, 64)
+    h1 = codecs.average_hash(px)
+    # resize-invariant (same structure at half size)
+    h2 = codecs.average_hash(codecs.resize_nearest(px, 32, 32))
+    assert h1 == h2
+    # inverted image: different hash
+    assert h1 != codecs.average_hash(255 - px)
+    assert len(h1) == 16
+
+
+def test_wav_round_trip():
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    wav = codecs.encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), 16000)
+    feats = codecs.decode_wav(wav)
+    assert feats["sample_rate"] == 16000 and feats["n_channels"] == 1
+    assert abs(feats["duration_s"] - 1.0) < 1e-6
+    assert abs(feats["rms"] - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt2
+
+
+def test_jpeg_still_gated():
+    with pytest.raises(NotImplementedError, match="image/jpeg"):
+        codecs.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_spark_stages_real_decode(spark, tmp_path):
+    """binaryFile scan -> real_image_decode features -> resize stage,
+    and the audio feature stage — the whole multimodal path on real
+    PNG/WAV payloads, no stub."""
+    from pyspark.sql import functions as F
+    from product_etl_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        real_image_decode,
+        resize_images,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(codecs.encode_png(_gradient(40, 30)))
+    (d / "b.png").write_bytes(codecs.encode_png(_gradient(8, 8)))
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(str(d))
+        .select(
+            F.md5("content").alias("media_id"),
+            F.col("path").alias("uri"),
+            F.lit("image/png").alias("media_type"),
+            "content",
+        )
+    )
+    feats = {r["width"]: r for r in extract_image_features(media, real_image_decode).collect()}
+    assert set(feats) == {30, 8}
+    assert feats[30]["height"] == 40 and len(feats[30]["phash"]) == 16
+
+    resized = resize_images(media, 16, 16)
+    rfeats = extract_image_features(resized, real_image_decode).collect()
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rfeats)
+
+    wav = codecs.encode_wav(np.zeros(8000), 8000)
+    audio = spark.createDataFrame([("w1", wav)], "media_id string, content binary")
+    a = extract_audio_features(audio).collect()[0]
+    assert a["sample_rate"] == 8000 and abs(a["duration_s"] - 1.0) < 1e-6
