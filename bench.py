@@ -4,8 +4,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 
 Each query is forced with a noop write (full execution, no driver
-collect overhead in the measurement). Reported value = total wall
-seconds across the catalog.
+collect overhead in the measurement) and timed REPS times (default 3,
+$SPARK_GRAFT_BENCH_REPS); the per-query number is the MEDIAN — single
+runs on a shared box swing ±30% with machine load, and the engine's
+steady-state cost is the signal. Reported value = sum of per-query
+medians; the JSON carries reps/agg so runs are comparable.
 """
 
 from __future__ import annotations
@@ -39,12 +42,16 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name, spec in plans.CATALOG.items():
-        t0 = time.monotonic()
-        df = spec["fn"](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            df = spec["fn"](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -55,6 +62,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "agg": "median",
             }
         )
     )
