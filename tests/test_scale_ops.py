@@ -133,3 +133,34 @@ def test_bucketed_cumsum_matches_global_window(spark):
     )
     seq = [r["pack_id"] for r in packs]
     assert seq == sorted(seq) and seq[0] == 0
+
+
+def test_approx_quantile_buckets_tracks_exact_ntile(spark, sf_dir):
+    """The map-only NTILE swap: bucket sizes within 2% of perfectly
+    equal, bucket ranges ordered, and the plan has NO window/sort —
+    q76's documented 100 TB form, proven not just promised."""
+    import pyspark.sql.functions as F
+    from product_etl_spark.operators.quantiles import approx_quantile_buckets
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()
+    b = approx_quantile_buckets(o, "o_totalprice", n_buckets=4)
+    rows = (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r["bucket"] for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert abs(r["cnt"] - n / 4) <= max(2, 0.02 * n)
+    for a, c in zip(rows, rows[1:]):  # ranges strictly ordered
+        assert a["hi"] <= c["lo"]
+    # map-only: no WindowExec, no global Sort in the bucketing plan
+    b.collect()
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
