@@ -314,6 +314,77 @@ def winnowing_fingerprints(
     return selected
 
 
+def exploded_segments(
+    df: DataFrame, text_col: str, id_col: str, seg_words: int = 50
+) -> DataFrame:
+    """Non-overlapping ``seg_words``-word segments as rows:
+    (id, seg_idx, segment, fingerprint). Tokenize once in a projected
+    column (higher-order funcs have no CSE — never repeat the split),
+    then slice per segment index. Map-only."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("_t"),
+    ).filter(F.size("_t") > 0)
+    n_segs = f"cast(ceil(size(_t) / {seg_words}.0) as int)"
+    return (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(F.expr(f"sequence(0, {n_segs} - 1)")).alias(
+                "seg_idx", "_i"
+            ),
+            F.col("_t"),
+        )
+        .select(
+            F.col(id_col),
+            "seg_idx",
+            F.array_join(
+                F.slice("_t", F.col("seg_idx") * seg_words + 1, seg_words), " "
+            ).alias("segment"),
+        )
+        .withColumn("fingerprint", F.md5("segment"))
+    )
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 50,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact cross-document segment dedup (the ExactSubstr policy of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", at fixed segment granularity): every later occurrence of
+    a segment already seen — in another document or earlier in the
+    same one — is dropped, and each document's text is rebuilt from
+    its surviving segments (first occurrence wins, ordered by
+    (id, seg_idx)).
+
+    Scale shape: segments are rows; "first occurrence" is a window
+    PARTITIONED BY fingerprint (key-partitioned, md5-uniform — no
+    global order), and reassembly is one groupBy(id) with an
+    order-struct sort — all shuffles keyed uniform."""
+    segs = exploded_segments(df, text_col, id_col, seg_words)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col), F.col("seg_idx"))
+    kept = (
+        segs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(seg_idx, segment))), x -> x.segment)"),
+            " ",
+        ).alias(out_col or text_col),
+        F.count(F.lit(1)).alias("n_segments_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return rebuilt.join(totals, id_col).withColumn(
+        "dup_ratio",
+        F.round(1 - F.col("n_segments_kept") / F.col("n_segments"), 4),
+    )
+
+
 def keep_canonical(
     df: DataFrame, dedup_groups: DataFrame, id_col: str
 ) -> DataFrame:

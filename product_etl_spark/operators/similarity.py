@@ -103,6 +103,55 @@ def ivf_centroids(corpus: DataFrame, emb_col: str, id_col: str, n_lists: int = 4
     )
 
 
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_lists: int = 4,
+    n_iters: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for real IVF coarse centroids
+    (``ivf_centroids`` is the deterministic-seed variant the oracle
+    uses; this is the quality path a deployment trains with).
+
+    Per iteration: assign = broadcast-centroids crossJoin + window
+    argmin (map-shaped over the corpus); recompute = posexplode ->
+    groupBy(list, dim) avg -> reassemble (one shuffle keyed on
+    (n_lists × dim) groups). Centroids — k·dim doubles — are
+    legitimately driver-state (dimension-sized), collected each
+    round so the plan doesn't grow with iterations; empty clusters
+    keep their previous centroid. Deterministic: seeds are the
+    lowest-id vectors and every step is order-insensitive."""
+    spark = corpus.sparkSession
+    cents = ivf_centroids(corpus, emb_col, id_col, n_lists)
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, cents, emb_col, id_col).select(
+            id_col, "list_id"
+        )
+        means = (
+            corpus.join(assigned, id_col)
+            .select("list_id", F.posexplode(emb_col).alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
+            )
+            .select(
+                "list_id",
+                F.expr("transform(s, x -> cast(x.m as float))").alias("centroid"),
+            )
+        )
+        # materialize k rows on the driver: constant-size, cuts lineage
+        prev = {r["list_id"]: r["centroid"] for r in cents.collect()}
+        for r in means.collect():
+            prev[r["list_id"]] = r["centroid"]
+        cents = spark.createDataFrame(
+            sorted(prev.items()), "list_id int, centroid array<float>"
+        )
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame, centroids: DataFrame, emb_col: str, id_col: str
 ) -> DataFrame:

@@ -283,3 +283,66 @@ def test_jaccard_unrestricted_guard_trips(spark):
         jaccard_pairs(docs, "text", "doc_id", max_self_join_docs=10)
     # under the cap (or with candidates) it still runs
     assert jaccard_pairs(docs, "text", "doc_id", max_self_join_docs=100).count() >= 0
+
+
+def test_kmeans_centroids_separate_planted_clusters(spark):
+    """Lloyd's iterations must recover two planted clusters that the
+    lowest-id seeds do NOT separate (both seeds start in cluster A),
+    and shrink within-cluster distance vs the seed assignment."""
+    from product_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+    )
+
+    rows = []
+    for i in range(20):  # cluster A near (1,0,...), ids 0..19
+        rows.append((i, [1.0 + 0.01 * (i % 5), 0.02 * (i % 3)] + [0.0] * 6))
+    for i in range(20, 40):  # cluster B near (0,1,...), ids 20..39
+        rows.append((i, [0.02 * (i % 3), 1.0 + 0.01 * (i % 5)] + [0.0] * 6))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def mean_dist(cents):
+        import statistics
+
+        d = ivf_assign(emb, cents, "embedding", "vec_id").collect()
+        return statistics.mean(r["centroid_dist"] for r in d), d
+
+    seed_dist, _ = mean_dist(ivf_centroids(emb, "embedding", "vec_id", 2))
+    cents = ivf_centroids_kmeans(emb, "embedding", "vec_id", n_lists=2, n_iters=4)
+    km_dist, assigned = mean_dist(cents)
+    assert km_dist < seed_dist * 0.5  # converged far below the seed inertia
+    lists = {r["vec_id"]: r["list_id"] for r in assigned}
+    assert len({lists[i] for i in range(20)}) == 1  # cluster A pure
+    assert len({lists[i] for i in range(20, 40)}) == 1  # cluster B pure
+    assert lists[0] != lists[39]  # and they differ
+
+
+def test_remove_duplicate_segments_exact_substr(spark):
+    """Planted shared segments vanish from later docs (first
+    occurrence wins by (doc_id, seg_idx)); unique text survives; the
+    dup_ratio accounts exactly."""
+    from product_etl_spark.operators.dedup import (
+        exploded_segments,
+        remove_duplicate_segments,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(5))  # 5-word boilerplate
+    uniq = {d: " ".join(f"u{d}_{i}" for i in range(5)) for d in (1, 2, 3)}
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq[1]}"),          # first owner of boiler
+            (2, f"{uniq[2]} {boiler}"),          # later copy -> dropped
+            (3, f"{uniq[3]} {uniq[3]}"),         # self-repeat -> second dropped
+        ],
+        "doc_id long, text string",
+    )
+    segs = exploded_segments(docs, "text", "doc_id", seg_words=5)
+    assert segs.count() == 6  # 2 segments per doc
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_segments(docs, "text", "doc_id", seg_words=5).collect()}
+    assert out[1]["text"] == f"{boiler} {uniq[1]}"      # untouched
+    assert out[2]["text"] == uniq[2]                     # boiler removed
+    assert out[3]["text"] == uniq[3]                     # repeat removed
+    assert out[2]["dup_ratio"] == 0.5 and out[1]["dup_ratio"] == 0.0
+    assert out[3]["n_segments_kept"] == 1 and out[3]["n_segments"] == 2
