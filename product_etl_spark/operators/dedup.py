@@ -360,16 +360,25 @@ def remove_duplicate_segments(
     its surviving segments (first occurrence wins, ordered by
     (id, seg_idx)).
 
-    Scale shape: segments are rows; "first occurrence" is a window
-    PARTITIONED BY fingerprint (key-partitioned, md5-uniform — no
-    global order), and reassembly is one groupBy(id) with an
-    order-struct sort — all shuffles keyed uniform."""
+    Scale shape: segments are rows; "first occurrence" is
+    ``min(struct(id, seg_idx))`` per fingerprint — a two-phase
+    aggregation with map-side partial combine, so a boilerplate
+    segment repeated in millions of documents collapses locally
+    before the shuffle (a fingerprint-partitioned window would
+    concentrate that hot key on one task). Reassembly is one
+    groupBy(id) with an order-struct sort — all shuffles keyed
+    uniform."""
     segs = exploded_segments(df, text_col, id_col, seg_words)
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col), F.col("seg_idx"))
+    firsts = segs.groupBy("fingerprint").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("_first")
+    )
     kept = (
-        segs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        segs.join(firsts, "fingerprint")
+        .filter(
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("seg_idx") == F.col("_first.seg_idx"))
+        )
+        .drop("_first")
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
