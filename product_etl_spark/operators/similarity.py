@@ -245,3 +245,50 @@ def knn_lsh(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (SemDeDup-style, at
+    fixed blocking granularity): all (id_a < id_b) pairs within the
+    same ``block_col`` value whose cosine similarity clears
+    ``threshold``.
+
+    Scale shape: the self-join is keyed on the blocking column, so
+    work is O(sum of block_size^2), never corpus^2 — the blocking
+    key is the semantic contract (cluster id from k-means / LSH
+    bucket / source shard), exactly how SemDeDup restricts cosine
+    comparisons to within-cluster pairs. For unblocked approximate
+    variants use ``knn_lsh`` (hyperplane buckets) instead. The join
+    shuffles both sides by the block key once; skewed giant blocks
+    should be pre-split upstream (see operators/skew.py).
+    """
+    a = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("_emb_a"),
+    )
+    b = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("_emb_b"),
+    )
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("_blk").alias(block_col),
+            "id_a",
+            "id_b",
+            V.cosine("_emb_a", "_emb_b").alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            block_col, "id_a", "id_b", F.round("sim", 4).alias("cos_sim")
+        )
+    )

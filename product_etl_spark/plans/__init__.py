@@ -18,6 +18,7 @@ arithmetic → q23 epoch rollup + q46 as-of.
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
 from product_etl_spark.plans import catalog_ext  # noqa: F401  (registers q41+)
+from product_etl_spark.plans import catalog_ext2  # noqa: F401  (registers q81+)
 
 _DRIVER_WINDOW = [
     # early queries that are the sole reps of their operator family

@@ -346,3 +346,23 @@ def test_remove_duplicate_segments_exact_substr(spark):
     assert out[3]["text"] == uniq[3]                     # repeat removed
     assert out[2]["dup_ratio"] == 0.5 and out[1]["dup_ratio"] == 0.0
     assert out[3]["n_segments_kept"] == 1 and out[3]["n_segments"] == 2
+
+
+def test_cosine_near_dup_pairs_blocked(spark):
+    # Two blocks: in block "a", vecs 1/2 are near-identical, 3 is
+    # orthogonal; block "b" holds a clone of vec 1 that must NOT pair
+    # across the block boundary.
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0]),
+        (2, "a", [0.999, 0.01, 0.0]),
+        (3, "a", [0.0, 1.0, 0.0]),
+        (4, "b", [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, blk string, embedding array<double>"
+    )
+    pairs = S.cosine_near_dup_pairs(
+        df, "embedding", "vec_id", "blk", threshold=0.9
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["blk"]) for r in pairs] == [(1, 2, "a")]
+    assert pairs[0]["cos_sim"] > 0.99
