@@ -131,3 +131,29 @@ def test_build_products_broadcast_gated_by_size(spark):
     assert _fits_broadcast(small)
     assert not _fits_broadcast(small, max_bytes=1)  # too big for a 1-byte cap
     assert not _fits_broadcast(small, max_bytes=-1)  # broadcast disabled
+
+
+def test_q86_top_supplier_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q86_tpch_q15_top_supplier")
+    # the max-revenue pick is an aggregate broadcast back as a join,
+    # never a corpus-wide sort or window
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" not in plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "")
+    assert "Window" not in plan
+
+
+def test_q88_large_volume_semi_join_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q88_tpch_q18_large_volume_customers")
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "LeftSemi" in plan
+    # the HAVING aggregate has a map-side partial phase
+    assert plan.count("partial_sum") >= 1
+
+
+def test_q92_cosine_pairs_join_keyed_on_block(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q92_cosine_near_dup_pairs")
+    # the self-join must be an equi-join on the block key — a
+    # cartesian/broadcast-nested-loop here would be corpus^2 at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
