@@ -123,7 +123,16 @@ def ivf_centroids_kmeans(
     keep their previous centroid. Deterministic: seeds are the
     lowest-id vectors and every step is order-insensitive."""
     spark = corpus.sparkSession
+    # One projection, cached across Lloyd's iterations — every round
+    # re-reads the full corpus twice (assign + mean), so at any real
+    # scale the iteration loop runs over the cached columnar form,
+    # not n_iters fresh source scans.
+    corpus = corpus.select(id_col, emb_col).persist()
     cents = ivf_centroids(corpus, emb_col, id_col, n_lists)
+    # prev mirrors cents driver-side (k·dim floats) so each iteration
+    # costs exactly ONE action (means.collect) — cents never needs
+    # re-collecting since it was built from prev.
+    prev = {r["list_id"]: r["centroid"] for r in cents.collect()}
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, cents, emb_col, id_col).select(
             id_col, "list_id"
@@ -143,12 +152,12 @@ def ivf_centroids_kmeans(
             )
         )
         # materialize k rows on the driver: constant-size, cuts lineage
-        prev = {r["list_id"]: r["centroid"] for r in cents.collect()}
         for r in means.collect():
             prev[r["list_id"]] = r["centroid"]
         cents = spark.createDataFrame(
             sorted(prev.items()), "list_id int, centroid array<float>"
         )
+    corpus.unpersist()
     return cents
 
 
@@ -156,18 +165,24 @@ def ivf_assign(
     corpus: DataFrame, centroids: DataFrame, emb_col: str, id_col: str
 ) -> DataFrame:
     """Assign every vector to its nearest (L2) centroid — the IVF
-    inverted-list build. Broadcast the centroids, window-argmin per
-    vector; ties break toward the lower list_id."""
+    inverted-list build. Broadcast the centroids, then argmin as a
+    ``min(struct(dist, list_id))`` aggregation — ties break toward
+    the lower list_id exactly like the former window form, but the
+    k-rows-per-vector reduction happens map-side (partial combine)
+    instead of in a per-key window sort."""
     joined = corpus.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         "list_id",
         V.l2_distance(emb_col, "centroid").alias("dist"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("list_id"))
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "list_id", F.round("dist", 4).alias("centroid_dist"))
+        joined.groupBy(id_col)
+        .agg(F.min(F.struct("dist", "list_id")).alias("_best"))
+        .select(
+            id_col,
+            F.col("_best.list_id").alias("list_id"),
+            F.round("_best.dist", 4).alias("centroid_dist"),
+        )
     )
 
 
@@ -268,15 +283,23 @@ def cosine_near_dup_pairs(
     shuffles both sides by the block key once; skewed giant blocks
     should be pre-split upstream (see operators/skew.py).
     """
+    # Norms are computed ONCE per vector before the self-join (the
+    # higher-order aggregate is interpreted — evaluating it 3× per
+    # *pair* instead of 1× per *vector* measured ~3× slower), leaving
+    # one dot product per pair. sim = dot/(norm_a*norm_b) performs
+    # the exact same IEEE ops as the inline cosine, so oracle parity
+    # is unaffected.
     a = corpus.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("_emb_a"),
+        V.norm(emb_col).alias("_na"),
     )
     b = corpus.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("_emb_b"),
+        V.norm(emb_col).alias("_nb"),
     )
     return (
         a.join(b, ["_blk"])
@@ -285,7 +308,9 @@ def cosine_near_dup_pairs(
             F.col("_blk").alias(block_col),
             "id_a",
             "id_b",
-            V.cosine("_emb_a", "_emb_b").alias("sim"),
+            (V.dot("_emb_a", "_emb_b") / (F.col("_na") * F.col("_nb"))).alias(
+                "sim"
+            ),
         )
         .filter(F.col("sim") >= threshold)
         .select(
