@@ -66,15 +66,20 @@ def knn_bruteforce(
     ``queries`` must be small (it is broadcast); ``corpus`` scale is
     unbounded. Ties broken by neighbor id for determinism.
     """
+    # Norms hoisted to the per-row projections (1x per vector) so the
+    # interpreted aggregate runs once per PAIR (the dot), not three
+    # times — identical IEEE ops, ~3x less expression work.
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(emb_col).alias("_q_emb")
+        F.col(id_col).alias(query_id_col),
+        F.col(emb_col).alias("_q_emb"),
+        V.norm(emb_col).alias("_q_norm"),
     )
-    sims = corpus.join(
+    sims = corpus.withColumn("_c_norm", V.norm(emb_col)).join(
         F.broadcast(q), F.col(id_col) != F.col(query_id_col)
     ).select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
-        V.cosine("_q_emb", emb_col).alias("sim"),
+        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm"))).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -114,8 +119,8 @@ def ivf_centroids_kmeans(
     (``ivf_centroids`` is the deterministic-seed variant the oracle
     uses; this is the quality path a deployment trains with).
 
-    Per iteration: assign = broadcast-centroids crossJoin + window
-    argmin (map-shaped over the corpus); recompute = posexplode ->
+    Per iteration: assign = broadcast-centroids crossJoin +
+    min-struct argmin (map-shaped over the corpus); recompute = posexplode ->
     groupBy(list, dim) avg -> reassemble (one shuffle keyed on
     (n_lists × dim) groups). Centroids — k·dim doubles — are
     legitimately driver-state (dimension-sized), collected each
@@ -208,15 +213,16 @@ def knn_ivf(
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("_q_emb"),
+        V.norm(emb_col).alias("_q_norm"),
         F.col("list_id").alias("_q_list"),
     )
-    sims = assigned.join(
+    sims = assigned.withColumn("_c_norm", V.norm(emb_col)).join(
         F.broadcast(q_assigned),
         (F.col("list_id") == F.col("_q_list")) & (F.col(id_col) != F.col("query_id")),
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        V.cosine("_q_emb", emb_col).alias("sim"),
+        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -243,16 +249,17 @@ def knn_lsh(
     q = queries.withColumn("_q_bucket", bucket_expr(emb_col, planes)).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("_q_emb"),
+        V.norm(emb_col).alias("_q_norm"),
         "_q_bucket",
     )
-    sims = c.join(
+    sims = c.withColumn("_c_norm", V.norm(emb_col)).join(
         F.broadcast(q),
         (F.col("bucket") == F.col("_q_bucket"))
         & (F.col(id_col) != F.col("query_id")),
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        V.cosine("_q_emb", emb_col).alias("sim"),
+        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
