@@ -89,6 +89,7 @@ def stream_ingest_csv(
     checkpoint: str,
     schema_cols: list[str],
     sep: str = ";",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous product ingest: a file-source stream over the raw
     export directory; each micro-batch runs the full batch ingest
@@ -101,6 +102,17 @@ def stream_ingest_csv(
 
     Run under Trigger.AvailableNow for drop-a-file batch operation or
     a processing-time trigger for true continuous ingest.
+
+    ``max_files_per_trigger`` bounds each micro-batch; at 1, every
+    file is an independent import — the reference's
+    one-workbook-at-a-time semantics (each file's first row per
+    master upserts the collection template, later files win).
+    Unbounded, the whole available backlog is one consolidated
+    export ordered by (file name, in-file position). Both are
+    deterministic under checkpoint replay (the file-source log pins
+    each batch's file set); which contract you want depends on
+    whether the files are cumulative re-exports (use per-file) or
+    one export split into parts (use unbounded).
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -108,14 +120,21 @@ def stream_ingest_csv(
     from product_etl_spark.sources.csv_reader import ROW_IDX
 
     schema = StructType([StructField(c, StringType()) for c in schema_cols])
-    raw_stream = (
+    reader = (
         spark.readStream.schema(schema)
         .option("sep", sep)
         .option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
-        .csv(input_dir)
     )
+    if max_files_per_trigger is not None:
+        # Bound batch size for continuous (processing-time) operation:
+        # a backlog of thousands of export files otherwise lands in
+        # one giant first micro-batch. Row order stays deterministic
+        # either way — total_order_row_idx keys on (file, position),
+        # not on batch composition.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw_stream = reader.csv(input_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -72,3 +72,39 @@ def test_multi_file_batch_orders_by_file_name(spark, tmp_path):
     assert len(coll) == 1 and coll[0]["inventory"] == 1  # template = file 01 row
     prods = {r["sku"] for r in spark.read.parquet(str(wh / "product")).collect()}
     assert prods == {"var-sku"}
+
+
+def test_max_files_per_trigger_per_file_import_semantics(spark, tmp_path):
+    """maxFilesPerTrigger=1 drains the backlog as one micro-batch PER
+    FILE — each file is then an independent import, exactly the
+    reference's one-workbook-at-a-time semantics: every file's first
+    row per master upserts the collection, so the LAST-processed
+    file's template wins. (Unbounded availableNow instead treats the
+    whole backlog as one consolidated export in file-name order —
+    the `test_multi_file_batch_orders_by_file_name` contract.) The
+    file source picks up files in modification-time order, pinned
+    here with utime."""
+    import os
+
+    src = tmp_path / "incoming3"
+    src.mkdir()
+    wh = tmp_path / "wh3"
+    ckpt = tmp_path / "ckpt3"
+
+    _drop_file(src, "export_01.csv", ["m9;tpl-sku;模板;10;1"])
+    _drop_file(src, "export_02.csv", ["m9;var-sku;;20;2", "m9;var2-sku;;30;4"])
+    os.utime(src / "export_01.csv", (1_000_000, 1_000_000))
+    os.utime(src / "export_02.csv", (2_000_000, 2_000_000))
+    q = stream_ingest_csv(
+        spark, str(src), str(wh), str(ckpt), HEADER_COLS,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    # file 02 imported second: its first m9 row (var-sku, inv 2) is
+    # the final collection template; its second row is the variant.
+    coll = spark.read.parquet(str(wh / "product_collection")).collect()
+    assert len(coll) == 1
+    assert coll[0]["sku"] == "var-sku" and coll[0]["inventory"] == 2
+    prods = {r["sku"] for r in spark.read.parquet(str(wh / "product")).collect()}
+    assert prods == {"var2-sku"}
