@@ -366,3 +366,37 @@ def test_cosine_near_dup_pairs_blocked(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"], r["blk"]) for r in pairs] == [(1, 2, "a")]
     assert pairs[0]["cos_sim"] > 0.99
+
+
+def test_segment_dedup_invariants(spark):
+    # 40 docs: shared boilerplate head (one 4-word segment), unique
+    # middles, and a shared 4-word tail segment planted in half.
+    rows = []
+    for i in range(40):
+        words = ["common", "header", "segment", "words"]
+        words += [f"u{i}w{j}" for j in range(8)]
+        if i % 2:
+            words += ["shared", "tail", "of", "doc"]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = D.remove_duplicate_segments(docs, "text", "doc_id", seg_words=4)
+
+    # (1) no segment survives twice corpus-wide
+    segs = D.exploded_segments(out, "text", "doc_id", seg_words=4)
+    dup = segs.groupBy("segment").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+
+    # (2) idempotence: a second pass keeps every surviving segment
+    again = D.remove_duplicate_segments(out, "text", "doc_id", seg_words=4)
+    assert again.filter(F.col("dup_ratio") > 0).count() == 0
+    kept = {r["doc_id"]: r["text"] for r in again.collect()}
+    orig = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert kept == orig
+
+    # (3) accounting: boilerplate survives once, shared tail once
+    tail_hits = segs.filter(F.col("segment") == "shared tail of doc").count()
+    head_hits = segs.filter(
+        F.col("segment") == "common header segment words"
+    ).count()
+    assert tail_hits == 1 and head_hits == 1
