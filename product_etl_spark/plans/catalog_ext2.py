@@ -668,3 +668,116 @@ def q93_kmeans_ivf_lists(spark, sf_dir):
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
+
+
+@register(
+    "q94_corpus_curation",
+    r"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text,'') AS s,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS toks,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS ltoks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, s, toks,
+             LEN(toks) AS n_words,
+             CASE WHEN LEN(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> LENGTH(x)))::DOUBLE
+                       / LEN(toks) END AS mean_len,
+             CASE WHEN LEN(toks) = 0 THEN 1.0
+                  ELSE LEN(regexp_extract_all(s, '#|\.\.\.'))::DOUBLE / LEN(toks)
+                  END AS symbol_ratio,
+             CASE WHEN LEN(toks) = 0 THEN 0.0
+                  ELSE LEN(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                       / LEN(toks) END AS alpha_ratio,
+             CASE WHEN LEN(ltoks) = 0 THEN 0.0
+                  ELSE LEN(list_filter(ltoks, x -> x IN
+                    ('the','a','an','and','or','of','to','in','is','are','was',
+                     'were','be','been','it','this','that','for','on','with',
+                     'as','at','by','from')))::DOUBLE / LEN(ltoks) END AS stop_ratio,
+             CASE WHEN LENGTH(s) = 0 THEN 0.0
+                  ELSE (LENGTH(s) - LENGTH(regexp_replace(s, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
+                       / LENGTH(s) END AS punct_ratio,
+             list_filter(string_split(s, CHR(10)), x -> TRIM(x) <> '') AS lines
+      FROM base
+    ),
+    q AS (
+      SELECT *,
+             ROUND((LEAST(n_words / 20.0, 1.0)
+                    + (1.0 - LEAST(punct_ratio * 4, 1.0))
+                    + LEAST(stop_ratio * 5, 1.0)) / 3, 4) AS quality,
+             CASE WHEN LEN(lines) <= 1 THEN 0.0
+                  ELSE ROUND(1.0 - LEN(list_distinct(lines))::DOUBLE / LEN(lines), 4)
+             END AS rep_ratio
+      FROM m
+    ),
+    filt AS (
+      SELECT * FROM q
+      WHERE quality >= 0.3
+        AND n_words >= 50 AND n_words <= 100000
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+        AND rep_ratio <= 0.3
+    ),
+    ded AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY md5(TRIM(regexp_replace(regexp_replace(LOWER(s),
+                 '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM filt
+    ),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '\b\d{7,}\b', '<DIGITS>', 'g') AS rs
+      FROM ded WHERE rn = 1
+    ),
+    tok AS (
+      SELECT doc_id,
+             LEN(list_filter(string_split_regex(rs, '\s+'), x -> x <> '')) AS n_tokens,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 10000 < 1000 THEN 'test' ELSE 'train' END AS split
+      FROM red
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM tok GROUP BY split
+    """,
+)
+def q94_corpus_curation(spark, sf_dir):
+    """The full training-corpus curation chain (pipelines/corpus.py)
+    as one driver-checkable query: quality/Gopher/repetition filters
+    -> fingerprint dedup -> PII redaction -> token accounting ->
+    hash-stable split, aggregated per split. The oracle re-derives
+    every stage in SQL from the fragments already proven by
+    q27/q28/q29/q58/q61/q64/q65. (The near-dedup and segment-dedup
+    stages are exercised by q31-q33/q91 and the pipeline's own
+    pytest — here the dedup stage is the fingerprint strategy so the
+    whole chain stays ANSI-expressible.)"""
+    from product_etl_spark.pipelines.corpus import CurateConfig, curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = CurateConfig(
+        min_quality=0.3,
+        gopher=True,
+        max_line_repetition=0.3,
+        dedup_strategy="fingerprint",
+        segment_dedup_words=None,
+        redact_pii=True,
+        test_fraction=0.1,
+    )
+    train, val, _ = curate_corpus(docs, "text", "doc_id", cfg)
+    u = train.withColumn("split", F.lit("train")).unionByName(
+        val.withColumn("split", F.lit("test"))
+    )
+    return u.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
