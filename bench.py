@@ -4,11 +4,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 
 Each query is forced with a noop write (full execution, no driver
-collect overhead in the measurement) and timed REPS times (default 3,
-$SPARK_GRAFT_BENCH_REPS); the per-query number is the MEDIAN — single
-runs on a shared box swing ±30% with machine load, and the engine's
-steady-state cost is the signal. Reported value = sum of per-query
-medians; the JSON carries reps/agg so runs are comparable.
+collect overhead in the measurement), run WARMUP untimed times first
+(default 1, $SPARK_GRAFT_BENCH_WARMUP — analysis/codegen compile is
+a one-off driver cost, not per-run execution), then timed REPS times
+(default 3, $SPARK_GRAFT_BENCH_REPS); the per-query number is the
+MEDIAN — single runs on a shared box swing ±30% with machine load,
+and the engine's steady-state cost is the signal. Reported value =
+sum of per-query medians; the JSON carries reps/warmup/agg so runs
+are comparable.
 """
 
 from __future__ import annotations
@@ -43,8 +46,14 @@ def main() -> None:
         df.limit(1).collect()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     timings: dict[str, float] = {}
     for name, spec in plans.CATALOG.items():
+        # Untimed warmup executions first: analysis + codegen compile
+        # is a one-off driver cost, not the steady-state execution a
+        # cluster pays per run — the measured reps see only execution.
+        for _ in range(warmup):
+            spec["fn"](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(reps):
             t0 = time.monotonic()
@@ -63,6 +72,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
+                "warmup": warmup,
                 "agg": "median",
             }
         )
