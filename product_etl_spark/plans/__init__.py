@@ -13,7 +13,13 @@ tests/test_oracle_parity.py) after the window.
 Demotions are only of queries whose family keeps another green driver
 row, e.g. q07 min/max → q44 stats; q08/q10 distinct+top-k → q49/q02;
 q42 cube → q41 rollup; q43 exact percentiles → q76 NTILE; q19 date
-arithmetic → q23 epoch rollup + q46 as-of.
+arithmetic → q23 epoch rollup + q46 as-of. Round-2 swaps for the new
+headline capabilities: q33 jaccard-verify → q91 segment dedup (the
+near-dup family keeps q31/q32), q65 repetition → q92 blocked-cosine
+near-dup (repetition filtering is verified inside q94's chain and
+q58 keeps the quality-filter row), q76 NTILE → q94 corpus curation
+(exact percentiles stay via q43's pytest parity and the NTILE swap
+is plan-asserted in tests/test_scale_ops.py).
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -43,8 +49,8 @@ _DRIVER_WINDOW = [
     "q30_doc_script_langid",
     "q31_minhash_signatures",
     "q32_lsh_near_dup_pairs",
-    "q33_ngram_jaccard_pairs",
     "q34_simhash",
+    "q91_segment_dedup",
     "q35_knn_bruteforce",
     "q36_lsh_bucket_histogram",
     "q38_referential_integrity",
@@ -65,14 +71,14 @@ _DRIVER_WINDOW = [
     "q59_master_variant_split",
     "q60_deterministic_sample",
     "q64_pii_redaction",
-    "q65_line_repetition",
+    "q92_cosine_near_dup_pairs",
     "q66_context_packing",
     "q69_null_aware_not_in",
     "q70_null_safe_join",
     "q71_tpch_q6_forecast_revenue",
     "q73_tpch_q5_local_supplier_volume",
     "q75_having_filter",
-    "q76_ntile_quartiles",
+    "q94_corpus_curation",
 ]
 
 

@@ -781,3 +781,66 @@ def q94_corpus_curation(spark, sf_dir):
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "q95_scd2_customer_history",
+    """
+    WITH s1 AS (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    s2 AS (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT s2.c_custkey, s2.n_orders AS n2, s2.spend AS sp2,
+             s1.n_orders AS n1, s1.spend AS sp1
+      FROM s2 LEFT JOIN s1 USING (c_custkey)
+    )
+    SELECT c_custkey, n1 AS n_orders, sp1 AS spend,
+           DATE '2026-01-01' AS valid_from, DATE '2026-02-01' AS valid_to,
+           FALSE AS is_current
+    FROM j WHERE n1 IS NOT NULL AND (n1 <> n2 OR sp1 <> sp2)
+    UNION ALL
+    SELECT c_custkey, n1, sp1, DATE '2026-01-01', CAST(NULL AS DATE), TRUE
+    FROM j WHERE n1 IS NOT NULL AND n1 = n2 AND sp1 = sp2
+    UNION ALL
+    SELECT c_custkey, n2, sp2, DATE '2026-02-01', CAST(NULL AS DATE), TRUE
+    FROM j WHERE n1 IS NULL OR n1 <> n2 OR sp1 <> sp2
+    """,
+)
+def q95_scd2_customer_history(spark, sf_dir):
+    """SCD Type 2 (operators/scd.py) driver-checkable: snapshot 1 is
+    per-customer order stats before 1998, snapshot 2 the full range;
+    the merge closes changed versions at the second effective date
+    and opens new ones. The oracle re-derives the version set with a
+    LEFT JOIN + three-way case split — exactly the close-on-change /
+    keep-unchanged / insert-new contract."""
+    from product_etl_spark.operators.scd import scd2_init, scd2_merge
+
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(df):
+        return df.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("spend"),
+        )
+
+    s1 = snap(o.filter(F.col("o_orderdate") < _TS("1998-01-01 00:00:00")))
+    s2 = snap(o)
+    t = scd2_merge(
+        scd2_init(s1, "2026-01-01"), s2, ["c_custkey"], "2026-02-01"
+    )
+    return t.select(
+        "c_custkey",
+        "n_orders",
+        "spend",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current",
+    )
