@@ -56,6 +56,14 @@ def scd2_merge(
     ``snapshot`` must carry exactly the payload columns (business key
     + tracked attributes), no SCD columns.
     """
+    bad = [c for c in SCD_COLS if c in snapshot.columns]
+    if bad:
+        raise ValueError(
+            f"snapshot must carry only payload columns, found SCD columns {bad}"
+        )
+    missing = [k for k in keys if k not in snapshot.columns]
+    if missing:
+        raise ValueError(f"snapshot missing key columns {missing}")
     eff = F.lit(effective_ts).cast("timestamp")
     payload = [c for c in snapshot.columns if c not in keys]
     history = table.filter(~F.col("is_current"))

@@ -65,3 +65,18 @@ def test_scd2_as_of(spark):
     # history depth: 3 versions of 'a', exactly one open
     assert t.count() == 3
     assert t.filter("is_current").count() == 1
+
+
+def test_scd2_merge_rejects_malformed_snapshots(spark):
+    import pytest as _pytest
+
+    t = scd2_init(_snap(spark, [("a", 10.0, "A")]), "2026-01-01")
+    with _pytest.raises(ValueError, match="SCD columns"):
+        scd2_merge(t, t, KEYS, "2026-01-02")  # SCD table passed as snapshot
+    with _pytest.raises(ValueError, match="missing key"):
+        scd2_merge(
+            t,
+            spark.createDataFrame([(1.0,)], "price double"),
+            KEYS,
+            "2026-01-02",
+        )
