@@ -65,3 +65,83 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(
         *[merge(F.col(out)).alias(out) for out, (_, merge) in aggs.items()]
     )
+
+
+def salted_self_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    n_salts: int = 4,
+) -> DataFrame:
+    """All intra-block pairs (id_a < id_b) with the work for a single
+    giant block spread over n(n+1)/2 tasks instead of one.
+
+    The plain formulation — self-join keyed on ``block_col`` — puts
+    every pair of a hot block in ONE shuffle partition: a 10M-row
+    block is 5·10^13 comparisons on a single task. Here each row gets
+    a deterministic salt s = pmod(xxhash64(id), n) and each side is
+    exploded with a partner tag: row (salt s, tag t) lands in the
+    unordered sub-bucket (min(s,t), max(s,t)), and the join keys on
+    the full (block, lo, hi) tuple — a SIDE-LOCAL expression, so it
+    IS the shuffle key and a hot block spreads over n(n+1)/2
+    partitions. Pair (a,b) matches exactly where A's tag = b's salt
+    and B's tag = a's salt; the diagonal (equal salts) would match
+    for every tag, so it is restricted to tag == salt. Cost: each
+    side replicated n times (n stays small, 4-8) — the standard
+    fan-out/skew trade.
+
+    Returns columns: block_col, id_a, id_b, plus ``_a``/``_b``
+    suffixed copies of every other column of ``df``.
+    """
+    others = [c for c in df.columns if c not in (block_col, id_col)]
+    tags = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+
+    def side(suffix: str) -> DataFrame:
+        salt = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts)
+        ).cast("int")
+        return (
+            df.select(
+                F.col(block_col).alias(f"_blk{suffix}"),
+                F.col(id_col).alias(f"id{suffix}"),
+                *[F.col(c).alias(f"{c}{suffix}") for c in others],
+                salt.alias(f"_s{suffix}"),
+            )
+            .withColumn(f"_t{suffix}", tags)
+            .withColumn(
+                f"_lo{suffix}", F.least(f"_s{suffix}", f"_t{suffix}")
+            )
+            .withColumn(
+                f"_hi{suffix}", F.greatest(f"_s{suffix}", f"_t{suffix}")
+            )
+        )
+
+    a, b = side("_a"), side("_b")
+    return (
+        a.join(
+            b,
+            (F.col("_blk_a") == F.col("_blk_b"))
+            & (F.col("_lo_a") == F.col("_lo_b"))
+            & (F.col("_hi_a") == F.col("_hi_b")),
+        )
+        # the bucket tuple matches iff A.tag == B.salt and B.tag ==
+        # A.salt (unordered-pair equality); enforce the orientation so
+        # off-diagonal pairs appear once, and pin the diagonal bucket
+        # (equal salts match for every tag value) to tag == salt.
+        .filter(
+            (F.col("_t_a") == F.col("_s_b"))
+            & (F.col("_t_b") == F.col("_s_a"))
+            & (
+                (F.col("_s_a") != F.col("_s_b"))
+                | (F.col("_t_a") == F.col("_s_a"))
+            )
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("_blk_a").alias(block_col),
+            "id_a",
+            "id_b",
+            *[F.col(f"{c}_a") for c in others],
+            *[F.col(f"{c}_b") for c in others],
+        )
+    )

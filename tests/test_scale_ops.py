@@ -164,3 +164,34 @@ def test_approx_quantile_buckets_tracks_exact_ntile(spark, sf_dir):
     b.collect()
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_salted_self_pairs_exact_and_distributed(spark):
+    from product_etl_spark.operators.skew import salted_self_pairs
+
+    # one giant block (the hot key) + one small block
+    rows = [(i, "hot" if i < 40 else "cold", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, blk string, val double")
+
+    got = salted_self_pairs(df, "blk", "id", n_salts=4)
+    pairs = {(r["blk"], r["id_a"], r["id_b"]) for r in got.collect()}
+
+    a = df.selectExpr("blk", "id as id_a")
+    b = df.selectExpr("blk as blk2", "id as id_b")
+    naive = {
+        (r["blk"], r["id_a"], r["id_b"])
+        for r in a.join(b, (a.blk == b.blk2) & (a.id_a < b.id_b)).collect()
+    }
+    assert pairs == naive  # exactly once each: 40*39/2 + 10*9/2
+    assert len(pairs) == 780 + 45
+
+    # payload columns survive with _a/_b suffixes
+    row = got.filter("id_a = 0").limit(1).collect()[0]
+    assert row["val_a"] == 0.0 and row["val_b"] > 0.0
+
+    # the shuffle key is the (block, lo, hi) tuple, not block alone —
+    # that's the whole point: a hot block spreads over n(n+1)/2 buckets
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    if "hashpartitioning" in plan:  # absent if AQE broadcast the tiny side
+        assert "_lo" in plan.split("hashpartitioning", 1)[1][:200]
