@@ -275,6 +275,7 @@ def cosine_near_dup_pairs(
     id_col: str,
     block_col: str,
     threshold: float = 0.9,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (SemDeDup-style, at
     fixed blocking granularity): all (id_a < id_b) pairs within the

@@ -400,3 +400,22 @@ def test_segment_dedup_invariants(spark):
         F.col("segment") == "common header segment words"
     ).count()
     assert tail_hits == 1 and head_hits == 1
+
+
+def test_cosine_near_dup_pairs_salted_identical(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, "blk%d" % (i % 2), [random.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, blk string, embedding array<double>"
+    )
+    plain = S.cosine_near_dup_pairs(df, "embedding", "vec_id", "blk", 0.2)
+    salted = S.cosine_near_dup_pairs(
+        df, "embedding", "vec_id", "blk", 0.2, n_salts=3
+    )
+    as_set = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
+    assert as_set(plain) == as_set(salted) and plain.count() > 0
