@@ -74,3 +74,42 @@ def mix_sources(
         cond = (F.col(source_col) == source) & (b < int(w * buckets))
         expr = cond if expr is None else (expr | cond)
     return df.filter(expr if expr is not None else F.lit(False))
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Derive the per-source keep fractions for ``mix_sources`` from
+    temperature-based sampling (the multilingual/pretraining mixing
+    rule: sampling probability p_s ∝ n_s^alpha). alpha=1 keeps the
+    natural distribution (every source keeps ``target_fraction``);
+    alpha<1 up-weights rare sources at the expense of dominant ones.
+
+    keep_s = min(1, target * p_s / n_s) with target =
+    ``target_fraction`` × corpus size — the single-pass realization
+    (probability mass a capped source can't absorb is NOT
+    redistributed; iterate externally if exact budget matters).
+    ``weight_col`` sizes sources by a column sum (e.g. n_tokens)
+    instead of row counts. One aggregation + a source-cardinality
+    collect (dimension-sized)."""
+    agg = (
+        F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    ).alias("_n")
+    counts = {
+        r[source_col]: float(r["_n"])
+        for r in df.groupBy(source_col).agg(agg).collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    mass = {s: n**alpha for s, n in counts.items()}
+    z = sum(mass.values())
+    target = target_fraction * total
+    return {
+        s: round(min(1.0, target * (mass[s] / z) / counts[s]), 6)
+        for s in counts
+    }

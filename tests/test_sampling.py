@@ -60,3 +60,36 @@ def test_mix_sources(spark):
     assert per["s0"] == 500  # all of s0
     assert 200 < per["s1"] < 300  # ~half of s1
     assert "s2" not in per and "s3" not in per  # unlisted dropped
+
+
+def test_temperature_weights_mixing(spark):
+    from product_etl_spark.operators.sampling import (
+        mix_sources,
+        temperature_weights,
+    )
+
+    rows = [(i, "big" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: natural distribution — every source keeps the target fraction
+    w1 = temperature_weights(df, "source", alpha=1.0, target_fraction=0.4)
+    assert abs(w1["big"] - 0.4) < 1e-9 and abs(w1["rare"] - 0.4) < 1e-9
+
+    # alpha<1 up-weights the rare source, down-weights the dominant one
+    w = temperature_weights(df, "source", alpha=0.3, target_fraction=0.4)
+    assert w["rare"] > w1["rare"] and w["big"] < 0.4
+    assert 0.0 < w["big"] <= 1.0 and 0.0 < w["rare"] <= 1.0
+
+    mixed = mix_sources(df, "source", "doc_id", w)
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # realized fractions track the derived weights (hash-bucket variance)
+    assert abs(got["big"] / 900 - w["big"]) < 0.05
+    assert abs(got["rare"] / 100 - w["rare"]) < 0.1
+    # deterministic: rerun identical
+    again = mix_sources(df, "source", "doc_id", w)
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in mixed.collect()
+    }
