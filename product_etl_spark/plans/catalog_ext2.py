@@ -52,10 +52,13 @@ _TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
 def q81_tpch_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 (volume shipping): bidirectional nation-pair trade
     volume by ship year. Scale shape: both nation dims broadcast; the
-    pair predicate lands on the *joined* row (it references both
-    sides) but each single-nation membership is pushed into its
-    broadcast hash join, so lineitem shuffles only for the
-    orders/customer equi-joins AQE plans anyway."""
+    pair disjunction references both sides, so it evaluates as the
+    residual condition of the second nation join — the earliest
+    point where both attributes exist (executed plan: the
+    BroadcastHashJoin on _c_nk carries it) — and the date band is
+    pushed to the lineitem scan. At 25 nations the unfiltered dim
+    broadcast is noise; a huge dimension would warrant pre-filtering
+    each side to the pair's two nations."""
     s, li, o, cu, n = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
     )
@@ -394,9 +397,10 @@ def q87_tpch_q17_small_quantity_revenue(spark, sf_dir):
     brand's lineitems. The `qty < 0.2*avg(qty)` predicate is
     rewritten in exact decimal space (`5*qty*cnt < sum_qty`) so no
     float division can flip a boundary row between engines. Scale
-    shape: the per-part aggregate and the fact side share the
-    l_partkey shuffle key (exchange reuse); the brand dim broadcast
-    prunes both."""
+    shape: the per-part aggregate and the fact side both partition on
+    l_partkey, so the join itself adds no third exchange (the two
+    scans differ in projection, so the exchanges aren't literally
+    reused); the brand dim broadcast prunes both."""
     li, p = _t(spark, sf_dir, "lineitem", "part")
     brand = li.join(
         F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
@@ -441,9 +445,10 @@ def q88_tpch_q18_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): orders whose total
     quantity clears a HAVING threshold, joined back to customer, top
     20 by price with a total-order tiebreak. Scale shape: the HAVING
-    aggregate and the per-order re-aggregate key on l_orderkey /
-    o_orderkey (exchange reuse), the qualifying-order set flows as a
-    semi-join, and the top-k is TakeOrderedAndProject."""
+    aggregate and the per-order re-aggregate both key on the order
+    key so no extra repartition is introduced, the qualifying-order
+    set flows as a semi-join, and the top-k is
+    TakeOrderedAndProject."""
     cu, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         li.groupBy("l_orderkey")
