@@ -39,6 +39,7 @@ class CurateConfig:
     jaccard_threshold: float = 0.8
     segment_dedup_words: int | None = 50  # None = skip
     redact_pii: bool = True
+    pack_tokens: int | None = None  # assign pack_id of ~N-token contexts
     test_fraction: float = 0.01
     extra_filters: list = field(default_factory=list)  # [Column] AND-ed
 
@@ -53,8 +54,11 @@ def curate_corpus(
     """Run the curation chain; returns (train, validation, report).
 
     The returned frames carry the original columns plus ``lang_id``,
-    ``quality``, ``n_tokens`` and the (possibly segment-deduped,
-    possibly redacted) ``text_col``. ``report`` (dict) is empty
+    ``quality``, ``n_tokens``, ``pack_id`` (if ``pack_tokens`` is
+    set — note packs are assigned BEFORE the split, so a pack's docs
+    stay contiguous per id-order but may straddle train/val; pack
+    after splitting if that matters) and the (possibly
+    segment-deduped, possibly redacted) ``text_col``. ``report`` (dict) is empty
     unless ``report=True`` — each stage count is an extra action.
     """
     cfg = config or CurateConfig()
@@ -110,6 +114,12 @@ def curate_corpus(
     if cfg.redact_pii:
         cur = cur.withColumn(text_col, T.redact_pii(text_col))
     cur = cur.withColumn("n_tokens", T.token_count(text_col))
+
+    # ---- optional sequence packing (two-phase cumsum, no global window)
+    if cfg.pack_tokens:
+        from product_etl_spark.operators.packing import pack_contexts
+
+        cur = pack_contexts(cur, id_col, "n_tokens", pack_size=cfg.pack_tokens)
 
     train, val = train_test_split(cur, id_col, cfg.test_fraction)
     if report:

@@ -83,3 +83,25 @@ def test_curate_split_disjoint_exhaustive(spark):
     # stability: the same call yields the same membership
     train2, _, _ = curate_corpus(docs, config=cfg)
     assert {r["doc_id"] for r in train2.collect()} == t
+
+
+def test_curate_with_packing(spark):
+    docs = spark.createDataFrame(
+        [(i, GOOD + f" unique tail {i} words") for i in range(60)],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(dedup_strategy=None, segment_dedup_words=None,
+                       pack_tokens=256, test_fraction=0.0)
+    train, val, _ = curate_corpus(docs, config=cfg)
+    out = train.unionByName(val).orderBy("doc_id").collect()
+    assert all(r["pack_id"] is not None for r in out)
+    # packs follow doc_id order and are ~256 tokens each
+    ids = [r["pack_id"] for r in out]
+    assert ids == sorted(ids)
+    import collections
+
+    sizes = collections.Counter()
+    for r in out:
+        sizes[r["pack_id"]] += r["n_tokens"]
+    full_packs = list(sizes.values())[:-1]
+    assert all(200 <= v <= 256 + 70 for v in full_packs)
