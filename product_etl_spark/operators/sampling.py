@@ -113,3 +113,44 @@ def temperature_weights(
         s: round(min(1.0, target * (mass[s] / z) / counts[s]), 6)
         for s in counts
     }
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, fraction_num: int, fraction_den: int
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row i is kept with
+    probability min(1, f · w_i / mean_w) where f = num/den — i.e.
+    inclusion probability proportional to an integer weight column
+    (tokens, chars, bytes), expected kept fraction ≈ f.
+
+    Fully deterministic AND engine-portable: the keep test is the
+    integer inequality
+
+        u_i · den · Σw  <  2^60 · num · w_i · N
+
+    evaluated in DECIMAL(38,0) (exact in Spark decimals and DuckDB
+    HUGEINT alike), with u_i the md5-derived 60-bit uniform of the
+    key. No float division exists, so no rounding boundary can flip
+    membership between engines or reruns.
+
+    Scale shape: one scalar aggregate (Σw, N) broadcast via a
+    single-row cross join, then a map-only filter — no shuffle of the
+    data itself.
+    """
+    totals = df.agg(
+        F.sum(F.col(weight_col)).cast("decimal(38,0)").alias("_sum_w"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n_rows"),
+    )
+    u = T.hash64(F.col(key_col).cast("string")).cast("decimal(38,0)")
+    lhs = u * F.lit(fraction_den).cast("decimal(38,0)") * F.col("_sum_w")
+    rhs = (
+        F.lit(2**60).cast("decimal(38,0)")
+        * F.lit(fraction_num).cast("decimal(38,0)")
+        * F.col(weight_col).cast("decimal(38,0)")
+        * F.col("_n_rows")
+    )
+    return (
+        df.crossJoin(F.broadcast(totals))
+        .filter(lhs < rhs)
+        .drop("_sum_w", "_n_rows")
+    )

@@ -1,0 +1,126 @@
+"""Mergeable-sketch pre-aggregation (Apache DataSketches via the
+Spark 4 built-in `hll_*` / `theta_*` / `kll_*` functions).
+
+THE 100 TB pattern: scan the raw data ONCE into kilobyte-sized
+per-segment sketch partials, persist those, and answer every later
+rollup/overlap/quantile question by merging sketches — never by
+rescanning terabytes. All sketch unions are commutative and
+associative, so partial results can be built per partition, per day,
+or per ingest batch and combined in any order (asserted in
+tests/test_sketches.py).
+
+Relation to the catalog's exactness contract: these are the scale
+twins of exact operators, in the same way q49's approx-distinct
+twins q08's exact COUNT(DISTINCT) — the exact forms stay
+oracle-checked, the sketch forms carry error-bound pytest coverage.
+JVM-side expressions only: no UDF, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_partials(
+    df: DataFrame, group_cols: list[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """One pass over the raw data -> per-group HLL sketch binaries
+    (column ``sketch``). This is the ingest-time step; store the
+    result (kilobytes per group) instead of the raw keys."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_rollup(
+    sketch_df: DataFrame, coarser_cols: list[str], estimate_alias: str = "n_distinct"
+) -> DataFrame:
+    """Merge fine-grained HLL partials up a hierarchy (day->week,
+    (day,type)->type, ...) and estimate. Input is a ``hll_partials``
+    output; no raw data is touched."""
+    return sketch_df.groupBy(*coarser_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(estimate_alias)
+    )
+
+
+def theta_partials(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """Per-group theta sketches (column ``sketch``) — unlike HLL,
+    theta supports intersection and difference, so stored partials
+    answer overlap questions between any two segments."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.col(col)).alias("sketch")
+    )
+
+
+def theta_overlap(
+    theta_df: DataFrame, seg_col: str, seg_a: str, seg_b: str
+) -> DataFrame:
+    """Audience overlap from stored theta partials: estimates of
+    |A|, |B|, |A∩B|, |A∪B|, |A\\B| for two segment values. Merges the
+    (possibly many) partials of each segment first, then combines the
+    two sketches — a driver-sized operation regardless of raw scale.
+    Below the sketch's nominal-entries threshold (default 2^12) theta
+    is a full-retention sample and every estimate is EXACT."""
+    a = theta_df.filter(F.col(seg_col) == seg_a).agg(
+        F.theta_union_agg("sketch").alias("a")
+    )
+    b = theta_df.filter(F.col(seg_col) == seg_b).agg(
+        F.theta_union_agg("sketch").alias("b")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            F.lit(seg_a).alias("seg_a"),
+            F.lit(seg_b).alias("seg_b"),
+            F.theta_sketch_estimate("a").alias("n_a"),
+            F.theta_sketch_estimate("b").alias("n_b"),
+            F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("n_both"),
+            F.theta_sketch_estimate(F.theta_union("a", "b")).alias("n_either"),
+            F.theta_sketch_estimate(F.theta_difference("a", "b")).alias("n_only_a"),
+        )
+    )
+
+
+def kll_partials(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 200
+) -> DataFrame:
+    """Per-group KLL quantile sketches over a double column
+    (column ``sketch``): mergeable percentiles — the pre-aggregated
+    form of approx_percentile whose partials can be stored and
+    combined across ingest batches."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(col).cast("double"), F.lit(k)).alias("sketch")
+    )
+
+
+def kll_quantiles(
+    sketch_df: DataFrame, coarser_cols: list[str], probs: list[float]
+) -> DataFrame:
+    """Merge KLL partials to ``coarser_cols`` granularity and read
+    quantiles at ``probs`` (one output column per prob)."""
+    # kll_sketch_merge_double is a binary scalar (left, right), not an
+    # aggregate: fold the group's partials with a JVM-side aggregate()
+    # HOF. The folded list is sketch-count-sized (days/batches), never
+    # data-sized, so collect_list here is a metadata-scale array.
+    merged = (
+        sketch_df.groupBy(*coarser_cols)
+        .agg(F.collect_list("sketch").alias("_sk"))
+        .withColumn(
+            "sketch",
+            F.aggregate(
+                F.slice(F.col("_sk"), 2, F.greatest(F.size("_sk") - 1, F.lit(0))),
+                F.element_at("_sk", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ),
+        )
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("sketch", F.lit(p)).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in probs
+    ]
+    return merged.select(*coarser_cols, *cols)

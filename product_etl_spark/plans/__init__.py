@@ -20,11 +20,20 @@ near-dup (repetition filtering is verified inside q94's chain and
 q58 keeps the quality-filter row), q76 NTILE → q94 corpus curation
 (exact percentiles stay via q43's pytest parity and the NTILE swap
 is plan-asserted in tests/test_scale_ops.py).
+
+Round-2 session-2 swaps for the q96+ families: q15 running revenue ->
+q96 gap-fill+LOCF (the running-window family keeps q24's running sum
+and q96's own LOCF frame), q22 URL regex -> q97 funnel (regex
+extraction keeps q21 + q64), q44 basic stats -> q102 exact-moment
+stats (a strict superset: mean/variance/corr from decimal moment
+sums), q53 rank-in-group -> q99 TF-IDF (which ranks per doc with
+row_number and adds the relevance-ranking family).
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
 from product_etl_spark.plans import catalog_ext  # noqa: F401  (registers q41+)
 from product_etl_spark.plans import catalog_ext2  # noqa: F401  (registers q81+)
+from product_etl_spark.plans import catalog_ext3  # noqa: F401  (registers q96+)
 
 _DRIVER_WINDOW = [
     # early queries that are the sole reps of their operator family
@@ -35,12 +44,12 @@ _DRIVER_WINDOW = [
     "q09_priority_status_matrix",
     "q11_distinct_flag_status",
     "q12_active_nations_union",
-    "q15_running_customer_revenue",
+    "q96_daily_gapfill_locf",
     "q16_like_filter",
     "q18_price_buckets",
     "q20_string_projection",
     "q21_attribute_parse_explode",
-    "q22_url_extraction",
+    "q97_event_funnel",
     "q23_hourly_event_rollup",
     "q24_sessionization",
     "q26_user_event_timeline",
@@ -56,14 +65,14 @@ _DRIVER_WINDOW = [
     "q38_referential_integrity",
     "q40_brand_dictionary",
     "q41_rollup_region_nation",
-    "q44_acctbal_stats",
+    "q102_lineitem_moment_stats",
     "q45_price_band_range_join",
     "q46_asof_purchase_signup",
     "q47_event_pivot",
     "q49_distinct_users_by_type",
     # tail families pulled into the driver window
     "q51_props_json_extract",
-    "q53_order_rank_in_customer",
+    "q99_tfidf_top_terms",
     "q54_above_nation_average",
     "q56_ivf_assignment",
     "q57_winnowing_fingerprints",

@@ -157,3 +157,43 @@ def test_q92_cosine_pairs_join_keyed_on_block(spark, sf_dir):
     # cartesian/broadcast-nested-loop here would be corpus^2 at scale
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q96_gapfill_windows_all_key_partitioned(spark, sf_dir):
+    """Gap-fill must never sort the corpus: the LOCF window and the
+    grid generation are both keyed by user_id."""
+    plan = plan_of(spark, sf_dir, "q96_daily_gapfill_locf")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            # partition spec (second bracket group) must name the key
+            assert "[user_id" in line.split("], ", 1)[1]
+    assert "Generate explode" in plan  # grid built executor-side
+
+
+def test_q100_trailing_frame_is_range_and_partitioned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q100_trailing_7d_spend")
+    saw_window = False
+    for line in plan.splitlines():
+        if "Window [" in line:
+            saw_window = True
+            spec = line.split("], ", 1)[1]
+            assert "[user_id" in spec  # partitioned by the key
+            assert "specifiedwindowframe(RangeFrame" in line  # value-based
+    assert saw_window
+
+
+def test_q99_tfidf_rank_partitioned_and_scalar_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q99_tfidf_top_terms")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "[doc_id" in line.split("], ", 1)[1]
+    # the corpus-size scalar joins as a broadcast, not an exchange
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q101_weighted_sample_map_only(spark, sf_dir):
+    """Membership is decided row-locally: no shuffle of the documents
+    themselves — the only exchange feeds the single-row totals agg."""
+    plan = plan_of(spark, sf_dir, "q101_weighted_doc_sample")
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # single-row totals frame

@@ -1,0 +1,87 @@
+"""Mergeable-sketch operators: estimates track exact answers, and
+partial->merge composition is order-insensitive (the property that
+makes sketch pre-aggregation valid at 100 TB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators import sketches as SK
+
+
+def _events(spark, sf_dir):
+    from product_etl_spark.session import load_tables
+
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+def test_hll_rollup_tracks_exact_distinct(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    partials = SK.hll_partials(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    est = {
+        r.event_type: r.n_distinct
+        for r in SK.hll_rollup(partials, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(2, 0.05 * n), (t, est[t], n)
+
+
+def test_hll_merge_is_partition_order_insensitive(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    one = SK.hll_rollup(SK.hll_partials(ev, ["day"], "user_id"), [])
+    other = SK.hll_rollup(
+        SK.hll_partials(ev.repartition(13, "event_type"), ["day"], "user_id"), []
+    )
+    # register-wise max union: same sketch regardless of build layout
+    assert one.first()[0] == other.first()[0]
+
+
+def test_theta_overlap_exact_below_nominal_entries(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    partials = SK.theta_partials(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    got = SK.theta_overlap(partials, "event_type", "view", "purchase").first()
+    viewers = {r.user_id for r in ev.filter("event_type = 'view'").collect()}
+    buyers = {r.user_id for r in ev.filter("event_type = 'purchase'").collect()}
+    # below 2^12 distinct keys the theta sketch is a full retention
+    # sample: estimates are exact, not approximate
+    assert got.n_a == len(viewers)
+    assert got.n_b == len(buyers)
+    assert got.n_both == len(viewers & buyers)
+    assert got.n_either == len(viewers | buyers)
+    assert got.n_only_a == len(viewers - buyers)
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    partials = SK.kll_partials(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "value"
+    )
+    got = {
+        r.event_type: (r.p25, r.p5, r.p75)
+        for r in SK.kll_quantiles(partials, ["event_type"], [0.25, 0.5, 0.75]).collect()
+    }
+    vals = {
+        r.event_type: r.qs
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("qs"))
+        .collect()
+    }
+    for t, (q25, q50, q75) in got.items():
+        e25, e50, e75 = vals[t]
+        # KLL k=200 rank error ~1.65%; value tolerance via neighborhood
+        span = max(1e-9, e75 - e25)
+        assert abs(q25 - e25) <= 0.2 * span
+        assert abs(q50 - e50) <= 0.2 * span
+        assert abs(q75 - e75) <= 0.2 * span
+        assert q25 <= q50 <= q75
