@@ -188,6 +188,58 @@ def stream_enrich_with_dimension(
     return events.join(F2.broadcast(dimension), on, "left")
 
 
+def stream_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's view events within the preceding attribution window.
+
+    Both sides are watermarked, and the join condition bounds the
+    event-time distance (purchase.ts in [view.ts, view.ts + window]),
+    so Spark can expire buffered state for rows older than
+    watermark + window — state stays bounded no matter how long the
+    streams run. Without the time-bound predicate a stream-stream
+    join would buffer both streams forever; that unbounded form is
+    deliberately not exposed here.
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            user_id = v_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval {attribution_window}
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id", "purchase_event_id", "purchase_ts", "value",
+        "view_event_id", "view_ts",
+    )
+
+
 def stream_user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     per-user running event count + value total, persisted in state

@@ -100,3 +100,38 @@ def test_sessionize_gap_semantics(spark, tmp_path):
         by_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(by_user[1]) == [1, 2]  # two sessions: 2 events + 1 event
     assert by_user[2] == [1]
+
+
+def test_purchase_attribution_stream_stream_join(spark, tmp_path):
+    from product_etl_spark.streaming.pipeline import stream_purchase_attribution
+
+    src = str(tmp_path / "ss_src")
+    out = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, BASE, 7, "view", 0.0),
+            # purchase 30 min after the view: attributed
+            (2, BASE + dt.timedelta(minutes=30), 7, "purchase", 9.99),
+            # purchase 3 h after the view: outside the 1 h window
+            (3, BASE + dt.timedelta(hours=3), 7, "purchase", 5.00),
+            # other user's purchase with no view: never attributed
+            (4, BASE + dt.timedelta(minutes=10), 8, "purchase", 1.00),
+            # watermark pushers on both sides
+            (98, BASE + dt.timedelta(hours=10), 9, "view", 0.0),
+            (99, BASE + dt.timedelta(hours=10), 9, "purchase", 0.0),
+        ],
+    )
+    stream = _stream(spark, src)
+    run_available_now(
+        stream_purchase_attribution(stream, stream, "1 hour", watermark="1 second"),
+        out,
+        ckpt,
+    )
+    rows = spark.read.parquet(out).collect()
+    attributed = {(r.purchase_event_id, r.view_event_id) for r in rows}
+    assert (2, 1) in attributed  # inside the window
+    assert all(p != 3 for p, _ in attributed)  # too late
+    assert all(p != 4 for p, _ in attributed)  # no prior view
