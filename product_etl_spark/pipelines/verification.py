@@ -123,3 +123,32 @@ def assert_all(results: list[CheckResult]) -> None:
     if failed:
         lines = "\n".join(f"  {r.name}: {r.details}" for r in failed)
         raise AssertionError(f"verification failed:\n{lines}")
+
+
+def apply_expectations(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level expectations with quarantine: split ``df`` into
+    (valid, quarantined) where each rule maps name -> boolean Column
+    that must hold. Quarantined rows carry a ``violations``
+    array<string> naming every failed rule (NULL rule results count
+    as failures — an expectation that can't be evaluated didn't pass).
+
+    The table-level checks above audit aggregates after the fact;
+    this is the inline gate that keeps bad rows out of the warehouse
+    while preserving them for triage (the reference instead dropped
+    or silently coerced bad rows inside the import loop). Map-only:
+    one pass, no UDF, no shuffle.
+    """
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(rule, F.lit(False)), F.lit(name))
+                for name, rule in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("violations", viol)
+    valid = tagged.filter(F.size("violations") == 0).drop("violations")
+    quarantined = tagged.filter(F.size("violations") > 0)
+    return valid, quarantined
