@@ -1,4 +1,14 @@
-from product_etl_spark.operators import bucketing, dedup, similarity, skew  # noqa: F401
+from product_etl_spark.operators import (  # noqa: F401
+    bucketing,
+    dedup,
+    rollup,
+    sampling,
+    similarity,
+    sketches,
+    skew,
+    timeseries,
+    zorder,
+)
 from product_etl_spark.operators.incremental import (  # noqa: F401
     only_unprocessed,
     read_stage_table,

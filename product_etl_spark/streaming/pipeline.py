@@ -290,6 +290,59 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_continuous_rollup(
+    events: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    measures: dict[str, "F.Column"],
+    checkpoint: str,
+):
+    """Streaming continuous aggregate with REPLAY-SAFE additive state.
+
+    A naive foreachBatch that folds into an additive table
+    double-counts when a batch replays after a mid-fold failure
+    (additive state is not idempotent — unlike the MERGE ingest,
+    where replay is a no-op by key). So each micro-batch writes its
+    partial aggregate to an immutable per-batch directory
+    ``state_dir/batch=<id>`` with overwrite mode: a replayed batch
+    rewrites the SAME directory with the SAME content, making the
+    fold idempotent. ``read_rollup_state`` merges the partials (sum
+    of sums — partial count is bounded by batch count, and
+    `operators/rollup.py.incremental_rollup` can compact old
+    partials into a base table when that matters).
+
+    Drains everything available, exactly once, then stops.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(*keys).agg(
+            *[F.sum(expr).alias(name) for name, expr in measures.items()]
+        )
+        partial.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_rollup_state(
+    spark: SparkSession, state_dir: str, keys: list[str], measure_names: list[str]
+) -> DataFrame:
+    """Current continuous-aggregate state: merge the per-batch
+    partials written by ``stream_continuous_rollup``."""
+    return (
+        spark.read.option("basePath", state_dir)
+        .parquet(f"{state_dir}/batch=*")
+        .groupBy(*keys)
+        .agg(*[F.sum(n).alias(n) for n in measure_names])
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_path: str,

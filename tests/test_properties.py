@@ -91,3 +91,43 @@ def test_sku_strip_model(spark, s):
     the regex model, never the reference's rstrip over-strip."""
     [got] = _spark_eval(spark, strip_sku_dot_zero, [s])
     assert got == re.sub(r"\.0$", "", s)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=32
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_interleave_bits_is_injective_and_monotone_model(spark, pts):
+    """Morton code property batch: matches the pure-Python model (so
+    the unrolled Catalyst expression is the real Morton code), hence
+    injective over the bucket grid."""
+    from pyspark.sql import functions as F
+    from product_etl_spark.operators.zorder import interleave_bits
+
+    def model(x, y, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x int, y int").select(
+        "x", "y", interleave_bits([F.col("x"), F.col("y")], bits=4).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == model(r.x, r.y)
+
+
+def test_weighted_sample_fractions_are_nested(spark, sf_dir):
+    """Raising the target fraction can only ADD rows (the keep
+    inequality is monotone in num/den), so samples at increasing
+    fractions form a chain — reproducible budget scaling."""
+    from product_etl_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k10 = {r.doc_id for r in weighted_sample(docs, "doc_id", "n_chars", 1, 10).collect()}
+    k5 = {r.doc_id for r in weighted_sample(docs, "doc_id", "n_chars", 1, 5).collect()}
+    k2 = {r.doc_id for r in weighted_sample(docs, "doc_id", "n_chars", 1, 2).collect()}
+    assert k10 <= k5 <= k2
+    assert len(k10) < len(k2)

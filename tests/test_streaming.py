@@ -135,3 +135,29 @@ def test_purchase_attribution_stream_stream_join(spark, tmp_path):
     assert (2, 1) in attributed  # inside the window
     assert all(p != 3 for p, _ in attributed)  # too late
     assert all(p != 4 for p, _ in attributed)  # no prior view
+
+
+def test_continuous_rollup_replay_safe_additive_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from product_etl_spark.streaming.pipeline import (
+        read_rollup_state,
+        stream_continuous_rollup,
+    )
+
+    src = str(tmp_path / "cr_src")
+    state = str(tmp_path / "cr_state")
+    ckpt = str(tmp_path / "cr_ckpt")
+    measures = {"n": F.lit(1).cast("bigint"), "total": F.col("value")}
+
+    _write_events(spark, src, [(1, BASE, 1, "click", 1.0), (2, BASE, 1, "view", 2.0)])
+    stream_continuous_rollup(_stream(spark, src), state, ["event_type"], measures, ckpt)
+    # second drop folds as a new batch; third drain with nothing new is a no-op
+    _write_events(spark, src, [(3, BASE, 2, "click", 4.0)])
+    stream_continuous_rollup(_stream(spark, src), state, ["event_type"], measures, ckpt)
+    stream_continuous_rollup(_stream(spark, src), state, ["event_type"], measures, ckpt)
+
+    got = {
+        r.event_type: (r.n, r.total)
+        for r in read_rollup_state(spark, state, ["event_type"], ["n", "total"]).collect()
+    }
+    assert got == {"click": (2, 5.0), "view": (1, 2.0)}
