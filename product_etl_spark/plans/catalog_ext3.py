@@ -395,3 +395,33 @@ def q103_event_transitions(spark, sf_dir):
     timeseries.transition_counts — partitioned window only."""
     ev = _t(spark, sf_dir, "events")
     return TS.transition_counts(ev, "user_id", "event_type", ["ts", "event_id"])
+
+
+@register(
+    "q104_event_type_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q104_event_type_overlap(spark, sf_dir):
+    """Pairwise audience overlap: users active in both of every
+    event-type pair — the EXACT twin of the mergeable theta-sketch
+    overlap (operators/sketches.theta_overlap), the same way q49's
+    exact distinct twins the HLL path. One dedup shuffle on
+    (type, user), a self-equi-join on user_id (per-user fanout is
+    bounded by the type vocabulary), and a 10-cell aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
