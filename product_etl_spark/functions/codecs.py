@@ -291,3 +291,53 @@ def encode_wav(
         w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# RAWV: a trivial uncompressed video container (the video analogue of
+# PPM) so frame sampling runs with REAL decode in a stdlib-only
+# environment. Layout: b"RAWV" + <HHHH little-endian: width, height,
+# fps, n_frames> + n_frames raw RGB24 frames. Entropy-coded video
+# (mp4/h264/vp9) needs ffmpeg/opencv and stays behind the same
+# NotImplementedError gate as JPEG.
+
+RAWV_MAGIC = b"RAWV"
+_RAWV_HDR = struct.Struct("<4sHHHH")
+
+
+def encode_rawv(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 -> RAWV bytes (fixture/sink side)."""
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("RAWV frames must be RGB24")
+    return _RAWV_HDR.pack(RAWV_MAGIC, w, h, fps, n) + frames.astype(
+        np.uint8
+    ).tobytes()
+
+
+def rawv_info(data: bytes) -> dict:
+    """Header-only read: (width, height, fps, n_frames)."""
+    magic, w, h, fps, n = _RAWV_HDR.unpack_from(data, 0)
+    if magic != RAWV_MAGIC:
+        raise NotImplementedError(
+            "not a RAWV payload — entropy-coded video needs an ffmpeg/"
+            "opencv kernel injected at the decode seam"
+        )
+    return {"width": w, "height": h, "fps": fps, "n_frames": n}
+
+
+def decode_rawv_frame(data: bytes, idx: int) -> np.ndarray:
+    """Random-access single-frame decode: seek straight to frame
+    ``idx`` (no full-video materialization — the property that keeps
+    per-frame memory flat however long the clip is)."""
+    info = rawv_info(data)
+    w, h, n = info["width"], info["height"], info["n_frames"]
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    frame_bytes = w * h * 3
+    off = _RAWV_HDR.size + idx * frame_bytes
+    return (
+        np.frombuffer(data[off : off + frame_bytes], dtype=np.uint8)
+        .reshape(h, w, 3)
+        .copy()
+    )

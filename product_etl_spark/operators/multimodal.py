@@ -11,10 +11,11 @@ here the way a training-data pipeline needs it:
   metadata (uri, media_type, width/height, ...);
 - decode / feature-extract / resize / frame-sample run as Arrow-
   batched ``mapInPandas`` stages, one decoder instance per batch;
-- decoding is REAL for PNG / BMP / PPM / WAV via the pure-stdlib
-  codecs in ``functions/codecs.py`` (``real_image_decode`` is the
-  default kernel: true dimensions + a real 64-bit average-hash);
-  only entropy-coded formats that need a codec library (JPEG, video)
+- decoding is REAL for PNG / BMP / PPM / WAV / RAWV video via the
+  pure-stdlib codecs in ``functions/codecs.py`` (``real_image_decode``
+  is the default kernel: true dimensions + a real 64-bit average-hash;
+  ``sample_video_frames`` random-accesses RAWV frames); only
+  entropy-coded formats that need a codec library (JPEG, mp4/h264)
   raise a clearly-marked NotImplementedError — the injection point
   remains for swapping in PIL/opencv/ffmpeg kernels.
 
@@ -193,6 +194,65 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_s", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_png", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 25) -> DataFrame:
+    """Frame sampling: video binary column -> one row per sampled
+    frame (every ``every_n``-th), each re-encoded as a standalone PNG
+    ready for the image stages (resize/feature-extract chain on the
+    output unchanged).
+
+    Real decode for the uncompressed RAWV container
+    (functions/codecs.py — header seek + random-access frame reads,
+    so per-frame memory is flat regardless of clip length);
+    entropy-coded video hits the same NotImplementedError gate as
+    JPEG and surfaces as a zero-frame media_id rather than a task
+    failure. Arrow-batched mapInPandas; row explosion is bounded by
+    n_frames/every_n per clip.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from product_etl_spark.functions import codecs
+
+        cols = [f.name for f in VIDEO_FRAME_SCHEMA]
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                try:
+                    info = codecs.rawv_info(data)
+                except Exception:
+                    continue  # gated format: no frames, task survives
+                fps = info["fps"] or 1
+                for idx in range(0, info["n_frames"], every_n):
+                    frame = codecs.decode_rawv_frame(data, idx)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "ts_s": idx / fps,
+                            "width": info["width"],
+                            "height": info["height"],
+                            "frame_png": codecs.encode_png(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
     )
 
 

@@ -177,3 +177,47 @@ def test_spark_stages_real_decode(spark, tmp_path):
     audio = spark.createDataFrame([("w1", wav)], "media_id string, content binary")
     a = extract_audio_features(audio).collect()[0]
     assert a["sample_rate"] == 8000 and abs(a["duration_s"] - 1.0) < 1e-6
+
+
+def test_rawv_roundtrip_and_random_access():
+    import numpy as np
+    from product_etl_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(10, 4, 6, 3), dtype=np.uint8)
+    data = codecs.encode_rawv(frames, fps=5)
+    info = codecs.rawv_info(data)
+    assert (info["width"], info["height"], info["fps"], info["n_frames"]) == (6, 4, 5, 10)
+    for idx in (0, 3, 9):
+        assert (codecs.decode_rawv_frame(data, idx) == frames[idx]).all()
+    try:
+        codecs.rawv_info(b"\x00\x00\x00\x00" + data[4:])
+        raise AssertionError("non-RAWV payload must hit the gate")
+    except NotImplementedError:
+        pass
+
+
+def test_sample_video_frames_stage(spark):
+    import numpy as np
+    from product_etl_spark.functions import codecs
+    from product_etl_spark.operators.multimodal import sample_video_frames
+
+    f1 = np.zeros((7, 4, 4, 3), dtype=np.uint8)
+    for i in range(7):
+        f1[i, :, :, 0] = i * 30  # distinct per-frame red level
+    media = spark.createDataFrame(
+        [
+            ("vid1", codecs.encode_rawv(f1, fps=2)),
+            ("bad", b"mp4 payload needing ffmpeg"),
+        ],
+        "media_id string, content binary",
+    )
+    out = sample_video_frames(media, every_n=3).collect()
+    by_idx = {r.frame_idx: r for r in out if r.media_id == "vid1"}
+    assert sorted(by_idx) == [0, 3, 6]
+    assert by_idx[3].ts_s == 1.5 and by_idx[3].width == 4
+    # frames round-trip: PNG re-encode preserves exact pixels
+    px = codecs.decode_png(bytes(by_idx[6].frame_png))
+    assert (px[:, :, 0] == 180).all()
+    # the entropy-coded payload is gated out, not a task failure
+    assert not [r for r in out if r.media_id == "bad"]
