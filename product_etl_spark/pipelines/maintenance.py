@@ -18,6 +18,10 @@ distributed one-shot jobs (SURVEY.md §7.3 phase 8).
 - ``consistency_report``: DB-vs-filesystem style audit
   (utils/importer/check_sku_status.py:108-141) generalized to
   table-vs-table set comparison.
+- ``backfill_missing_children``: placeholder rows for childless
+  parents (utils/importer/insert_missing_data.py:16-60) as one
+  anti-join + deterministic-id insert_only merge instead of
+  LIMIT-5 manual batches of uuid4 inserts.
 """
 
 from __future__ import annotations
@@ -292,3 +296,42 @@ def snapshot_table(spark, path: str, tag: str = "backup"):
     snap = f"{path}__{tag}_{int(_time.time())}"
     shutil.copytree(path, snap)
     return snap
+
+
+def backfill_missing_children(
+    spark,
+    parents: DataFrame,
+    path: str,
+    parent_key: str,
+    child_fk: str,
+    defaults: dict[str, "F.Column"],
+    child_keys: list[str] | None = None,
+) -> DataFrame:
+    """Backfill placeholder child rows for parents that have none —
+    the reference's insert_missing_data.py (find collections without
+    details_html via LEFT JOIN .. IS NULL, then INSERT sample rows
+    with uuid4 ids, LIMIT 5 at a time). Distributed form: one
+    anti-join finds ALL childless parents, ``defaults`` maps child
+    column -> expression over the parent row (templates reference
+    parent columns, e.g. master_code), ids are uuid5 of the parent
+    key so the backfill is deterministic, and the insert_only MERGE
+    makes re-runs no-ops instead of relying on LIMIT-sized manual
+    batches.
+    """
+    from product_etl_spark.operators.upsert import upsert_parquet
+
+    import os
+
+    child_keys = child_keys or [child_fk]
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        children = spark.read.parquet(path)
+        childless = parents.join(
+            children, parents[parent_key] == children[child_fk], "left_anti"
+        )
+    else:
+        childless = parents
+    rows = childless.select(
+        F.col(parent_key).alias(child_fk),
+        *[expr.alias(name) for name, expr in defaults.items()],
+    )
+    return upsert_parquet(spark, rows, path, keys=child_keys, mode="insert_only")

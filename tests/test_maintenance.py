@@ -323,3 +323,43 @@ def test_audit_retrofit_on_pre_audit_table(spark, tmp_path):
     # warehouse-wide loop skips nothing and counts rows
     counts = add_audit_columns_warehouse(spark, str(wh))
     assert counts == {"legacy": 2}
+
+
+def test_backfill_missing_children_deterministic_and_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from product_etl_spark import ids
+    from product_etl_spark.pipelines.maintenance import backfill_missing_children
+
+    path = str(tmp_path / "details")
+    parents = spark.createDataFrame(
+        [("c1", "MC-1"), ("c2", "MC-2"), ("c3", "MC-3")],
+        "id string, master_code string",
+    )
+    # pre-existing child for c1 only
+    spark.createDataFrame(
+        [("c1", "existing-id", "<h1>real</h1>")],
+        "collection_id string, id string, details_html string",
+    ).write.parquet(path)
+    open(f"{path}/_SUCCESS", "a").close()
+
+    defaults = {
+        "id": ids.uuid5_col(ids.NS_PRODUCT, F.col("id")),
+        "details_html": F.concat(
+            F.lit("<h1>Product Details for "), F.col("master_code"), F.lit("</h1>")
+        ),
+    }
+    out1 = backfill_missing_children(
+        spark, parents, path, "id", "collection_id", defaults, ["collection_id"]
+    )
+    assert out1.count() == 3
+    got = {r.collection_id: r.details_html for r in out1.collect()}
+    assert got["c1"] == "<h1>real</h1>"  # existing row untouched
+    assert got["c2"] == "<h1>Product Details for MC-2</h1>"
+
+    # rerun: no new rows, same ids (uuid5, not uuid4)
+    ids_before = {r.collection_id: r.id for r in out1.collect()}
+    out2 = backfill_missing_children(
+        spark, parents, path, "id", "collection_id", defaults, ["collection_id"]
+    )
+    assert out2.count() == 3
+    assert {r.collection_id: r.id for r in out2.collect()} == ids_before
