@@ -336,6 +336,11 @@ def decode_rawv_frame(data: bytes, idx: int) -> np.ndarray:
         raise IndexError(f"frame {idx} out of range 0..{n - 1}")
     frame_bytes = w * h * 3
     off = _RAWV_HDR.size + idx * frame_bytes
+    if off + frame_bytes > len(data):
+        raise ValueError(
+            f"truncated RAWV payload: frame {idx} needs bytes "
+            f"[{off}, {off + frame_bytes}) but payload has {len(data)}"
+        )
     return (
         np.frombuffer(data[off : off + frame_bytes], dtype=np.uint8)
         .reshape(h, w, 3)

@@ -238,7 +238,12 @@ def sample_video_frames(media: DataFrame, every_n: int = 25) -> DataFrame:
                     continue  # gated format: no frames, task survives
                 fps = info["fps"] or 1
                 for idx in range(0, info["n_frames"], every_n):
-                    frame = codecs.decode_rawv_frame(data, idx)
+                    try:
+                        frame = codecs.decode_rawv_frame(data, idx)
+                    except Exception:
+                        # truncated body behind a valid header: keep
+                        # the frames that exist, never fail the task
+                        break
                     rows.append(
                         {
                             "media_id": media_id,

@@ -26,6 +26,17 @@ def quantile_cutpoints(
     return df.approxQuantile(value_col, probs, rel_err)
 
 
+def quantile_cutpoints_multi(
+    df: DataFrame, value_cols: list[str], n_buckets: int, rel_err: float = 0.001
+) -> dict[str, list[float]]:
+    """Cutpoints for several columns from ONE distributed sketch pass
+    (approxQuantile accepts a column list) — n columns must not mean
+    n full scans of a 100 TB table."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(value_cols, probs, rel_err)
+    return dict(zip(value_cols, cuts))
+
+
 def bucket_expr(value_col: str, cuts: list[float]) -> Column:
     """1-based bucket id as a pure expression:
     1 + number of cutpoints strictly below the value."""

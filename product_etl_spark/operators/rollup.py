@@ -64,4 +64,9 @@ def incremental_rollup(
         )
     else:
         merged = partial
+    # The MERGE writer references `merged` twice (anti-join build side
+    # + union branch): materialize it once so the batch aggregate and
+    # the state semi-join don't re-execute inside the write action.
+    # State-table scale (aggregate keys), so this is metadata-sized.
+    merged = merged.localCheckpoint(eager=True)
     return upsert_parquet(spark, merged, path, keys, audit=False)

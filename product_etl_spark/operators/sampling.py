@@ -133,24 +133,42 @@ def weighted_sample(
     key. No float division exists, so no rounding boundary can flip
     membership between engines or reruns.
 
-    Scale shape: one scalar aggregate (Σw, N) broadcast via a
-    single-row cross join, then a map-only filter — no shuffle of the
-    data itself.
+    Scale shape: one scalar aggregate (Σw, N — a single collected
+    row, like temperature_weights), then a map-only filter with the
+    reduced constants inlined as literals — no shuffle of the data
+    itself, no join at all.
+
+    Overflow safety: both constant sides are reduced by their gcd
+    driver-side, and the remaining headroom is checked against the
+    DECIMAL(38,0) ceiling — an envelope the reduced u·A term could
+    still exceed (den·Σw beyond ~8.6e19 after reduction) raises a
+    clear error instead of overflowing (ANSI) or silently dropping
+    every row (non-ANSI).
     """
-    totals = df.agg(
-        F.sum(F.col(weight_col)).cast("decimal(38,0)").alias("_sum_w"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n_rows"),
-    )
+    import math
+
+    row = df.agg(
+        # decimal sum: a bigint sum of huge weights would overflow
+        # LONG before the envelope guard below ever sees it
+        F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("_sum_w"),
+        F.count(F.lit(1)).alias("_n_rows"),
+        F.max(F.col(weight_col)).alias("_max_w"),
+    ).first()
+    sum_w, n_rows, max_w = int(row[0] or 0), int(row[1]), int(row[2] or 0)
+    if not sum_w:
+        return df.filter(F.lit(False))
+    # keep iff u·den·Σw < 2^60·num·w·N  ⇔  u·A < B·w with the gcd out
+    a_raw, b_raw = fraction_den * sum_w, (2**60) * fraction_num * n_rows
+    g = math.gcd(a_raw, b_raw)
+    a, b = a_raw // g, b_raw // g
+    if (2**60) * a >= 10**38 or b * max_w >= 10**38:
+        raise ValueError(
+            "weighted_sample keep-test exceeds DECIMAL(38,0): reduce "
+            f"fraction_den or pre-scale {weight_col} (den*sum_w={a_raw:.3g})"
+        )
     u = T.hash64(F.col(key_col).cast("string")).cast("decimal(38,0)")
-    lhs = u * F.lit(fraction_den).cast("decimal(38,0)") * F.col("_sum_w")
-    rhs = (
-        F.lit(2**60).cast("decimal(38,0)")
-        * F.lit(fraction_num).cast("decimal(38,0)")
-        * F.col(weight_col).cast("decimal(38,0)")
-        * F.col("_n_rows")
+    lhs = u * F.lit(str(a)).cast("decimal(38,0)")
+    rhs = F.lit(str(b)).cast("decimal(38,0)") * F.col(weight_col).cast(
+        "decimal(38,0)"
     )
-    return (
-        df.crossJoin(F.broadcast(totals))
-        .filter(lhs < rhs)
-        .drop("_sum_w", "_n_rows")
-    )
+    return df.filter(lhs < rhs)

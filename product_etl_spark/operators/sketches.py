@@ -118,8 +118,11 @@ def kll_quantiles(
         )
     )
     cols = [
+        # fixed-precision names: 0.5 -> p50, 1.0 -> p100 (a naive
+        # str-mangle gives ambiguous 'p5' and undotted-unselectable
+        # 'p1.0')
         F.kll_sketch_get_quantile_double("sketch", F.lit(p)).alias(
-            f"p{str(p).replace('0.', '')}"
+            f"p{int(round(p * 100)):02d}"
         )
         for p in probs
     ]

@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from product_etl_spark.operators.quantiles import bucket_expr, quantile_cutpoints
+from product_etl_spark.operators.quantiles import (
+    bucket_expr,
+    quantile_cutpoints_multi,
+)
 
 
 def interleave_bits(cols: list[Column], bits: int = 8) -> Column:
@@ -41,14 +44,14 @@ def zorder_key(
     """df + a Morton key over ``value_cols``: each column is first
     equal-frequency bucketed into 2^bits buckets via the distributed
     Greenwald-Khanna sketch (robust to skew — min/max scaling would
-    collapse under outliers), then bit-interleaved. The sketch pass
-    is one distributed aggregate per column; the key itself is
-    map-only."""
+    collapse under outliers), then bit-interleaved. ONE sketch pass
+    covers every column (multi-column approxQuantile); the key itself
+    is map-only."""
+    all_cuts = quantile_cutpoints_multi(df, value_cols, 2**bits)
     buckets = []
     out = df
     for c in value_cols:
-        cuts = quantile_cutpoints(df, c, 2**bits)
-        out = out.withColumn(f"_zb_{c}", bucket_expr(c, cuts) - 1)
+        out = out.withColumn(f"_zb_{c}", bucket_expr(c, all_cuts[c]) - 1)
         buckets.append(F.col(f"_zb_{c}"))
     out = out.withColumn(key_col, interleave_bits(buckets, bits))
     return out.drop(*[f"_zb_{c}" for c in value_cols])

@@ -323,6 +323,9 @@ def backfill_missing_children(
     import os
 
     child_keys = child_keys or [child_fk]
+    # NULL-keyed parents never equi-match a child, so without this
+    # guard every rerun would append another NULL-keyed placeholder
+    parents = parents.filter(F.col(parent_key).isNotNull())
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         children = spark.read.parquet(path)
         childless = parents.join(

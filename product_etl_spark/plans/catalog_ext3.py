@@ -301,7 +301,9 @@ def q101_weighted_doc_sample(spark, sf_dir):
     the exact integer inequality u·den·Σw < 2^60·num·w·N evaluated in
     DECIMAL(38,0)/HUGEINT (sampling.weighted_sample) — identical
     membership in Spark and the oracle, stable under repartitioning.
-    Map-only after a broadcast scalar aggregate."""
+    One scalar-aggregate job collapses Σw and N to gcd-reduced
+    literals; the sampling plan itself is scan+filter (plan-asserted
+    join-free and exchange-free)."""
     docs = _t(spark, sf_dir, "documents")
     return SA.weighted_sample(docs, "doc_id", "n_chars", 1, 5).select(
         "doc_id", "source", "n_chars"

@@ -221,3 +221,20 @@ def test_sample_video_frames_stage(spark):
     assert (px[:, :, 0] == 180).all()
     # the entropy-coded payload is gated out, not a task failure
     assert not [r for r in out if r.media_id == "bad"]
+
+
+def test_sample_video_frames_truncated_payload_keeps_existing_frames(spark):
+    import numpy as np
+    from product_etl_spark.functions import codecs
+    from product_etl_spark.operators.multimodal import sample_video_frames
+
+    frames = np.full((6, 2, 2, 3), 9, dtype=np.uint8)
+    data = codecs.encode_rawv(frames, fps=1)
+    # cut mid-frame-2: frames 0-1 intact, 2 partial, 3-5 missing
+    truncated = data[: len(data) - 3 * 2 * 2 * 3 - 2]
+    media = spark.createDataFrame(
+        [("trunc", truncated)], "media_id string, content binary"
+    )
+    out = sample_video_frames(media, every_n=1).collect()
+    # header claims 6 frames; only the intact prefix decodes, task survives
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1]

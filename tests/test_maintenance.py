@@ -363,3 +363,20 @@ def test_backfill_missing_children_deterministic_and_idempotent(spark, tmp_path)
     )
     assert out2.count() == 3
     assert {r.collection_id: r.id for r in out2.collect()} == ids_before
+
+
+def test_backfill_skips_null_keyed_parents(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from product_etl_spark.pipelines.maintenance import backfill_missing_children
+
+    path = str(tmp_path / "nulldetails")
+    parents = spark.createDataFrame(
+        [("c1", "MC-1"), (None, "MC-NULL")], "id string, master_code string"
+    )
+    defaults = {"details_html": F.col("master_code")}
+    for _ in range(3):  # reruns must not accumulate NULL placeholders
+        out = backfill_missing_children(
+            spark, parents, path, "id", "collection_id", defaults, ["collection_id"]
+        )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].collection_id == "c1"

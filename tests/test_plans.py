@@ -192,8 +192,10 @@ def test_q99_tfidf_rank_partitioned_and_scalar_broadcast(spark, sf_dir):
 
 
 def test_q101_weighted_sample_map_only(spark, sf_dir):
-    """Membership is decided row-locally: no shuffle of the documents
-    themselves — the only exchange feeds the single-row totals agg."""
+    """Membership is decided row-locally: the totals collapse to
+    driver-side literals (one scalar-aggregate job beforehand), so
+    the sampling plan itself is scan+filter — no join, no window, no
+    exchange of the documents at all."""
     plan = plan_of(spark, sf_dir, "q101_weighted_doc_sample")
-    assert "Window" not in plan and "SortMergeJoin" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # single-row totals frame
+    assert "Window" not in plan and "Join" not in plan
+    assert "Exchange" not in plan

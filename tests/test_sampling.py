@@ -93,3 +93,22 @@ def test_temperature_weights_mixing(spark):
     assert {r["doc_id"] for r in again.collect()} == {
         r["doc_id"] for r in mixed.collect()
     }
+
+
+def test_weighted_sample_overflow_guard_and_gcd_headroom(spark):
+    from pyspark.sql import functions as F
+    from product_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("w")
+    )
+    # den*sum_w pushed past the decimal(38,0) envelope and NOT
+    # reducible by gcd: must raise loudly, never drop rows silently
+    import pytest
+
+    huge = df.withColumn("w", F.col("w") * (10**15 // 97 * 97 + 7))
+    with pytest.raises(ValueError, match="DECIMAL"):
+        weighted_sample(huge, "k", "w", 1, 10**7)
+    # power-of-two den reduces against 2^60: same request succeeds
+    kept = weighted_sample(df, "k", "w", 1, 2**6)
+    assert 0 < kept.count() < 1000

@@ -68,7 +68,7 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
         ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "value"
     )
     got = {
-        r.event_type: (r.p25, r.p5, r.p75)
+        r.event_type: (r.p25, r.p50, r.p75)
         for r in SK.kll_quantiles(partials, ["event_type"], [0.25, 0.5, 0.75]).collect()
     }
     vals = {
