@@ -131,6 +131,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # Naive parquet timestamp[us] columns infer as TIMESTAMP_NTZ
+            # on Spark 4 (inferTimestampNTZ default-on). The session tz
+            # is pinned to UTC (configure_session), so casting NTZ ->
+            # TIMESTAMP maps wall time to the same instant DuckDB's
+            # naive-as-UTC epoch functions use, and unix_micros/window
+            # range frames work unchanged.
+            ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+            for c in ntz_cols:
+                df = df.withColumn(c, df[c].cast("timestamp"))
             df.createOrReplaceTempView(name)
             _TABLE_CACHE[key] = df
             out[name] = df
