@@ -34,6 +34,7 @@ from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa
 from product_etl_spark.plans import catalog_ext  # noqa: F401  (registers q41+)
 from product_etl_spark.plans import catalog_ext2  # noqa: F401  (registers q81+)
 from product_etl_spark.plans import catalog_ext3  # noqa: F401  (registers q96+)
+from product_etl_spark.plans import catalog_ext4  # noqa: F401  (registers q105+)
 
 _DRIVER_WINDOW = [
     # early queries that are the sole reps of their operator family
