@@ -1,0 +1,101 @@
+"""Benchmark decontamination: flag (and drop) training documents that
+overlap an evaluation/benchmark set by exact word n-grams.
+
+This is the standard published recipe (GPT-3 appendix C / PaLM /
+Llama: n-gram collision against eval sets; Dolma and RedPajama ship
+the same shape): build the benchmark's n-gram set, mark any training
+document whose distinct n-grams hit it above a threshold.
+
+Scale shape (the reason this is NOT a doc x doc similarity join):
+benchmark suites are small — thousands of documents, millions of
+grams, megabytes hashed — while the corpus is the 100 TB side. So the
+benchmark gram set broadcasts, the corpus side is one explode +
+broadcast semi-join + per-doc count, and nothing ever shuffles on the
+corpus x benchmark pair space. The threshold compare is integer
+(``n_hits * 10 >= n_grams``), so no float boundary can flip a flag
+between engines.
+
+Reference parity: the reference repo has no decontamination stage —
+this operator is part of the training-data surface BASELINE.json
+names as the north star (dedup family; q112 is the catalog entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.dedup import exploded_shingles
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set: one column ``sh``.
+
+    Distinct-across-docs (set semantics — a gram shared by two
+    benchmark docs counts once); callers broadcast this frame.
+    """
+    return exploded_shingles(bench, text_col, id_col, n).select("sh").distinct()
+
+
+def contamination_scores(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold_pct: int = 10,
+) -> DataFrame:
+    """Per-document contamination accounting.
+
+    Returns ``(id_col, n_grams, n_hits, contaminated)`` for every
+    document with at least one n-gram (documents shorter than ``n``
+    tokens have no grams and are absent — they cannot collide).
+    ``contaminated`` is 1 when at least ``threshold_pct`` percent of
+    the document's distinct n-grams appear in the benchmark set.
+
+    One wide shuffle total: ``exploded_shingles`` already returns
+    per-doc distinct (id, gram) rows partitioned by id; the benchmark
+    membership probe is a broadcast LeftSemi (no corpus re-shuffle),
+    and both counts group on the id partitioning already in place.
+    """
+    sh = exploded_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        sh.join(F.broadcast(bench_grams), "sh", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn(
+            "contaminated",
+            (F.col("n_hits") * 100 >= F.col("n_grams") * threshold_pct)
+            .cast("int"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold_pct: int = 10,
+) -> DataFrame:
+    """Drop contaminated documents from ``docs``.
+
+    Documents with fewer than ``n`` tokens are kept (no grams — no
+    evidence of contamination), matching the published recipes'
+    behavior for short documents.
+    """
+    grams = benchmark_ngrams(bench, text_col, id_col, n)
+    flagged = (
+        contamination_scores(docs, grams, text_col, id_col, n, threshold_pct)
+        .filter(F.col("contaminated") == 1)
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "leftanti")

@@ -21,6 +21,10 @@ q58 keeps the quality-filter row), q76 NTILE → q94 corpus curation
 (exact percentiles stay via q43's pytest parity and the NTILE swap
 is plan-asserted in tests/test_scale_ops.py).
 
+Round-4 swap: q34 simhash -> q112 benchmark decontamination (the
+near-dup family keeps q29/q31/q32/q91/q92 driver rows; decontamination
+was a family with zero driver coverage).
+
 Round-2 session-2 swaps for the q96+ families: q15 running revenue ->
 q96 gap-fill+LOCF (the running-window family keeps q24's running sum
 and q96's own LOCF frame), q22 URL regex -> q97 funnel (regex
@@ -59,7 +63,7 @@ _DRIVER_WINDOW = [
     "q30_doc_script_langid",
     "q31_minhash_signatures",
     "q32_lsh_near_dup_pairs",
-    "q34_simhash",
+    "q112_benchmark_decontam",
     "q91_segment_dedup",
     "q35_knn_bruteforce",
     "q36_lsh_bucket_histogram",

@@ -454,3 +454,57 @@ def q111_tpch_q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q112_benchmark_decontam",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(CASE WHEN LEN(toks) < 5 THEN []
+                  ELSE [array_to_string(toks[i:i+4], ' ')
+                        FOR i IN RANGE(1, LEN(toks) - 3)] END)) AS sh
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, sh FROM g WHERE doc_id % 50 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM corpus c JOIN bg USING (sh) GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.n_grams, COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 100 >= s.n_grams * 10 AS INTEGER)
+             AS contaminated
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def q112_benchmark_decontam(spark, sf_dir):
+    """Benchmark decontamination accounting (operators/decontam.py):
+    every 50th document plays the held-out benchmark set; the rest of
+    the corpus is scored by exact 5-gram collision against it, with
+    ``contaminated`` = 1 at >= 10%% distinct-gram overlap (integer
+    cross-multiplied — no float boundary). The corpus's planted
+    near-duplicates make the flags non-trivial.
+
+    Scale shape: the benchmark gram set (tiny by construction — eval
+    suites are MBs, the corpus is the 100 TB side) broadcasts into a
+    LeftSemi probe of the corpus grams; both per-doc counts reuse the
+    id partitioning the shingle window already established. No
+    corpus x benchmark shuffle exists in the plan.
+    """
+    from product_etl_spark.operators import decontam as DC
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    grams = DC.benchmark_ngrams(bench, "text", "doc_id", n=5)
+    return DC.contamination_scores(
+        corpus, grams, "text", "doc_id", n=5, threshold_pct=10
+    )

@@ -1,0 +1,84 @@
+"""Benchmark decontamination (operators/decontam.py): planted
+contamination is flagged, clean and short documents survive, and the
+plan keeps the benchmark side broadcast."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators import decontam as DC
+
+
+def _frames(spark):
+    bench = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "four score and seven years ago our fathers brought forth"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim copy of bench doc 1 -> every gram hits
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # contains a long bench span inside fresh text -> partial hits
+            (11, "intro words then the quick brown fox jumps over the "
+                 "lazy dog tonight and an original closing sentence here"),
+            # unrelated -> zero hits
+            (12, "completely unrelated content about distributed query "
+                 "engines and shuffle partitioning strategies at scale"),
+            # shorter than n tokens -> no grams, absent from scores
+            (13, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    return bench, docs
+
+
+def test_contamination_scores_planted(spark):
+    bench, docs = _frames(spark)
+    grams = DC.benchmark_ngrams(bench, "text", "doc_id", n=5)
+    scores = DC.contamination_scores(
+        docs, grams, "text", "doc_id", n=5, threshold_pct=10
+    ).collect()
+    by_id = {r["doc_id"]: r for r in scores}
+
+    assert set(by_id) == {10, 11, 12}  # 13 has < 5 tokens: no grams
+    # verbatim copy: all grams hit
+    assert by_id[10]["n_hits"] == by_id[10]["n_grams"] > 0
+    assert by_id[10]["contaminated"] == 1
+    # embedded span: some but not all grams hit, above 10%
+    assert 0 < by_id[11]["n_hits"] < by_id[11]["n_grams"]
+    assert by_id[11]["contaminated"] == 1
+    # unrelated: nothing hits
+    assert by_id[12]["n_hits"] == 0
+    assert by_id[12]["contaminated"] == 0
+
+
+def test_decontaminate_drops_flagged_keeps_short(spark):
+    bench, docs = _frames(spark)
+    kept = DC.decontaminate(docs, bench, "text", "doc_id", n=5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # contaminated 10/11 dropped; clean 12 kept; short 13 kept
+    # (no grams -> no evidence, the published recipes keep them)
+    assert kept_ids == {12, 13}
+
+
+def test_threshold_boundary_integer_exact(spark):
+    bench, docs = _frames(spark)
+    grams = DC.benchmark_ngrams(bench, "text", "doc_id", n=5)
+    # at 100% threshold only the verbatim copy is contaminated
+    strict = DC.contamination_scores(
+        docs, grams, "text", "doc_id", n=5, threshold_pct=100
+    )
+    flagged = {r["doc_id"] for r in
+               strict.filter(F.col("contaminated") == 1).collect()}
+    assert flagged == {10}
+
+
+def test_benchmark_side_is_broadcast(spark):
+    bench, docs = _frames(spark)
+    grams = DC.benchmark_ngrams(bench, "text", "doc_id", n=5)
+    scores = DC.contamination_scores(docs, grams, "text", "doc_id", n=5)
+    plan = scores._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
