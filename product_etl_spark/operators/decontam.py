@@ -55,26 +55,24 @@ def contamination_scores(
     ``contaminated`` is 1 when at least ``threshold_pct`` percent of
     the document's distinct n-grams appear in the benchmark set.
 
-    One wide shuffle total: ``exploded_shingles`` already returns
-    per-doc distinct (id, gram) rows partitioned by id; the benchmark
-    membership probe is a broadcast LeftSemi (no corpus re-shuffle),
-    and both counts group on the id partitioning already in place.
+    The corpus is tokenized and shuffled ONCE: the benchmark
+    membership probe is a broadcast left join that marks each gram
+    row, and both counts (total grams, hit grams) come out of a
+    single aggregation on the id partitioning the shingle window
+    already established. The earlier two-branch shape (semi-join for
+    hits + separate size count) re-evaluated the whole shingle
+    subtree per branch — twice the scan at 100 TB.
     """
     sh = exploded_shingles(docs, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        sh.join(F.broadcast(bench_grams), "sh", "leftsemi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    marked = sh.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "sh", "left"
     )
-    return (
-        sizes.join(hits, id_col, "left")
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
-        .withColumn(
-            "contaminated",
-            (F.col("n_hits") * 100 >= F.col("n_grams") * threshold_pct)
-            .cast("int"),
-        )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hits"),
+    ).withColumn(
+        "contaminated",
+        (F.col("n_hits") * 100 >= F.col("n_grams") * threshold_pct).cast("int"),
     )
 
 

@@ -495,9 +495,11 @@ def q112_benchmark_decontam(spark, sf_dir):
 
     Scale shape: the benchmark gram set (tiny by construction — eval
     suites are MBs, the corpus is the 100 TB side) broadcasts into a
-    LeftSemi probe of the corpus grams; both per-doc counts reuse the
-    id partitioning the shingle window already established. No
-    corpus x benchmark shuffle exists in the plan.
+    hit-marking left join of the corpus grams; both per-doc counts
+    come from one aggregation on the id partitioning the shingle
+    window already established, so the corpus is tokenized and
+    shuffled exactly once. No corpus x benchmark shuffle exists in
+    the plan.
     """
     from product_etl_spark.operators import decontam as DC
 

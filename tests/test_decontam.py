@@ -76,9 +76,14 @@ def test_threshold_boundary_integer_exact(spark):
     assert flagged == {10}
 
 
-def test_benchmark_side_is_broadcast(spark):
+def test_benchmark_probe_broadcast_and_single_corpus_pass(spark):
     bench, docs = _frames(spark)
     grams = DC.benchmark_ngrams(bench, "text", "doc_id", n=5)
     scores = DC.contamination_scores(docs, grams, "text", "doc_id", n=5)
     plan = scores._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # benchmark gram set broadcasts; corpus side never shuffles for it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # both counts come from ONE aggregation over ONE shingle pass:
+    # the corpus text column is read by exactly one scan subtree
+    assert plan.count("Scan ExistingRDD") <= 2  # bench + docs, once each

@@ -199,3 +199,32 @@ def test_q101_weighted_sample_map_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q101_weighted_doc_sample")
     assert "Window" not in plan and "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_q105_min_cost_supplier_topk_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q105_tpch_q2_min_cost_supplier")
+    # final LIMIT-10 is a parallel partial top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the part size/type filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(p_size), IsNotNull(p_type)" in plan or \
+        "EqualTo(p_size,15)" in plan
+
+
+def test_q106_exists_compiles_to_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q106_tpch_q4_order_priority")
+    # the correlated EXISTS is a LeftSemi hash join with the date
+    # inequality as residual — never a full join + distinct
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # two-phase priority count
+
+
+def test_q111_waiting_suppliers_single_aggregate_no_self_join_pair(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q111_tpch_q21_waiting_suppliers")
+    # EXISTS/NOT-EXISTS pair collapsed to one per-order aggregate +
+    # one semi join; the supplier/nation/region dims broadcast
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
