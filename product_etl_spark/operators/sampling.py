@@ -172,3 +172,40 @@ def weighted_sample(
         "decimal(38,0)"
     )
     return df.filter(lhs < rhs)
+
+
+def shuffle_deterministic(
+    df: DataFrame, key_col: str, seed: int = 0, num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering.
+
+    Every training run wants the corpus in a pseudorandom order that
+    is (a) decorrelated from ingest/curation order, (b) identical
+    across reruns and cluster layouts, and (c) cheap at 100 TB. The
+    obvious ``orderBy(rand())`` fails all three: rand() is
+    partitioning-dependent, and a full global sort funnels range
+    boundaries through a driver-side sample of the *whole* dataset
+    every run.
+
+    This implements the standard scalable recipe: order by a
+    content-derived 64-bit hash of the key (seeded, so epochs can use
+    seed=epoch for distinct orders) via ``repartitionByRange`` on the
+    hash + ``sortWithinPartitions``. Rows land range-partitioned by
+    hash and sorted inside each partition, so partition 0's rows all
+    precede partition 1's in hash order — a total deterministic
+    pseudorandom order when read back part-file by part-file, with
+    only a range Exchange (no single reduce task, unlike a LIMIT'd
+    global sort) and the per-partition sort spillable.
+
+    The (hash, key) composite makes the order total even under hash
+    collisions.
+    """
+    h = (T.hash64(F.concat_ws("\x1f", F.lit(str(seed)), F.col(key_col)
+                              .cast("string")))).alias("_shuffle_key")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("_shuffle_key", h)
+        .repartitionByRange(n, F.col("_shuffle_key"), F.col(key_col))
+        .sortWithinPartitions("_shuffle_key", key_col)
+        .drop("_shuffle_key")
+    )

@@ -112,3 +112,40 @@ def test_weighted_sample_overflow_guard_and_gcd_headroom(spark):
     # power-of-two den reduces against 2^60: same request succeeds
     kept = weighted_sample(df, "k", "w", 1, 2**6)
     assert 0 < kept.count() < 1000
+
+
+def test_shuffle_deterministic_total_order_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.sampling import shuffle_deterministic
+
+    df = spark.range(0, 2000).withColumn("key", F.col("id").cast("string"))
+    a = [r["id"] for r in shuffle_deterministic(df, "key", seed=1,
+                                                num_partitions=4).collect()]
+    # same total order regardless of the input layout (file boundaries
+    # may differ; the read-back order may not)
+    b = [r["id"] for r in shuffle_deterministic(df.repartition(7), "key",
+                                                seed=1,
+                                                num_partitions=4).collect()]
+    assert a == b
+    assert sorted(a) == list(range(2000))  # a permutation, nothing lost
+    assert a != list(range(2000))          # actually shuffled
+    # another seed (epoch) gives a different order
+    c = [r["id"] for r in shuffle_deterministic(df, "key", seed=2,
+                                                num_partitions=4).collect()]
+    assert a != c
+
+
+def test_shuffle_deterministic_no_single_task_sort(spark):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.sampling import shuffle_deterministic
+
+    df = spark.range(0, 2000).withColumn("key", F.col("id").cast("string"))
+    out = shuffle_deterministic(df, "key", seed=1, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # range Exchange + within-partition sort; no global sort (a global
+    # Sort prints as "], true, 0", partition-local as "], false, 0")
+    assert "rangepartitioning" in plan
+    assert "], false, 0" in plan
+    assert "], true, 0" not in plan
