@@ -1,0 +1,162 @@
+"""Incremental (cross-batch) deduplication against a persisted
+signature store.
+
+The batch-dedup operators in ``dedup.py`` answer "is this corpus
+internally duplicate-free?". A continuously-ingesting pipeline needs
+the other question: "is this NEW batch duplicated against everything
+already accepted?" — without re-reading the accepted corpus. The
+standard production answer (the shape web-crawl pipelines like CCNet/
+Dolma run) is to persist per-document *signatures* and join new
+batches against the store:
+
+- ``fingerprint`` strategy: store one normalization-fingerprint hash
+  per accepted doc; a new doc collides iff its fingerprint equals a
+  stored one. Exact (for the fingerprint equivalence class).
+- ``near`` strategy: store the k MinHash components per accepted doc;
+  banded-LSH buckets propose new-vs-store candidates, and the MinHash
+  component-agreement estimate of Jaccard (unbiased; Broder 1997)
+  decides. The accepted corpus's *text* is never touched — only its
+  kilobytes-per-million-docs signature table.
+
+Scale shape: the store grows by O(accepted docs) signature rows, the
+per-batch work is (batch sketch: map + one groupBy) + (store join on
+uniform band/fingerprint hash keys) + (append of survivors). Nothing
+rescans history; the store parquet can be bucketed by the join key so
+the per-batch join avoids shuffling the store side at all.
+
+Rerun safety: re-ingesting an already-accepted batch finds every doc
+colliding with its own stored signature, so it appends nothing and
+returns zero survivors — ingestion retries are idempotent.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import text as T
+from product_etl_spark.operators.dedup import (
+    dedup_corpus,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+
+def read_signature_store(spark: SparkSession, path: str) -> DataFrame | None:
+    """The persisted store, or None before the first batch."""
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _batch_fingerprints(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return batch.select(
+        F.col(id_col).alias("sig_id"), T.fingerprint(text_col).alias("fp")
+    )
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    strategy: str = "fingerprint",
+    k: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup ``batch`` internally AND against the signature store at
+    ``store_path``, append the survivors' signatures to the store,
+    and return the surviving batch rows.
+
+    The store schema is per-strategy: ``(sig_id, fp)`` for
+    fingerprint, ``(sig_id, h0..h{k-1})`` for near. One store serves
+    one strategy; mixing raises at the join (column mismatch) rather
+    than silently passing everything.
+    """
+    if strategy not in ("fingerprint", "near"):
+        raise ValueError(f"unknown incremental dedup strategy: {strategy}")
+
+    # 1) intra-batch dedup (the batch may repeat itself)
+    batch = dedup_corpus(
+        batch, text_col, id_col,
+        strategy=strategy, jaccard_threshold=jaccard_threshold, k=k,
+    )
+
+    store = read_signature_store(spark, store_path)
+
+    if strategy == "fingerprint":
+        sigs = _batch_fingerprints(batch, text_col, id_col)
+        if store is not None:
+            hit_fps = sigs.join(
+                store.select("fp").distinct(), "fp", "leftsemi"
+            ).select("sig_id")
+            survivors = batch.join(
+                hit_fps, F.col("sig_id") == F.col(id_col), "leftanti"
+            )
+        else:
+            survivors = batch
+        new_sigs = _batch_fingerprints(survivors, text_col, id_col)
+    else:
+        sigs = minhash_signatures(batch, text_col, id_col, k=k).select(
+            F.col(id_col).alias("sig_id"), *[f"h{i}" for i in range(k)]
+        )
+        if store is not None:
+            # Ingestion retries resend accepted ids verbatim; the LSH
+            # pair builder's id_a < id_b would drop those self-pairs,
+            # so handle id collisions first: an id already in the
+            # store is a duplicate by definition.
+            batch = batch.join(
+                store.select(F.col("sig_id").alias(id_col)).distinct(),
+                id_col, "leftanti",
+            )
+            sigs = sigs.join(
+                store.select("sig_id").distinct(), "sig_id", "leftanti"
+            )
+            # Banded LSH over batch+store proposes candidates; only
+            # new-vs-store pairs survive the tag filter. The Jaccard
+            # decision is the component-agreement estimate, computed
+            # purely from the two signature vectors.
+            need = math.ceil(jaccard_threshold * k)
+            tagged = sigs.withColumn("_new", F.lit(True)).unionByName(
+                store.withColumn("_new", F.lit(False))
+            )
+            cand = lsh_candidate_pairs(
+                tagged, "sig_id", bands=k // 2, rows_per_band=2
+            )
+            a = tagged.select(
+                F.col("sig_id").alias("id_a"), F.col("_new").alias("_new_a"),
+                *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)],
+            )
+            b = tagged.select(
+                F.col("sig_id").alias("id_b"), F.col("_new").alias("_new_b"),
+                *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
+            )
+            agree = sum(
+                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(k)
+            )
+            dup_new_ids = (
+                cand.join(a, "id_a").join(b, "id_b")
+                .filter(F.col("_new_a") != F.col("_new_b"))
+                .filter(agree >= need)
+                .select(
+                    F.when(F.col("_new_a"), F.col("id_a"))
+                    .otherwise(F.col("id_b")).alias("sig_id")
+                )
+                .distinct()
+            )
+            survivors = batch.join(
+                dup_new_ids, F.col("sig_id") == F.col(id_col), "leftanti"
+            )
+        else:
+            survivors = batch
+        new_sigs = sigs.join(
+            survivors.select(F.col(id_col).alias("sig_id")), "sig_id", "leftsemi"
+        )
+
+    new_sigs.write.mode("append").parquet(store_path)
+    return survivors

@@ -1,0 +1,69 @@
+"""Incremental cross-batch dedup (operators/dedup_incremental.py):
+new batches dedupe against the persisted signature store without
+touching historical text; reruns are idempotent."""
+
+from __future__ import annotations
+
+import pytest
+
+from product_etl_spark.operators.dedup_incremental import (
+    incremental_dedup,
+    read_signature_store,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_B = "four score and seven years ago our fathers brought forth a new nation"
+DOC_C = "completely fresh content about shuffle partitioning at corpus scale"
+# near-duplicate of DOC_A (one word changed)
+DOC_A_NEAR = "the quick brown fox jumps over the lazy cat again and again tonight"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("strategy", ["fingerprint", "near"])
+def test_cross_batch_dedup_and_rerun_idempotence(spark, tmp_path, strategy):
+    store = str(tmp_path / f"sig_store_{strategy}")
+
+    # batch 1: one internal exact duplicate (id 2 repeats id 1's text)
+    b1 = _df(spark, [(1, DOC_A), (2, DOC_A), (3, DOC_B)])
+    s1 = incremental_dedup(spark, b1, "text", "doc_id", store,
+                           strategy=strategy)
+    assert {r["doc_id"] for r in s1.collect()} == {1, 3}
+
+    # batch 2: a copy of an accepted doc (new id) + fresh content
+    copy = DOC_A if strategy == "fingerprint" else DOC_A_NEAR
+    b2 = _df(spark, [(10, copy), (11, DOC_C)])
+    s2 = incremental_dedup(spark, b2, "text", "doc_id", store,
+                           strategy=strategy)
+    assert {r["doc_id"] for r in s2.collect()} == {11}
+
+    # store holds exactly the accepted ids' signatures
+    st = read_signature_store(spark, store)
+    assert {r["sig_id"] for r in st.collect()} == {1, 3, 11}
+
+    # rerunning batch 2 verbatim: every doc already accepted or
+    # already rejected -> zero survivors, store unchanged
+    s2again = incremental_dedup(spark, b2, "text", "doc_id", store,
+                                strategy=strategy)
+    assert s2again.count() == 0
+    st2 = read_signature_store(spark, store)
+    assert {r["sig_id"] for r in st2.collect()} == {1, 3, 11}
+    assert st2.count() == 3
+
+
+def test_near_store_never_reads_text(spark, tmp_path):
+    store = str(tmp_path / "sig_store_near_schema")
+    b1 = _df(spark, [(1, DOC_A), (2, DOC_B)])
+    incremental_dedup(spark, b1, "text", "doc_id", store, strategy="near")
+    st = read_signature_store(spark, store)
+    # the store is signatures only - no text column to rescan
+    assert set(st.columns) == {"sig_id"} | {f"h{i}" for i in range(8)}
+
+
+def test_unknown_strategy_raises(spark, tmp_path):
+    b = _df(spark, [(1, DOC_A)])
+    with pytest.raises(ValueError, match="strategy"):
+        incremental_dedup(spark, b, "text", "doc_id",
+                          str(tmp_path / "s"), strategy="simhash")
