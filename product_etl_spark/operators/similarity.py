@@ -325,3 +325,104 @@ def cosine_near_dup_pairs(
             block_col, "id_a", "id_b", F.round("sim", 4).alias("cos_sim")
         )
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    path: str,
+    n_lists: int = 4,
+    kmeans_iters: int = 0,
+) -> None:
+    """Build and persist an IVF index: ``<path>/centroids`` (k rows)
+    and ``<path>/lists`` — the corpus with its list assignment,
+    written ``partitionBy(list_id)``.
+
+    The partition layout is the index: each inverted list is its own
+    parquet directory, so a probe reads ONLY its nprobe lists via
+    partition pruning (PartitionFilters on list_id — asserted in
+    tests). Build once, serve many: at 100 TB the build is one
+    broadcast-assign pass + a partitioned write, and every subsequent
+    query batch touches ~nprobe/n_lists of the bytes.
+
+    ``kmeans_iters > 0`` trains real Lloyd's centroids
+    (ivf_centroids_kmeans); 0 keeps the deterministic lowest-id seeds
+    the oracle can reproduce.
+    """
+    if kmeans_iters > 0:
+        cents = ivf_centroids_kmeans(
+            corpus, emb_col, id_col, n_lists=n_lists, n_iters=kmeans_iters
+        )
+    else:
+        cents = ivf_centroids(corpus, emb_col, id_col, n_lists=n_lists)
+    assigned = corpus.join(
+        ivf_assign(corpus, cents, emb_col, id_col).select(id_col, "list_id"),
+        id_col,
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def knn_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    emb_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index, reading only
+    the probed inverted lists.
+
+    Per query: rank the (broadcast, k-row) centroid table by L2
+    distance and keep the ``nprobe`` nearest lists; the union of
+    probed list ids — at most n_lists values, collected driver-side
+    like any partition-pruning predicate — becomes an ``isin`` filter
+    on the lists directory's partition column, so the scan's
+    PartitionFilters skip every unprobed list's files entirely.
+    Then exact cosine within the candidate set and a per-query
+    top-k window, same output schema as knn_bruteforce/knn_ivf.
+    """
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    ranked = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("_q_emb"),
+            V.norm(emb_col).alias("_q_norm"),
+            "list_id",
+            V.l2_distance(emb_col, "centroid").alias("_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("_dist", "list_id")
+    q_probe = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_q_emb", "_q_norm", F.col("list_id").alias("_q_list"))
+    )
+    probe_lists = [
+        r["_q_list"] for r in q_probe.select("_q_list").distinct().collect()
+    ]
+    lists = spark.read.parquet(f"{index_path}/lists").filter(
+        F.col("list_id").isin(probe_lists)
+    )
+    sims = lists.withColumn("_c_norm", V.norm(emb_col)).join(
+        F.broadcast(q_probe),
+        (F.col("list_id") == F.col("_q_list"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm")))
+        .alias("sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+    )

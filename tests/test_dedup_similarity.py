@@ -419,3 +419,53 @@ def test_cosine_near_dup_pairs_salted_identical(spark):
     )
     as_set = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
     assert as_set(plain) == as_set(salted) and plain.count() > 0
+
+
+def test_ivf_index_persist_and_pruned_probe(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators import similarity as SIM
+    from product_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    idx = str(tmp_path / "ivf_index")
+    SIM.write_ivf_index(emb, "embedding", "vec_id", idx, n_lists=4)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = SIM.knn_ivf_index(spark, idx, queries, "embedding", "vec_id",
+                            k=5, nprobe=1)
+    # identical results to the non-persisted IVF path (same seed
+    # centroids, nprobe=1)
+    want = SIM.knn_ivf(emb, queries, "embedding", "vec_id", k=5, n_lists=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the probe scan prunes unprobed lists at the PARTITION level
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "Scan parquet" in ln or "PartitionFilters" in ln]
+    assert any("PartitionFilters: [list_id" in ln
+               for ln in scan_lines), scan_lines
+    # nprobe=1 over 3 near-identical queries probes 1 list of 4; the
+    # candidate read is a strict subset of the corpus
+    probed = got.select("neighbor_id").distinct().count()
+    assert probed < emb.count()
+
+
+def test_ivf_index_nprobe_widens_candidates(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators import similarity as SIM
+    from product_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    idx = str(tmp_path / "ivf_index2")
+    SIM.write_ivf_index(emb, "embedding", "vec_id", idx, n_lists=4)
+    q = emb.filter(F.col("vec_id") == 0)
+    n1 = SIM.knn_ivf_index(spark, idx, q, "embedding", "vec_id",
+                           k=1000, nprobe=1).count()
+    n4 = SIM.knn_ivf_index(spark, idx, q, "embedding", "vec_id",
+                           k=1000, nprobe=4).count()
+    # probing every list must see at least as many candidates, and
+    # all-but-self at nprobe=n_lists
+    assert n4 >= n1
+    assert n4 == emb.count() - 1
