@@ -1,0 +1,104 @@
+"""Model-based document quality scoring (pyspark.ml).
+
+The heuristic filters (``functions/text.quality_score``, the Gopher
+flags) are fixed rules; modern curation pipelines (CCNet, FineWeb,
+Dolma) additionally train a lightweight CLASSIFIER on labeled
+good/bad examples and filter by predicted probability. This module is
+that stage, built on Spark MLlib's distributed LogisticRegression —
+featurization is the same pure-Catalyst text functions the heuristic
+filters use (no UDFs), training is MLlib's distributed L-BFGS, and
+scoring is a map-only model transform.
+
+Scale shape: the labeled training set is small (humans or an LLM
+labeled it); the expensive parts — featurizing 100 TB of documents
+and scoring them — are embarrassingly parallel column expressions
+plus a per-row model apply. The fitted model is kilobytes of
+coefficients broadcast by MLlib; ``save_model``/``load_model``
+persist it so score-only runs skip training entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import text as T
+
+FEATURE_COLS = [
+    "f_n_words",
+    "f_mean_word_len",
+    "f_stopword_ratio",
+    "f_punct_ratio",
+    "f_line_rep_ratio",
+]
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the classifier's feature columns — all pure Catalyst
+    expressions (one codegen'd projection, no UDF, no shuffle)."""
+    return (
+        df.withColumn("f_n_words", T.token_count(text_col).cast("double"))
+        .withColumn("f_mean_word_len", T.mean_word_length(text_col))
+        .withColumn("f_stopword_ratio", T.stopword_ratio(text_col))
+        .withColumn("f_punct_ratio", T.punct_ratio(text_col))
+        .withColumn("f_line_rep_ratio", T.line_repetition_ratio(text_col))
+        .fillna(0.0, subset=FEATURE_COLS)
+    )
+
+
+def train_quality_classifier(
+    labeled: DataFrame, text_col: str, label_col: str, max_iter: int = 50
+):
+    """Fit a logistic-regression quality model on labeled documents
+    (label 1 = keep-quality, 0 = reject). Returns the fitted
+    PipelineModel (assembler + scaler + LR)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    feats = quality_features(labeled, text_col)
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=FEATURE_COLS, outputCol="_raw_features"),
+            StandardScaler(inputCol="_raw_features", outputCol="features",
+                           withMean=True, withStd=True),
+            LogisticRegression(featuresCol="features", labelCol=label_col,
+                               maxIter=max_iter),
+        ]
+    )
+    return pipe.fit(feats)
+
+
+def score_quality(model, df: DataFrame, text_col: str) -> DataFrame:
+    """Append ``quality_prob`` (P(label=1)) and ``quality_pred`` to
+    ``df``. Map-only: featurize + broadcast-coefficient transform."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(quality_features(df, text_col))
+    prob_1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    keep = [c for c in df.columns]
+    return scored.select(
+        *keep,
+        F.round(prob_1, 6).alias("quality_prob"),
+        F.col("prediction").cast("int").alias("quality_pred"),
+    )
+
+
+def filter_by_quality(
+    model, df: DataFrame, text_col: str, min_prob: float = 0.5
+) -> DataFrame:
+    """Keep documents the model scores at/above ``min_prob``."""
+    scored = score_quality(model, df, text_col)
+    return scored.filter(F.col("quality_prob") >= min_prob).drop(
+        "quality_prob", "quality_pred"
+    )
+
+
+def save_model(model, path: str) -> None:
+    model.write().overwrite().save(path)
+
+
+def load_model(spark, path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)

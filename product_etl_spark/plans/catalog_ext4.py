@@ -510,3 +510,97 @@ def q112_benchmark_decontam(spark, sf_dir):
     return DC.contamination_scores(
         corpus, grams, "text", "doc_id", n=5, threshold_pct=10
     )
+
+
+@register(
+    "q113_bigram_lm_perplexity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    bb AS (
+      SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2
+      FROM (
+        SELECT doc_id, lang,
+               UNNEST(CASE WHEN LEN(toks) < 2 THEN []
+                    ELSE [struct_pack(w1 := toks[i], w2 := toks[i+1])
+                          FOR i IN RANGE(1, LEN(toks))] END) AS b
+        FROM tok
+      )
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bb WHERE lang = 'en'
+           GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bb WHERE lang = 'en' GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tk) AS nv
+          FROM (SELECT UNNEST(toks) AS tk FROM tok WHERE lang = 'en'))
+    SELECT bb.doc_id, bb.lang, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LN((COALESCE(c2.n2, 0) + 1)::DOUBLE
+                         / (COALESCE(c1.n1, 0) + v.nv)::DOUBLE)), 4)
+             AS avg_nll
+    FROM bb
+    LEFT JOIN c2 ON c2.w1 = bb.w1 AND c2.w2 = bb.w2
+    LEFT JOIN c1 ON c1.w1 = bb.w1
+    CROSS JOIN v
+    GROUP BY bb.doc_id, bb.lang
+    """,
+)
+def q113_bigram_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter: an add-one-smoothed bigram
+    language model trained on the English slice scores every
+    document by average negative log-likelihood (low = fluent
+    English, high = other languages / noise — the downstream filter
+    thresholds on it). P(w2|w1) = (c(w1,w2)+1) / (c(w1,.)+|V|);
+    unseen contexts fall back to 1/|V|. Documents with < 2 tokens
+    have no bigrams and are absent (nothing to score).
+
+    Scale shape: one tokenize + LEAD pass builds bigram rows with
+    multiplicity; the model tables are groupBy counts over the
+    TRAINING slice only (bounded by vocab, not corpus); scoring
+    joins the corpus bigrams against them keyed on the bigram/word —
+    shuffle joins sized by vocab with AQE skew handling for
+    stop-word heads, never a broadcast of corpus-scale state. |V| is
+    a 1-row broadcast. Float policy matches q82/q94: deterministic
+    IEEE ops per row, ROUND(.,4) only at the surface.
+    """
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from product_etl_spark.functions import text as T
+
+    tok = d.select(
+        "doc_id", "lang",
+        F.posexplode(T.tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bb = (
+        tok.select(
+            "doc_id", "lang",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    train = bb.filter(F.col("lang") == "en")
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = (
+        tok.filter(F.col("lang") == "en")
+        .agg(F.countDistinct("tok").alias("nv"))
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("n2"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("nv")).cast("double")
+    )
+    return (
+        bb.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(F.broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )

@@ -1,0 +1,78 @@
+"""Model-based quality scoring (operators/quality_model.py): a
+logistic regression trained on labeled good/bad documents separates
+held-out examples; save/load round-trips; scoring stays map-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators import quality_model as QM
+
+GOOD = [
+    "The committee published its annual report on the state of the "
+    "regional water supply and the measures planned for next year.",
+    "Researchers at the institute described a new method for measuring "
+    "snow depth from satellite images taken during the winter months.",
+    "She walked to the market in the morning and bought fresh bread, "
+    "two kinds of cheese, and a small bag of late-season apples.",
+    "The library extended its opening hours after a survey showed that "
+    "most students preferred to study in the evening.",
+]
+BAD = [
+    "buy now!!! $$$ click click click http://x.example spam spam spam",
+    "aaaaaaa bbbbbbb aaaaaaa bbbbbbb aaaaaaa bbbbbbb aaaaaaa bbbbbbb",
+    ">>>> ???? !!!! #### >>>> ???? !!!! #### >>>> ???? !!!! ####",
+    "w w w w w w w w w w w w w w w w w w w w w w w w w w w w w w",
+]
+
+
+def _labeled(spark):
+    rows = [(i, t, 1) for i, t in enumerate(GOOD)] + [
+        (100 + i, t, 0) for i, t in enumerate(BAD)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_classifier_separates_held_out(spark):
+    model = QM.train_quality_classifier(_labeled(spark), "text", "label")
+    held_out = spark.createDataFrame(
+        [
+            (1, "The council voted to repair the old bridge before the "
+                "spring floods arrive, citing the engineer's assessment."),
+            (2, "zzz zzz zzz !!! zzz zzz zzz !!! zzz zzz zzz !!! zzz zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    scored = {r["doc_id"]: r for r in
+              QM.score_quality(model, held_out, "text").collect()}
+    assert scored[1]["quality_prob"] > scored[2]["quality_prob"]
+    assert scored[1]["quality_pred"] == 1
+    assert scored[2]["quality_pred"] == 0
+    # original columns preserved, model internals not leaked
+    assert set(scored[1].asDict()) == {"doc_id", "text", "quality_prob",
+                                       "quality_pred"}
+
+
+def test_filter_and_model_round_trip(spark, tmp_path):
+    labeled = _labeled(spark)
+    model = QM.train_quality_classifier(labeled, "text", "label")
+    path = str(tmp_path / "quality_model")
+    QM.save_model(model, path)
+    loaded = QM.load_model(spark, path)
+
+    kept = QM.filter_by_quality(loaded, labeled, "text", min_prob=0.5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {0, 1, 2, 3}  # training resubstitution: clean split
+    assert kept.columns == labeled.columns
+
+
+def test_scoring_is_map_only(spark):
+    model = QM.train_quality_classifier(_labeled(spark), "text", "label")
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("plain words repeated "), F.col("id").cast("string"))
+        .alias("text"),
+    )
+    plan = QM.score_quality(model, docs, "text")._jdf.queryExecution() \
+             .executedPlan().toString()
+    assert "Exchange" not in plan  # featurize + model apply: no shuffle
