@@ -363,3 +363,63 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    accepted_dir: str,
+    signature_store: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "fingerprint",
+    jaccard_threshold: float = 0.8,
+):
+    """Continuously ingest documents (json-lines files landing in
+    ``input_dir``), dedup each micro-batch against everything already
+    accepted via the persisted signature store
+    (operators/dedup_incremental.py), and append survivors to the
+    accepted corpus.
+
+    foreachBatch is the right seam for the same reason as the MERGE
+    ingest above: the store append + corpus append are an idempotent
+    batch operation (replayed batches re-collide with their own
+    stored signatures and append nothing), so checkpoint-tracked file
+    pickup + rerun-idempotent dedup gives effectively-exactly-once
+    corpus building — the accepted set never holds a text twice even
+    across crashes mid-batch (the signature append lands before the
+    corpus append; a replay that finds signatures present skips the
+    doc, so the failure mode is a dropped straggler on the torn batch,
+    never a duplicate — and re-submitting the source file re-ingests
+    any stragglers).
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from product_etl_spark.operators.dedup_incremental import incremental_dedup
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(text_col, StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        survivors = incremental_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            text_col,
+            id_col,
+            signature_store,
+            strategy=strategy,
+            jaccard_threshold=jaccard_threshold,
+        )
+        survivors.write.mode("append").parquet(accepted_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
