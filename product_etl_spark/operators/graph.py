@@ -1,0 +1,127 @@
+"""Iterative graph operators over edge DataFrames — the
+GraphFrames-free versions of the two algorithms a data-curation
+pipeline actually reaches for: connected components lives in
+``dedup.connected_components`` (duplicate clusters); this module adds
+PageRank (authority scoring over link/transition graphs — e.g.
+ranking crawl hosts by link authority before sampling, the CommonCrawl
+curation recipe) and label propagation (community detection over the
+same edges).
+
+Scale shape (both): state is one (node, value) frame partitioned by
+node id; each round is join-on-src + groupBy-dst — two hash shuffles
+keyed on node id, no driver-side state beyond the iteration counter,
+``localCheckpoint`` per round to cut the growing lineage exactly like
+``connected_components``. Rounds are O(diameter)/O(n_iters), each a
+constant number of stages regardless of graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 10,
+    damping: float = 0.85,
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank: (node, rank), sum(rank) == n_nodes.
+
+    Standard power iteration: each round every node distributes
+    ``damping * rank`` along its out-edges (proportional to edge
+    weight when given) and every node receives ``1 - damping`` base
+    rank. Dangling nodes (no out-edges) redistribute their damped
+    rank uniformly — the classic correction, computed as a 1-row
+    broadcast scalar, so total rank stays exactly n_nodes and the
+    result is partitioning-independent.
+    """
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("share")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "leftanti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce("in_rank", F.lit(0.0)) + F.col("_d") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation:
+    (node, label). Each round every node adopts the most frequent
+    label among its neighbors (ties broken by the smaller label for
+    determinism — synchronous updates + a total tiebreak make the
+    result partitioning-independent, unlike the random-order
+    asynchronous variant). Node ids must be integral (the tiebreak
+    negates the label inside a max-struct).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        e.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        neigh = (
+            e.join(labels, e.b == labels.node)
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # max(struct(n, negated-label)) picks highest count, then the
+        # SMALLEST label among ties; Spark structs compare field-wise
+        best = (
+            neigh.select("a", "label", "n",
+                         (-F.col("label").cast("long")).alias("_neg"))
+            .groupBy("a")
+            .agg(F.max(F.struct("n", "_neg")).alias("_best"))
+            .select(F.col("a").alias("node"),
+                    (-F.col("_best._neg")).cast("long").alias("label"))
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels

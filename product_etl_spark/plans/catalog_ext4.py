@@ -604,3 +604,71 @@ def q113_bigram_lm_perplexity(spark, sf_dir):
             F.round(F.avg(nll), 4).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "q114_transition_pagerank",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    e0 AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w / outw.ow AS share
+          FROM e0 JOIN outw USING (src)),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+    ),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    r1 AS (
+      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(s.c, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(r0.rank * e.share) AS c
+        FROM e JOIN r0 ON r0.node = e.src GROUP BY e.dst) s
+      ON s.dst = n.node
+    ),
+    r2 AS (
+      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(s.c, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(r1.rank * e.share) AS c
+        FROM e JOIN r1 ON r1.node = e.src GROUP BY e.dst) s
+      ON s.dst = n.node
+    )
+    SELECT node AS event_type, ROUND(rank, 6) AS rank FROM r2
+    """,
+)
+def q114_transition_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph (q103's bigram
+    counts as weighted edges) — the iterative graph operator
+    (operators/graph.pagerank) made oracle-checkable by fixing the
+    iteration count at 2 and UNROLLING the power iteration in the
+    SQL: each round is one join + groupBy, plain ANSI. Every event
+    type has out-edges in this data, so the dangling term is
+    identically zero on both sides (the Spark operator still carries
+    it for general graphs; q93 stays the rows-only precedent for
+    unbounded iteration).
+
+    Scale shape: per round, contributions shuffle once on the dst
+    node key and the rank state re-joins on node — two hash shuffles
+    per iteration regardless of graph size, localCheckpoint cutting
+    lineage (dedup.connected_components' recipe).
+    """
+    from product_etl_spark.operators.graph import pagerank
+    from product_etl_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    edges = TS.transition_counts(ev, "user_id", "event_type",
+                                 ["ts", "event_id"])
+    ranks = pagerank(edges, src="prev_type", dst="next_type",
+                     n_iters=2, damping=0.85, weight="n")
+    return ranks.select(
+        F.col("node").alias("event_type"), F.round("rank", 6).alias("rank")
+    )

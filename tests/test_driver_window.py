@@ -19,4 +19,4 @@ def test_window_queries_all_have_oracles():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 113
+    assert len(names) == len(set(names)) == 114

@@ -1,0 +1,56 @@
+"""Graph operators (operators/graph.py): PageRank against known
+closed-form results; label propagation on planted communities."""
+
+from __future__ import annotations
+
+import pytest
+
+from product_etl_spark.operators.graph import label_propagation, pagerank
+
+
+def _edges(spark, pairs, weights=None):
+    if weights:
+        rows = [(a, b, w) for (a, b), w in zip(pairs, weights)]
+        return spark.createDataFrame(rows, ["src", "dst", "w"])
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_pagerank_two_node_cycle_uniform(spark):
+    # symmetric cycle: ranks must be exactly equal, summing to 2
+    e = _edges(spark, [(1, 2), (2, 1)])
+    r = {row["node"]: row["rank"] for row in pagerank(e, n_iters=20).collect()}
+    assert r[1] == pytest.approx(r[2])
+    assert r[1] + r[2] == pytest.approx(2.0)
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    # 4 leaves -> center; center dangles (mass redistributes uniformly)
+    e = _edges(spark, [(i, 0) for i in range(1, 5)])
+    ranks = {row["node"]: row["rank"]
+             for row in pagerank(e, n_iters=30).collect()}
+    assert sum(ranks.values()) == pytest.approx(5.0, rel=1e-9)
+    assert ranks[0] > ranks[1]
+    for leaf in range(2, 5):  # leaves are symmetric
+        assert ranks[leaf] == pytest.approx(ranks[1])
+
+
+def test_pagerank_weighted_shares(spark):
+    # node 0 splits 90/10 between 1 and 2 -> 1 outranks 2
+    e = _edges(spark, [(0, 1), (0, 2), (1, 0), (2, 0)], [9.0, 1.0, 1.0, 1.0])
+    ranks = {row["node"]: row["rank"]
+             for row in pagerank(e, weight="w", n_iters=30).collect()}
+    assert ranks[1] > ranks[2]
+    assert sum(ranks.values()) == pytest.approx(3.0, rel=1e-9)
+
+
+def test_label_propagation_two_planted_communities(spark):
+    # two triangles joined by one weak bridge edge
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    labels = {r["node"]: r["label"] for r in
+              label_propagation(_edges(spark, tri1 + tri2 + bridge),
+                                n_iters=5).collect()}
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[10] == labels[11] == labels[12]
+    assert labels[1] != labels[10]
