@@ -10,9 +10,15 @@ decodable with nothing beyond the standard library + numpy:
 - **PPM**: P6 binary;
 - **WAV**: stdlib ``wave`` for PCM (rate/channels/duration + RMS).
 
+- **JPEG**: baseline sequential DCT (``functions/jpeg.py`` — Annex K
+  tables, canonical Huffman, any chroma subsampling, DRI/RSTn), both
+  encode and decode, validated against OpenJDK ImageIO in both
+  directions.
+
 So the multimodal decode is REAL for these formats; only
-entropy-coded formats that genuinely need a codec library (JPEG,
-video) stay behind a clearly-marked ``NotImplementedError``
+entropy-coded formats that genuinely need a codec library
+(progressive/arithmetic JPEG, h264/mp4 video) stay behind a
+clearly-marked ``NotImplementedError``
 (reference scope: the image pipeline at
 utils/product_collection_img_array_processor.py:55-68 moves bytes, it
 never decodes — decoding here is training-data-pipeline surface, not
@@ -221,6 +227,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if kind == "image/ppm":
         return decode_ppm(data)
+    if kind == "image/jpeg":
+        from product_etl_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"decoding {kind} requires a codec library (PIL/opencv) not "
         "present in this environment"

@@ -89,10 +89,11 @@ def stub_image_decode(content: bytes) -> dict:
 
 
 def real_image_decode(content: bytes) -> dict:
-    """REAL decode via functions/codecs.py (PNG/BMP/PPM): true pixel
-    dimensions + 64-bit average-hash over the actual pixels. JPEG and
-    other entropy-coded formats raise NotImplementedError (a codec
-    library is genuinely required)."""
+    """REAL decode via functions/codecs.py (PNG/BMP/PPM/baseline
+    JPEG): true pixel dimensions + 64-bit average-hash over the
+    actual pixels. Progressive/arithmetic JPEG and entropy-coded
+    video raise NotImplementedError (a codec library is genuinely
+    required)."""
     from product_etl_spark.functions import codecs
 
     px = codecs.decode_image(bytes(content))

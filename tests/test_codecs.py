@@ -133,8 +133,11 @@ def test_wav_round_trip():
     assert abs(feats["rms"] - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt2
 
 
-def test_jpeg_still_gated():
-    with pytest.raises(NotImplementedError, match="image/jpeg"):
+def test_jpeg_now_decodes_but_truncated_raises():
+    # baseline JPEG is a real decode path now (functions/jpeg.py,
+    # tests/test_jpeg.py); garbage after the magic still fails loudly
+    # rather than returning pixels
+    with pytest.raises((ValueError, EOFError)):
         codecs.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
 
 
