@@ -209,3 +209,53 @@ def shuffle_deterministic(
         .sortWithinPartitions("_shuffle_key", key_col)
         .drop("_shuffle_key")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    test_fraction: float = 0.1,
+    jaccard_threshold: float = 0.8,
+    k: int = 8,
+    buckets: int = 10_000,
+) -> tuple["DataFrame", "DataFrame"]:
+    """(train, test) split with NEAR-DUPLICATE LEAKAGE removed: any
+    train document that is a near-duplicate of a test document is
+    dropped from train.
+
+    A hash split alone leaves eval contamination in place — a
+    near-copy of a test doc sitting in train inflates every metric
+    (the within-corpus twin of benchmark decontamination, and the
+    reason published pipelines dedup BEFORE splitting or scrub
+    across the boundary after). This runs the MinHash-LSH candidate +
+    exact-Jaccard-verify machinery from ``operators/dedup`` once over
+    the corpus and drops the train side of every confirmed
+    cross-split pair. Test is never modified (its membership stays
+    hash-stable and reproducible); train shrinks by the leaked docs.
+
+    Scale shape: one signature pass + banded LSH join + candidate-
+    restricted verification (never all-pairs), then an anti-join —
+    all shapes already proven at corpus scale by q31-q33.
+    """
+    from product_etl_spark.operators import dedup as D
+
+    train, test = train_test_split(df, key_col, test_fraction, buckets)
+    sig = D.minhash_signatures(df, text_col, key_col, k=k)
+    cand = D.lsh_candidate_pairs(sig, key_col, bands=k // 2, rows_per_band=2)
+    confirmed = D.jaccard_pairs(
+        df, text_col, key_col, threshold=jaccard_threshold, candidates=cand
+    )
+    threshold = int(test_fraction * buckets)
+    is_test = lambda c: _bucket(c, buckets) < threshold  # noqa: E731
+    leaked = (
+        confirmed.select(
+            F.when(is_test(F.col("id_b")), F.col("id_a"))
+            .otherwise(F.col("id_b")).alias(key_col),
+            (is_test(F.col("id_a")) != is_test(F.col("id_b"))).alias("_cross"),
+        )
+        .filter(F.col("_cross"))
+        .select(key_col)
+        .distinct()
+    )
+    return train.join(leaked, key_col, "leftanti"), test

@@ -149,3 +149,45 @@ def test_shuffle_deterministic_no_single_task_sort(spark):
     assert "rangepartitioning" in plan
     assert "], false, 0" in plan
     assert "], true, 0" not in plan
+
+
+def test_leakage_safe_split_drops_train_near_dups_of_test(spark):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.sampling import (
+        leakage_safe_split,
+        train_test_split,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "committee reviews the annual water report in detail")
+    # 200 distinct docs + for each test doc (hash-determined) a planted
+    # near-copy under a different id
+    docs = spark.createDataFrame(
+        [(i, f"{base} variant {i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    train0, test0 = train_test_split(docs, "doc_id", 0.2)
+    test_rows = test0.collect()
+    assert test_rows
+    clones = spark.createDataFrame(
+        [(10_000 + r["doc_id"], r["text"] + " tail") for r in test_rows],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(clones)
+
+    train, test = leakage_safe_split(corpus, "text", "doc_id",
+                                     test_fraction=0.2,
+                                     jaccard_threshold=0.5)
+    test_ids = {r["doc_id"] for r in test.select("doc_id").collect()}
+    train_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    # test membership is still the pure hash split
+    base_test_ids = {r["doc_id"] for r in test_rows}
+    assert base_test_ids <= test_ids
+    # every clone of a test doc that landed in train was dropped
+    leaked_clones = {10_000 + i for i in base_test_ids} & train_ids
+    assert leaked_clones == set()
+    # non-leaking train docs survive
+    assert len(train_ids) > 0
+    assert train_ids.isdisjoint(test_ids)
