@@ -277,10 +277,28 @@ class _BitReader:
             if b == 0xFF:
                 nxt = self.data[self.pos] if self.pos < len(self.data) else 0
                 if nxt == 0x00:
-                    self.pos += 1  # stuffed
+                    self.pos += 1  # stuffed data byte
                     return 0xFF
+                if nxt == 0xFF:
+                    continue  # fill byte (T.81 B.1.1.2): keep scanning
+                self.pos += 1  # CONSUME the marker byte too
                 raise _RestartMarker(nxt)
             return b
+
+    def expect_restart(self) -> int:
+        """Consume an aligned RSTn marker (skipping fill bytes);
+        returns the marker. Raises ValueError if something else is
+        next — callers only ask at restart-interval boundaries."""
+        self.align()
+        try:
+            self._next_byte()
+        except _RestartMarker as rm:
+            if 0xD0 <= rm.marker <= 0xD7:
+                return rm.marker
+            raise ValueError(
+                f"expected RSTn at restart boundary, got 0x{rm.marker:02X}"
+            ) from None
+        raise ValueError("expected RSTn marker, found entropy data")
 
     def bit(self) -> int:
         if self.n == 0:
@@ -340,6 +358,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -443,22 +464,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             mcu += 1
             if restart_interval and mcu % restart_interval == 0 \
                     and mcu < total_mcus:
-                br.align()
-                # consume the RSTn marker bytes
-                while True:
-                    try:
-                        br._next_byte()
-                    except _RestartMarker as rm:
-                        if 0xD0 <= rm.marker <= 0xD7:
-                            pred = {cid: 0 for cid, *_ in comps}
-                            break
-                        raise
-        except _RestartMarker as rm:
-            if 0xD0 <= rm.marker <= 0xD7:
+                br.expect_restart()  # consumes BOTH marker bytes
                 pred = {cid: 0 for cid, *_ in comps}
-                br.align()
-                mcu += 0  # marker hit mid-MCU only on corrupt data
-                continue
+        except _RestartMarker:
+            # a marker mid-MCU means corrupt/truncated entropy data
+            # (EOI ends decode cleanly; anything else stops too)
+            break
+        except EOFError:
             break
 
     out_planes = []
@@ -470,6 +482,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(out_planes) == 1:
         y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
         return y[:, :, None]
+    if len(out_planes) != 3:
+        raise NotImplementedError(
+            f"JPEG with {len(out_planes)} components (CMYK/YCCK) — only "
+            "grayscale and YCbCr are implemented"
+        )
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

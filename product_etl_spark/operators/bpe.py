@@ -120,6 +120,15 @@ def encode_bpe(
         {pair: i for i, pair in enumerate(merges)}
     )
 
+    import re
+
+    # Training tokenizes with Spark's split on Java-regex \s+ (ASCII
+    # whitespace). Python's str.split() splits on UNICODE whitespace
+    # (NBSP, thin space — common in scraped text), which would produce
+    # words the model never saw. re.ASCII pins the kernel to the same
+    # token boundaries the trainer used.
+    _ws = re.compile(r"\s+", re.ASCII)
+
     def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         ranks = b_ranks.value
         cache: dict[str, list[str]] = {}
@@ -127,7 +136,7 @@ def encode_bpe(
             toks_col, counts = [], []
             for text in pdf["_text"]:
                 toks: list[str] = []
-                for word in (text or "").lower().split():
+                for word in filter(None, _ws.split((text or "").lower())):
                     got = cache.get(word)
                     if got is None:
                         got = cache[word] = _encode_word(word, ranks)

@@ -99,7 +99,6 @@ def incremental_dedup(
             )
         else:
             survivors = batch
-        new_sigs = _batch_fingerprints(survivors, text_col, id_col)
     else:
         sigs = minhash_signatures(batch, text_col, id_col, k=k).select(
             F.col(id_col).alias("sig_id"), *[f"h{i}" for i in range(k)]
@@ -154,9 +153,22 @@ def incremental_dedup(
             )
         else:
             survivors = batch
-        new_sigs = sigs.join(
-            survivors.select(F.col(id_col).alias("sig_id")), "sig_id", "leftsemi"
-        )
 
+    # Materialize the survivor set BEFORE appending to the store it
+    # was computed against: (a) the caller's action on the returned
+    # frame would otherwise re-run the whole sketch+join pipeline a
+    # second time, and (b) that recomputation would re-LIST the store
+    # path we just appended to — every survivor would collide with
+    # its own fresh signature and the result silently evaluate empty.
+    survivors = survivors.localCheckpoint(eager=True)
+    # Recompute signatures from the CHECKPOINTED survivors (tiny:
+    # survivors only) so the appended frame has no lineage through
+    # the store path at all.
+    if strategy == "fingerprint":
+        new_sigs = _batch_fingerprints(survivors, text_col, id_col)
+    else:
+        new_sigs = minhash_signatures(survivors, text_col, id_col, k=k).select(
+            F.col(id_col).alias("sig_id"), *[f"h{i}" for i in range(k)]
+        )
     new_sigs.write.mode("append").parquet(store_path)
     return survivors

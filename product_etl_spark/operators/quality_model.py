@@ -33,9 +33,26 @@ FEATURE_COLS = [
 ]
 
 
+#: columns the MLlib pipeline itself adds during transform
+_MODEL_COLS = {"_raw_features", "features", "rawPrediction", "probability",
+               "prediction"}
+
+
+def _check_column_conflicts(df: DataFrame) -> None:
+    clash = set(df.columns) & (_MODEL_COLS | set(FEATURE_COLS))
+    if clash:
+        raise ValueError(
+            f"quality_model: input columns {sorted(clash)} collide with "
+            "the featurization/model output columns — rename them before "
+            "scoring (silently overwriting them would corrupt passthrough "
+            "data)"
+        )
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Append the classifier's feature columns — all pure Catalyst
     expressions (one codegen'd projection, no UDF, no shuffle)."""
+    _check_column_conflicts(df)
     return (
         df.withColumn("f_n_words", T.token_count(text_col).cast("double"))
         .withColumn("f_mean_word_len", T.mean_word_length(text_col))

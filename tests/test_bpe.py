@@ -58,3 +58,15 @@ def test_empty_and_null_text(spark):
     rows = {r["doc_id"]: r for r in
             encode_bpe(weird, "text", "doc_id", merges).collect()}
     assert rows[1]["n_tokens"] == 0 and rows[2]["n_tokens"] == 0
+
+
+def test_nbsp_tokenization_matches_training(spark):
+    # NBSP is NOT a Java \s+ boundary; training sees one word — the
+    # encode kernel must agree (Python str.split would split it)
+    docs = spark.createDataFrame([(1, "aa bb aa bb aa bb")],
+                                 ["doc_id", "text"])
+    merges = train_bpe(docs, "text", n_merges=8, min_pair_count=1)
+    [row] = encode_bpe(docs, "text", "doc_id", merges).collect()
+    # three occurrences of the single NBSP-joined word, fully merged
+    assert row["n_tokens"] == 3
+    assert row["tokens"][0] == "aa bb</w>"

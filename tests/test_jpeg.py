@@ -80,3 +80,82 @@ def test_decode_image_dispatches_jpeg():
     assert px.shape == (24, 24, 3)
     # feature stages compose on top
     assert len(codecs.average_hash(px)) == 16
+
+
+def test_restart_intervals_decode_correctly():
+    """DRI/RSTn path: craft a stream with restart interval 1 by
+    re-encoding with markers inserted — a left-half/right-half image
+    whose halves must BOTH survive (the pre-fix bug zeroed everything
+    after the first RST)."""
+    import struct
+
+    from product_etl_spark.functions import jpeg as J
+
+    # two horizontally adjacent 8x8 blocks, distinct flat values
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 50
+    img[:, 8:] = 200
+    base = J.encode_jpeg(img, quality=95)
+
+    # rebuild the entropy stream with DRI=1: re-encode each MCU
+    # independently (DC pred resets) and join with RST markers
+    qt = J._scale_qt(J._QT_LUMA, 95)
+    dc = J._canonical_codes(*J._DC_LUMA)
+    ac = J._canonical_codes(*J._AC_LUMA)
+
+    def mcu_bits(block):
+        bw = J._BitWriter()
+        coef = J._T @ (block - 128.0) @ J._T.T
+        q = np.round(coef / qt).astype(int)
+        zz = q.flat[J._ZIGZAG]
+        cat, bits_v = J._magnitude(int(zz[0]))
+        ln, code = dc[cat]
+        bw.write(ln, code)
+        if cat:
+            bw.write(cat, bits_v)
+        ln, code = ac[0x00]
+        bw.write(ln, code)  # EOB (flat blocks: no AC)
+        bw.flush()
+        return bytes(bw.out)
+
+    b0 = mcu_bits(img[:, :8].astype(float))
+    b1 = mcu_bits(img[:, 8:].astype(float))
+    sos_end = base.find(b"\xFF\xDA")
+    sos_len = struct.unpack(">H", base[sos_end + 2:sos_end + 4])[0]
+    header = bytearray(base[:sos_end])
+    # inject DRI=1 before SOS
+    header += b"\xFF\xDD" + struct.pack(">H", 4) + struct.pack(">H", 1)
+    header += base[sos_end:sos_end + 2 + sos_len]
+    data = bytes(header) + b0 + b"\xFF\xD0" + b1 + b"\xFF\xD9"
+
+    dec = J.decode_jpeg(data)
+    assert abs(float(dec[:, :8].mean()) - 50) < 3
+    assert abs(float(dec[:, 8:].mean()) - 200) < 3
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    from product_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img, quality=90))
+    idx = data.find(b"\xff\xc4")  # first DHT
+    data[idx:idx] = b"\xff"  # one legal fill byte before the marker
+    dec = decode_jpeg(bytes(data))
+    assert _psnr(dec, img) > 40
+
+
+def test_four_component_jpeg_gates_cleanly():
+    import struct
+
+    from product_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(_gradient(8, 8), quality=90))
+    # rewrite SOF0 to claim 4 components (Adobe CMYK shape); the
+    # decoder must name the gate, not crash unpacking
+    idx = data.find(b"\xff\xc0")
+    ln = struct.unpack(">H", data[idx + 2:idx + 4])[0]
+    seg = data[idx + 4:idx + 2 + ln]
+    seg = bytes(seg[:5]) + b"\x04" + bytes(seg[6:]) + b"\x04\x11\x01"
+    data[idx + 2:idx + 2 + ln] = struct.pack(">H", len(seg) + 2) + seg
+    with pytest.raises((NotImplementedError, ValueError, KeyError, EOFError)):
+        decode_jpeg(bytes(data))

@@ -76,3 +76,15 @@ def test_scoring_is_map_only(spark):
     plan = QM.score_quality(model, docs, "text")._jdf.queryExecution() \
              .executedPlan().toString()
     assert "Exchange" not in plan  # featurize + model apply: no shuffle
+
+
+def test_column_conflict_raises(spark):
+    import pytest
+
+    model = QM.train_quality_classifier(_labeled(spark), "text", "label")
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([(1, "some text", 0.5)],
+                                ["doc_id", "text", "probability"])
+    with pytest.raises(ValueError, match="collide"):
+        QM.score_quality(model, bad, "text")
