@@ -423,3 +423,56 @@ def stream_dedup_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_distinct_sketch_rollup(
+    events: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    distinct_col: str,
+    checkpoint: str,
+    lg_k: int = 12,
+):
+    """Streaming continuous DISTINCT counting via HLL sketch partials
+    — the shape that replaces ``COUNT(DISTINCT)`` when the stream is
+    unbounded (exact distinct needs state proportional to the key
+    universe; an HLL partial is a bounded ~2^lg_k bytes per group
+    forever).
+
+    Same replay-safe recipe as ``stream_continuous_rollup``: each
+    micro-batch writes its per-group sketch partial to an immutable
+    ``state_dir/batch=<id>`` directory (a replayed batch rewrites the
+    same directory with the same bytes). Because HLL union is
+    commutative, associative, AND idempotent (re-merging the same
+    sketch cannot overcount — unlike additive sums), the merged
+    estimate is correct under any combination of replays and
+    out-of-order folds. Read the current state with
+    ``read_distinct_sketch_state``.
+    """
+    from product_etl_spark.operators.sketches import hll_partials
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = hll_partials(batch_df, keys, distinct_col, lg_k=lg_k)
+        partial.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_distinct_sketch_state(
+    spark: SparkSession, state_dir: str, keys: list[str],
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """Current distinct estimates: union the per-batch HLL partials."""
+    return (
+        spark.read.option("basePath", state_dir)
+        .parquet(f"{state_dir}/batch=*")
+        .groupBy(*keys)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(alias))
+    )

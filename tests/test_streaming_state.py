@@ -92,3 +92,48 @@ def test_stream_static_dimension_join(spark, tmp_path):
     )
     rows = {r["event_id"]: r["user_name"] for r in spark.read.parquet(out).collect()}
     assert rows == {1: "alice", 2: None}
+
+
+def test_stream_distinct_sketch_rollup_matches_exact(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.streaming.pipeline import (
+        read_distinct_sketch_state,
+        stream_distinct_sketch_rollup,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    state = str(tmp_path / "state")
+    # two files -> (likely) separate batches; users overlap across
+    # files so naive per-batch-count summing would overcount
+    with open(inp / "a.jsonl", "w") as f:
+        for u in range(0, 400):
+            f.write(json.dumps({"event_type": f"t{u % 2}", "user_id": u}) + "\n")
+    with open(inp / "b.jsonl", "w") as f:
+        for u in range(200, 600):
+            f.write(json.dumps({"event_type": f"t{u % 2}", "user_id": u}) + "\n")
+
+    stream = spark.readStream.schema("event_type string, user_id long") \
+        .option("maxFilesPerTrigger", 1).json(str(inp))
+    stream_distinct_sketch_rollup(stream, state, ["event_type"], "user_id",
+                                  str(tmp_path / "ckpt"))
+    got = {r["event_type"]: r["n_distinct"] for r in
+           read_distinct_sketch_state(spark, state, ["event_type"]).collect()}
+    # exact distinct is 300 per type; HLL at lg_k=12 is ~1% error
+    assert set(got) == {"t0", "t1"}
+    for v in got.values():
+        assert abs(v - 300) / 300 < 0.05
+
+    # replaying everything with a fresh checkpoint must NOT overcount:
+    # sketch union is idempotent (the additive-sum fold would double)
+    stream2 = spark.readStream.schema("event_type string, user_id long") \
+        .option("maxFilesPerTrigger", 1).json(str(inp))
+    stream_distinct_sketch_rollup(stream2, state, ["event_type"], "user_id",
+                                  str(tmp_path / "ckpt2"))
+    again = {r["event_type"]: r["n_distinct"] for r in
+             read_distinct_sketch_state(spark, state, ["event_type"]).collect()}
+    for t in got:
+        assert abs(again[t] - got[t]) / got[t] < 0.02
