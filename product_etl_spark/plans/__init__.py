@@ -21,9 +21,11 @@ q58 keeps the quality-filter row), q76 NTILE → q94 corpus curation
 (exact percentiles stay via q43's pytest parity and the NTILE swap
 is plan-asserted in tests/test_scale_ops.py).
 
-Round-4 swap: q34 simhash -> q112 benchmark decontamination (the
+Round-4 swaps: q34 simhash -> q112 benchmark decontamination (the
 near-dup family keeps q29/q31/q32/q91/q92 driver rows; decontamination
-was a family with zero driver coverage).
+was a family with zero driver coverage); q11 distinct projection ->
+q114 transition PageRank (DISTINCT keeps q49's exact distinct-count
+row; the iterative-graph family had zero driver coverage).
 
 Round-2 session-2 swaps for the q96+ families: q15 running revenue ->
 q96 gap-fill+LOCF (the running-window family keeps q24's running sum
@@ -47,7 +49,7 @@ _DRIVER_WINDOW = [
     "q05_customers_with_urgent_orders",
     "q06_order_counts_left",
     "q09_priority_status_matrix",
-    "q11_distinct_flag_status",
+    "q114_transition_pagerank",
     "q12_active_nations_union",
     "q96_daily_gapfill_locf",
     "q16_like_filter",
