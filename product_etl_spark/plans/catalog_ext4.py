@@ -627,20 +627,33 @@ def q113_bigram_lm_perplexity(spark, sf_dir):
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
     ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    d1 AS (
+      SELECT COALESCE(SUM(r0.rank), 0) AS d FROM r0
+      WHERE r0.node NOT IN (SELECT src FROM outw)
+    ),
     r1 AS (
-      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(s.c, 0) AS rank
+      SELECT n.node,
+             (1 - 0.85) + 0.85 * (COALESCE(s.c, 0) + d1.d / nn.n) AS rank
       FROM nodes n LEFT JOIN (
         SELECT e.dst, SUM(r0.rank * e.share) AS c
         FROM e JOIN r0 ON r0.node = e.src GROUP BY e.dst) s
       ON s.dst = n.node
+      CROSS JOIN d1 CROSS JOIN nn
+    ),
+    d2 AS (
+      SELECT COALESCE(SUM(r1.rank), 0) AS d FROM r1
+      WHERE r1.node NOT IN (SELECT src FROM outw)
     ),
     r2 AS (
-      SELECT n.node, (1 - 0.85) + 0.85 * COALESCE(s.c, 0) AS rank
+      SELECT n.node,
+             (1 - 0.85) + 0.85 * (COALESCE(s.c, 0) + d2.d / nn.n) AS rank
       FROM nodes n LEFT JOIN (
         SELECT e.dst, SUM(r1.rank * e.share) AS c
         FROM e JOIN r1 ON r1.node = e.src GROUP BY e.dst) s
       ON s.dst = n.node
+      CROSS JOIN d2 CROSS JOIN nn
     )
     SELECT node AS event_type, ROUND(rank, 6) AS rank FROM r2
     """,
@@ -650,11 +663,12 @@ def q114_transition_pagerank(spark, sf_dir):
     counts as weighted edges) — the iterative graph operator
     (operators/graph.pagerank) made oracle-checkable by fixing the
     iteration count at 2 and UNROLLING the power iteration in the
-    SQL: each round is one join + groupBy, plain ANSI. Every event
-    type has out-edges in this data, so the dangling term is
-    identically zero on both sides (the Spark operator still carries
-    it for general graphs; q93 stays the rows-only precedent for
-    unbounded iteration).
+    SQL: each round is one join + groupBy plus the dangling-mass
+    scalar, plain ANSI — the oracle carries the SAME dangling
+    correction the operator does, so parity holds even if a fixture
+    regeneration introduces a terminal event type with no outgoing
+    transitions (q93 stays the rows-only precedent for unbounded
+    iteration).
 
     Scale shape: per round, contributions shuffle once on the dst
     node key and the rank state re-joins on node — two hash shuffles

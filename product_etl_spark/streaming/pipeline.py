@@ -290,6 +290,31 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _fold_to_batch_dirs(events: DataFrame, state_dir: str, checkpoint: str,
+                        partial_fn):
+    """Shared replay-safe fold scaffold: each micro-batch's partial
+    (computed by ``partial_fn(batch_df)``) is written with overwrite
+    mode to an immutable ``state_dir/batch=<id>`` directory, so a
+    replayed batch rewrites the SAME directory with the SAME content.
+    Drains everything available exactly once, then stops."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial_fn(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_continuous_rollup(
     events: DataFrame,
     state_dir: str,
@@ -314,20 +339,12 @@ def stream_continuous_rollup(
     Drains everything available, exactly once, then stops.
     """
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        partial = batch_df.groupBy(*keys).agg(
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(*keys).agg(
             *[F.sum(expr).alias(name) for name, expr in measures.items()]
         )
-        partial.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
 
-    q = (
-        events.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _fold_to_batch_dirs(events, state_dir, checkpoint, partial)
 
 
 def read_rollup_state(
@@ -435,9 +452,13 @@ def stream_distinct_sketch_rollup(
 ):
     """Streaming continuous DISTINCT counting via HLL sketch partials
     — the shape that replaces ``COUNT(DISTINCT)`` when the stream is
-    unbounded (exact distinct needs state proportional to the key
-    universe; an HLL partial is a bounded ~2^lg_k bytes per group
-    forever).
+    unbounded: exact distinct needs state proportional to the key
+    universe, while each HLL partial is ~2^lg_k bytes per group.
+    State on disk is one partial per micro-batch, so it grows with
+    batch COUNT until ``compact_distinct_sketch_state`` folds the
+    partials into a single base — run it on whatever cadence keeps
+    the directory listing cheap; compaction is safe at any moment
+    because HLL union is idempotent (see below).
 
     Same replay-safe recipe as ``stream_continuous_rollup``: each
     micro-batch writes its per-group sketch partial to an immutable
@@ -445,34 +466,69 @@ def stream_distinct_sketch_rollup(
     same directory with the same bytes). Because HLL union is
     commutative, associative, AND idempotent (re-merging the same
     sketch cannot overcount — unlike additive sums), the merged
-    estimate is correct under any combination of replays and
-    out-of-order folds. Read the current state with
+    estimate is correct under any combination of replays,
+    out-of-order folds, and compactions. Read the current state with
     ``read_distinct_sketch_state``.
     """
     from product_etl_spark.operators.sketches import hll_partials
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        partial = hll_partials(batch_df, keys, distinct_col, lg_k=lg_k)
-        partial.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
-
-    q = (
-        events.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _fold_to_batch_dirs(
+        events, state_dir, checkpoint,
+        lambda batch_df: hll_partials(batch_df, keys, distinct_col, lg_k=lg_k),
     )
-    q.awaitTermination()
-    return q
+
+
+def _sketch_partial_dirs(state_dir: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(
+        f"{state_dir}/{d}" for d in os.listdir(state_dir)
+        if d.startswith("batch=") or d == "base"
+    )
 
 
 def read_distinct_sketch_state(
     spark: SparkSession, state_dir: str, keys: list[str],
     alias: str = "n_distinct",
 ) -> DataFrame:
-    """Current distinct estimates: union the per-batch HLL partials."""
+    """Current distinct estimates: union the compacted base (if any)
+    with the per-batch HLL partials."""
     return (
-        spark.read.option("basePath", state_dir)
-        .parquet(f"{state_dir}/batch=*")
+        spark.read.parquet(*_sketch_partial_dirs(state_dir))
         .groupBy(*keys)
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(alias))
     )
+
+
+def compact_distinct_sketch_state(
+    spark: SparkSession, state_dir: str, keys: list[str]
+) -> None:
+    """Fold all sketch partials (base + per-batch) into a single
+    ``state_dir/base`` directory and delete the folded batch dirs —
+    bounding on-disk state and read cost at O(groups) regardless of
+    how many micro-batches have run.
+
+    Safe under replay: if a folded batch later replays, its rewritten
+    ``batch=<id>`` partial re-merges with the base; HLL union is
+    SET-idempotent, so re-merging already-absorbed keys can never
+    double-count (re-serializing a union sketch may wiggle the
+    estimate within the sketch's normal error bound — asserted in
+    tests).
+    """
+    import shutil
+
+    dirs = _sketch_partial_dirs(state_dir)
+    if not dirs:
+        return
+    merged = (
+        spark.read.parquet(*dirs)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .localCheckpoint(eager=True)  # sever lineage from the dirs we delete
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/base")
+    for d in dirs:
+        if not d.endswith("/base"):
+            shutil.rmtree(d, ignore_errors=True)

@@ -170,7 +170,7 @@ def test_bpe_encode_reconstructs_words(words):
     """Concatenating a word's BPE tokens (minus </w>) must
     reconstruct the word exactly, whatever merges were learned —
     tokenization never loses or invents characters."""
-    from product_etl_spark.operators.bpe import _encode_word, train_bpe
+    from product_etl_spark.operators.bpe import _encode_word
 
     # driver-side trainer over a tiny in-memory corpus via the same
     # merge loop (train_bpe needs Spark; emulate its vocab input by
