@@ -38,6 +38,10 @@ class CurateConfig:
     dedup_strategy: str = "near"  # 'exact' | 'fingerprint' | 'near' | None
     jaccard_threshold: float = 0.8
     segment_dedup_words: int | None = 50  # None = skip
+    benchmark_docs: "DataFrame | None" = None  # decontaminate vs this set
+    decontam_ngram: int = 5
+    decontam_threshold_pct: int = 10
+    leakage_safe_split: bool = False  # scrub train near-dups of val
     redact_pii: bool = True
     pack_tokens: int | None = None  # assign pack_id of ~N-token contexts
     test_fraction: float = 0.01
@@ -110,6 +114,16 @@ def curate_corpus(
         )
         _count("after_segment_dedup", cur)
 
+    # ---- benchmark decontamination (eval-set n-gram collisions) ----
+    if cfg.benchmark_docs is not None:
+        from product_etl_spark.operators.decontam import decontaminate
+
+        cur = decontaminate(
+            cur, cfg.benchmark_docs, text_col, id_col,
+            n=cfg.decontam_ngram, threshold_pct=cfg.decontam_threshold_pct,
+        )
+        _count("after_decontam", cur)
+
     # ---- privacy + accounting ----
     if cfg.redact_pii:
         cur = cur.withColumn(text_col, T.redact_pii(text_col))
@@ -121,7 +135,15 @@ def curate_corpus(
 
         cur = pack_contexts(cur, id_col, "n_tokens", pack_size=cfg.pack_tokens)
 
-    train, val = train_test_split(cur, id_col, cfg.test_fraction)
+    if cfg.leakage_safe_split:
+        from product_etl_spark.operators.sampling import leakage_safe_split
+
+        train, val = leakage_safe_split(
+            cur, text_col, id_col, cfg.test_fraction,
+            jaccard_threshold=cfg.jaccard_threshold,
+        )
+    else:
+        train, val = train_test_split(cur, id_col, cfg.test_fraction)
     if report:
         rep["train"] = train.count()
         rep["validation"] = val.count()
