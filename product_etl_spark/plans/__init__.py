@@ -34,6 +34,21 @@ extraction keeps q21 + q64), q44 basic stats -> q102 exact-moment
 stats (a strict superset: mean/variance/corr from decimal moment
 sums), q53 rank-in-group -> q99 TF-IDF (which ranks per doc with
 row_number and adds the relevance-ranking family).
+
+Round-5 ROTATION: the window now carries every query that had never
+had a driver row in rounds 1-4 (41 queries: the TPC-H composite suite
+q72-q90/q105-q111, time-series tail q98/q100/q103/q104, sampling
+q61-q63/q101, lag/rank/dow windows q52/q53/q55, arrays/JSON
+q67/q68/q78/q79/q80, text q65/q77/q113, SCD2 q95, NTILE q76, k-means
+q93) plus 9 anchors that were green in r1-r4 and are the flagship
+reps of their families (q01 pricing, q02 top-k join, q24
+sessionization, q31/q32 MinHash-LSH, q94 curation chain, q96 LOCF,
+q112 decontamination, q114 PageRank). Cumulative driver coverage per
+query per round is recorded in COVERAGE.md; every query demoted this
+round already has a green driver row in CORRECTNESS_r02/r04.
+q93_kmeans_ivf_lists is iterative (not ANSI-expressible) and is the
+window's single rows-only entry — the driver records the weaker
+check, as designed.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -42,59 +57,64 @@ from product_etl_spark.plans import catalog_ext2  # noqa: F401  (registers q81+)
 from product_etl_spark.plans import catalog_ext3  # noqa: F401  (registers q96+)
 from product_etl_spark.plans import catalog_ext4  # noqa: F401  (registers q105+)
 
+# Queries that are iterative / not ANSI-SQL-expressible: registered in
+# queries() without an oracle_sql() entry; the driver records a weaker
+# rows-only check for them (documented in __spark_entry__ contract).
+_ROWS_ONLY = {"q93_kmeans_ivf_lists"}
+
 _DRIVER_WINDOW = [
-    # early queries that are the sole reps of their operator family
+    # -- 41 queries never driver-checked in rounds 1-4 (see COVERAGE.md) --
+    "q52_value_delta_lag",
+    "q53_order_rank_in_customer",
+    "q55_events_per_day_of_week",
+    "q61_train_test_split",
+    "q62_stratified_cap",
+    "q63_source_mixing",
+    "q65_line_repetition",
+    "q67_nations_intersect",
+    "q68_user_event_type_sets",
+    "q72_tpch_q3_shipping_priority",
+    "q74_tpch_q10_returned_items",
+    "q76_ntile_quartiles",
+    "q77_vocabulary_topk",
+    "q78_array_higher_order",
+    "q79_json_schema_on_read",
+    "q80_running_distinct_types",
+    "q81_tpch_q7_volume_shipping",
+    "q82_tpch_q8_market_share",
+    "q83_tpch_q9_product_profit",
+    "q84_tpch_q13_order_count_distribution",
+    "q85_tpch_q14_promo_revenue",
+    "q86_tpch_q15_top_supplier",
+    "q87_tpch_q17_small_quantity_revenue",
+    "q88_tpch_q18_large_volume_customers",
+    "q89_tpch_q19_bracketed_revenue",
+    "q90_tpch_q22_idle_balances",
+    "q93_kmeans_ivf_lists",
+    "q95_scd2_customer_history",
+    "q98_cohort_retention",
+    "q100_trailing_7d_spend",
+    "q101_weighted_doc_sample",
+    "q103_event_transitions",
+    "q104_event_type_overlap",
+    "q105_tpch_q2_min_cost_supplier",
+    "q106_tpch_q4_order_priority",
+    "q107_tpch_q11_value_concentration",
+    "q108_tpch_q12_late_shipment_priority",
+    "q109_tpch_q16_supplier_count",
+    "q110_tpch_q20_potential_promotion",
+    "q111_tpch_q21_waiting_suppliers",
+    "q113_bigram_lm_perplexity",
+    # -- 9 anchors: flagship family reps, green in r1-r4 --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
-    "q05_customers_with_urgent_orders",
-    "q06_order_counts_left",
-    "q09_priority_status_matrix",
-    "q114_transition_pagerank",
-    "q12_active_nations_union",
-    "q96_daily_gapfill_locf",
-    "q16_like_filter",
-    "q18_price_buckets",
-    "q20_string_projection",
-    "q21_attribute_parse_explode",
-    "q97_event_funnel",
-    "q23_hourly_event_rollup",
     "q24_sessionization",
-    "q26_user_event_timeline",
-    "q27_doc_token_stats",
-    "q29_doc_fingerprint_dedup",
-    "q30_doc_script_langid",
     "q31_minhash_signatures",
     "q32_lsh_near_dup_pairs",
-    "q112_benchmark_decontam",
-    "q91_segment_dedup",
-    "q35_knn_bruteforce",
-    "q36_lsh_bucket_histogram",
-    "q38_referential_integrity",
-    "q40_brand_dictionary",
-    "q41_rollup_region_nation",
-    "q102_lineitem_moment_stats",
-    "q45_price_band_range_join",
-    "q46_asof_purchase_signup",
-    "q47_event_pivot",
-    "q49_distinct_users_by_type",
-    # tail families pulled into the driver window
-    "q51_props_json_extract",
-    "q99_tfidf_top_terms",
-    "q54_above_nation_average",
-    "q56_ivf_assignment",
-    "q57_winnowing_fingerprints",
-    "q58_gopher_quality_filters",
-    "q59_master_variant_split",
-    "q60_deterministic_sample",
-    "q64_pii_redaction",
-    "q92_cosine_near_dup_pairs",
-    "q66_context_packing",
-    "q69_null_aware_not_in",
-    "q70_null_safe_join",
-    "q71_tpch_q6_forecast_revenue",
-    "q73_tpch_q5_local_supplier_volume",
-    "q75_having_filter",
     "q94_corpus_curation",
+    "q96_daily_gapfill_locf",
+    "q112_benchmark_decontam",
+    "q114_transition_pagerank",
 ]
 
 
