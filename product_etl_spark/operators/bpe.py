@@ -34,24 +34,66 @@ from product_etl_spark.functions import text as T
 _EOW = "</w>"
 
 
-def word_counts(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, n) over the corpus — the only corpus-scale stage."""
-    return (
+def word_counts(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, n) over the corpus — the only corpus-scale stage.
+
+    ``min_count`` floors the frequency (hash-agg side, before any
+    collect); ``max_words`` keeps only the top-N words by (n desc,
+    word asc) via a rank that Spark executes as TakeOrdered-style
+    pruning. Both bound what ``train_bpe`` materializes on the driver:
+    on 100 TB web text distinct tokens reach 1e8-1e9 (tens of GB
+    collected), while the words ABOVE any useful floor are Zipf-bounded
+    (~1e6). Dropping sub-floor words removes only tail count mass from
+    each pair total; merges whose winning margins exceed that mass are
+    unchanged — the standard trainer trade-off (subword-nmt's
+    --min-frequency, SentencePiece's pruning). Exactness on a fixture
+    corpus with/without the floor is asserted in
+    test_bpe.py::test_min_count_floor_preserves_merges.
+    """
+    wc = (
         df.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if min_count > 1:
+        wc = wc.filter(F.col("n") >= F.lit(min_count))
+    if max_words is not None:
+        # deterministic top-N: highest count first, lexicographic tiebreak
+        wc = (
+            wc.orderBy(F.col("n").desc(), F.col("word").asc())
+            .limit(max_words)
+        )
+    return wc
 
 
 def train_bpe(
-    df: DataFrame, text_col: str, n_merges: int = 200, min_pair_count: int = 2
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 200,
+    min_pair_count: int = 2,
+    min_count: int = 1,
+    max_words: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list (rank = position). Deterministic: pair-count
     ties break lexicographically.
+
+    Driver-memory bound: the collect below materializes at most
+    ``max_words`` (default 1M ≈ tens of MB) rows, after the
+    ``min_count`` frequency floor — never the raw distinct-token count
+    of the corpus. Raise ``max_words``/drop the floor only for
+    small-corpus exact parity runs.
     """
     vocab = {
-        r["word"]: r["n"] for r in word_counts(df, text_col).collect()
+        r["word"]: r["n"]
+        for r in word_counts(
+            df, text_col, min_count=min_count, max_words=max_words
+        ).collect()
     }
     # symbol sequences per word, driver-side (vocab-sized); the
     # end-of-word marker is a single symbol
@@ -147,9 +189,27 @@ def encode_bpe(
                 {"_id": pdf["_id"], "tokens": toks_col, "n_tokens": counts}
             )
 
+    # the id column keeps its real type (string ids are common for
+    # document tables) — hardcoding `long` here would fail or null-out
+    # at Arrow conversion for non-long ids
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("_id", df.schema[id_col].dataType),
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
     out = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).mapInPandas(run, schema="_id long, tokens array<string>, n_tokens int")
+    ).mapInPandas(run, schema=out_schema)
     return out.select(
         F.col("_id").alias(id_col), "tokens", "n_tokens"
     )

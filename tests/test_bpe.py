@@ -70,3 +70,62 @@ def test_nbsp_tokenization_matches_training(spark):
     # three occurrences of the single NBSP-joined word, fully merged
     assert row["n_tokens"] == 3
     assert row["tokens"][0] == "aa bb</w>"
+
+
+def test_min_count_floor_preserves_merges(spark):
+    """The driver-memory bound: a min_count floor + max_words cap must
+    (a) shrink what train_bpe collects and (b) leave the learned merge
+    list identical on a corpus whose merge-winning margins exceed the
+    pruned tail mass."""
+    from product_etl_spark.operators.bpe import word_counts
+
+    docs = _docs(spark).union(
+        # singleton tail words the floor prunes; their shared-prefix
+        # pair mass (4) stays below the head merge margins (9)
+        spark.createDataFrame(
+            [(100 + i, f"zq{i}x") for i in range(4)],
+            ["doc_id", "text"],
+        )
+    )
+    unpruned = word_counts(docs, "text").collect()
+    pruned = word_counts(docs, "text", min_count=2).collect()
+    assert len(pruned) < len(unpruned)
+    assert {r["word"] for r in pruned} == {"low", "lower", "newest", "widest"}
+
+    m_full = train_bpe(docs, "text", n_merges=10, min_count=1,
+                       max_words=None)
+    m_floor = train_bpe(docs, "text", n_merges=10, min_count=2)
+    m_capped = train_bpe(docs, "text", n_merges=10, min_count=2,
+                         max_words=4)
+    assert m_floor == m_capped
+    # the head merges (driven by the frequent words) are unchanged;
+    # the floor only prunes singleton-tail contributions
+    assert m_floor[:3] == m_full[:3] == [
+        ("e", "s"), ("es", "t"), ("est", "</w>")
+    ]
+
+
+def test_max_words_cap_bounds_collect(spark):
+    from product_etl_spark.operators.bpe import word_counts
+
+    docs = _docs(spark)
+    capped = word_counts(docs, "text", max_words=2).collect()
+    assert len(capped) == 2
+    # deterministic top-N: (n desc, word asc) — newest x6, low x5
+    assert [r["word"] for r in capped] == ["newest", "low"]
+
+
+def test_encode_string_id_column(spark):
+    """ADVICE fix: the output id keeps the input id type (was
+    hardcoded 'long', which broke string doc ids at Arrow
+    conversion)."""
+    docs = _docs(spark)
+    merges = train_bpe(docs, "text", n_merges=30)
+    sdocs = spark.createDataFrame(
+        [("doc-a", "low low"), ("doc-b", "newest")], ["doc_id", "text"]
+    )
+    out = encode_bpe(sdocs, "text", "doc_id", merges)
+    assert out.schema["doc_id"].dataType.typeName() == "string"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["doc-a"]["tokens"] == ["low</w>"] * 2
+    assert rows["doc-b"]["tokens"] == ["newest</w>"]
