@@ -27,6 +27,80 @@ from product_etl_spark.functions.cleaners import sanitize_filename
 
 RenderKernel = Callable[[str], bytes]  # html -> pdf bytes
 
+#: CSS-reference-pixel to millimetre factor at 96 dpi — the exact
+#: constant the reference uses (html_to_pdf/pupeeter.py:43:
+#: ``height_px * 0.264583``).
+PX_TO_MM = 0.264583
+
+#: A4 width, the reference's fixed page width (pupeeter.py:48).
+A4_WIDTH_MM = 210.0
+
+#: measurement viewport: width 1280, tall scratch height, screen
+#: media (pupeeter.py:27,41).
+MEASURE_VIEWPORT = {"width": 1280, "height": 8000}
+
+
+def measured_height_kernel(
+    measure_px: Callable[[str], int],
+    render_page: Callable[[str, str, str], bytes],
+) -> RenderKernel:
+    """Default dynamic-page-size kernel reproducing the reference's
+    measured-height contract (html_to_pdf/pupeeter.py:41-50):
+
+    1. load the HTML in a ``MEASURE_VIEWPORT``-sized screen-media page
+       and measure ``document.body.scrollHeight`` -> ``measure_px``;
+    2. page height = ``f"{height_px * 0.264583}mm"`` (96 dpi px->mm);
+    3. render ONE page, width ``"210mm"``, that exact height,
+       backgrounds printed -> ``render_page(html, width, height)``.
+
+    The browser is injectable (no playwright in this container);
+    ``playwright_pdf_kernel`` wires the real one when available. The
+    sizing arithmetic — the part the reference encodes — lives HERE so
+    every backend renders identical page geometry.
+    """
+
+    def kernel(html: str) -> bytes:
+        height_px = measure_px(html)
+        height_mm = f"{height_px * PX_TO_MM}mm"
+        return render_page(html, f"{int(A4_WIDTH_MM)}mm", height_mm)
+
+    return kernel
+
+
+def playwright_pdf_kernel() -> RenderKernel:
+    """Production kernel: chromium via playwright, import-gated like
+    the tesseract/openai kernels (product_etl_spark.kernels)."""
+    try:
+        from playwright.sync_api import sync_playwright
+    except ImportError as e:  # pragma: no cover - not in test container
+        raise ImportError(
+            "playwright is required for the production PDF kernel; "
+            "inject a RenderKernel (e.g. via measured_height_kernel) "
+            "in environments without a browser"
+        ) from e
+
+    def kernel(html: str) -> bytes:  # pragma: no cover - needs browser
+        with sync_playwright() as p:
+            browser = p.chromium.launch()
+            page = browser.new_page(viewport=MEASURE_VIEWPORT)
+            page.set_content(html)
+            page.emulate_media(media="screen")
+
+            def measure(_html: str) -> int:
+                return page.evaluate("() => document.body.scrollHeight")
+
+            def render(_html: str, width: str, height: str) -> bytes:
+                return page.pdf(
+                    print_background=True, width=width, height=height
+                )
+
+            try:
+                return measured_height_kernel(measure, render)(html)
+            finally:
+                browser.close()
+
+    return kernel
+
 
 def append_csv(df: DataFrame, path: str) -> None:
     df.write.mode("append").option("header", True).csv(path)

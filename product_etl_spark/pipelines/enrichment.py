@@ -27,9 +27,31 @@ from pyspark.sql.types import StringType, StructField, StructType
 from product_etl_spark.operators.incremental import only_unprocessed, read_stage_table
 from product_etl_spark.operators.upsert import upsert_parquet
 
-#: <img src="..."> extraction — the BeautifulSoup img[src] scan
-#: (db_orchestrator.py:65-68) as a pure regex over the HTML text.
-IMG_SRC_PATTERN = r"""<img[^>]*\ssrc=["']([^"']+)["']"""
+#: <img src=...> extraction — the BeautifulSoup img[src] scan
+#: (db_orchestrator.py:65-68) as a pure regex over the HTML text,
+#: matching html.parser's TOLERANT attribute grammar (CPython
+#: html/parser.py attrfind_tolerant): double-quoted, single-quoted, or
+#: UNQUOTED values (unquoted = up to whitespace or '>'), optional
+#: whitespace around '=', case-insensitive tag/attr names, and any
+#: attribute order. Scraped Taobao HTML routinely carries unquoted
+#: src= — the old quoted-only regex silently dropped those URLs.
+#: Group 1 keeps surrounding quotes (stripped below) so one capture
+#: covers all three value forms.
+IMG_SRC_PATTERN = (
+    r"""(?i)<img\b[^>]*?[\s/'"]src\s*=\s*("[^"]*"|'[^']*'|[^>\s]*)"""
+)
+
+
+def _img_urls(html_col_expr: F.Column) -> F.Column:
+    """array<string> of img src values in document order; quotes
+    stripped, empty src dropped (the reference filters falsy src:
+    1_image_extractor_from_html.py:23)."""
+    raw = F.regexp_extract_all(html_col_expr, F.lit(IMG_SRC_PATTERN), 1)
+    unquoted = F.transform(
+        raw,
+        lambda x: F.regexp_replace(x, r"""^"(.*)"$|^'(.*)'$""", r"$1$2"),
+    )
+    return F.filter(unquoted, lambda x: x != "")
 
 
 def extract_image_urls(products: DataFrame, html_col: str = "details_html") -> DataFrame:
@@ -41,9 +63,7 @@ def extract_image_urls(products: DataFrame, html_col: str = "details_html") -> D
         F.col(html_col).isNotNull() & (F.col(html_col) != "")
     ).select(
         "product_id",
-        F.posexplode(
-            F.regexp_extract_all(F.col(html_col), F.lit(IMG_SRC_PATTERN), 1)
-        ).alias("pos", "image_url"),
+        F.posexplode(_img_urls(F.col(html_col))).alias("pos", "image_url"),
     )
     return with_urls.select(
         "product_id",

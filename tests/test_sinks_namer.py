@@ -114,3 +114,42 @@ def test_introspection(spark):
         [("i", "c", "v", 1)], "id string, master_code string, name string, n int"
     )
     assert discover_translatable_fields(df) == ["name"]
+
+
+def test_measured_height_kernel_contract(spark, tmp_path):
+    """The dynamic page-size contract (html_to_pdf/pupeeter.py:41-50):
+    height measured at the 1280px screen viewport, px->mm via
+    0.264583, one 210mm-wide page of exactly that height."""
+    from product_etl_spark.operators.sinks import (
+        MEASURE_VIEWPORT,
+        measured_height_kernel,
+        render_pdf_stage,
+    )
+
+    calls = []
+
+    def measure(html: str) -> int:
+        # pretend scrollHeight scales with content length
+        return 1000 + len(html)
+
+    def render(html: str, width: str, height: str) -> bytes:
+        calls.append((html, width, height))
+        return f"pdf[{width}x{height}]".encode()
+
+    kernel = measured_height_kernel(measure, render)
+    html = "<body>" + "x" * 87 + "</body>"  # len 100 -> 1100 px
+    assert len(html) == 100
+    payload = kernel(html)
+    assert calls == [(html, "210mm", f"{1100 * 0.264583}mm")]
+    assert payload == f"pdf[210mmx{1100 * 0.264583}mm]".encode()
+    assert MEASURE_VIEWPORT == {"width": 1280, "height": 8000}
+
+    # and it plugs straight into the sink as the default RenderKernel
+    df = spark.createDataFrame([("p one", html)], "name string, html string")
+    out_dir = str(tmp_path / "pdfs")
+    n = render_pdf_stage(df, out_dir, kernel)
+    assert n == 1
+    import os
+    [f] = os.listdir(out_dir)
+    assert f.endswith(".pdf")
+    assert open(os.path.join(out_dir, f), "rb").read().startswith(b"pdf[210mm")

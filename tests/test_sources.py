@@ -72,7 +72,9 @@ def test_mapping_loader_and_projection(spark, tmp_path):
         "Product Name,product_collection_translations,\n"
     )
     mapping = load_mapping(spark, str(p))
-    assert mapping["Master Code"] == {"table": "product_collection", "column": "master_code"}
+    assert mapping["Master Code"] == {
+        "table": "product_collection", "column": "master_code", "type": "text"
+    }
     cols = projection_for_table(mapping, "product")
     df = spark.createDataFrame(
         [("963cef", "s1", "10", "名")],
@@ -245,3 +247,69 @@ def test_automapper_suggestions(spark, tmp_path):
     p.write_text(mapping_to_csv(m))
     loaded = load_mapping(spark, str(p))
     assert loaded["Master Code"]["column"] == "master_code"
+
+
+def test_mapping_type_column_dialect(spark, tmp_path):
+    """The older 4-column mapping form (importer_etl.py:21-28 /
+    automapper.py:17-24): headers `Raw Column,Table,Field,Type`; Type
+    drives a try_cast in the projection, defaulting to text."""
+    p = tmp_path / "vol - Sheet8.csv"
+    p.write_text(
+        "Raw Column,Table,Field,Type\n"
+        "Master Code,product_collection,master_code,text\n"
+        "SKU Code,product,sku,varchar\n"
+        "Price,product,selling_price,\"numeric(10,2)\"\n"
+        "Stock,product,stock_qty,int\n"
+        "Active,product,is_active,boolean\n"
+        "Created,product,created_on,date\n"
+    )
+    mapping = load_mapping(spark, str(p))
+    assert mapping["Price"]["type"] == "numeric(10,2)"
+    assert mapping["Master Code"]["type"] == "text"
+
+    df = spark.createDataFrame(
+        [("s1", "12.50", "7", "true", "2024-03-01"),
+         ("s2", "oops", "x", "nope", "not-a-date")],
+        "`SKU Code` string, Price string, Stock string, "
+        "Active string, Created string",
+    )
+    out = df.select(*projection_for_table(mapping, "product"))
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {
+        "sku": "string",
+        "selling_price": "decimal(38,12)",
+        "stock_qty": "int",
+        "is_active": "boolean",
+        "created_on": "date",
+    }
+    rows = {r["sku"]: r for r in out.collect()}
+    assert float(rows["s1"]["selling_price"]) == 12.5
+    assert rows["s1"]["stock_qty"] == 7 and rows["s1"]["is_active"] is True
+    assert str(rows["s1"]["created_on"]) == "2024-03-01"
+    # try_cast semantics: bad cells -> NULL, never a job failure
+    assert rows["s2"]["selling_price"] is None
+    assert rows["s2"]["stock_qty"] is None
+    assert rows["s2"]["is_active"] is None
+    assert rows["s2"]["created_on"] is None
+
+
+def test_mapping_type_column_on_new_dialect(spark, tmp_path):
+    """A Type column is honored on the 3-column dialect too."""
+    p = tmp_path / "map.csv"
+    p.write_text(
+        "raw_input_field,db_table,field,Type\n"
+        "Qty,product,qty,bigint\n"
+    )
+    mapping = load_mapping(spark, str(p))
+    assert mapping["Qty"]["type"] == "bigint"
+    df = spark.createDataFrame([("42",)], "Qty string")
+    out = df.select(*projection_for_table(mapping, "product"))
+    assert out.schema["qty"].dataType.simpleString() == "bigint"
+    assert out.collect()[0]["qty"] == 42
+
+
+def test_mapping_unknown_header_raises(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b,c\n1,2,3\n")
+    with pytest.raises(ValueError, match="unrecognized mapping header"):
+        load_mapping(spark, str(p))
