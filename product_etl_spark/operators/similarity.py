@@ -89,22 +89,99 @@ def knn_bruteforce(
     )
 
 
-def ivf_centroids(corpus: DataFrame, emb_col: str, id_col: str, n_lists: int = 4):
-    """Deterministic IVF coarse centroids: the ``n_lists``
-    lowest-id vectors act as seed centroids (a real deployment runs
-    k-means; the assignment/probe machinery is identical and the
-    deterministic seed keeps the oracle reproducible).
+def ivf_centroids(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_lists: int = 4,
+    seed_mode: str = "lowest_id",
+    seed: int = 0,
+):
+    """Deterministic IVF coarse centroids — ``n_lists`` seed vectors.
 
-    Scale shape: ``orderBy(id).limit(n)`` plans as
+    ``seed_mode``:
+
+    * ``"lowest_id"`` (default): the ``n_lists`` lowest-id vectors —
+      the oracle-reproducible contract (DuckDB can mirror it).
+    * ``"hash"``: k-means||-style two-step. Draw ``8 * n_lists``
+      candidates by lowest ``xxhash64(id, seed)`` (an unbiased,
+      deterministic uniform sample DECORRELATED from id order — the
+      cure for data written cluster-sorted, where the lowest-id seeds
+      all land in one cluster), then greedily keep the ``n_lists``
+      candidates maximizing pairwise min-distance (the k-means++
+      farthest-point rule) driver-side over the candidate set only.
+
+    Scale shape: both modes plan the corpus scan as
     TakeOrderedAndProject (parallel per-partition top-k, no total
-    sort); the row_number window that assigns list_id then runs over
-    the ≤ n_lists surviving rows — dimension-sized at any corpus
-    scale, never over the corpus itself."""
-    seeds = corpus.orderBy(F.col(id_col)).limit(n_lists)
-    w = Window.orderBy(F.col(id_col))
-    return seeds.select(
-        (F.row_number().over(w) - 1).alias("list_id"),
-        F.col(emb_col).alias("centroid"),
+    sort). ``"hash"``'s farthest-point pass runs on the driver over
+    8·n_lists vectors — k·dim-sized, never corpus-sized."""
+    if seed_mode == "lowest_id":
+        seeds = corpus.orderBy(F.col(id_col).asc()).limit(n_lists)
+        w = Window.orderBy(F.col(id_col))
+        return seeds.select(
+            (F.row_number().over(w) - 1).alias("list_id"),
+            F.col(emb_col).alias("centroid"),
+        )
+    if seed_mode != "hash":
+        raise ValueError(f"unknown seed_mode {seed_mode!r}")
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb")
+        )
+        .orderBy(
+            F.xxhash64(F.col("_id"), F.lit(seed)).asc(), F.col("_id").asc()
+        )
+        .limit(8 * n_lists)
+        .collect()
+    )
+    vecs = [list(r["_emb"]) for r in cand]
+
+    def _d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [0]  # lowest-hash candidate anchors the selection
+    while len(chosen) < min(n_lists, len(vecs)):
+        best_i, best_d = -1, -1.0
+        for i in range(len(vecs)):
+            if i in chosen:
+                continue
+            d = min(_d2(vecs[i], vecs[j]) for j in chosen)
+            if d > best_d:
+                best_i, best_d = i, d
+        chosen.append(best_i)
+    picked = sorted((cand[i]["_id"], vecs[i]) for i in chosen)
+    return corpus.sparkSession.createDataFrame(
+        [(lid, v) for lid, (_, v) in enumerate(picked)],
+        "list_id int, centroid array<float>",
+    )
+
+
+#: expression-size guard for the fused literal-centroid argmin: above
+#: this many (n_lists x dim) literals the expression tree gets big
+#: enough that the crossJoin+agg assignment is the better plan.
+_FUSED_ASSIGN_MAX_LITERALS = 32768
+
+
+def _argmin_literal_expr(
+    centroids: list[tuple[int, list[float]]], emb_col: str
+) -> F.Column:
+    """struct(dist, list_id) of the nearest centroid, as a PURE MAP
+    expression over literal centroid arrays — no join, no shuffle.
+    ``array_min`` over structs orders by (dist, list_id), so ties
+    break toward the lower list_id exactly like the
+    ``min(struct(dist, list_id))`` aggregate in ``ivf_assign``."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    V.l2_distance(
+                        emb_col, F.array(*[F.lit(float(v)) for v in vec])
+                    ).alias("dist"),
+                    F.lit(int(lid)).alias("list_id"),
+                )
+                for lid, vec in centroids
+            ]
+        )
     )
 
 
@@ -114,37 +191,59 @@ def ivf_centroids_kmeans(
     id_col: str,
     n_lists: int = 4,
     n_iters: int = 5,
+    seed_mode: str = "lowest_id",
+    seed: int = 0,
 ) -> DataFrame:
     """Distributed Lloyd's k-means for real IVF coarse centroids
     (``ivf_centroids`` is the deterministic-seed variant the oracle
     uses; this is the quality path a deployment trains with).
 
-    Per iteration: assign = broadcast-centroids crossJoin +
-    min-struct argmin (map-shaped over the corpus); recompute = posexplode ->
-    groupBy(list, dim) avg -> reassemble (one shuffle keyed on
-    (n_lists × dim) groups). Centroids — k·dim doubles — are
-    legitimately driver-state (dimension-sized), collected each
-    round so the plan doesn't grow with iterations; empty clusters
-    keep their previous centroid. Deterministic: seeds are the
-    lowest-id vectors and every step is order-insensitive."""
+    FUSED iteration: one corpus pass per round. The argmin runs as a
+    pure map expression against the round's centroids inlined as
+    literals (``_argmin_literal_expr`` — the k·dim doubles are
+    driver-state anyway, so "broadcast" degenerates to constant
+    folding), then per-list means come straight off the assigned rows:
+    posexplode -> groupBy(list, dim) avg (ONE shuffle keyed on
+    n_lists×dim groups, map-side combined) -> reassemble. No
+    assignment join-back, no groupBy(id) shuffle. Above
+    ``_FUSED_ASSIGN_MAX_LITERALS`` (huge k·dim) it falls back to the
+    crossJoin+agg assignment with a join-back, which shuffles but
+    never inflates the expression tree. Empty clusters keep their
+    previous centroid; everything is order-insensitive, so results
+    are deterministic for either ``seed_mode``."""
     spark = corpus.sparkSession
-    # One projection, cached across Lloyd's iterations — every round
-    # re-reads the full corpus twice (assign + mean), so at any real
-    # scale the iteration loop runs over the cached columnar form,
-    # not n_iters fresh source scans.
+    # One projection, cached across Lloyd's iterations — at any real
+    # scale the loop runs over the cached columnar form, not n_iters
+    # fresh source scans.
     corpus = corpus.select(id_col, emb_col).persist()
-    cents = ivf_centroids(corpus, emb_col, id_col, n_lists)
+    cents = ivf_centroids(
+        corpus, emb_col, id_col, n_lists, seed_mode=seed_mode, seed=seed
+    )
     # prev mirrors cents driver-side (k·dim floats) so each iteration
-    # costs exactly ONE action (means.collect) — cents never needs
-    # re-collecting since it was built from prev.
+    # costs exactly ONE action (means.collect).
     prev = {r["list_id"]: r["centroid"] for r in cents.collect()}
+    dim = len(next(iter(prev.values()))) if prev else 0
+    fused = n_lists * dim <= _FUSED_ASSIGN_MAX_LITERALS
     for _ in range(n_iters):
-        assigned = ivf_assign(corpus, cents, emb_col, id_col).select(
-            id_col, "list_id"
-        )
+        if fused:
+            assigned = corpus.select(
+                F.col(emb_col),
+                _argmin_literal_expr(sorted(prev.items()), emb_col)[
+                    "list_id"
+                ].alias("list_id"),
+            )
+        else:
+            cents = spark.createDataFrame(
+                sorted(prev.items()), "list_id int, centroid array<float>"
+            )
+            assigned = corpus.join(
+                ivf_assign(corpus, cents, emb_col, id_col).select(
+                    id_col, "list_id"
+                ),
+                id_col,
+            )
         means = (
-            corpus.join(assigned, id_col)
-            .select("list_id", F.posexplode(emb_col).alias("pos", "val"))
+            assigned.select("list_id", F.posexplode(emb_col).alias("pos", "val"))
             .groupBy("list_id", "pos")
             .agg(F.avg("val").alias("m"))
             .groupBy("list_id")
@@ -159,22 +258,45 @@ def ivf_centroids_kmeans(
         # materialize k rows on the driver: constant-size, cuts lineage
         for r in means.collect():
             prev[r["list_id"]] = r["centroid"]
-        cents = spark.createDataFrame(
-            sorted(prev.items()), "list_id int, centroid array<float>"
-        )
     corpus.unpersist()
-    return cents
+    return spark.createDataFrame(
+        sorted(prev.items()), "list_id int, centroid array<float>"
+    )
 
 
 def ivf_assign(
-    corpus: DataFrame, centroids: DataFrame, emb_col: str, id_col: str
+    corpus: DataFrame,
+    centroids: DataFrame,
+    emb_col: str,
+    id_col: str,
+    fused: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest (L2) centroid — the IVF
-    inverted-list build. Broadcast the centroids, then argmin as a
+    inverted-list build.
+
+    Default: broadcast the centroids, then argmin as a
     ``min(struct(dist, list_id))`` aggregation — ties break toward
     the lower list_id exactly like the former window form, but the
     k-rows-per-vector reduction happens map-side (partial combine)
-    instead of in a per-key window sort."""
+    instead of in a per-key window sort.
+
+    ``fused=True``: collect the (k·dim-sized) centroids and inline
+    them as literals, making the whole assignment a SINGLE MAP over
+    the corpus — zero shuffle, zero extra exchange. Identical values
+    (same zip_with/aggregate IEEE double ops, same lower-list
+    tiebreak; parity-asserted in tests). Use when the centroid frame
+    is the output of ``ivf_centroids*`` (always k rows); keep the
+    default for lazily-planned oracle paths."""
+    if fused:
+        cent_rows = sorted(
+            (r["list_id"], list(r["centroid"])) for r in centroids.collect()
+        )
+        best = _argmin_literal_expr(cent_rows, emb_col)
+        return corpus.select(
+            F.col(id_col),
+            best["list_id"].alias("list_id"),
+            F.round(best["dist"], 4).alias("centroid_dist"),
+        )
     joined = corpus.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         "list_id",

@@ -1071,21 +1071,31 @@ def q73_tpch_q5_local_supplier_volume(spark, sf_dir):
 )
 def q74_tpch_q10_returned_items(spark, sf_dir):
     """TPC-H Q10: returned-item reporting — fact filter, 3 joins,
-    top-k customers by lost revenue."""
+    top-k customers by lost revenue.
+
+    Aggregate-below-join (SCALING.md): returned-lineitem revenue is
+    pre-summed per orderkey BEFORE the orders/customer joins, so the
+    exchange carries one row per qualifying order instead of ~4
+    lineitems per order. Decimal addition is associative, so the
+    two-level sum is bit-identical to summing raw products after the
+    join. Nation stays broadcast; the final top-20 is
+    TakeOrderedAndProject.
+    """
     cu, o, li, n = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
-    return (
-        cu.join(o, o.o_custkey == cu.c_custkey)
-        .join(
-            li.filter(F.col("l_returnflag") == "R"),
-            F.col("l_orderkey") == o.o_orderkey,
-        )
-        .join(F.broadcast(n), n.n_nationkey == cu.c_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+    order_rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
         .agg(
             F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            .alias("order_revenue")
         )
+    )
+    return (
+        order_rev.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == cu.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("order_revenue").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )

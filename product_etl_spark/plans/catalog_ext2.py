@@ -669,7 +669,7 @@ def q93_kmeans_ivf_lists(spark, sf_dir):
         e, "embedding", "vec_id", n_lists=4, n_iters=3
     )
     return (
-        SIM.ivf_assign(e, cents, "embedding", "vec_id")
+        SIM.ivf_assign(e, cents, "embedding", "vec_id", fused=True)
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )

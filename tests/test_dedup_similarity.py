@@ -469,3 +469,101 @@ def test_ivf_index_nprobe_widens_candidates(spark, sf_dir, tmp_path):
     # all-but-self at nprobe=n_lists
     assert n4 >= n1
     assert n4 == emb.count() - 1
+
+
+def test_hash_seeding_robust_to_id_correlated_layout(spark):
+    """Adversarial layout: FOUR tight planted clusters, ids assigned
+    cluster-sorted so the lowest-id seeds all land in cluster 0 and
+    Lloyd's from that start collapses distant clusters. Hash seeding
+    (seed_mode='hash') decorrelates the draw from id order: it must
+    recover all four clusters purely, and remain deterministic for a
+    fixed seed."""
+    from product_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+    )
+
+    centers = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    rows = []
+    for c, center in enumerate(centers):
+        for i in range(15):  # ids 0..14 all cluster 0, 15..29 cluster 1...
+            vec = [v + 0.01 * ((i + j) % 3) for j, v in enumerate(center)]
+            rows.append((c * 15 + i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # the id-correlated degenerate case: all 4 lowest-id seeds in cluster 0
+    seeds_lowid = ivf_centroids(emb, "embedding", "vec_id", 4).collect()
+    assert all(r["centroid"][0] > 5.0 for r in seeds_lowid)
+
+    cents = ivf_centroids_kmeans(
+        emb, "embedding", "vec_id", n_lists=4, n_iters=6, seed_mode="hash",
+        seed=1,
+    )
+    assigned = ivf_assign(emb, cents, "embedding", "vec_id").collect()
+    lists = {r["vec_id"]: r["list_id"] for r in assigned}
+    cluster_lists = [
+        {lists[c * 15 + i] for i in range(15)} for c in range(4)
+    ]
+    assert all(len(s) == 1 for s in cluster_lists)  # each cluster pure
+    assert len(set().union(*cluster_lists)) == 4    # all four recovered
+
+    again = ivf_centroids_kmeans(
+        emb, "embedding", "vec_id", n_lists=4, n_iters=6, seed_mode="hash",
+        seed=1,
+    )
+    assert sorted(map(tuple, (r["centroid"] for r in cents.collect()))) == \
+        sorted(map(tuple, (r["centroid"] for r in again.collect())))
+
+
+def test_fused_assign_matches_crossjoin_assign(spark):
+    """The literal-argmin fused assignment must agree exactly with the
+    crossJoin+agg ivf_assign path on the same centroids (same IEEE
+    double ops, same lower-list tiebreak)."""
+    from product_etl_spark.operators.similarity import (
+        _argmin_literal_expr,
+        ivf_assign,
+        ivf_centroids,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(emb, "embedding", "vec_id", 3)
+    cent_rows = [(r["list_id"], list(r["centroid"])) for r in cents.collect()]
+
+    fused = {
+        r["vec_id"]: r["list_id"]
+        for r in emb.select(
+            "vec_id",
+            _argmin_literal_expr(cent_rows, "embedding")["list_id"].alias(
+                "list_id"
+            ),
+        ).collect()
+    }
+    joined = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(emb, cents, "embedding", "vec_id").collect()
+    }
+    assert fused == joined
+
+    # and the public fused path returns identical (list_id, dist) rows
+    full_fused = {
+        r["vec_id"]: (r["list_id"], r["centroid_dist"])
+        for r in ivf_assign(
+            emb, cents, "embedding", "vec_id", fused=True
+        ).collect()
+    }
+    full_joined = {
+        r["vec_id"]: (r["list_id"], r["centroid_dist"])
+        for r in ivf_assign(emb, cents, "embedding", "vec_id").collect()
+    }
+    assert full_fused == full_joined
