@@ -427,6 +427,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     }
     comp_by_id = {cid: (hh, v, tq) for cid, hh, v, tq in comps}
 
+    # validate table references BEFORE entropy decode: a scan that
+    # names an undefined component / Huffman table / quant table is a
+    # malformed file — raise a catchable codec ValueError, not a bare
+    # KeyError deep in the MCU loop (kernels catch ValueError per row)
+    for cs, td, ta in scan_comps:
+        if cs not in comp_by_id:
+            raise ValueError(f"JPEG scan references undefined component {cs}")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(
+                f"JPEG scan references missing Huffman table dc={td} ac={ta}"
+            )
+        if comp_by_id[cs][2] not in qts:
+            raise ValueError(
+                f"JPEG component {cs} references missing quant table "
+                f"{comp_by_id[cs][2]}"
+            )
+
     br = _BitReader(scan_data)
     pred = {cid: 0 for cid, *_ in comps}
     mcu = 0
@@ -453,6 +470,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     continue
                                 break  # EOB
                             k += r
+                            if k > 63:
+                                # corrupt run/size pair — surface a
+                                # catchable codec error, not IndexError
+                                raise ValueError(
+                                    "JPEG AC run overflows block "
+                                    f"(k={k})"
+                                )
                             zz[k] = _receive_extend(br, s)
                             k += 1
                         block = np.zeros(64, dtype=np.float64)
@@ -477,7 +501,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for cid, hh, v, _tq in comps:
         p = planes[cid]
         if hh != hmax or v != vmax:
-            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // hh, axis=1)
+            # nearest-neighbor upsample by INDEX MAPPING, not
+            # np.repeat with integer division — repeat silently
+            # misreconstructs legal non-divisible sampling-factor
+            # combinations (e.g. 3x3 luma with 2x2 chroma). For
+            # divisible factors rows[y] = y // (vmax//v), identical to
+            # the repeat form.
+            rows = (np.arange(p.shape[0] * vmax // v) * v) // vmax
+            cols = (np.arange(p.shape[1] * hmax // hh) * hh) // hmax
+            p = p[rows[:, None], cols]
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
         y = np.clip(out_planes[0], 0, 255).astype(np.uint8)

@@ -32,8 +32,8 @@ returns zero survivors — ingestion retries are idempotent.
 from __future__ import annotations
 
 import math
-import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,10 +46,23 @@ from product_etl_spark.operators.dedup import (
 
 
 def read_signature_store(spark: SparkSession, path: str) -> DataFrame | None:
-    """The persisted store, or None before the first batch."""
-    if not os.path.exists(path):
-        return None
-    return spark.read.parquet(path)
+    """The persisted store, or None before the first batch.
+
+    Probed by ATTEMPTING the read and catching the path-not-found
+    AnalysisException — NOT via os.path.exists, which silently returns
+    False for any non-local URI (s3://, hdfs://) and would make
+    cross-batch dedup skip the store, accept duplicates, and re-seed
+    with no error. Any other read failure (corrupt store, permission)
+    propagates loudly.
+    """
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if getattr(e, "getErrorClass", lambda: None)() == "PATH_NOT_FOUND" or (
+            "PATH_NOT_FOUND" in str(e)
+        ):
+            return None
+        raise
 
 
 def _batch_fingerprints(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -479,8 +479,21 @@ def stream_distinct_sketch_rollup(
 
 
 def _sketch_partial_dirs(state_dir: str) -> list[str]:
+    """NOTE: the sketch-state helpers (_sketch_partial_dirs,
+    compact_distinct_sketch_state) manage ``state_dir`` with
+    driver-local filesystem calls (os.listdir/shutil.rmtree), so
+    ``state_dir`` must be a LOCAL path — unlike the streaming
+    checkpoint/output paths, which go through Hadoop FS and accept
+    any URI. A remote state_dir raises here rather than silently
+    reading nothing."""
     import os
 
+    if "://" in state_dir and not state_dir.startswith("file://"):
+        raise ValueError(
+            "sketch state_dir must be a local filesystem path "
+            f"(got {state_dir!r}); the state helpers use driver-local "
+            "listing/compaction"
+        )
     if not os.path.isdir(state_dir):
         return []
     return sorted(
@@ -494,9 +507,26 @@ def read_distinct_sketch_state(
     alias: str = "n_distinct",
 ) -> DataFrame:
     """Current distinct estimates: union the compacted base (if any)
-    with the per-batch HLL partials."""
+    with the per-batch HLL partials. Before the first fold (missing
+    or empty state_dir) returns an EMPTY frame with the
+    ``(*keys, alias)`` schema instead of letting
+    ``spark.read.parquet()`` throw on zero paths."""
+    dirs = _sketch_partial_dirs(state_dir)
+    if not dirs:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [StructField(k, StringType()) for k in keys]
+            + [StructField(alias, LongType())]  # hll_sketch_estimate: long
+        )
+        return spark.createDataFrame([], schema)
     return (
-        spark.read.parquet(*_sketch_partial_dirs(state_dir))
+        spark.read.parquet(*dirs)
         .groupBy(*keys)
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(alias))
     )

@@ -67,3 +67,21 @@ def test_unknown_strategy_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="strategy"):
         incremental_dedup(spark, b, "text", "doc_id",
                           str(tmp_path / "s"), strategy="simhash")
+
+
+def test_store_probe_read_based_not_fs_based(spark, tmp_path):
+    """ADVICE fix: the store probe attempts the read (works for any
+    Hadoop-FS URI) — missing path -> None, any OTHER failure (e.g. a
+    corrupt store file) propagates instead of silently re-seeding."""
+    import pytest
+    from product_etl_spark.operators.dedup_incremental import (
+        read_signature_store,
+    )
+
+    assert read_signature_store(spark, str(tmp_path / "absent")) is None
+
+    corrupt = tmp_path / "store"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        read_signature_store(spark, str(corrupt)).collect()

@@ -159,3 +159,101 @@ def test_four_component_jpeg_gates_cleanly():
     data[idx + 2:idx + 2 + ln] = struct.pack(">H", len(seg) + 2) + seg
     with pytest.raises((NotImplementedError, ValueError, KeyError, EOFError)):
         decode_jpeg(bytes(data))
+
+
+def test_ac_run_overflow_raises_codec_error():
+    """A corrupt run/size stream that drives k past 63 must raise a
+    catchable ValueError, not IndexError (ADVICE r4)."""
+    import struct
+
+    import pytest
+
+    from product_etl_spark.functions import jpeg as J
+
+    base = J.encode_jpeg(np.full((8, 8), 128, dtype=np.uint8), quality=90)
+    sos_end = base.find(b"\xFF\xDA")
+    sos_len = struct.unpack(">H", base[sos_end + 2:sos_end + 4])[0]
+    header = base[:sos_end + 2 + sos_len]
+
+    dc = J._canonical_codes(*J._DC_LUMA)
+    ac = J._canonical_codes(*J._AC_LUMA)
+    bw = J._BitWriter()
+    ln, code = dc[0]
+    bw.write(ln, code)  # DC cat 0
+    for _ in range(4):  # each 0xF1: run 15 + size 1 -> k = 1+16n -> 65
+        ln, code = ac[0xF1]
+        bw.write(ln, code)
+        bw.write(1, 1)
+    bw.flush()
+
+    with pytest.raises(ValueError, match="AC run overflows block"):
+        J.decode_jpeg(header + bytes(bw.out) + b"\xFF\xD9")
+
+
+def test_missing_huffman_table_raises_codec_error():
+    """A scan referencing an undefined DHT raises ValueError before
+    entropy decode, not KeyError mid-MCU (ADVICE r4)."""
+    import struct
+
+    import pytest
+
+    from product_etl_spark.functions import jpeg as J
+
+    base = J.encode_jpeg(np.full((8, 8), 90, dtype=np.uint8), quality=90)
+    # strip every DHT segment
+    data = bytearray()
+    pos = 0
+    while pos < len(base):
+        if base[pos:pos + 2] == b"\xFF\xC4":
+            seg_len = struct.unpack(">H", base[pos + 2:pos + 4])[0]
+            pos += 2 + seg_len
+            continue
+        data.append(base[pos])
+        pos += 1
+    with pytest.raises(ValueError, match="missing Huffman table"):
+        J.decode_jpeg(bytes(data))
+
+
+def test_non_divisible_sampling_factors_upsample():
+    """Legal but non-divisible h/v combinations (3x1 luma with 2x1
+    chroma) must reconstruct via index-mapped nearest-neighbor — the
+    old integer-division np.repeat produced a 16px-wide chroma plane
+    for a 24px image (shape mismatch / silent misreconstruction)."""
+    import struct
+
+    from product_etl_spark.functions import jpeg as J
+
+    h, w = 8, 24
+    out = bytearray(b"\xFF\xD8")
+    qt = J._scale_qt(J._QT_LUMA, 90)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0]) \
+        + bytes(int(qt.flat[z]) for z in J._ZIGZAG)
+    # SOF0: comp1 h=3 v=1, comp2 h=2 v=1, comp3 h=2 v=1, all qt 0
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hv in ((1, 0x31), (2, 0x21), (3, 0x21)):
+        sof += bytes([cid, hv, 0])
+    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc_th, (bits, vals) in ((0x00, J._DC_LUMA), (0x10, J._AC_LUMA)):
+        seg = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3F\x00"
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc = J._canonical_codes(*J._DC_LUMA)
+    ac = J._canonical_codes(*J._AC_LUMA)
+    bw = J._BitWriter()
+    for _ in range(3 + 2 + 2):  # one MCU: 3 luma + 2 cb + 2 cr blocks
+        ln, code = dc[0]
+        bw.write(ln, code)   # DC cat 0 (flat 128)
+        ln, code = ac[0x00]
+        bw.write(ln, code)   # EOB
+    bw.flush()
+    out += bytes(bw.out) + b"\xFF\xD9"
+
+    dec = J.decode_jpeg(bytes(out))
+    assert dec.shape == (8, 24, 3)
+    # flat mid-gray everywhere (Y=128, Cb=Cr=128 -> RGB 128)
+    assert abs(float(dec.mean()) - 128.0) < 2.0

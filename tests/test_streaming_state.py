@@ -181,3 +181,25 @@ def test_sketch_state_compaction_preserves_estimates(spark, tmp_path):
     # the HLL error bound (observed ~1%), so assert accuracy vs the
     # exact count, not bit-equality
     assert abs(final["n_distinct"] - 450) / 450 < 0.05
+
+
+def test_sketch_state_empty_and_remote_guard(spark, tmp_path):
+    """ADVICE fixes: reading sketch state before any fold returns an
+    empty typed frame (not a confusing zero-path read error), and a
+    remote state_dir raises up front (the helpers are driver-local)."""
+    import pytest
+    from product_etl_spark.streaming.pipeline import (
+        read_distinct_sketch_state,
+    )
+
+    out = read_distinct_sketch_state(
+        spark, str(tmp_path / "never-written"), ["event_type"]
+    )
+    assert out.columns == ["event_type", "n_distinct"]
+    assert out.schema["n_distinct"].dataType.simpleString() == "bigint"
+    assert out.count() == 0
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        read_distinct_sketch_state(
+            spark, "s3://bucket/state", ["event_type"]
+        )
