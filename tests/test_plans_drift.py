@@ -22,12 +22,47 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _STATS = re.compile(r", Statistics\([^)]*\)")
 _CODEGEN_ID = re.compile(r"\[codegen id : \d+\]")
 
+#: Sections whose TREE is legitimately nondeterministic: q95's SCD2
+#: full-outer branches null-reject into inner joins between two
+#: near-equal-size aggregates, and AQE's build-side pick (BuildLeft vs
+#: BuildRight) races on which shuffle stage lands first. Neither side
+#: broadcasts at production scale, so pinning a hint would falsify the
+#: scale shape. For these we still require the section to exist and
+#: its SCAN lines (PushedFilters/ReadSchema) to match — only the
+#: operator tree is exempt.
+AQE_RACY_SECTIONS = {"q95_scd2_customer_history"}
+
 
 def _normalize(text: str) -> str:
     return "\n".join(
         _CODEGEN_ID.sub("[codegen]", _STATS.sub("", line)).rstrip()
         for line in text.strip().splitlines()
     )
+
+
+def _split_sections(text: str) -> dict[str, str]:
+    """{query_name: section body} from the '## qNN_... — why' headers."""
+    out: dict[str, str] = {}
+    name = None
+    buf: list[str] = []
+    for line in text.splitlines():
+        if line.startswith("## "):
+            if name is not None:
+                out[name] = "\n".join(buf)
+            name = line[3:].split(" — ")[0].strip()
+            buf = []
+        else:
+            buf.append(line)
+    if name is not None:
+        out[name] = "\n".join(buf)
+    return out
+
+
+def _scan_lines(section: str) -> list[str]:
+    return [
+        line for line in section.splitlines()
+        if line.startswith(("PushedFilters", "ReadSchema"))
+    ]
 
 
 def test_plans_md_matches_generator(tmp_path):
@@ -46,17 +81,35 @@ def test_plans_md_matches_generator(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     regenerated = open(env["SPARK_GRAFT_PLANS_OUT"]).read()
 
-    left, right = _normalize(committed), _normalize(regenerated)
-    if left != right:
+    lsec = _split_sections(_normalize(committed))
+    rsec = _split_sections(_normalize(regenerated))
+    assert set(lsec) == set(rsec), (
+        f"headliner set changed: committed-only={sorted(set(lsec)-set(rsec))} "
+        f"regenerated-only={sorted(set(rsec)-set(lsec))} — rerun gen_plans.py"
+    )
+    stale = []
+    for name in rsec:
+        if name in AQE_RACY_SECTIONS:
+            if _scan_lines(lsec[name]) != _scan_lines(rsec[name]):
+                stale.append(name)
+        elif lsec[name] != rsec[name]:
+            stale.append(name)
+    if stale:
         import difflib
 
-        diff = "\n".join(
-            difflib.unified_diff(
-                left.splitlines(), right.splitlines(),
-                "PLANS.md (committed)", "PLANS.md (regenerated)", lineterm="",
+        detail = []
+        for name in stale[:3]:
+            detail.append(
+                "\n".join(
+                    difflib.unified_diff(
+                        lsec[name].splitlines(), rsec[name].splitlines(),
+                        f"{name} (committed)", f"{name} (regenerated)",
+                        lineterm="",
+                    )
+                )
             )
-        )
         raise AssertionError(
-            "PLANS.md is stale — rerun `python tools/gen_plans.py` and "
-            "commit it with the plan change:\n" + diff[:8000]
+            f"PLANS.md is stale for {stale} — rerun `python tools/"
+            "gen_plans.py` and commit it with the plan change:\n"
+            + "\n\n".join(detail)[:8000]
         )
