@@ -255,6 +255,52 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return px[ys][:, xs]
 
 
+def resize_bilinear(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize via vectorized index/weight maps (align-corners
+    =False, the OpenCV/PIL convention: sample at pixel centers). Exact
+    on linear gradients — asserted in tests/test_codecs.py. Output
+    dtype matches input (uint8 rounds half away from zero)."""
+    h, w = px.shape[:2]
+    # source center coordinate for each output pixel
+    sy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    sx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(sy).astype(int)
+    x0 = np.floor(sx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (sy - y0)[:, None]
+    wx = (sx - x0)[None, :]
+    if px.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(px.dtype, np.integer):
+        info = np.iinfo(px.dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(px.dtype)
+    return out.astype(px.dtype)
+
+
+def wav_samples(data: bytes) -> tuple[int, np.ndarray]:
+    """WAV (PCM) -> (sample_rate, mono float64 samples in [-1, 1]).
+    Channels are averaged to mono. The raw-signal companion to
+    ``decode_wav``'s summary stats, feeding spectral analysis."""
+    with wave.open(io.BytesIO(data)) as w:
+        rate, nch, sampwidth = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sampwidth}")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return rate, samples
+
+
 def average_hash(px: np.ndarray, hash_size: int = 8) -> str:
     """Real perceptual average-hash: gray -> hash_size² downsample ->
     threshold at the mean -> hex (16 chars for the 64-bit default)."""

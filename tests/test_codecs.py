@@ -241,3 +241,83 @@ def test_sample_video_frames_truncated_payload_keeps_existing_frames(spark):
     out = sample_video_frames(media, every_n=1).collect()
     # header claims 6 frames; only the intact prefix decodes, task survives
     assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1]
+
+
+def test_resize_bilinear_exact_on_linear_gradient():
+    """Bilinear interpolation of a linear ramp reproduces the ramp:
+    upscaling a float gradient gives exactly the linear values at the
+    sampled center coordinates (interior points)."""
+    h, w = 8, 8
+    y, x = np.mgrid[0:h, 0:w]
+    px = x.astype(np.float64)  # value == column index
+    out = codecs.resize_bilinear(px, 16, 16)
+    # output column j samples source coordinate (j+0.5)*w/16 - 0.5
+    sx = np.clip((np.arange(16) + 0.5) * w / 16 - 0.5, 0, w - 1)
+    assert np.allclose(out[4], sx)
+    # shape + dtype preservation on uint8 3-channel
+    rgb = _gradient(10, 12)
+    out8 = codecs.resize_bilinear(rgb, 24, 20)
+    assert out8.shape == (20, 24, 3) and out8.dtype == np.uint8
+
+
+def test_resize_bilinear_constant_and_identity():
+    const = np.full((5, 7, 3), 123, dtype=np.uint8)
+    assert np.array_equal(
+        codecs.resize_bilinear(const, 14, 10), np.full((10, 14, 3), 123, np.uint8)
+    )
+    px = _gradient(9, 9)
+    assert np.array_equal(codecs.resize_bilinear(px, 9, 9), px)
+
+
+def test_wav_samples_mono_downmix_and_rate():
+    t = np.arange(8000) / 8000.0
+    left = np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([left, -left], axis=1).reshape(-1)
+    data = codecs.encode_wav(stereo, 8000, n_channels=2)
+    rate, mono = codecs.wav_samples(data)
+    assert rate == 8000 and mono.size == 8000
+    # L and R cancel -> silence after downmix
+    assert np.abs(mono).max() < 1e-3
+
+
+def test_spark_audio_spectral_features(spark):
+    """A pure 1 kHz sine: spectral centroid ~ 1 kHz, rolloff ~ 1 kHz,
+    band energy concentrated in the band containing 1 kHz, ZCR ~
+    2*f/rate. A corrupt payload yields a null-feature row."""
+    from product_etl_spark.operators.multimodal import extract_audio_spectral
+
+    rate, f = 8000, 1000.0
+    t = np.arange(rate) / rate
+    wav = codecs.encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate)
+    media = spark.createDataFrame(
+        [("s1", wav), ("bad", b"notawav")], "media_id string, content binary"
+    )
+    rows = {r["media_id"]: r for r in extract_audio_spectral(media, n_bands=8).collect()}
+    s = rows["s1"]
+    assert abs(s["spectral_centroid_hz"] - f) < 30
+    assert abs(s["rolloff_hz"] - f) < 30
+    assert abs(s["zcr"] - 2 * f / rate) < 0.02
+    band = s["band_energy"]
+    assert len(band) == 8
+    assert band[2] > 0.95  # 1 kHz falls in [1000, 1500) of 8 bands to 4 kHz
+    assert abs(sum(band) - 1.0) < 1e-6
+    assert rows["bad"]["spectral_centroid_hz"] is None
+
+
+def test_spark_resize_bilinear_stage(spark):
+    from pyspark.sql import functions as F
+    from product_etl_spark.operators.multimodal import (
+        extract_image_features,
+        real_image_decode,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [("m1", "mem://a", "image/png", codecs.encode_png(_gradient(32, 48)))],
+        "media_id string, uri string, media_type string, content binary",
+    )
+    out = resize_images(media, 12, 10, method="bilinear")
+    feats = extract_image_features(out, real_image_decode).collect()[0]
+    assert feats["width"] == 12 and feats["height"] == 10
+    with pytest.raises(ValueError):
+        resize_images(media, 4, 4, method="bicubic")
