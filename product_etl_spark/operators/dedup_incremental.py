@@ -80,6 +80,8 @@ def incremental_dedup(
     strategy: str = "fingerprint",
     k: int = 8,
     jaccard_threshold: float = 0.8,
+    bloom_prefilter: bool = False,
+    bloom_m_bits: int = 1 << 22,
 ) -> DataFrame:
     """Dedup ``batch`` internally AND against the signature store at
     ``store_path``, append the survivors' signatures to the store,
@@ -89,9 +91,25 @@ def incremental_dedup(
     fingerprint, ``(sig_id, h0..h{k-1})`` for near. One store serves
     one strategy; mixing raises at the join (column mismatch) rather
     than silently passing everything.
+
+    ``bloom_prefilter`` (fingerprint strategy only): maintain a
+    bloom-as-table sidecar at ``{store_path}_bloom`` (see
+    ``operators/bloom.py``) so "definitely new" fingerprints skip the
+    exact store join entirely — at web-crawl scale the store side of
+    that join grows with accepted HISTORY, while the sidecar is
+    bounded at ``bloom_m_bits`` rows forever. Crash-safety ordering:
+    the sidecar is appended BEFORE the store, so a crash between the
+    two writes can only leave the bloom OVER-covering — extra false
+    positives fall through to the exact check; a store-first order
+    could leave accepted fingerprints missing from the bloom, i.e.
+    false negatives that admit duplicates. A lost/corrupt sidecar is
+    rebuilt from the store: ``bloom_partials(store.select('fp'),
+    'fp', m_bits)``.
     """
     if strategy not in ("fingerprint", "near"):
         raise ValueError(f"unknown incremental dedup strategy: {strategy}")
+    if bloom_prefilter and strategy != "fingerprint":
+        raise ValueError("bloom_prefilter applies to the fingerprint strategy")
 
     # 1) intra-batch dedup (the batch may repeat itself)
     batch = dedup_corpus(
@@ -104,6 +122,28 @@ def incremental_dedup(
     if strategy == "fingerprint":
         sigs = _batch_fingerprints(batch, text_col, id_col)
         if store is not None:
+            if bloom_prefilter:
+                from product_etl_spark.operators.bloom import (
+                    bloom_partials,
+                    split_by_bloom,
+                )
+
+                bloom = read_signature_store(spark, _bloom_path(store_path))
+                if bloom is None:
+                    # Flag turned on over a pre-existing store: a
+                    # sidecar seeded from survivors alone would
+                    # UNDER-cover history and admit duplicates as
+                    # "definitely new" next run. Seed it from the
+                    # full store first (one-time cost), then use it.
+                    bloom_partials(
+                        store.select("fp"), "fp", m_bits=bloom_m_bits
+                    ).write.mode("append").parquet(_bloom_path(store_path))
+                    bloom = read_signature_store(
+                        spark, _bloom_path(store_path)
+                    )
+                tagged = split_by_bloom(sigs, bloom, "fp", m_bits=bloom_m_bits)
+                # only maybe-seen fingerprints pay the store join
+                sigs = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
             hit_fps = sigs.join(
                 store.select("fp").distinct(), "fp", "leftsemi"
             ).select("sig_id")
@@ -179,9 +219,22 @@ def incremental_dedup(
     # the store path at all.
     if strategy == "fingerprint":
         new_sigs = _batch_fingerprints(survivors, text_col, id_col)
+        if bloom_prefilter:
+            from product_etl_spark.operators.bloom import bloom_partials
+
+            # sidecar BEFORE store: a crash in between over-covers
+            # the bloom (safe: false positives -> exact check), never
+            # under-covers it (unsafe: duplicates admitted).
+            bloom_partials(new_sigs, "fp", m_bits=bloom_m_bits).write.mode(
+                "append"
+            ).parquet(_bloom_path(store_path))
     else:
         new_sigs = minhash_signatures(survivors, text_col, id_col, k=k).select(
             F.col(id_col).alias("sig_id"), *[f"h{i}" for i in range(k)]
         )
     new_sigs.write.mode("append").parquet(store_path)
     return survivors
+
+
+def _bloom_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "_bloom"
