@@ -12,7 +12,6 @@ them are one Spark primitive: ``left_anti``.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,7 +41,8 @@ def read_stage_table(spark: SparkSession, path: str) -> DataFrame | None:
     reference's per-stage skip flags + read-back
     (utils/details_translator/db_orchestrator.py:240-258).
     """
-    success = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(success):
+    from product_etl_spark.fs import table_exists
+
+    if not table_exists(spark, path):
         return None
     return spark.read.parquet(path)

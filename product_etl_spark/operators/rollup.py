@@ -49,7 +49,9 @@ def incremental_rollup(
     # to the single-batch aggregate's type so the state schema cannot
     # drift merge-over-merge.
     stable = dict(partial.dtypes)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    from product_etl_spark.fs import table_exists
+
+    if table_exists(spark, path):
         cur = spark.read.parquet(path)
         affected = cur.join(partial.select(*keys).distinct(), keys, "left_semi")
         merged = (

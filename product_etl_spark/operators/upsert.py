@@ -115,8 +115,15 @@ def upsert_parquet(
     ``dropDuplicates(keys)`` (deterministic inputs make the kept row
     deterministic — ids are uuid5, and callers pre-aggregate).
     """
+    from product_etl_spark.fs import require_local, table_exists
+
+    # Loud-and-early on remote URIs: the publish step below renames
+    # directories, and os.path probes on s3://... would silently
+    # report "absent" and downgrade every MERGE to an initial
+    # overwrite. Hadoop-FS probe + local-only publish instead.
+    require_local(path, "upsert_parquet")
     current = None
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if table_exists(spark, path):
         current = spark.read.parquet(path)
 
     # Partition-pruned path: only read/merge/rewrite the partitions

@@ -178,7 +178,9 @@ def compact_table(
     """Small-files compaction + optional layout sort.
 
     Incremental MERGE runs leave many small files; at 100 TB small
-    files dominate scan planning time. Rewrite the table at
+    files dominate scan planning time. Publishes via local rename
+    (require_local guards remote URIs — object stores use a table
+    format's OPTIMIZE instead). Rewrite the table at
     ~``target_file_mb`` per file; ``sort_cols`` clusters rows so
     parquet min/max statistics give data skipping on those columns
     (the poor man's Z-order — effective for one or two correlated
@@ -188,6 +190,9 @@ def compact_table(
     import shutil
     import uuid as _uuid
 
+    from product_etl_spark.fs import require_local
+
+    require_local(path, "compact_table")
     df = spark.read.parquet(path)
     n_bytes = sum(
         f.stat().st_size
@@ -252,6 +257,9 @@ def add_audit_columns(
     import uuid as _uuid
     from datetime import datetime, timezone
 
+    from product_etl_spark.fs import require_local
+
+    require_local(path, "add_audit_columns")
     df = spark.read.parquet(path)
     missing = [c for c in ("created_on", "modified_on") if c not in df.columns]
     if not missing:
@@ -293,6 +301,9 @@ def snapshot_table(spark, path: str, tag: str = "backup"):
     import shutil
     import time as _time
 
+    from product_etl_spark.fs import require_local
+
+    require_local(path, "snapshot_table")
     snap = f"{path}__{tag}_{int(_time.time())}"
     shutil.copytree(path, snap)
     return snap
@@ -318,15 +329,14 @@ def backfill_missing_children(
     makes re-runs no-ops instead of relying on LIMIT-sized manual
     batches.
     """
+    from product_etl_spark.fs import table_exists
     from product_etl_spark.operators.upsert import upsert_parquet
-
-    import os
 
     child_keys = child_keys or [child_fk]
     # NULL-keyed parents never equi-match a child, so without this
     # guard every rerun would append another NULL-keyed placeholder
     parents = parents.filter(F.col(parent_key).isNotNull())
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if table_exists(spark, path):
         children = spark.read.parquet(path)
         childless = parents.join(
             children, parents[parent_key] == children[child_fk], "left_anti"
