@@ -392,6 +392,7 @@ def stream_dedup_corpus(
     id_col: str = "doc_id",
     strategy: str = "fingerprint",
     jaccard_threshold: float = 0.8,
+    bloom_prefilter: bool = False,
 ):
     """Continuously ingest documents (json-lines files landing in
     ``input_dir``), dedup each micro-batch against everything already
@@ -410,6 +411,13 @@ def stream_dedup_corpus(
     doc, so the failure mode is a dropped straggler on the torn batch,
     never a duplicate — and re-submitting the source file re-ingests
     any stragglers).
+
+    ``bloom_prefilter`` passes through to ``incremental_dedup``
+    (fingerprint strategy): as the accepted corpus grows without
+    bound, each micro-batch's store join is gated by the bounded
+    bloom sidecar, keeping per-batch latency independent of history
+    size. The sidecar's append-before-store ordering keeps the
+    replay idempotence argument above intact (over-coverage only).
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -431,6 +439,7 @@ def stream_dedup_corpus(
             signature_store,
             strategy=strategy,
             jaccard_threshold=jaccard_threshold,
+            bloom_prefilter=bloom_prefilter,
         )
         survivors.write.mode("append").parquet(accepted_dir)
 

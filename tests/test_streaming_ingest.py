@@ -3,6 +3,7 @@ warehouse tables merge incrementally and exactly-once."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from product_etl_spark.streaming.pipeline import stream_ingest_csv
@@ -110,7 +111,8 @@ def test_max_files_per_trigger_per_file_import_semantics(spark, tmp_path):
     assert prods == {"var2-sku"}
 
 
-def test_stream_dedup_corpus_cross_batch(spark, tmp_path):
+@pytest.mark.parametrize("bloom", [False, True])
+def test_stream_dedup_corpus_cross_batch(spark, tmp_path, bloom):
     import json
     import os
 
@@ -133,7 +135,8 @@ def test_stream_dedup_corpus_cross_batch(spark, tmp_path):
 
     # batch 1: internal dup (2 repeats 1)
     drop_file("b1.jsonl", [(1, doc_a), (2, doc_a), (3, doc_b)])
-    q = stream_dedup_corpus(spark, str(inp), accepted, store, ckpt)
+    q = stream_dedup_corpus(spark, str(inp), accepted, store, ckpt,
+                            bloom_prefilter=bloom)
     q.awaitTermination(120)
 
     got = spark.read.parquet(accepted)
@@ -141,7 +144,8 @@ def test_stream_dedup_corpus_cross_batch(spark, tmp_path):
 
     # batch 2 lands later: one cross-batch dup + one fresh doc
     drop_file("b2.jsonl", [(10, doc_a), (11, doc_c)])
-    q2 = stream_dedup_corpus(spark, str(inp), accepted, store, ckpt)
+    q2 = stream_dedup_corpus(spark, str(inp), accepted, store, ckpt,
+                             bloom_prefilter=bloom)
     q2.awaitTermination(120)
 
     got2 = spark.read.parquet(accepted)
@@ -151,7 +155,7 @@ def test_stream_dedup_corpus_cross_batch(spark, tmp_path):
     # that re-reads everything) appends nothing: every doc collides
     # with its own stored signature
     q3 = stream_dedup_corpus(spark, str(inp), accepted, store,
-                             str(tmp_path / "ckpt2"))
+                             str(tmp_path / "ckpt2"), bloom_prefilter=bloom)
     q3.awaitTermination(120)
     got3 = spark.read.parquet(accepted)
     assert sorted(r["doc_id"] for r in got3.collect()) == [1, 3, 11]
