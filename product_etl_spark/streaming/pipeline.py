@@ -487,6 +487,59 @@ def stream_distinct_sketch_rollup(
     )
 
 
+def stream_cms_rollup(
+    events: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    col: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 0,
+):
+    """Streaming point-frequency state via count-min partials
+    (operators/cms.py): per micro-batch, one bounded depth x width
+    sketch per group lands in an immutable ``state_dir/batch=<id>``
+    directory; ``read_cms_state`` sums the cells and answers "how
+    often has THIS value appeared so far?" for any probe set under
+    state that never grows with the value universe.
+
+    Replay contract is ``stream_continuous_rollup``'s, NOT the HLL
+    fold's: CMS cells merge by SUM, which is additive — a failed
+    batch replaying under the SAME checkpoint rewrites the same
+    ``batch=<id>`` directory (safe), but unlike HLL's idempotent
+    union, the additive state does NOT tolerate re-folding the same
+    data under a fresh checkpoint, and there is deliberately no
+    compaction helper (folding batch dirs into a base would
+    double-count if a folded batch later replays). The two sketch
+    folds side by side are the point: mergeable-and-idempotent (HLL)
+    vs mergeable-only (CMS) state need different replay discipline.
+    """
+    from product_etl_spark.operators.cms import cms_partials
+
+    return _fold_to_batch_dirs(
+        events, state_dir, checkpoint,
+        lambda b: cms_partials(b, keys, col, depth=depth, width=width,
+                               seed=seed),
+    )
+
+
+def read_cms_state(
+    spark: SparkSession, state_dir: str, keys: list[str]
+) -> DataFrame:
+    """Current merged CMS sketch (``keys..., row_idx, bucket, n``):
+    feed it straight to ``cms.cms_estimate`` with the SAME
+    depth/width/seed the fold used."""
+    from product_etl_spark.operators.cms import cms_merge
+
+    return cms_merge(
+        spark.read.option("basePath", state_dir).parquet(
+            f"{state_dir}/batch=*"
+        ),
+        keys,
+    )
+
+
 def _sketch_partial_dirs(state_dir: str) -> list[str]:
     """NOTE: the sketch-state helpers (_sketch_partial_dirs,
     compact_distinct_sketch_state) manage ``state_dir`` with

@@ -203,3 +203,68 @@ def test_sketch_state_empty_and_remote_guard(spark, tmp_path):
         read_distinct_sketch_state(
             spark, "s3://bucket/state", ["event_type"]
         )
+
+
+def test_stream_cms_rollup_frequencies(spark, tmp_path):
+    """Streaming CMS fold: after draining two micro-batches, the
+    merged state answers point-frequency probes with the one-sided
+    CMS guarantee (>= exact, bounded overshoot); a failed-batch
+    replay under the SAME checkpoint (simulated by rewriting the
+    same batch dir) leaves the state unchanged."""
+    import json
+
+    from product_etl_spark.operators.cms import cms_estimate
+    from product_etl_spark.streaming.pipeline import (
+        read_cms_state,
+        stream_cms_rollup,
+    )
+
+    inp = tmp_path / "in_cms"
+    inp.mkdir()
+    state = str(tmp_path / "cms_state")
+    # token frequencies split across two files: "hot" appears 300x
+    # total (200 + 100 across batches), "warm" 60x, "cold" 3x
+    with open(inp / "a.jsonl", "w") as f:
+        for _ in range(200):
+            f.write(json.dumps({"tok": "hot"}) + "\n")
+        for _ in range(50):
+            f.write(json.dumps({"tok": "warm"}) + "\n")
+    with open(inp / "b.jsonl", "w") as f:
+        for _ in range(100):
+            f.write(json.dumps({"tok": "hot"}) + "\n")
+        for _ in range(10):
+            f.write(json.dumps({"tok": "warm"}) + "\n")
+        for _ in range(3):
+            f.write(json.dumps({"tok": "cold"}) + "\n")
+
+    stream = spark.readStream.schema("tok string") \
+        .option("maxFilesPerTrigger", 1).json(str(inp))
+    stream_cms_rollup(stream, state, [], "tok", str(tmp_path / "cms_ckpt"),
+                      depth=3, width=512)
+    sk = read_cms_state(spark, state, [])
+    probes = spark.createDataFrame([("hot",), ("warm",), ("cold",), ("never",)],
+                                   "tok string")
+    est = {r["tok"]: r["est_count"] for r in
+           cms_estimate(sk, probes, "tok", depth=3, width=512).collect()}
+    exact = {"hot": 300, "warm": 60, "cold": 3, "never": 0}
+    n_total = 363
+    for t, e in exact.items():
+        assert est[t] >= e
+        assert est[t] - e <= 3 * 2.72 * n_total / 512
+
+    # same-checkpoint replay rewrites batch dirs with identical
+    # content: overwrite-mode makes the fold idempotent per batch id
+    import os
+    batch_dirs = sorted(d for d in os.listdir(state) if d.startswith("batch="))
+    assert len(batch_dirs) == 2  # maxFilesPerTrigger=1 -> one per file
+    stream2 = spark.readStream.schema("tok string") \
+        .option("maxFilesPerTrigger", 1).json(str(inp))
+    stream_cms_rollup(stream2, state, [], "tok", str(tmp_path / "cms_ckpt3"),
+                      depth=3, width=512)
+    # NOTE fresh checkpoint here re-batches the same files with the
+    # same per-file batching, so the same batch ids are overwritten
+    # with the same content — state must be unchanged
+    est2 = {r["tok"]: r["est_count"] for r in
+            cms_estimate(read_cms_state(spark, state, []), probes, "tok",
+                         depth=3, width=512).collect()}
+    assert est2 == est
