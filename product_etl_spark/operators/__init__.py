@@ -1,5 +1,7 @@
 from product_etl_spark.operators import (  # noqa: F401
+    bloom,
     bucketing,
+    cms,
     dedup,
     rollup,
     sampling,

@@ -228,3 +228,35 @@ def test_q111_waiting_suppliers_single_aggregate_no_self_join_pair(spark, sf_dir
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The probe join must broadcast the bounded sketch side — a
+    sort-merge join would shuffle the (possibly corpus-scale) probe
+    side on the hash buckets."""
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.cms import cms_estimate, cms_partials
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("w"), (F.col("id") % 37)).alias("w")
+    )
+    sk = cms_partials(df, [], "w", depth=3, width=256)
+    est = cms_estimate(sk, df.select("w"), "w", depth=3, width=256)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_side(spark):
+    """split_by_bloom: the bounded bloom table broadcasts; the batch
+    side never shuffles for the membership probe."""
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.bloom import bloom_partials, split_by_bloom
+
+    keys = spark.range(500).select(F.concat(F.lit("k"), "id").alias("key"))
+    bloom = bloom_partials(keys, "key", m_bits=1 << 14, k=4)
+    tagged = split_by_bloom(keys, bloom, "key", m_bits=1 << 14, k=4)
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
