@@ -21,10 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-#: URI schemes the local-rename publish path can operate on.
-_LOCAL_SCHEMES = ("", "file")
-
-
 def _scheme(path: str) -> str:
     head, sep, _ = path.partition("://")
     return head if sep else ""
@@ -48,13 +44,23 @@ def table_exists(spark: SparkSession, path: str) -> bool:
 
 
 def require_local(path: str, op: str) -> None:
-    """Raise for non-local URIs before an os.rename-based publish can
-    touch them. Loud-and-early beats the silent alternative: the
-    rename would raise FileNotFoundError only AFTER the staging write
-    burned a full pass over the data."""
-    if _scheme(path) not in _LOCAL_SCHEMES:
+    """Raise for ANY URI scheme — including ``file://`` — before an
+    os.rename-based publish can touch it. The publishers operate on
+    the raw string with os.path/os.rename/shutil, which cannot
+    resolve URIs (``os.path.exists('file:///x')`` is False even when
+    /x exists), so a ``file://`` spelling would silently skip the
+    backup branch and fail mid-swap; callers pass a plain local path
+    instead. Loud-and-early beats the silent alternative: the rename
+    would raise FileNotFoundError only AFTER the staging write burned
+    a full pass over the data."""
+    if _scheme(path):
+        hint = (
+            "pass a plain local path (no file:// prefix)"
+            if _scheme(path) == "file"
+            else "on remote storage use a transactional table format "
+            "(Delta/Iceberg MERGE) instead"
+        )
         raise ValueError(
             f"{op} publishes via local-filesystem rename and cannot target "
-            f"{path!r}; on remote storage use a transactional table format "
-            "(Delta/Iceberg MERGE) instead"
+            f"{path!r}; {hint}"
         )

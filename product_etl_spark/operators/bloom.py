@@ -12,10 +12,12 @@ negatives, so only the (few) "maybe seen" rows pay the exact check.
 Representation: bloom-as-table. An m-bit filter with k hashes is the
 SET of set bit positions — stored as a single-column DataFrame of
 distinct ints. That keeps it a plain mergeable parquet artifact
-(merge = union/distinct, idempotent under replay), bounded at
-min(k * distinct_keys, m) rows <= m regardless of history size, and
-probing is a broadcast join of JVM-side xxhash64 buckets — no Python,
-no driver-side bitmap, no UDF.
+(merge = union/distinct, idempotent under replay), whose DISTINCT
+set is bounded at min(k * distinct_keys, m) rows <= m regardless of
+history size (append-mode partials can hold duplicates between
+compactions; the probe dedupes before broadcasting), and probing is
+a broadcast join of JVM-side xxhash64 buckets — no Python, no
+driver-side bitmap, no UDF.
 
 False-positive math is the textbook one: fpr ~= (1 - e^{-kn/m})^k;
 with m = 16n bits and k = 4, under 1%. False positives only cost a
@@ -88,15 +90,21 @@ def split_by_bloom(
 
     m_bits/k/seed must match the build call. Probing is per DISTINCT
     key (duplicate keys within the batch hash identically), and the
-    bloom side is broadcast — bounded at m_bits rows, in practice
-    ~k * accepted-keys — so the batch side never shuffles."""
+    bloom side is deduped then broadcast — the distinct bucket set is
+    bounded at m_bits rows no matter how many append-mode partials
+    the sidecar has accumulated — so the batch side never shuffles
+    and duplicate partial rows can't multiply the probe join."""
     keys = batch.select(key_col).distinct()
     probes = keys.select(
         F.col(key_col),
         F.explode(_bucket_array(key_col, m_bits, k, seed)).alias("bucket"),
     )
     hit = probes.join(
-        F.broadcast(bloom.withColumn("_hit", F.lit(1))), on="bucket", how="left"
+        F.broadcast(
+            bloom.select("bucket").distinct().withColumn("_hit", F.lit(1))
+        ),
+        on="bucket",
+        how="left",
     )
     flags = hit.groupBy(key_col).agg(
         (F.min(F.coalesce(F.col("_hit"), F.lit(0))) == 1).alias(flag_col)

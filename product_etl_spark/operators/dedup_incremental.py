@@ -96,15 +96,31 @@ def incremental_dedup(
     bloom-as-table sidecar at ``{store_path}_bloom`` (see
     ``operators/bloom.py``) so "definitely new" fingerprints skip the
     exact store join entirely — at web-crawl scale the store side of
-    that join grows with accepted HISTORY, while the sidecar is
-    bounded at ``bloom_m_bits`` rows forever. Crash-safety ordering:
-    the sidecar is appended BEFORE the store, so a crash between the
-    two writes can only leave the bloom OVER-covering — extra false
-    positives fall through to the exact check; a store-first order
-    could leave accepted fingerprints missing from the bloom, i.e.
-    false negatives that admit duplicates. A lost/corrupt sidecar is
-    rebuilt from the store: ``bloom_partials(store.select('fp'),
-    'fp', m_bits)``.
+    that join grows with accepted HISTORY, while the sidecar's
+    DISTINCT bucket set is bounded at the filter's m bits forever
+    (append-mode partials may hold duplicate buckets between
+    ``compact_bloom_sidecar`` runs; the probe dedupes them before
+    broadcasting). Invariants the implementation maintains:
+
+    - **Geometry is persisted** (``{store_path}_bloom_meta``): the
+      sidecar's m_bits is fixed when the sidecar is CREATED
+      (``bloom_m_bits`` applies then); later calls use the persisted
+      geometry, so a caller passing a different value cannot split
+      the sidecar across incompatible moduli (which would cause
+      silent false negatives).
+    - **Coverage survives flag-off runs**: once the sidecar exists,
+      every fingerprint append maintains it even when this call has
+      ``bloom_prefilter=False`` — otherwise a later flag-on run
+      would treat the flag-off batches' docs as definitely-new and
+      admit duplicates.
+    - **Crash-safety ordering**: the sidecar is appended BEFORE the
+      store, so a crash between the two writes can only leave the
+      bloom OVER-covering — extra false positives fall through to
+      the exact check; a store-first order could leave accepted
+      fingerprints missing from the bloom, i.e. false negatives that
+      admit duplicates.
+    - A lost/corrupt sidecar heals itself: the next flag-on call
+      finds it absent and re-seeds from the full store.
     """
     if strategy not in ("fingerprint", "near"):
         raise ValueError(f"unknown incremental dedup strategy: {strategy}")
@@ -135,13 +151,17 @@ def incremental_dedup(
                     # UNDER-cover history and admit duplicates as
                     # "definitely new" next run. Seed it from the
                     # full store first (one-time cost), then use it.
+                    # Meta lands first: a crash in between leaves
+                    # meta-without-sidecar, and the next run re-seeds.
+                    _write_bloom_geometry(spark, store_path, bloom_m_bits)
                     bloom_partials(
                         store.select("fp"), "fp", m_bits=bloom_m_bits
                     ).write.mode("append").parquet(_bloom_path(store_path))
                     bloom = read_signature_store(
                         spark, _bloom_path(store_path)
                     )
-                tagged = split_by_bloom(sigs, bloom, "fp", m_bits=bloom_m_bits)
+                geom = _read_bloom_geometry(spark, store_path) or bloom_m_bits
+                tagged = split_by_bloom(sigs, bloom, "fp", m_bits=geom)
                 # only maybe-seen fingerprints pay the store join
                 sigs = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
             hit_fps = sigs.join(
@@ -219,13 +239,23 @@ def incremental_dedup(
     # the store path at all.
     if strategy == "fingerprint":
         new_sigs = _batch_fingerprints(survivors, text_col, id_col)
-        if bloom_prefilter:
+        from product_etl_spark.fs import fs_exists
+
+        sidecar_exists = fs_exists(spark, _bloom_path(store_path))
+        if bloom_prefilter or sidecar_exists:
+            # Maintain the sidecar whenever it exists — even on a
+            # bloom_prefilter=False call — or a later flag-on run
+            # would see an under-covering bloom and admit the docs
+            # this batch accepted as "definitely new".
             from product_etl_spark.operators.bloom import bloom_partials
 
+            geom = _read_bloom_geometry(spark, store_path) or bloom_m_bits
+            if not sidecar_exists:
+                _write_bloom_geometry(spark, store_path, geom)
             # sidecar BEFORE store: a crash in between over-covers
             # the bloom (safe: false positives -> exact check), never
             # under-covers it (unsafe: duplicates admitted).
-            bloom_partials(new_sigs, "fp", m_bits=bloom_m_bits).write.mode(
+            bloom_partials(new_sigs, "fp", m_bits=geom).write.mode(
                 "append"
             ).parquet(_bloom_path(store_path))
     else:
@@ -238,3 +268,40 @@ def incremental_dedup(
 
 def _bloom_path(store_path: str) -> str:
     return store_path.rstrip("/") + "_bloom"
+
+
+def _bloom_meta_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "_bloom_meta"
+
+
+def _read_bloom_geometry(spark: SparkSession, store_path: str) -> int | None:
+    """The sidecar's persisted m_bits, or None (no sidecar yet, or a
+    legacy sidecar written before geometry was persisted — the caller
+    falls back to its own parameter for those)."""
+    meta = read_signature_store(spark, _bloom_meta_path(store_path))
+    if meta is None:
+        return None
+    return int(meta.collect()[0]["m_bits"])
+
+
+def _write_bloom_geometry(spark: SparkSession, store_path: str, m_bits: int) -> None:
+    spark.createDataFrame([(int(m_bits),)], "m_bits long").write.mode(
+        "overwrite"
+    ).parquet(_bloom_meta_path(store_path))
+
+
+def compact_bloom_sidecar(spark: SparkSession, store_path: str) -> None:
+    """Rewrite the bloom sidecar with its DISTINCT bucket set.
+
+    Append-mode batch partials are distinct per batch but accumulate
+    duplicate buckets across batches, so on-disk rows grow with batch
+    count until compacted (the distinct set is always <= m by
+    construction). Probe correctness never depends on this — the
+    probe dedupes before broadcasting — compaction only bounds the
+    sidecar's read/storage cost; run it on whatever cadence keeps the
+    directory cheap, like the HLL state compactor."""
+    bloom = read_signature_store(spark, _bloom_path(store_path))
+    if bloom is None:
+        return
+    merged = bloom.distinct().localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(_bloom_path(store_path))

@@ -249,9 +249,17 @@ def extract_audio_spectral(media: DataFrame, n_bands: int = 8) -> DataFrame:
                         cum = np.cumsum(spec)
                         rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * cum[-1]))])
                         edges = np.linspace(0, rate / 2, n_bands + 1)
+                        # bin by index so the Nyquist bin (freq ==
+                        # rate/2 exactly, present for even sample
+                        # counts) lands in the LAST band instead of
+                        # falling out of every half-open interval
+                        idx = np.minimum(
+                            np.searchsorted(edges, freqs, side="right") - 1,
+                            n_bands - 1,
+                        )
                         band = [
-                            float(spec[(freqs >= lo) & (freqs < hi)].sum() / total)
-                            for lo, hi in zip(edges[:-1], edges[1:])
+                            float(spec[idx == b].sum() / total)
+                            for b in range(n_bands)
                         ]
                         row.update(
                             sample_rate=rate,

@@ -135,6 +135,11 @@ def ivf_centroids(
         .collect()
     )
     vecs = [list(r["_emb"]) for r in cand]
+    if not vecs:
+        # empty corpus: empty centroid frame, matching lowest_id mode
+        return corpus.sparkSession.createDataFrame(
+            [], "list_id int, centroid array<float>"
+        )
 
     def _d2(a: list[float], b: list[float]) -> float:
         return sum((x - y) * (x - y) for x, y in zip(a, b))

@@ -525,13 +525,24 @@ def stream_cms_rollup(
 
 
 def read_cms_state(
-    spark: SparkSession, state_dir: str, keys: list[str]
+    spark: SparkSession, state_dir: str, keys: list[str],
+    key_schema: str | None = None,
 ) -> DataFrame:
     """Current merged CMS sketch (``keys..., row_idx, bucket, n``):
     feed it straight to ``cms.cms_estimate`` with the SAME
-    depth/width/seed the fold used."""
+    depth/width/seed the fold used. Before the first fold (missing or
+    empty state_dir) returns an EMPTY sketch frame instead of letting
+    the glob read throw — ``key_schema`` (DDL, e.g. ``"day string"``)
+    pins the key types for that empty frame; without it string keys
+    are assumed (matching the post-fold schema only for string
+    keys)."""
     from product_etl_spark.operators.cms import cms_merge
 
+    if not _sketch_partial_dirs(state_dir):
+        ddl = (key_schema + ", " if key_schema else "".join(
+            f"{k} string, " for k in keys
+        )) + "row_idx int, bucket int, n long"
+        return spark.createDataFrame([], ddl)
     return cms_merge(
         spark.read.option("basePath", state_dir).parquet(
             f"{state_dir}/batch=*"
@@ -550,11 +561,14 @@ def _sketch_partial_dirs(state_dir: str) -> list[str]:
     reading nothing."""
     import os
 
-    if "://" in state_dir and not state_dir.startswith("file://"):
+    if "://" in state_dir:
+        # includes file:// — os.listdir/os.path.isdir cannot resolve
+        # URI spellings, so letting file:// through would silently
+        # report an empty state instead of reading months of folds
         raise ValueError(
-            "sketch state_dir must be a local filesystem path "
+            "sketch state_dir must be a PLAIN local filesystem path "
             f"(got {state_dir!r}); the state helpers use driver-local "
-            "listing/compaction"
+            "listing/compaction and cannot resolve URI schemes"
         )
     if not os.path.isdir(state_dir):
         return []
@@ -567,14 +581,19 @@ def _sketch_partial_dirs(state_dir: str) -> list[str]:
 def read_distinct_sketch_state(
     spark: SparkSession, state_dir: str, keys: list[str],
     alias: str = "n_distinct",
+    key_schema: str | None = None,
 ) -> DataFrame:
     """Current distinct estimates: union the compacted base (if any)
     with the per-batch HLL partials. Before the first fold (missing
     or empty state_dir) returns an EMPTY frame with the
     ``(*keys, alias)`` schema instead of letting
-    ``spark.read.parquet()`` throw on zero paths."""
+    ``spark.read.parquet()`` throw on zero paths; pass ``key_schema``
+    (DDL, e.g. ``"user_id long"``) when the keys aren't strings so
+    the before-first-fold schema matches the post-fold one."""
     dirs = _sketch_partial_dirs(state_dir)
     if not dirs:
+        if key_schema:
+            return spark.createDataFrame([], key_schema + f", {alias} long")
         from pyspark.sql.types import (
             LongType,
             StringType,

@@ -321,3 +321,20 @@ def test_spark_resize_bilinear_stage(spark):
     assert feats["width"] == 12 and feats["height"] == 10
     with pytest.raises(ValueError):
         resize_images(media, 4, 4, method="bicubic")
+
+
+def test_spark_audio_spectral_nyquist_band(spark):
+    """A tone AT Nyquist (rate/2) with an even sample count: its rfft
+    bin frequency equals rate/2 exactly and must land in the LAST
+    band (index binning), not fall out of every half-open interval."""
+    from product_etl_spark.operators.multimodal import extract_audio_spectral
+
+    rate = 8000
+    t = np.arange(rate)
+    nyq = 0.5 * np.cos(np.pi * t)  # alternating +/-: pure rate/2 tone
+    media = spark.createDataFrame(
+        [("n1", codecs.encode_wav(nyq, rate))], "media_id string, content binary"
+    )
+    s = extract_audio_spectral(media, n_bands=4).collect()[0]
+    assert abs(sum(s["band_energy"]) - 1.0) < 1e-6
+    assert s["band_energy"][3] > 0.95

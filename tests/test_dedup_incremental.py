@@ -140,3 +140,59 @@ def test_bloom_prefilter_interop_and_guards(spark, tmp_path):
     with pytest.raises(ValueError):
         incremental_dedup(spark, b1, "text", "doc_id", store,
                           strategy="near", bloom_prefilter=True)
+
+
+def test_bloom_sidecar_covers_flag_off_batches(spark, tmp_path):
+    """The review-found hazard: once the sidecar exists, batches run
+    with bloom_prefilter=False must STILL maintain it — otherwise a
+    later flag-on run sees their docs as definitely-new and admits
+    duplicates."""
+    store = str(tmp_path / "sig_store_mixedflags")
+    incremental_dedup(spark, _df(spark, [(1, DOC_A)]), "text", "doc_id",
+                      store, bloom_prefilter=True)
+    # flag OFF for batch 2 — sidecar must still learn DOC_B's fp
+    incremental_dedup(spark, _df(spark, [(2, DOC_B)]), "text", "doc_id",
+                      store, bloom_prefilter=False)
+    # flag ON again: a duplicate of the flag-off batch must be caught
+    s3 = incremental_dedup(spark, _df(spark, [(3, DOC_B)]), "text", "doc_id",
+                           store, bloom_prefilter=True)
+    assert s3.count() == 0
+    st = read_signature_store(spark, store)
+    assert {r["sig_id"] for r in st.collect()} == {1, 2}
+
+
+def test_bloom_geometry_persisted_across_m_bits_mismatch(spark, tmp_path):
+    """The sidecar's m_bits is fixed at creation; a later call passing
+    a different bloom_m_bits must keep using the persisted geometry
+    (a modulus mix would produce silent false negatives)."""
+    store = str(tmp_path / "sig_store_geom")
+    incremental_dedup(spark, _df(spark, [(1, DOC_A)]), "text", "doc_id",
+                      store, bloom_prefilter=True, bloom_m_bits=1 << 12)
+    # different (wrong) m_bits from the caller: duplicate still caught
+    s2 = incremental_dedup(spark, _df(spark, [(2, DOC_A)]), "text", "doc_id",
+                           store, bloom_prefilter=True, bloom_m_bits=1 << 20)
+    assert s2.count() == 0
+    from product_etl_spark.operators.dedup_incremental import (
+        _read_bloom_geometry,
+    )
+    assert _read_bloom_geometry(spark, store) == 1 << 12
+
+
+def test_compact_bloom_sidecar_bounds_rows_same_decisions(spark, tmp_path):
+    from product_etl_spark.operators.dedup_incremental import (
+        compact_bloom_sidecar,
+    )
+
+    store = str(tmp_path / "sig_store_compact")
+    for i, doc in enumerate([DOC_A, DOC_B, DOC_C]):
+        incremental_dedup(spark, _df(spark, [(i, doc)]), "text", "doc_id",
+                          store, bloom_prefilter=True)
+    before = read_signature_store(spark, store + "_bloom")
+    n_distinct = before.distinct().count()
+    compact_bloom_sidecar(spark, store)
+    after = read_signature_store(spark, store + "_bloom")
+    assert after.count() == n_distinct  # duplicates gone
+    # decisions unchanged after compaction
+    s = incremental_dedup(spark, _df(spark, [(9, DOC_A), (10, "wholly new text here")]),
+                          "text", "doc_id", store, bloom_prefilter=True)
+    assert {r["doc_id"] for r in s.collect()} == {10}

@@ -23,6 +23,16 @@ def test_window_queries_all_have_oracles():
     assert plans._ROWS_ONLY == {"q93_kmeans_ivf_lists"}
 
 
+def test_rows_only_set_matches_catalog():
+    """_ROWS_ONLY must be exactly the catalog entries registered with
+    oracle=None — anything else means the constant drifted from the
+    actual rows-only behavior the driver sees."""
+    from product_etl_spark.plans.catalog import CATALOG
+
+    no_oracle = {n for n, spec in CATALOG.items() if spec["oracle"] is None}
+    assert no_oracle == plans._ROWS_ONLY
+
+
 def test_window_covers_all_never_driver_checked():
     """Round-5 rotation invariant: every query that had no driver row in
     rounds 1-4 (per COVERAGE.md) is in this round's window."""

@@ -26,12 +26,17 @@ def test_fs_exists_and_table_exists_local(spark, tmp_path):
     assert not table_exists(spark, str(half))
 
 
-def test_require_local_accepts_local_rejects_remote():
+def test_require_local_accepts_local_rejects_any_uri():
     require_local("/data/x", "op")
-    require_local("file:///data/x", "op")
+    require_local("relative/path", "op")
     for uri in ("s3://b/x", "s3a://b/x", "hdfs://nn/x", "abfs://c@a/x"):
         with pytest.raises(ValueError, match="Delta/Iceberg"):
             require_local(uri, "op")
+    # file:// is ALSO rejected: the publishers use os.path/os.rename
+    # on the raw string, which can't resolve URI spellings — letting
+    # it through would skip the backup branch and fail mid-swap
+    with pytest.raises(ValueError, match="plain local path"):
+        require_local("file:///data/x", "op")
 
 
 def test_upsert_refuses_remote_uri_before_any_io(spark):

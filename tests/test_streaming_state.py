@@ -268,3 +268,32 @@ def test_stream_cms_rollup_frequencies(spark, tmp_path):
             cms_estimate(read_cms_state(spark, state, []), probes, "tok",
                          depth=3, width=512).collect()}
     assert est2 == est
+
+
+def test_state_readers_empty_fallbacks_and_uri_guard(spark, tmp_path):
+    """Before the first fold both state readers return empty frames
+    with usable schemas (key_schema pins non-string key types); any
+    URI-spelled state_dir — including file:// — raises instead of
+    silently reading nothing."""
+    import pytest
+
+    from product_etl_spark.streaming.pipeline import (
+        read_cms_state,
+        read_distinct_sketch_state,
+    )
+
+    missing = str(tmp_path / "never_written")
+    hll = read_distinct_sketch_state(spark, missing, ["user_id"],
+                                     key_schema="user_id long")
+    assert hll.count() == 0
+    assert dict(hll.dtypes) == {"user_id": "bigint", "n_distinct": "bigint"}
+
+    cms = read_cms_state(spark, missing, [])
+    assert cms.count() == 0
+    assert [c for c, _ in cms.dtypes] == ["row_idx", "bucket", "n"]
+
+    for bad in ("file:///x/state", "s3a://b/state"):
+        with pytest.raises(ValueError, match="PLAIN local"):
+            read_distinct_sketch_state(spark, bad, ["k"])
+        with pytest.raises(ValueError, match="PLAIN local"):
+            read_cms_state(spark, bad, ["k"])
