@@ -83,6 +83,19 @@ STOPWORDS = (
 ).split()
 
 
+def _once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` exactly once and hand it to ``build``.
+
+    Higher-order/regex expressions are CodegenFallback and are NOT
+    common-subexpression-eliminated: every reference re-inlines the
+    whole computation (the word_shingles/minhash comments document a
+    measured ~8x penalty for re-inlined tokenizations). Wrapping the
+    expression as the single element of a literal array and
+    ``transform``-ing it makes every downstream reference read the
+    lambda variable instead — one evaluation, N uses."""
+    return F.get(F.transform(F.array(expr), build), 0)
+
+
 def stopword_ratio(col: Column | str) -> Column:
     toks = tokens(F.lower(_c(col)))
     stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
@@ -104,24 +117,60 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def mean_word_length(col: Column | str) -> Column:
-    toks = tokens(col)
-    total = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    # one tokenization: fold (n, chars) in a single pass, then build
+    # the ratio from the _once-captured struct
+    stats = F.aggregate(
+        tokens(col),
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0).cast("bigint").alias("chars"),
+        ),
+        lambda a, t: F.struct(
+            (a["n"] + 1).alias("n"), (a["chars"] + F.length(t)).alias("chars")
+        ),
     )
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        total / F.size(toks)
+    return _once(
+        stats,
+        lambda st: F.when(st["n"] == 0, F.lit(0.0)).otherwise(
+            st["chars"] / st["n"]
+        ),
     )
 
 
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: penalize extreme shortness,
-    high punctuation, and stopword-free (keyword-stuffed) text."""
-    n_tok = token_count(col).cast("double")
-    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    high punctuation, and stopword-free (keyword-stuffed) text.
+
+    One tokenization total (the lowered token array serves both the
+    length score and the stopword ratio — whitespace splitting is
+    case-insensitive, so the token COUNT matches the raw text's);
+    punctuation is a regex pass with no tokenization."""
+    stats = F.aggregate(
+        tokens(F.lower(_c(col))),
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0).cast("bigint").alias("stop"),
+        ),
+        lambda a, t: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["stop"] + F.when(t.isin(*STOPWORDS), 1).otherwise(0)).alias(
+                "stop"
+            ),
+        ),
+    )
     punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
-    stop = stopword_ratio(col)
-    stop_score = F.least(stop * 5, F.lit(1.0))
-    return F.round((len_score + punct_score + stop_score) / 3, 4)
+
+    def build(st):
+        len_score = F.least(
+            st["n"].cast("double") / F.lit(20.0), F.lit(1.0)
+        )
+        stop_ratio = F.when(st["n"] == 0, F.lit(0.0)).otherwise(
+            st["stop"] / st["n"]
+        )
+        stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+        return F.round((len_score + punct_score + stop_score) / 3, 4)
+
+    return _once(stats, build)
 
 
 #: Script-detection character classes for the n-gram-free language
@@ -189,30 +238,53 @@ def gopher_quality_flags(col: Column | str) -> Column:
     word-count bounds, mean-word-length bounds, symbol-to-word ratio,
     and the share of words containing an alphabetic character —
     returned as a struct of booleans plus the final keep decision.
-    All pure expressions; at 100 TB this is a map-only scan."""
-    toks = tokens(col)
-    n_words = F.size(toks)
-    mean_len = mean_word_length(col)
+    All pure expressions; at 100 TB this is a map-only scan. The
+    text is tokenized exactly ONCE: a single fold collects
+    (n, total chars, alpha words) and the _once wrapper keeps the
+    fold from being re-inlined per flag (the previous shape paid
+    four tokenizations per row)."""
+    stats = F.aggregate(
+        tokens(col),
+        F.struct(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0).cast("bigint").alias("chars"),
+            F.lit(0).cast("bigint").alias("alpha"),
+        ),
+        lambda a, t: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["chars"] + F.length(t)).alias("chars"),
+            (a["alpha"] + F.when(t.rlike("[A-Za-z]"), 1).otherwise(0)).alias(
+                "alpha"
+            ),
+        ),
+    )
     s = F.coalesce(_c(col), F.lit(""))
     n_hash_ellipsis = F.regexp_count(s, F.lit(r"#|\.\.\.")).cast("double")
-    symbol_ratio = F.when(n_words == 0, F.lit(1.0)).otherwise(
-        n_hash_ellipsis / n_words
-    )
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        alpha_words / n_words
-    )
-    ok_words = (n_words >= 50) & (n_words <= 100_000)
-    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
-    ok_symbols = symbol_ratio <= 0.1
-    ok_alpha = alpha_ratio >= 0.8
-    return F.struct(
-        ok_words.alias("ok_word_count"),
-        ok_mean.alias("ok_mean_word_len"),
-        ok_symbols.alias("ok_symbol_ratio"),
-        ok_alpha.alias("ok_alpha_ratio"),
-        (ok_words & ok_mean & ok_symbols & ok_alpha).alias("keep"),
-    )
+
+    def build(st):
+        n_words = st["n"]
+        mean_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+            st["chars"] / n_words
+        )
+        symbol_ratio = F.when(n_words == 0, F.lit(1.0)).otherwise(
+            n_hash_ellipsis / n_words
+        )
+        alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+            st["alpha"] / n_words
+        )
+        ok_words = (n_words >= 50) & (n_words <= 100_000)
+        ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+        ok_symbols = symbol_ratio <= 0.1
+        ok_alpha = alpha_ratio >= 0.8
+        return F.struct(
+            ok_words.alias("ok_word_count"),
+            ok_mean.alias("ok_mean_word_len"),
+            ok_symbols.alias("ok_symbol_ratio"),
+            ok_alpha.alias("ok_alpha_ratio"),
+            (ok_words & ok_mean & ok_symbols & ok_alpha).alias("keep"),
+        )
+
+    return _once(stats, build)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -39,7 +39,11 @@ def bucketed_cumsum(
     without a whole-dataset window. ``inclusive=False`` (default) gives
     the sum of *strictly preceding* rows (0 for the first row), the
     shape context packing needs; ``inclusive=True`` includes the
-    current row. ``order_col`` must be numeric and unique."""
+    current row. ``order_col`` must be numeric and unique. NULL
+    order values form their own bucket that sorts FIRST (Spark's
+    NULLS-FIRST ascending) — a plain equi-join here would silently
+    DROP those rows (NULL never equi-matches), so the offset join is
+    null-safe to keep the result exhaustive and deterministic."""
     upper = 0 if inclusive else -1
     bucket = F.floor(F.col(order_col) / F.lit(bucket_width))
     w_in = (
@@ -61,10 +65,14 @@ def bucketed_cumsum(
             "_bucket_offset"
         ),
     )
+    offsets = offsets.withColumnRenamed("_pack_bucket", "_pack_bucket_r")
     return (
-        t.join(F.broadcast(offsets), "_pack_bucket")
+        t.join(
+            F.broadcast(offsets),
+            F.col("_pack_bucket").eqNullSafe(F.col("_pack_bucket_r")),
+        )
         .withColumn(out_col, (F.col("_cum_in") + F.col("_bucket_offset")).cast("long"))
-        .drop("_pack_bucket", "_cum_in", "_bucket_offset")
+        .drop("_pack_bucket", "_pack_bucket_r", "_cum_in", "_bucket_offset")
     )
 
 

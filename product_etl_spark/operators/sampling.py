@@ -19,28 +19,54 @@ from pyspark.sql import functions as F
 from product_etl_spark.functions import text as T
 
 
-def _bucket(key: Column, n: int = 10_000) -> Column:
-    """Uniform deterministic bucket in [0, n) from a key column."""
-    return T.hash64(key.cast("string")) % n
+def _bucket(key: Column, n: int = 10_000, seed: int = 0) -> Column:
+    """Uniform deterministic bucket in [0, n) from a key column.
+
+    NULL keys coalesce to a sentinel before hashing, so selection is
+    EXHAUSTIVE — a NULL hash would silently exclude the row from
+    every split (neither train nor test), breaking the disjoint+
+    exhaustive contract. ``seed=0`` is the oracle-mirrored default;
+    pass a DIFFERENT seed per pipeline stage when composing two
+    threshold samplers on the same key — two seed-0 stages share one
+    bucket assignment, so their selections NEST (intersection = the
+    smaller fraction, or empty for a split-then-sample chain) instead
+    of being independent."""
+    k = F.coalesce(key.cast("string"), F.lit("\x1f<null-key>"))
+    if seed:
+        k = F.concat(k, F.lit(f"\x1fseed={seed}"))
+    return T.hash64(k) % n
+
+
+def _threshold(fraction: float, buckets: int) -> int:
+    """round(), not int(): IEEE gives 0.29 * 10000 = 2899.99…95, and
+    truncation would under-sample a whole bucket for such fractions
+    (identical to int() for every exactly-representable product, so
+    the oracle-mirrored catalog thresholds are unchanged)."""
+    return int(round(fraction * buckets))
 
 
 def deterministic_sample(
-    df: DataFrame, key_col: str, fraction: float, buckets: int = 10_000
+    df: DataFrame, key_col: str, fraction: float, buckets: int = 10_000,
+    seed: int = 0,
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — reproducible
     anywhere, stable under repartitioning, and consistent across
     tables sharing the key (sampling orders and lineitem at the same
-    fraction keeps them join-consistent)."""
-    threshold = int(fraction * buckets)
-    return df.filter(_bucket(F.col(key_col), buckets) < threshold)
+    fraction keeps them join-consistent). ``seed``: see ``_bucket``
+    (decorrelates stages sampling on the same key)."""
+    threshold = _threshold(fraction, buckets)
+    return df.filter(_bucket(F.col(key_col), buckets, seed) < threshold)
 
 
 def train_test_split(
-    df: DataFrame, key_col: str, test_fraction: float = 0.1, buckets: int = 10_000
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, buckets: int = 10_000,
+    seed: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
-    """(train, test) with disjoint, exhaustive, hash-stable membership."""
-    threshold = int(test_fraction * buckets)
-    b = _bucket(F.col(key_col), buckets)
+    """(train, test) with disjoint, exhaustive, hash-stable membership
+    (NULL keys land in train via the _bucket sentinel — exhaustive
+    means exhaustive)."""
+    threshold = _threshold(test_fraction, buckets)
+    b = _bucket(F.col(key_col), buckets, seed)
     return df.filter(b >= threshold), df.filter(b < threshold)
 
 
@@ -64,14 +90,23 @@ def mix_sources(
     key_col: str,
     weights: dict[str, float],
     buckets: int = 10_000,
+    seed: int = 0,
 ) -> DataFrame:
     """Data mixing: keep a per-source deterministic fraction
     (source -> weight in [0,1]); unlisted sources drop. The standard
-    'mixture recipe' step of a pretraining pipeline, rerun-stable."""
+    'mixture recipe' step of a pretraining pipeline, rerun-stable.
+    A ``None`` key in ``weights`` addresses the NULL-source group
+    (which ``temperature_weights`` emits when source_col has NULLs —
+    ``col == None`` would never match it)."""
     expr = None
-    b = _bucket(F.col(key_col), buckets)
+    b = _bucket(F.col(key_col), buckets, seed)
     for source, w in weights.items():
-        cond = (F.col(source_col) == source) & (b < int(w * buckets))
+        src = (
+            F.col(source_col).isNull()
+            if source is None
+            else (F.col(source_col) == source)
+        )
+        cond = src & (b < _threshold(w, buckets))
         expr = cond if expr is None else (expr | cond)
     return df.filter(expr if expr is not None else F.lit(False))
 
@@ -100,17 +135,20 @@ def temperature_weights(
         F.sum(weight_col) if weight_col else F.count(F.lit(1))
     ).alias("_n")
     counts = {
-        r[source_col]: float(r["_n"])
+        r[source_col]: float(r["_n"] or 0)  # all-NULL weight_col -> 0
         for r in df.groupBy(source_col).agg(agg).collect()
     }
     total = sum(counts.values())
     if not total:
-        return {}
-    mass = {s: n**alpha for s, n in counts.items()}
+        return {s: 0.0 for s in counts}
+    mass = {s: n**alpha if n > 0 else 0.0 for s, n in counts.items()}
     z = sum(mass.values())
     target = target_fraction * total
+    # a zero-mass source (0 rows of weight) keeps nothing — and must
+    # not divide by its own zero count
     return {
-        s: round(min(1.0, target * (mass[s] / z) / counts[s]), 6)
+        s: 0.0 if not counts[s]
+        else round(min(1.0, target * (mass[s] / z) / counts[s]), 6)
         for s in counts
     }
 
@@ -198,7 +236,10 @@ def shuffle_deterministic(
     global sort) and the per-partition sort spillable.
 
     The (hash, key) composite makes the order total even under hash
-    collisions.
+    collisions — PROVIDED ``key_col`` is unique per row (the usual
+    doc-id contract). Distinct rows sharing a key value sort equal
+    and their relative order is layout-dependent; include a
+    discriminator in the key if duplicates are possible.
     """
     h = (T.hash64(F.concat_ws("\x1f", F.lit(str(seed)), F.col(key_col)
                               .cast("string")))).alias("_shuffle_key")
@@ -241,7 +282,10 @@ def leakage_safe_split(
     from product_etl_spark.operators import dedup as D
 
     train, test = train_test_split(df, key_col, test_fraction, buckets)
-    threshold = int(test_fraction * buckets)
+    # the SAME membership predicate train_test_split uses — via the
+    # shared _bucket/_threshold helpers, so the boundary cannot drift
+    # between the split and the cross-split scrub
+    threshold = _threshold(test_fraction, buckets)
     is_test = lambda c: _bucket(c, buckets) < threshold  # noqa: E731
     sig = D.minhash_signatures(df, text_col, key_col, k=k)
     cand = D.lsh_candidate_pairs(sig, key_col, bands=k // 2, rows_per_band=2)

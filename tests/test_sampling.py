@@ -191,3 +191,70 @@ def test_leakage_safe_split_drops_train_near_dups_of_test(spark):
     # non-leaking train docs survive
     assert len(train_ids) > 0
     assert train_ids.isdisjoint(test_ids)
+
+
+def test_split_exhaustive_with_null_keys(spark):
+    """NULL keys must land in exactly one split (train), not vanish
+    from both — the _bucket sentinel keeps membership exhaustive."""
+    from product_etl_spark.operators.sampling import train_test_split
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (4, "d")], "k long, v string"
+    )
+    train, test = train_test_split(df, "k", 0.5)
+    assert train.count() + test.count() == 4
+
+
+def test_seed_decorrelates_composed_samplers(spark):
+    """Two seed-0 threshold samplers on one key NEST (the composition
+    trap); distinct seeds give ~independent selections."""
+    from product_etl_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    train, _ = train_test_split(df, "k", 0.5)  # keeps bucket >= 5000
+    # seed 0: nested -> train's sample is empty at fraction <= 0.5
+    nested = deterministic_sample(train, "k", 0.5)
+    assert nested.count() == 0
+    # distinct seed: ~half of train kept
+    indep = deterministic_sample(train, "k", 0.5, seed=7)
+    assert abs(indep.count() / train.count() - 0.5) < 0.05
+
+
+def test_temperature_weights_zero_and_null_sources(spark):
+    from product_etl_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("web", 10), ("web", 20), ("empty", 0), ("nullw", None)],
+        "src string, n_tokens long",
+    )
+    w = temperature_weights(df, "src", alpha=0.5, weight_col="n_tokens")
+    assert w["empty"] == 0.0 and w["nullw"] == 0.0 and w["web"] > 0
+
+
+def test_mix_sources_none_key_addresses_null_group(spark):
+    from product_etl_spark.operators.sampling import mix_sources
+
+    df = spark.createDataFrame(
+        [(None, i) for i in range(100)] + [("web", i) for i in range(100, 200)],
+        "src string, k long",
+    )
+    out = mix_sources(df, "src", "k", {None: 1.0, "web": 1.0})
+    assert out.count() == 200  # NULL-source rows addressable via None
+
+
+def test_bucketed_cumsum_null_order_rows_survive(spark):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.packing import bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [(None, 5), (1, 10), (2, 20)], "ord long, v long"
+    )
+    out = bucketed_cumsum(df, "ord", "v")
+    rows = {r["ord"]: r["cum_before"] for r in out.collect()}
+    # NULL bucket sorts first: its rows precede ord=1
+    assert set(rows) == {None, 1, 2}
+    assert rows[1] == 5 and rows[2] == 15 and rows[None] == 0
