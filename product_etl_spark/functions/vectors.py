@@ -34,7 +34,16 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return safe_cosine(dot(a, b), norm(a), norm(b))
+
+
+def safe_cosine(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    """dot/(na*nb) with a zero-norm guard: an all-zero embedding (the
+    common placeholder for a missing embedding) yields similarity 0.0
+    instead of throwing DIVIDE_BY_ZERO under ANSI mode (the Spark 4
+    default) or silently producing NULL with ANSI off."""
+    denom = norm_a * norm_b
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot_col / denom)
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

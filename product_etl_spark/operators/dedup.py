@@ -209,7 +209,10 @@ def jaccard_pairs(
         # self-join would do all the O(shared-shingle pairs) work the
         # LSH stage exists to avoid; that shape OOMed at 100k docs
         # with a shared vocabulary).
-        cand = candidates.select("id_a", "id_b")
+        # distinct: a caller-supplied pair frame with duplicate rows
+        # (unions without distinct, per-band candidate rows) would
+        # multiply n_inter and inflate jaccard past 1.0
+        cand = candidates.select("id_a", "id_b").distinct()
         a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
         b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
         inter = (
@@ -245,10 +248,13 @@ def jaccard_pairs(
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash over token frequencies: per-bit signed votes,
     reassembled into an int — near-dups differ in few bits."""
+    # hash materialized ONCE per token row; the 16 per-bit votes read
+    # the column (referencing the hash64 expression directly would
+    # re-inline the md5 into every vote — no CSE for fallback exprs)
     tok = df.select(
         F.col(id_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
-    )
-    hv = T.hash64("tok")
+    ).withColumn("hv", T.hash64("tok"))
+    hv = F.col("hv")
     simhash = None
     for b in range(16):
         vote = F.sum(
@@ -256,11 +262,7 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * (2**b)
         simhash = bit if simhash is None else simhash + bit
-    return (
-        tok.withColumn("hv", hv)
-        .groupBy(id_col)
-        .agg(simhash.cast("int").alias("simhash16"))
-    )
+    return tok.groupBy(id_col).agg(simhash.cast("int").alias("simhash16"))
 
 
 def winnowing_fingerprints(
@@ -285,12 +287,10 @@ def winnowing_fingerprints(
     per-row arrays for huge documents, and the (id) partitioning from
     the window is reused by the distinct.
     """
-    s = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    # All overlapping char n-grams in ONE regex pass: a zero-width
-    # lookahead with a capture advances one char per match. The
-    # transform-over-positions form re-evaluates lower(text) per
-    # position (interpreted HOF, no CSE) — O(len²) characters.
-    grams_arr = F.regexp_extract_all(s, F.lit(f"(?s)(?=(.{{{gram}}}))"), 1)
+    # same lowered overlapping-n-gram extraction as the shared
+    # T.char_ngrams (one regex pass, zero-width lookahead) — reuse it
+    # so a future unicode/escaping fix lands in one place
+    grams_arr = T.char_ngrams(text_col, gram)
     grams = df.select(
         F.col(id_col),
         F.posexplode(grams_arr).alias("pos", "g"),
@@ -321,9 +321,12 @@ def exploded_segments(
     (id, seg_idx, segment, fingerprint). Tokenize once in a projected
     column (higher-order funcs have no CSE — never repeat the split),
     then slice per segment index. Map-only."""
+    # T.tokens filters empty strings — a bare split("") returns [""]
+    # (size 1), which would slip an empty "segment" per blank/NULL doc
+    # past this filter and collide every empty doc on md5("")
     toks = df.select(
         F.col(id_col),
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("_t"),
+        T.tokens(text_col).alias("_t"),
     ).filter(F.size("_t") > 0)
     n_segs = f"cast(ceil(size(_t) / {seg_words}.0) as int)"
     return (
@@ -351,6 +354,7 @@ def remove_duplicate_segments(
     id_col: str,
     seg_words: int = 50,
     out_col: str | None = None,
+    include_empty_docs: bool = False,
 ) -> DataFrame:
     """Exact cross-document segment dedup (the ExactSubstr policy of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -388,7 +392,20 @@ def remove_duplicate_segments(
         F.count(F.lit(1)).alias("n_segments_kept"),
     )
     totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
-    return rebuilt.join(totals, id_col).withColumn(
+    # NOTE a document whose EVERY segment is a duplicate has no rows
+    # in `kept`, so the default inner join drops it from the output
+    # entirely — the behavior a curation chain wants (a verbatim copy
+    # of an earlier doc contributes nothing). Pass
+    # ``include_empty_docs=True`` to keep one row per input doc
+    # instead (empty text, n_segments_kept=0, dup_ratio=1.0) when the
+    # caller needs to inspect or account for the fully-removed docs.
+    how = "left" if include_empty_docs else "inner"
+    out = totals.join(rebuilt, id_col, how).withColumn(
+        out_col or text_col, F.coalesce(F.col(out_col or text_col), F.lit(""))
+    ).withColumn(
+        "n_segments_kept", F.coalesce("n_segments_kept", F.lit(0))
+    )
+    return out.withColumn(
         "dup_ratio",
         F.round(1 - F.col("n_segments_kept") / F.col("n_segments"), 4),
     )
@@ -487,6 +504,13 @@ def dedup_corpus(
         return keep_canonical(df, fingerprint_dedup(df, text_col, id_col), id_col)
     if strategy != "near":
         raise ValueError(f"unknown dedup strategy: {strategy}")
+    if k < 2 or k % 2:
+        raise ValueError(
+            f"near dedup needs an even k >= 2 (got k={k}): bands = k//2 "
+            "with 2 rows per band — k=1 would build ZERO bands and "
+            "silently dedup nothing, odd k silently ignores the last "
+            "signature component"
+        )
     sig = minhash_signatures(df, text_col, id_col, k=k)
     cand = lsh_candidate_pairs(sig, id_col, bands=k // 2, rows_per_band=2)
     confirmed = jaccard_pairs(

@@ -50,7 +50,59 @@ def bucket_expr(emb_col: str, planes: list[list[float]]):
 def lsh_assign_buckets(
     df: DataFrame, emb_col: str, n_planes: int = 4, dim: int = 64
 ) -> DataFrame:
+    _check_dim(df, emb_col, dim)
     return df.withColumn("bucket", bucket_expr(emb_col, hyperplanes(n_planes, dim)))
+
+
+def _check_dim(df: DataFrame, emb_col: str, dim: int) -> None:
+    """Fail loudly when the embedding dimension disagrees with the
+    hyperplane dim: zip_with pads the shorter side with NULLs, the
+    dot becomes NULL, and every vector lands in bucket 0 — the LSH
+    silently degrades to a full cross join. One first() on a
+    column-pruned scan; cheap next to the bucketed join it guards."""
+    row = df.select(F.size(F.col(emb_col)).alias("_d")).first()
+    if row is not None and row["_d"] != dim:
+        raise ValueError(
+            f"embedding dim {row['_d']} != hyperplane dim {dim}; pass "
+            f"dim={row['_d']} so LSH buckets discriminate"
+        )
+
+
+def _with_list_id(df: DataFrame, centroids: DataFrame, emb_col: str) -> DataFrame:
+    """Attach the nearest-centroid list_id as a PURE MAP (fused
+    literal argmin — centroids are k·dim driver state by contract).
+    Falls back to the broadcast crossJoin assignment only above the
+    expression-size guard."""
+    cent_rows = sorted(
+        (r["list_id"], list(r["centroid"])) for r in centroids.collect()
+    )
+    if not cent_rows:
+        return df.withColumn("list_id", F.lit(None).cast("int")).filter(
+            F.lit(False)
+        )
+    if len(cent_rows) * len(cent_rows[0][1]) > _FUSED_ASSIGN_MAX_LITERALS:
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            cent_rows, "list_id int, centroid array<float>"
+        )
+        nearest = (
+            df.crossJoin(F.broadcast(cents))
+            .groupBy(*df.columns)
+            .agg(
+                F.min(
+                    F.struct(
+                        V.l2_distance(emb_col, "centroid").alias("dist"),
+                        F.col("list_id").alias("list_id"),
+                    )
+                ).alias("_best")
+            )
+            .withColumn("list_id", F.col("_best.list_id"))
+            .drop("_best")
+        )
+        return nearest
+    return df.withColumn(
+        "list_id", _argmin_literal_expr(cent_rows, emb_col)["list_id"]
+    )
 
 
 def knn_bruteforce(
@@ -79,7 +131,7 @@ def knn_bruteforce(
     ).select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
-        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm"))).alias("sim"),
+        V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -227,7 +279,11 @@ def ivf_centroids_kmeans(
     # prev mirrors cents driver-side (k·dim floats) so each iteration
     # costs exactly ONE action (means.collect).
     prev = {r["list_id"]: r["centroid"] for r in cents.collect()}
-    dim = len(next(iter(prev.values()))) if prev else 0
+    if not prev:
+        # empty corpus: empty centroid frame, matching ivf_centroids
+        corpus.unpersist()
+        return spark.createDataFrame([], "list_id int, centroid array<float>")
+    dim = len(next(iter(prev.values())))
     fused = n_lists * dim <= _FUSED_ASSIGN_MAX_LITERALS
     for _ in range(n_iters):
         if fused:
@@ -296,6 +352,15 @@ def ivf_assign(
         cent_rows = sorted(
             (r["list_id"], list(r["centroid"])) for r in centroids.collect()
         )
+        if not cent_rows:
+            # no centroids -> no assignments (the crossJoin path's
+            # empty result), not an INVALID_EXTRACT_BASE_FIELD_TYPE
+            # crash on array_min(array())
+            return corpus.select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("list_id"),
+                F.lit(None).cast("double").alias("centroid_dist"),
+            ).filter(F.lit(False))
         best = _argmin_literal_expr(cent_rows, emb_col)
         return corpus.select(
             F.col(id_col),
@@ -330,14 +395,11 @@ def knn_ivf(
     inverted list (nprobe=1). Candidate set ~|corpus|/n_lists; same
     output schema as knn_bruteforce."""
     cents = ivf_centroids(corpus, emb_col, id_col, n_lists)
-    assigned = corpus.join(
-        ivf_assign(corpus, cents, emb_col, id_col).select(id_col, "list_id"),
-        id_col,
-    )
-    q_assigned = queries.join(
-        ivf_assign(queries, cents, emb_col, id_col).select(id_col, "list_id"),
-        id_col,
-    ).select(
+    # map-only list attach (fused literal argmin): the former
+    # ivf_assign + join-back on id shuffled the corpus twice for what
+    # is a pure per-row computation against k centroids
+    assigned = _with_list_id(corpus, cents, emb_col)
+    q_assigned = _with_list_id(queries, cents, emb_col).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("_q_emb"),
         V.norm(emb_col).alias("_q_norm"),
@@ -349,7 +411,7 @@ def knn_ivf(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm"))).alias("sim"),
+        V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -386,7 +448,7 @@ def knn_lsh(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm"))).alias("sim"),
+        V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -443,9 +505,9 @@ def cosine_near_dup_pairs(
             F.col("_blk").alias(block_col),
             "id_a",
             "id_b",
-            (V.dot("_emb_a", "_emb_b") / (F.col("_na") * F.col("_nb"))).alias(
-                "sim"
-            ),
+            V.safe_cosine(
+                V.dot("_emb_a", "_emb_b"), F.col("_na"), F.col("_nb")
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select(
@@ -483,10 +545,9 @@ def write_ivf_index(
         )
     else:
         cents = ivf_centroids(corpus, emb_col, id_col, n_lists=n_lists)
-    assigned = corpus.join(
-        ivf_assign(corpus, cents, emb_col, id_col).select(id_col, "list_id"),
-        id_col,
-    )
+    # map-only fused assignment: the index build is ONE pass over the
+    # corpus + the partitioned write — no assignment join-back shuffle
+    assigned = _with_list_id(corpus, cents, emb_col)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/lists"
     )
@@ -544,8 +605,9 @@ def knn_ivf_index(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        (V.dot("_q_emb", emb_col) / (F.col("_q_norm") * F.col("_c_norm")))
-        .alias("sim"),
+        V.safe_cosine(
+            V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")
+        ).alias("sim"),
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

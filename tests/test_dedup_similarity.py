@@ -567,3 +567,84 @@ def test_fused_assign_matches_crossjoin_assign(spark):
         for r in ivf_assign(emb, cents, "embedding", "vec_id").collect()
     }
     assert full_fused == full_joined
+
+
+def test_cosine_zero_norm_guard(spark):
+    """All-zero embeddings (missing-embedding placeholder) must yield
+    sim 0.0, not DIVIDE_BY_ZERO under ANSI mode."""
+    from product_etl_spark.operators.similarity import knn_bruteforce
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_bruteforce(df, df, "embedding", "vec_id", k=2).collect()
+    assert len(out) == 6
+    zero_sims = [r["cos_sim"] for r in out if r["query_id"] == 1]
+    assert all(s == 0.0 for s in zero_sims)
+
+
+def test_near_dedup_rejects_degenerate_k(spark):
+    from product_etl_spark.operators.dedup import dedup_corpus
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+    with pytest.raises(ValueError, match="even k"):
+        dedup_corpus(df, "text", "doc_id", strategy="near", k=1)
+    with pytest.raises(ValueError, match="even k"):
+        dedup_corpus(df, "text", "doc_id", strategy="near", k=7)
+
+
+def test_jaccard_pairs_duplicate_candidates_no_inflation(spark):
+    from product_etl_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    cand_once = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cand_dup = cand_once.unionAll(cand_once)
+    j1 = jaccard_pairs(df, "text", "doc_id", threshold=0.0,
+                       candidates=cand_once).collect()
+    j2 = jaccard_pairs(df, "text", "doc_id", threshold=0.0,
+                       candidates=cand_dup).collect()
+    assert j1 == j2 and 0 < j1[0]["jaccard"] <= 1.0
+
+
+def test_segment_dedup_fully_duplicate_doc_accounting(spark):
+    """Default drops fully-duplicate docs; include_empty_docs=True
+    keeps one dup_ratio=1.0 row per input doc."""
+    from product_etl_spark.operators.dedup import remove_duplicate_segments
+
+    text = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    default = remove_duplicate_segments(df, "text", "doc_id", seg_words=30)
+    assert {r["doc_id"] for r in default.collect()} == {1}
+    full = remove_duplicate_segments(df, "text", "doc_id", seg_words=30,
+                                     include_empty_docs=True)
+    rows = {r["doc_id"]: r for r in full.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["dup_ratio"] == 1.0 and rows[2]["text"] == ""
+    assert rows[2]["n_segments_kept"] == 0
+
+
+def test_segment_dedup_blank_docs_no_phantom_segment(spark):
+    """Blank/NULL docs must produce NO segments (split('') returns
+    [''] — the tokens() filter guards it), so they can't collide on
+    md5('') and erase each other."""
+    from product_etl_spark.operators.dedup import (
+        exploded_segments,
+        remove_duplicate_segments,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real content here")],
+        "doc_id long, text string",
+    )
+    assert exploded_segments(df, "text", "doc_id", 50).filter(
+        "doc_id < 4"
+    ).count() == 0
+    out = remove_duplicate_segments(df, "text", "doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {4}
