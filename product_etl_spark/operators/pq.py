@@ -1,0 +1,386 @@
+"""Product quantization (PQ) for embedding columns — the compressed
+ANN scale path (Jegou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", IEEE TPAMI 2011).
+
+Why this exists at 100 TB: a 64-dim float32 embedding is 256 bytes;
+its PQ code at m=8 subspaces x k=16 centroids is 8 x 4 bits = 4
+bytes. The corpus-side state for similarity search shrinks 64x, which
+is the difference between an ANN index that fits executor memory and
+one that doesn't. Search uses asymmetric distance computation (ADC):
+the query stays full-precision, the corpus is looked up through the
+codebooks — no decompression pass.
+
+Design (Spark-first):
+
+- Codebooks are DRIVER STATE by contract: m*k*dsub floats (e.g.
+  8*16*8 = 1024) — the same "k·dim is small" contract as IVF
+  centroids. They inline into Catalyst literal expressions, so both
+  encode and ADC are PURE MAP operators: no join, no shuffle, full
+  codegen. Plan-asserted in tests/test_pq.py.
+- ``md5_codebooks`` gives deterministic, engine-portable codebooks
+  (the ``hyperplanes`` recipe from similarity.py) so the DuckDB
+  oracle can reproduce encode/ADC bit-for-bit; ``train_codebooks``
+  is the quality path: per-subspace Lloyd's k-means, ONE corpus pass
+  per iteration covering ALL m subspaces at once (explode to
+  (subspace, code, subvector), then a single m*k*dsub-key mean
+  shuffle — map-side combined, never corpus-keyed).
+- Argmin tie-break: FIRST index of the minimum squared distance
+  (``array_position(d, array_min(d))``), which DuckDB's
+  ``list_position(d, list_min(d))`` matches exactly. Distances skip
+  the sqrt (monotone) and fold element terms left-to-right in a
+  fixed order so both engines produce the identical IEEE double.
+
+Reference parity note: the reference has no vector search at all
+(SURVEY §2.12 extension family); this extends knn_bruteforce /
+knn_ivf (similarity.py) with the compressed-corpus variant a
+training-data pipeline needs for dedup/retrieval over O(10^10) docs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Codebooks = list[list[list[float]]]  # [subspace][code][dim_within_sub]
+
+
+def md5_codebooks(m: int = 8, k: int = 16, dsub: int = 8) -> Codebooks:
+    """Deterministic pseudo-random codebooks in [-1,1]^dsub, derived
+    from md5 so any engine/language reproduces them exactly (the
+    similarity.hyperplanes recipe). Round to 3 decimals: the literal
+    *decimal strings* are what both engines parse, and string->double
+    parsing is IEEE round-to-nearest in both."""
+    books: Codebooks = []
+    for s in range(m):
+        book = []
+        for c in range(k):
+            row = []
+            for j in range(dsub):
+                h = int(
+                    hashlib.md5(f"pq{s},{c},{j}".encode()).hexdigest()[:8], 16
+                )
+                row.append(round((h % 2001) / 1000.0 - 1.0, 3))
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def _check_books(codebooks: Codebooks, dim: int) -> tuple[int, int, int]:
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if m * dsub != dim:
+        raise ValueError(
+            f"codebooks cover {m}x{dsub}={m * dsub} dims but dim={dim}; "
+            "subspaces must tile the embedding exactly"
+        )
+    if any(len(b) != k or any(len(r) != dsub for r in b) for b in codebooks):
+        raise ValueError("ragged codebooks: every subspace needs k x dsub")
+    return m, k, dsub
+
+
+def _sub(emb_col: str, s: int, dsub: int) -> F.Column:
+    """Subvector s of the embedding (1-based slice)."""
+    return F.slice(F.col(emb_col), s * dsub + 1, dsub)
+
+
+def _dist2_lit(emb_col: str, s: int, dsub: int, centroid: list[float]) -> F.Column:
+    """Squared L2 distance of subvector s to a literal centroid.
+    zip_with pairs elements in order and aggregate folds left — the
+    exact term order the generated oracle SQL reproduces."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            _sub(emb_col, s, dsub),
+            lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _code_expr(emb_col: str, s: int, codebooks: Codebooks) -> F.Column:
+    """0-based code for subspace s: FIRST index of the min squared
+    distance over the k literal centroids (ties -> lowest code,
+    matching DuckDB list_position)."""
+    dsub = len(codebooks[0][0])
+    dists = F.array(
+        *[_dist2_lit(emb_col, s, dsub, c) for c in codebooks[s]]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    emb_col: str,
+    codebooks: Codebooks,
+    out_col: str = "pq_code",
+    dim: int = 64,
+) -> DataFrame:
+    """Map-only PQ encode: ``out_col`` is an array<int> of m codes.
+    No shuffle, no UDF — m*k literal squared-distance expressions
+    inside whole-stage codegen. At m=8,k=16 the array fits 4 bits per
+    entry; stored as int for parquet simplicity (dictionary encoding
+    collapses it on disk)."""
+    m, _, _ = _check_books(codebooks, dim)
+    return df.withColumn(
+        out_col, F.array(*[_code_expr(emb_col, s, codebooks) for s in range(m)])
+    )
+
+
+def _adc_dist2(
+    q_emb: str, code_col: str, codebooks: Codebooks
+) -> F.Column:
+    """Asymmetric squared distance: full-precision query subvector vs
+    the corpus row's code-selected centroid, looked up by indexing a
+    literal array-of-arrays (pure expression, no join)."""
+    m, _, dsub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    total = F.lit(0.0)
+    for s in range(m):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[s]]
+        )
+        cent = F.element_at(book_lit, F.element_at(F.col(code_col), s + 1) + 1)
+        term = F.aggregate(
+            F.zip_with(
+                _sub(q_emb, s, dsub),
+                cent,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + term
+    return total
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: Codebooks,
+    k_neighbors: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    query_emb: str = "embedding",
+    code_col: str = "pq_code",
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k: broadcast the (small by contract) query set against
+    the coded corpus; per-query top-k via a query-partitioned window.
+    The corpus side NEVER shuffles — at 100 TB this is a map over the
+    4-byte-per-row coded corpus plus a window keyed by query id.
+    Returns (query_id, neighbor_id, adc_dist2, rank)."""
+    _check_books(codebooks, dim)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
+    )
+    pairs = corpus_codes.select(
+        F.col(corpus_id).alias("neighbor_id"), code_col
+    ).crossJoin(F.broadcast(q))
+    scored = pairs.withColumn(
+        "adc_dist2", _adc_dist2("_q_emb", code_col, codebooks)
+    )
+    from product_etl_spark.operators.similarity import topk_per_key
+
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist2").asc(), F.col("neighbor_id").asc()],
+        k_neighbors,
+    ).select("query_id", "neighbor_id", "adc_dist2", "rank")
+
+
+def train_codebooks(
+    corpus: DataFrame,
+    emb_col: str,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 3,
+    dim: int = 64,
+    init: Codebooks | None = None,
+) -> Codebooks:
+    """Per-subspace Lloyd's k-means, the quality path (md5_codebooks
+    is the deterministic oracle path). ONE corpus pass per iteration
+    covers ALL m subspaces: encode with the current books (pure map),
+    explode each row to m (subspace, code, subvector) structs, then a
+    single groupBy((subspace, code, pos)) mean — m*k*dsub grouping
+    keys, map-side combined, never corpus-keyed. Driver state is the
+    m*k*dsub float codebook per round (the IVF centroid contract).
+    Empty cells keep their previous centroid. Deterministic: means
+    are order-insensitive and the init is md5-seeded."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = init if init is not None else md5_codebooks(m, k, dsub)
+    _check_books(books, dim)
+    corpus = corpus.select(emb_col).persist()
+    try:
+        for _ in range(n_iters):
+            coded = pq_encode(corpus, emb_col, books, dim=dim)
+            exploded = coded.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).alias("sub"),
+                                F.element_at("pq_code", s + 1).alias("code"),
+                                _sub(emb_col, s, dsub).alias("v"),
+                            )
+                            for s in range(m)
+                        ]
+                    )
+                ).alias("x")
+            ).select("x.sub", "x.code", F.posexplode("x.v").alias("pos", "val"))
+            means = (
+                exploded.groupBy("sub", "code", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("mval"))
+                .collect()
+            )
+            new_books = [[list(c) for c in b] for b in books]
+            for r in means:
+                new_books[r["sub"]][r["code"]][r["pos"]] = float(r["mval"])
+            books = new_books
+    finally:
+        corpus.unpersist()
+    return books
+
+
+def quantization_error(
+    df: DataFrame, emb_col: str, codebooks: Codebooks, dim: int = 64
+) -> float:
+    """Mean squared reconstruction error — the PQ quality metric
+    (lower after training = the k-means worked). One map + one scalar
+    aggregate."""
+    m, _, dsub = _check_books(codebooks, dim)
+    coded = pq_encode(df, emb_col, codebooks, dim=dim)
+    err = F.lit(0.0)
+    for s in range(m):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[s]]
+        )
+        cent = F.element_at(book_lit, F.element_at("pq_code", s + 1) + 1)
+        err = err + F.aggregate(
+            F.zip_with(
+                _sub(emb_col, s, dsub),
+                cent,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    row = coded.select(F.avg(err).alias("mse")).first()
+    return float(row["mse"]) if row and row["mse"] is not None else 0.0
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: Codebooks,
+    k_neighbors: int = 5,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: coarse-prune with IVF lists, then ADC-score only the
+    probed lists' coded rows — the standard billion-scale recipe
+    (FAISS IVFPQ). Corpus cost per query drops to ~nprobe/n_lists of
+    the coded (4-byte) corpus; neither stage shuffles the corpus.
+
+    Composition of audited parts: ivf_assign (literal-argmin map),
+    pq_encode (literal map), the query->probe-list broadcast join
+    from knn_ivf, and the ADC window from pq_adc_topk."""
+    from product_etl_spark.operators.similarity import _with_list_id
+
+    coded = pq_encode(
+        _with_list_id(corpus, centroids, emb_col), emb_col, codebooks, dim=dim
+    ).select(F.col(corpus_id).alias("neighbor_id"), "list_id", "pq_code")
+    # per-query probe lists: nprobe nearest centroids (centroids are
+    # driver-contract small -> broadcast; queries small by contract)
+    from product_etl_spark.functions import vectors as V
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(emb_col).alias("_q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(centroids))
+    wq = Window.partitionBy("query_id").orderBy(
+        V.l2_distance("_q_emb", "centroid").asc(), F.col("list_id").asc()
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_q_emb", "list_id")
+    )
+    pairs = coded.join(F.broadcast(probes), "list_id")
+    scored = pairs.withColumn(
+        "adc_dist2", _adc_dist2("_q_emb", "pq_code", codebooks)
+    )
+    from product_etl_spark.operators.similarity import topk_per_key
+
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist2").asc(), F.col("neighbor_id").asc()],
+        k_neighbors,
+    ).select("query_id", "neighbor_id", "adc_dist2", "rank")
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _sql_sub_dist2(emb: str, s: int, dsub: int, centroid: list[float]) -> str:
+    """Left-folded sum of squared element diffs — the exact term
+    order Spark's aggregate(zip_with(...)) produces, so the IEEE
+    double matches bit-for-bit."""
+    acc = "CAST(0.0 AS DOUBLE)"
+    for j, v in enumerate(centroid):
+        t = (
+            f"(CAST({emb}[{s * dsub + j + 1}] AS DOUBLE) - CAST({v} AS DOUBLE))"
+        )
+        acc = f"({acc} + {t} * {t})"
+    return acc
+
+
+def pq_codes_oracle_sql(codebooks: Codebooks, m: int, dsub: int) -> str:
+    """DuckDB expression list reproducing pq_encode's codes for the
+    embeddings table (generated literals, same tie-break)."""
+    parts = []
+    for s in range(m):
+        dists = ", ".join(
+            _sql_sub_dist2("embedding", s, dsub, c) for c in codebooks[s]
+        )
+        parts.append(
+            f"(list_position([{dists}], list_min([{dists}])) - 1)"
+        )
+    return parts
+
+
+def pq_adc_oracle_terms(codebooks: Codebooks, q_emb: str, code_arr: str) -> str:
+    """DuckDB expression reproducing _adc_dist2: the code-selected
+    centroid comes from indexing a nested list literal."""
+    m, _, dsub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    total = "CAST(0.0 AS DOUBLE)"
+    for s in range(m):
+        book = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in c) + "]"
+                for c in codebooks[s]
+            )
+            + "]"
+        )
+        cent = f"({book})[{code_arr}[{s + 1}] + 1]"
+        term = "CAST(0.0 AS DOUBLE)"
+        for j in range(dsub):
+            d = (
+                f"(CAST({q_emb}[{s * dsub + j + 1}] AS DOUBLE)"
+                f" - ({cent})[{j + 1}])"
+            )
+            term = f"({term} + {d} * {d})"
+        total = f"({total} + {term})"
+    return total

@@ -105,6 +105,42 @@ def _with_list_id(df: DataFrame, centroids: DataFrame, emb_col: str) -> DataFram
     )
 
 
+def topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Top-k rows per key with a SALTED two-phase window.
+
+    A single ``row_number() OVER (PARTITION BY key)`` funnels every
+    candidate row for a key through ONE reducer — with few keys (the
+    broadcast-query kNN contract: a handful of queries, unbounded
+    corpus) that is a 1000-executor cluster idling behind nq tasks.
+    Phase 1 ranks within (key, salt) — n_salt * nq reducers — and
+    keeps k rows per bucket; phase 2 ranks the surviving
+    n_salt * k rows per key. Correct for ANY bucket assignment
+    because each bucket's top-k is a superset of the global top-k
+    members that hashed into it — REQUIRES ``order_cols`` to be a
+    total order (tie-break to a unique id), which also makes the
+    result deterministic. ``n_salt<=1`` degrades to the single
+    window."""
+    w_final = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    if n_salt and n_salt > 1:
+        w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+        df = (
+            df.withColumn("_salt", F.spark_partition_id() % F.lit(n_salt))
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    return df.withColumn(rank_col, F.row_number().over(w_final)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,12 +169,13 @@ def knn_bruteforce(
         F.col(id_col).alias("neighbor_id"),
         V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(query_id_col, "neighbor_id", F.round("sim", 4).alias("cos_sim"))
-    )
+    return topk_per_key(
+        sims,
+        [query_id_col],
+        [F.desc("sim"), F.asc("neighbor_id")],
+        k,
+        rank_col="rn",
+    ).select(query_id_col, "neighbor_id", F.round("sim", 4).alias("cos_sim"))
 
 
 def ivf_centroids(

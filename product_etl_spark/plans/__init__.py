@@ -40,10 +40,13 @@ had a driver row in rounds 1-4 (41 queries: the TPC-H composite suite
 q72-q90/q105-q111, time-series tail q98/q100/q103/q104, sampling
 q61-q63/q101, lag/rank/dow windows q52/q53/q55, arrays/JSON
 q67/q68/q78/q79/q80, text q65/q77/q113, SCD2 q95, NTILE q76, k-means
-q93) plus 9 anchors that were green in r1-r4 and are the flagship
-reps of their families (q01 pricing, q02 top-k join, q24
-sessionization, q31/q32 MinHash-LSH, q94 curation chain, q96 LOCF,
-q112 decontamination, q114 PageRank). Cumulative driver coverage per
+q93), the new-in-r5 compressed-ANN family (q115 PQ encode, q116 PQ
+ADC top-k — never driver-checked, by the rotation policy they take
+the slots of the q24/q96 anchors, whose families keep r1-r4 green
+rows + local verification), plus 7 anchors that were green in r1-r4
+and are the flagship reps of their families (q01 pricing, q02 top-k
+join, q31/q32 MinHash-LSH, q94 curation chain, q112 decontamination,
+q114 PageRank). Cumulative driver coverage per
 query per round is recorded in COVERAGE.md; every query demoted this
 round already has a green driver row in CORRECTNESS_r02/r04.
 q93_kmeans_ivf_lists is iterative (not ANSI-expressible) and is the
@@ -56,6 +59,7 @@ from product_etl_spark.plans import catalog_ext  # noqa: F401  (registers q41+)
 from product_etl_spark.plans import catalog_ext2  # noqa: F401  (registers q81+)
 from product_etl_spark.plans import catalog_ext3  # noqa: F401  (registers q96+)
 from product_etl_spark.plans import catalog_ext4  # noqa: F401  (registers q105+)
+from product_etl_spark.plans import catalog_ext5  # noqa: F401  (registers q115+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -105,14 +109,15 @@ _DRIVER_WINDOW = [
     "q110_tpch_q20_potential_promotion",
     "q111_tpch_q21_waiting_suppliers",
     "q113_bigram_lm_perplexity",
-    # -- 9 anchors: flagship family reps, green in r1-r4 --
+    # -- new-in-r5 compressed-ANN family (never driver-checked) --
+    "q115_pq_codes",
+    "q116_pq_adc_topk",
+    # -- 7 anchors: flagship family reps, green in r1-r4 --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
-    "q24_sessionization",
     "q31_minhash_signatures",
     "q32_lsh_near_dup_pairs",
     "q94_corpus_curation",
-    "q96_daily_gapfill_locf",
     "q112_benchmark_decontam",
     "q114_transition_pagerank",
 ]

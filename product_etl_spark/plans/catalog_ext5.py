@@ -1,0 +1,108 @@
+"""Fifth extension catalog (q115+): product-quantization vector
+search (operators/pq.py) made oracle-checkable.
+
+The codebooks are md5-derived driver constants (the q36 hyperplane
+recipe), so the DuckDB oracle reproduces encode and ADC bit-for-bit
+from GENERATED literal SQL: squared distances fold element terms in
+the same left-to-right order as Spark's aggregate(zip_with(...)),
+argmin ties break to the first (lowest) code in both engines
+(array_position vs list_position on the min), and the code-selected
+centroid in ADC is a nested-list-literal index in both.
+
+Trained codebooks (pq.train_codebooks, iterative Lloyd's) follow the
+q93 precedent: pytest-bounded (tests/test_pq.py quantization-error
+descent + recall), not ANSI-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators import pq as PQ
+from product_etl_spark.plans.catalog import _t, register
+
+_M, _K, _DSUB, _DIM = 8, 16, 8, 64
+_BOOKS = PQ.md5_codebooks(_M, _K, _DSUB)
+
+
+def _codes_sql_select() -> str:
+    """vec_id + the m generated 0-based code expressions."""
+    exprs = PQ.pq_codes_oracle_sql(_BOOKS, _M, _DSUB)
+    cols = ", ".join(f"{e} AS c{s}" for s, e in enumerate(exprs))
+    return f"SELECT vec_id, embedding, {cols} FROM embeddings"
+
+
+_Q115_SQL = f"""
+    WITH codes AS ({_codes_sql_select()})
+    SELECT vec_id,
+           {" || '-' || ".join(f"CAST(c{s} AS VARCHAR)" for s in range(_M))}
+             AS pq_code
+    FROM codes
+"""
+
+
+@register("q115_pq_codes", _Q115_SQL)
+def q115_pq_codes(spark, sf_dir):
+    """PQ-encode every embedding with the deterministic md5 codebooks
+    (m=8 subspaces x k=16 centroids over 64 dims -> 4 bytes/vector,
+    a 64x corpus compression). PURE MAP — no join, no shuffle, no
+    UDF; the m*k squared-distance argmins are literal Catalyst
+    expressions inside whole-stage codegen (plan-asserted in
+    tests/test_pq.py). Codes surface as a '-'-joined string so the
+    driver hash is engine-portable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = PQ.pq_encode(emb, "embedding", _BOOKS, dim=_DIM)
+    return coded.select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("pq_code", lambda c: c.cast("string"))
+        ).alias("pq_code"),
+    )
+
+
+def _q116_sql() -> str:
+    exprs = PQ.pq_codes_oracle_sql(_BOOKS, _M, _DSUB)
+    code_list = "[" + ", ".join(exprs) + "]"
+    adc = PQ.pq_adc_oracle_terms(_BOOKS, "q.embedding", "c.pq_code")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, {code_list} AS pq_code
+      FROM embeddings WHERE vec_id >= 3
+    ), q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {adc} AS d2
+      FROM corpus c CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(d2, 6) AS adc_dist2, rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("q116_pq_adc_topk", _q116_sql())
+def q116_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-5 neighbors for 3 query vectors over
+    the PQ-coded corpus: the query stays full precision, the corpus
+    is looked up through the codebooks — never decompressed. The
+    coded corpus side NEVER shuffles (broadcast queries + map +
+    query-keyed window); at 100 TB the scan reads 4-byte codes, not
+    256-byte embeddings. Scale twin with coarse pruning:
+    pq.knn_ivf_pq (FAISS IVFPQ shape), recall-tested in
+    tests/test_pq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = PQ.pq_encode(
+        emb.filter(F.col("vec_id") >= 3), "embedding", _BOOKS, dim=_DIM
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = PQ.pq_adc_topk(corpus, queries, _BOOKS, k_neighbors=5, dim=_DIM)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist2", 6).alias("adc_dist2"),
+        "rank",
+    )

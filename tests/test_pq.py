@@ -1,0 +1,162 @@
+"""Product quantization: encode determinism + map-only plan, ADC
+ranking vs exact ranking, trained codebooks beating the md5 init,
+IVF-PQ recall on planted clusters, salted top-k equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators import pq as PQ
+from product_etl_spark.operators import similarity as S
+
+
+def _planted(spark, n_clusters=4, per_cluster=40, dim=64, spread=0.05):
+    """Tight clusters around md5-derived anchors: nearest neighbors of
+    any member are (overwhelmingly) its cluster mates."""
+    import hashlib
+
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        anchor = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"anchor{c},{j}".encode()).hexdigest()[:8], 16)
+            anchor.append((h % 2001) / 1000.0 - 1.0)
+        for i in range(per_cluster):
+            vec = []
+            for j in range(dim):
+                h = int(
+                    hashlib.md5(f"jit{c},{i},{j}".encode()).hexdigest()[:8], 16
+                )
+                vec.append(float(anchor[j] + spread * ((h % 201) / 100.0 - 1.0)))
+            rows.append((vid, c, vec))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id int, cluster int, embedding array<float>"
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    df = _planted(spark).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_md5_codebooks_shape_and_determinism():
+    a = PQ.md5_codebooks(8, 16, 8)
+    b = PQ.md5_codebooks(8, 16, 8)
+    assert a == b
+    assert len(a) == 8 and len(a[0]) == 16 and len(a[0][0]) == 8
+    flat = [v for book in a for c in book for v in c]
+    assert all(-1.0 <= v <= 1.0 for v in flat)
+
+
+def test_encode_is_map_only(planted):
+    books = PQ.md5_codebooks(8, 16, 8)
+    coded = PQ.pq_encode(planted, "embedding", books)
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map: no join, no shuffle
+    row = coded.select("pq_code").first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c <= 15 for c in row["pq_code"])
+
+
+def test_encode_dim_mismatch_raises(planted):
+    books = PQ.md5_codebooks(4, 16, 8)  # covers 32 dims, corpus is 64
+    with pytest.raises(ValueError, match="tile"):
+        PQ.pq_encode(planted, "embedding", books)
+    with pytest.raises(ValueError, match="ragged"):
+        bad = PQ.md5_codebooks(8, 16, 8)
+        bad[3][7] = bad[3][7][:-1]
+        PQ.pq_encode(planted, "embedding", bad)
+
+
+def test_adc_topk_matches_exact_neighbors_on_clusters(planted):
+    """ADC distance is approximate, but on well-separated clusters
+    the top-5 neighbors of a query must come from its own cluster —
+    and the queries side must broadcast (corpus never shuffles before
+    the rank step)."""
+    books = PQ.train_codebooks(planted, "embedding", n_iters=2)
+    queries = planted.filter(F.col("vec_id").isin(0, 45, 90))
+    corpus = PQ.pq_encode(
+        planted.join(queries.select("vec_id"), "vec_id", "left_anti"),
+        "embedding",
+        books,
+    )
+    topk = PQ.pq_adc_topk(corpus, queries, books, k_neighbors=5)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    got = topk.collect()
+    assert len(got) == 15
+    cluster_of = {
+        r["vec_id"]: r["cluster"] for r in planted.select("vec_id", "cluster").collect()
+    }
+    for r in got:
+        assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]], (
+            f"query {r['query_id']} pulled neighbor {r['neighbor_id']} "
+            "from another cluster"
+        )
+
+
+def test_training_reduces_quantization_error(planted):
+    init = PQ.md5_codebooks(8, 16, 8)
+    before = PQ.quantization_error(planted, "embedding", init)
+    trained = PQ.train_codebooks(planted, "embedding", n_iters=3, init=init)
+    after = PQ.quantization_error(planted, "embedding", trained)
+    assert after < before * 0.5, (before, after)
+    # Lloyd's never increases the objective: one more round stays <=
+    more = PQ.train_codebooks(planted, "embedding", n_iters=1, init=trained)
+    assert PQ.quantization_error(planted, "embedding", more) <= after * 1.0001
+
+
+def test_ivf_pq_recall_on_planted_clusters(planted):
+    """IVF coarse-prune + ADC: with nprobe=2 over 4 lists on planted
+    clusters, every query's top-5 stays within its cluster."""
+    books = PQ.train_codebooks(planted, "embedding", n_iters=2)
+    cents = S.ivf_centroids_kmeans(
+        planted, "embedding", "vec_id", n_lists=4, n_iters=3
+    )
+    queries = planted.filter(F.col("vec_id").isin(10, 50, 130))
+    corpus = planted.join(queries.select("vec_id"), "vec_id", "left_anti")
+    got = PQ.knn_ivf_pq(
+        corpus, queries, cents, books, k_neighbors=5, nprobe=2
+    ).collect()
+    assert len(got) == 15
+    cluster_of = {
+        r["vec_id"]: r["cluster"] for r in planted.select("vec_id", "cluster").collect()
+    }
+    for r in got:
+        assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]]
+
+
+def test_salted_topk_equals_single_window(planted):
+    """topk_per_key's salted two-phase must return EXACTLY the rows a
+    single per-key window would — for any salt count, because
+    order_cols are a total order."""
+    scored = planted.select(
+        (F.col("cluster") % 2).alias("key"),
+        F.col("vec_id").alias("item"),
+        (F.col("vec_id") % 7).cast("double").alias("score"),
+    )
+    order = [F.col("score").asc(), F.col("item").asc()]
+    base = {
+        (r["key"], r["item"], r["rank"])
+        for r in S.topk_per_key(scored, ["key"], order, 5, n_salt=1).collect()
+    }
+    for n_salt in (2, 16, 64):
+        got = {
+            (r["key"], r["item"], r["rank"])
+            for r in S.topk_per_key(
+                scored, ["key"], order, 5, n_salt=n_salt
+            ).collect()
+        }
+        assert got == base, f"n_salt={n_salt} diverged"
+
+
+def test_train_codebooks_deterministic(planted):
+    a = PQ.train_codebooks(planted, "embedding", n_iters=2)
+    b = PQ.train_codebooks(planted, "embedding", n_iters=2)
+    assert a == b
