@@ -3,6 +3,7 @@ from product_etl_spark.operators import (  # noqa: F401
     bucketing,
     cms,
     dedup,
+    pq,
     rollup,
     sampling,
     similarity,

@@ -86,20 +86,24 @@ def _sub(emb_col: str, s: int, dsub: int) -> F.Column:
     return F.slice(F.col(emb_col), s * dsub + 1, dsub)
 
 
-def _dist2_lit(emb_col: str, s: int, dsub: int, centroid: list[float]) -> F.Column:
-    """Squared L2 distance of subvector s to a literal centroid.
-    zip_with pairs elements in order and aggregate folds left — the
-    exact term order the generated oracle SQL reproduces."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(
-            _sub(emb_col, s, dsub),
-            lit,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dist2_spark_sql(emb_col: str, s: int, dsub: int, centroid: list[float]) -> str:
+    """Squared L2 distance of subvector s to a literal centroid, as a
+    Spark SQL string. Why strings: building 1000+ Column nodes
+    through py4j costs seconds of driver time PER QUERY CONSTRUCTION
+    (measured ~8 s for the encode projection); one F.expr over a
+    generated string is a single round-trip and a fast JVM parse.
+    No higher-order lambdas either, so the projection whole-stage-
+    codegens. Terms fold left in element order — the exact order the
+    generated DuckDB oracle reproduces, so doubles match
+    bit-for-bit."""
+    acc = "CAST(0.0 AS DOUBLE)"
+    for j, v in enumerate(centroid):
+        t = (
+            f"(CAST(element_at({emb_col}, {s * dsub + j + 1}) AS DOUBLE)"
+            f" - {float(v)!r}D)"
+        )
+        acc = f"({acc} + {t} * {t})"
+    return acc
 
 
 def _code_expr(emb_col: str, s: int, codebooks: Codebooks) -> F.Column:
@@ -107,10 +111,16 @@ def _code_expr(emb_col: str, s: int, codebooks: Codebooks) -> F.Column:
     distance over the k literal centroids (ties -> lowest code,
     matching DuckDB list_position)."""
     dsub = len(codebooks[0][0])
-    dists = F.array(
-        *[_dist2_lit(emb_col, s, dsub, c) for c in codebooks[s]]
+    structs = ", ".join(
+        f"named_struct('dist', {_dist2_spark_sql(emb_col, s, dsub, c)},"
+        f" 'code', {i})"
+        for i, c in enumerate(codebooks[s])
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    # struct array_min orders by (dist, code): ties -> lowest code,
+    # identical to DuckDB's list_position(d, list_min(d)) - 1 — and
+    # the k distance expressions appear ONCE (array_position+array_min
+    # would inline them twice, doubling the analyzed tree)
+    return F.expr(f"CAST(array_min(array({structs})).code AS INT)")
 
 
 def pq_encode(
@@ -126,35 +136,61 @@ def pq_encode(
     entry; stored as int for parquet simplicity (dictionary encoding
     collapses it on disk)."""
     m, _, _ = _check_books(codebooks, dim)
+    # Loud dim guard (similarity._check_dim recipe): zip_with pads a
+    # short slice with NULLs -> NULL distances -> NULL codes, which
+    # would silently break every downstream ADC. One pruned first().
+    from product_etl_spark.operators.similarity import _check_dim
+
+    _check_dim(df, emb_col, dim)
     return df.withColumn(
         out_col, F.array(*[_code_expr(emb_col, s, codebooks) for s in range(m)])
     )
 
 
-def _adc_dist2(
-    q_emb: str, code_col: str, codebooks: Codebooks
-) -> F.Column:
+def _with_adc_dist2(
+    df: DataFrame,
+    q_emb: str,
+    code_col: str,
+    codebooks: Codebooks,
+    out_col: str = "adc_dist2",
+) -> DataFrame:
     """Asymmetric squared distance: full-precision query subvector vs
     the corpus row's code-selected centroid, looked up by indexing a
-    literal array-of-arrays (pure expression, no join)."""
+    literal array-of-arrays (pure expression, no join). Generated as
+    Spark SQL strings (see _dist2_spark_sql for why). The selected
+    centroid per subspace goes through an INTERMEDIATE ``_cent{s}``
+    column: it is referenced 2*dsub times in the distance terms, and
+    CollapseProject deliberately keeps multiply-referenced non-cheap
+    aliases, so the 16x-k*dsub codebook literal lands in the analyzed
+    plan ONCE per subspace instead of 16x. Term order matches the
+    generated oracle SQL exactly."""
     m, _, dsub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
-    total = F.lit(0.0)
     for s in range(m):
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[s]]
+        book = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+                for c in codebooks[s]
+            )
+            + ")"
         )
-        cent = F.element_at(book_lit, F.element_at(F.col(code_col), s + 1) + 1)
-        term = F.aggregate(
-            F.zip_with(
-                _sub(q_emb, s, dsub),
-                cent,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        df = df.withColumn(
+            f"_cent{s}",
+            F.expr(f"element_at({book}, element_at({code_col}, {s + 1}) + 1)"),
         )
-        total = total + term
-    return total
+    total = "CAST(0.0 AS DOUBLE)"
+    for s in range(m):
+        term = "CAST(0.0 AS DOUBLE)"
+        for j in range(dsub):
+            d = (
+                f"(CAST(element_at({q_emb}, {s * dsub + j + 1}) AS DOUBLE)"
+                f" - element_at(_cent{s}, {j + 1}))"
+            )
+            term = f"({term} + {d} * {d})"
+        total = f"({total} + {term})"
+    return df.withColumn(out_col, F.expr(total)).drop(
+        *[f"_cent{s}" for s in range(m)]
+    )
 
 
 def pq_adc_topk(
@@ -172,7 +208,11 @@ def pq_adc_topk(
     the coded corpus; per-query top-k via a query-partitioned window.
     The corpus side NEVER shuffles — at 100 TB this is a map over the
     4-byte-per-row coded corpus plus a window keyed by query id.
-    Returns (query_id, neighbor_id, adc_dist2, rank)."""
+    Returns (query_id, neighbor_id, adc_dist2, rank). Like FAISS, a
+    query present in the coded corpus matches ITSELF at rank 1 —
+    exclude query ids from the corpus side (q116's split) or drop
+    neighbor_id == query_id rows when self-matches are unwanted
+    (knn_bruteforce excludes them by join condition instead)."""
     _check_books(codebooks, dim)
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
@@ -180,9 +220,7 @@ def pq_adc_topk(
     pairs = corpus_codes.select(
         F.col(corpus_id).alias("neighbor_id"), code_col
     ).crossJoin(F.broadcast(q))
-    scored = pairs.withColumn(
-        "adc_dist2", _adc_dist2("_q_emb", code_col, codebooks)
-    )
+    scored = _with_adc_dist2(pairs, "_q_emb", code_col, codebooks)
     from product_etl_spark.operators.similarity import topk_per_key
 
     return topk_per_key(
@@ -254,25 +292,38 @@ def quantization_error(
     """Mean squared reconstruction error — the PQ quality metric
     (lower after training = the k-means worked). One map + one scalar
     aggregate."""
-    m, _, dsub = _check_books(codebooks, dim)
+    _check_books(codebooks, dim)
     coded = pq_encode(df, emb_col, codebooks, dim=dim)
-    err = F.lit(0.0)
-    for s in range(m):
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[s]]
-        )
-        cent = F.element_at(book_lit, F.element_at("pq_code", s + 1) + 1)
-        err = err + F.aggregate(
-            F.zip_with(
-                _sub(emb_col, s, dsub),
-                cent,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    row = coded.select(F.avg(err).alias("mse")).first()
+    # reconstruction error IS the asymmetric distance of a vector to
+    # its own code — reuse the ADC expression
+    row = (
+        _with_adc_dist2(coded, emb_col, "pq_code", codebooks, out_col="_re")
+        .select(F.avg("_re").alias("mse"))
+        .first()
+    )
     return float(row["mse"]) if row and row["mse"] is not None else 0.0
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: Codebooks,
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The IVF-PQ index frame: (neighbor_id, list_id, pq_code) — one
+    map-only pass (literal-argmin list assignment + literal-codebook
+    encode, no shuffle). BUILD ONCE, QUERY MANY: persist this (or
+    write it partitioned by list_id, the write_ivf_index recipe) —
+    the combined assign+encode projection is a large expression tree,
+    and re-deriving it inside every query's AQE re-optimizations
+    costs far more than materializing the 4-bytes-per-row result."""
+    from product_etl_spark.operators.similarity import _with_list_id
+
+    return pq_encode(
+        _with_list_id(corpus, centroids, emb_col), emb_col, codebooks, dim=dim
+    ).select(F.col(corpus_id).alias("neighbor_id"), "list_id", "pq_code")
 
 
 def knn_ivf_pq(
@@ -286,20 +337,29 @@ def knn_ivf_pq(
     query_id: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = 64,
+    coded_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse-prune with IVF lists, then ADC-score only the
     probed lists' coded rows — the standard billion-scale recipe
     (FAISS IVFPQ). Corpus cost per query drops to ~nprobe/n_lists of
     the coded (4-byte) corpus; neither stage shuffles the corpus.
 
+    Pass ``coded_corpus`` (a persisted/stored ``build_ivf_pq_index``
+    frame) for the production query path; otherwise the index is
+    derived inline from ``corpus`` (convenient, but rebuilds the
+    index expression per call — measured ~10x slower end-to-end at
+    200k vectors, tools/bench_pq.py).
+
     Composition of audited parts: ivf_assign (literal-argmin map),
     pq_encode (literal map), the query->probe-list broadcast join
-    from knn_ivf, and the ADC window from pq_adc_topk."""
-    from product_etl_spark.operators.similarity import _with_list_id
-
-    coded = pq_encode(
-        _with_list_id(corpus, centroids, emb_col), emb_col, codebooks, dim=dim
-    ).select(F.col(corpus_id).alias("neighbor_id"), "list_id", "pq_code")
+    from knn_ivf, and the salted ADC top-k from pq_adc_topk."""
+    coded = (
+        coded_corpus
+        if coded_corpus is not None
+        else build_ivf_pq_index(
+            corpus, centroids, codebooks, corpus_id, emb_col, dim=dim
+        )
+    )
     # per-query probe lists: nprobe nearest centroids (centroids are
     # driver-contract small -> broadcast; queries small by contract)
     from product_etl_spark.functions import vectors as V
@@ -317,9 +377,7 @@ def knn_ivf_pq(
         .select("query_id", "_q_emb", "list_id")
     )
     pairs = coded.join(F.broadcast(probes), "list_id")
-    scored = pairs.withColumn(
-        "adc_dist2", _adc_dist2("_q_emb", "pq_code", codebooks)
-    )
+    scored = _with_adc_dist2(pairs, "_q_emb", "pq_code", codebooks)
     from product_etl_spark.operators.similarity import topk_per_key
 
     return topk_per_key(

@@ -63,8 +63,9 @@ def _check_dim(df: DataFrame, emb_col: str, dim: int) -> None:
     row = df.select(F.size(F.col(emb_col)).alias("_d")).first()
     if row is not None and row["_d"] != dim:
         raise ValueError(
-            f"embedding dim {row['_d']} != hyperplane dim {dim}; pass "
-            f"dim={row['_d']} so LSH buckets discriminate"
+            f"embedding dim {row['_d']} != expected dim {dim}; pass "
+            f"dim={row['_d']} so vector ops (LSH buckets, PQ codes) "
+            "line up with the data"
         )
 
 

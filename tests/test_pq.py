@@ -130,6 +130,19 @@ def test_ivf_pq_recall_on_planted_clusters(planted):
     }
     for r in got:
         assert cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]]
+    # the production path — a prebuilt (persisted) index frame — must
+    # return the identical result set
+    index = PQ.build_ivf_pq_index(corpus, cents, books).persist()
+    try:
+        via_index = PQ.knn_ivf_pq(
+            corpus, queries, cents, books, k_neighbors=5, nprobe=2,
+            coded_corpus=index,
+        ).collect()
+        assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got} == {
+            (r["query_id"], r["neighbor_id"], r["rank"]) for r in via_index
+        }
+    finally:
+        index.unpersist()
 
 
 def test_salted_topk_equals_single_window(planted):
