@@ -264,7 +264,42 @@ def _argmin_literal_expr(
     expression over literal centroid arrays — no join, no shuffle.
     ``array_min`` over structs orders by (dist, list_id), so ties
     break toward the lower list_id exactly like the
-    ``min(struct(dist, list_id))`` aggregate in ``ivf_assign``."""
+    ``min(struct(dist, list_id))`` aggregate in ``ivf_assign``.
+
+    Generated as ONE Spark SQL string rather than k·dim Column
+    objects: py4j tree construction cost seconds per call (it runs
+    once per Lloyd's iteration), and the zip_with/aggregate lambdas
+    it replaces were interpreted row-at-a-time. The arithmetic is
+    bit-identical to the former HOF form: per-element terms in array
+    order, left-folded from 0.0, sqrt on top, literals parsed from
+    the same repr strings."""
+    structs = []
+    for lid, vec in centroids:
+        acc = "CAST(0.0 AS DOUBLE)"
+        for j, v in enumerate(vec):
+            t = (
+                f"(CAST(element_at({emb_col}, {j + 1}) AS DOUBLE)"
+                f" - {float(v)!r}D)"
+            )
+            acc = f"({acc} + {t} * {t})"
+        structs.append(
+            f"named_struct('dist', SQRT({acc}), 'list_id', {int(lid)})"
+        )
+    return F.expr(f"array_min(array({', '.join(structs)}))")
+
+
+def _argmin_literal_hof(
+    centroids: list[tuple[int, list[float]]], emb_col: str
+) -> F.Column:
+    """The higher-order-function form of ``_argmin_literal_expr``,
+    bit-identical values. Interpreted row-at-a-time — but it skips
+    whole-stage-codegen COMPILATION, which is the right trade inside
+    Lloyd's iterations: the centroid literals change every round, so
+    each round's generated-SQL plan is a fresh janino compile
+    (~0.2 s/round) serving one pass over the (sampled, small)
+    training frame. Production assignment paths keep the codegen'd
+    generated-SQL form — fixed literals, compiled once, amortized
+    over the full corpus scan."""
     return F.array_min(
         F.array(
             *[
@@ -325,9 +360,11 @@ def ivf_centroids_kmeans(
     fused = n_lists * dim <= _FUSED_ASSIGN_MAX_LITERALS
     for _ in range(n_iters):
         if fused:
+            # HOF form on purpose: per-round literals never amortize a
+            # codegen compile (see _argmin_literal_hof docstring)
             assigned = corpus.select(
                 F.col(emb_col),
-                _argmin_literal_expr(sorted(prev.items()), emb_col)[
+                _argmin_literal_hof(sorted(prev.items()), emb_col)[
                     "list_id"
                 ].alias("list_id"),
             )
