@@ -388,6 +388,130 @@ def knn_ivf_pq(
     ).select("query_id", "neighbor_id", "adc_dist2", "rank")
 
 
+def write_ivf_pq_index(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    path: str,
+    n_lists: int = 4,
+    m: int = 8,
+    k: int = 16,
+    kmeans_iters: int = 0,
+    pq_train_iters: int = 0,
+    dim: int = 64,
+) -> None:
+    """Build and persist a full IVF-PQ index:
+
+    - ``<path>/centroids``  — k coarse centroids (list_id, centroid)
+    - ``<path>/codebooks``  — m*k rows (sub, code, centroid)
+    - ``<path>/codes``      — (id, pq_code) partitioned by list_id
+
+    The partition layout is the coarse index (the write_ivf_index
+    recipe: each inverted list is its own parquet directory, probes
+    partition-prune to nprobe/n_lists of the files) and the stored
+    rows are the PQ compression: 4-ish bytes of code per vector
+    instead of the embedding — the stored index is ~64x smaller than
+    the corpus embeddings, so at 100 TB of vectors the index serves
+    from ~1.6 TB. ``kmeans_iters``/``pq_train_iters`` > 0 train the
+    coarse centroids / codebooks (Lloyd's); 0 keeps the deterministic
+    md5/lowest-id variants."""
+    from product_etl_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_centroids_kmeans,
+    )
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if kmeans_iters > 0:
+        cents = ivf_centroids_kmeans(
+            corpus, emb_col, id_col, n_lists=n_lists, n_iters=kmeans_iters
+        )
+    else:
+        cents = ivf_centroids(corpus, emb_col, id_col, n_lists=n_lists)
+    books = md5_codebooks(m, k, dim // m)
+    if pq_train_iters > 0:
+        books = train_codebooks(
+            corpus, emb_col, m=m, k=k, n_iters=pq_train_iters, dim=dim,
+            init=books,
+        )
+    coded = build_ivf_pq_index(
+        corpus, cents, books, corpus_id=id_col, emb_col=emb_col, dim=dim
+    )
+    coded.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    book_rows = [
+        (s, c, books[s][c]) for s in range(m) for c in range(k)
+    ]
+    spark.createDataFrame(
+        book_rows, "sub int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_codebooks(spark, path: str) -> Codebooks:
+    """Codebooks back from ``<path>/codebooks`` as driver state
+    (m*k*dsub floats — the contract-small constant)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    books: Codebooks = [[None] * k for _ in range(m)]  # type: ignore[list-item]
+    for r in rows:
+        books[r["sub"]][r["code"]] = list(r["centroid"])
+    if any(c is None for b in books for c in b):
+        raise ValueError(f"codebooks at {path} are not a full {m}x{k} grid")
+    return books
+
+
+def knn_ivf_pq_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    query_emb: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index, reading only the
+    probed lists' code files (PartitionFilters on list_id — the
+    knn_ivf_index pruning recipe) and never any embedding bytes.
+    Returns (query_id, neighbor_id, adc_dist2, rank)."""
+    from product_etl_spark.functions import vectors as V
+    from product_etl_spark.operators.similarity import topk_per_key
+
+    books = read_codebooks(spark, index_path)
+    _check_books(books, dim)
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    wq = Window.partitionBy("query_id").orderBy(
+        V.l2_distance("_q_emb", "centroid").asc(), F.col("list_id").asc()
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_q_emb", "list_id")
+    )
+    probe_lists = [
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    ]
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("list_id").isin(probe_lists)
+    )
+    pairs = codes.join(F.broadcast(probes), "list_id")
+    scored = _with_adc_dist2(pairs, "_q_emb", "pq_code", books)
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist2").asc(), F.col("neighbor_id").asc()],
+        k_neighbors,
+    ).select("query_id", "neighbor_id", "adc_dist2", "rank")
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 

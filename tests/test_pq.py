@@ -169,6 +169,37 @@ def test_salted_topk_equals_single_window(planted):
         assert got == base, f"n_salt={n_salt} diverged"
 
 
+def test_persisted_ivf_pq_index_matches_inmemory(spark, planted, tmp_path):
+    """write_ivf_pq_index -> knn_ivf_pq_index must (a) partition-prune
+    the codes scan to the probed lists and (b) return exactly what the
+    in-memory composition returns for the same centroids/codebooks."""
+    path = str(tmp_path / "pq_index")
+    PQ.write_ivf_pq_index(planted, "embedding", "vec_id", path, n_lists=4)
+    queries = planted.filter(F.col("vec_id").isin(7, 77))
+    got = PQ.knn_ivf_pq_index(
+        spark, path, queries, k_neighbors=5, nprobe=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln or "PartitionFilters" in ln
+    ]
+    assert any(
+        "PartitionFilters: [list_id" in ln for ln in scan_lines
+    ), scan_lines
+    books = PQ.md5_codebooks(8, 16, 8)
+    cents = S.ivf_centroids(planted, "embedding", "vec_id", n_lists=4)
+    expected = PQ.knn_ivf_pq(
+        planted, queries, cents, books, k_neighbors=5, nprobe=2
+    )
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()} == {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in expected.collect()
+    }
+    # round-trip of the stored codebooks is exact
+    assert PQ.read_codebooks(spark, path) == books
+
+
 def test_train_codebooks_deterministic(planted):
     a = PQ.train_codebooks(planted, "embedding", n_iters=2)
     b = PQ.train_codebooks(planted, "embedding", n_iters=2)
