@@ -15,8 +15,11 @@ Design (Spark-first):
 - Codebooks are DRIVER STATE by contract: m*k*dsub floats (e.g.
   8*16*8 = 1024) — the same "k·dim is small" contract as IVF
   centroids. They inline into Catalyst literal expressions, so both
-  encode and ADC are PURE MAP operators: no join, no shuffle, full
-  codegen. Plan-asserted in tests/test_pq.py.
+  encode and ADC are PURE MAP operators: no join, no shuffle
+  (plan-asserted in tests/test_pq.py). The scoring lambdas evaluate
+  as CodegenFallback expressions (see _code_expr for why that beats
+  the unrolled form janino rejects); pq_encode_fast is the
+  Arrow-batched numpy path for bulk throughput.
 - ``md5_codebooks`` gives deterministic, engine-portable codebooks
   (the ``hyperplanes`` recipe from similarity.py) so the DuckDB
   oracle can reproduce encode/ADC bit-for-bit; ``train_codebooks``
@@ -24,11 +27,12 @@ Design (Spark-first):
   per iteration covering ALL m subspaces at once (explode to
   (subspace, code, subvector), then a single m*k*dsub-key mean
   shuffle — map-side combined, never corpus-keyed).
-- Argmin tie-break: FIRST index of the minimum squared distance
-  (``array_position(d, array_min(d))``), which DuckDB's
-  ``list_position(d, list_min(d))`` matches exactly. Distances skip
-  the sqrt (monotone) and fold element terms left-to-right in a
-  fixed order so both engines produce the identical IEEE double.
+- Argmin tie-break: FIRST index of the minimum score, which
+  DuckDB's ``list_position(d, list_min(d))`` matches exactly. The
+  encode score is ``||c||^2 - 2<x,c>`` (squared-L2 ordering, half
+  the arithmetic) and ADC is true squared L2; both fold element
+  terms left-to-right in a fixed order so both engines produce the
+  identical IEEE double.
 
 Reference parity note: the reference has no vector search at all
 (SURVEY §2.12 extension family); this extends knn_bruteforce /
@@ -86,41 +90,51 @@ def _sub(emb_col: str, s: int, dsub: int) -> F.Column:
     return F.slice(F.col(emb_col), s * dsub + 1, dsub)
 
 
-def _dist2_spark_sql(emb_col: str, s: int, dsub: int, centroid: list[float]) -> str:
-    """Squared L2 distance of subvector s to a literal centroid, as a
-    Spark SQL string. Why strings: building 1000+ Column nodes
-    through py4j costs seconds of driver time PER QUERY CONSTRUCTION
-    (measured ~8 s for the encode projection); one F.expr over a
-    generated string is a single round-trip and a fast JVM parse.
-    No higher-order lambdas either, so the projection whole-stage-
-    codegens. Terms fold left in element order — the exact order the
-    generated DuckDB oracle reproduces, so doubles match
-    bit-for-bit."""
-    acc = "CAST(0.0 AS DOUBLE)"
-    for j, v in enumerate(centroid):
-        t = (
-            f"(CAST(element_at({emb_col}, {s * dsub + j + 1}) AS DOUBLE)"
-            f" - {float(v)!r}D)"
-        )
-        acc = f"({acc} + {t} * {t})"
+def _c2_literal(centroid: list[float]) -> float:
+    """||c||^2 as a left-fold in element order (the same order both
+    engines would use) — computed once in Python, embedded as one
+    literal."""
+    acc = 0.0
+    for v in centroid:
+        acc = acc + float(v) * float(v)
     return acc
 
 
 def _code_expr(emb_col: str, s: int, codebooks: Codebooks) -> F.Column:
-    """0-based code for subspace s: FIRST index of the min squared
-    distance over the k literal centroids (ties -> lowest code,
-    matching DuckDB list_position)."""
+    """0-based code for subspace s: FIRST index of the min score
+    (``||c||^2 - 2<x,c>``; the ``||x||^2`` term is constant across
+    the argmin so squared-L2 ordering is preserved) over the k literal
+    centroids — ties -> lowest code via struct array_min ordering by
+    (score, code), identical to DuckDB's list_position on the min.
+
+    Shape: ONE transform-lambda over a literal array of
+    (c2, centroid) structs, with the dot as aggregate(zip_with(...)).
+    Higher-order functions are CodegenFallback (interpreted), which
+    here is DELIBERATE: the fully unrolled element_at form compiled
+    to a ~16k-line single processNext() that janino rejected — the
+    stage fell back to interpreted ANYWAY and paid a multi-second
+    failed compile per plan. The lambda form has the same IEEE fold
+    order (elementwise products left-folded from 0.0), a tiny tree,
+    and no compile at all. The THROUGHPUT path for bulk encoding is
+    pq_encode_fast (Arrow-batched numpy)."""
     dsub = len(codebooks[0][0])
-    structs = ", ".join(
-        f"named_struct('dist', {_dist2_spark_sql(emb_col, s, dsub, c)},"
-        f" 'code', {i})"
-        for i, c in enumerate(codebooks[s])
+    start = s * dsub + 1
+    book = ", ".join(
+        f"named_struct('c2', {_c2_literal(c)!r}D, 'cent', array("
+        + ", ".join(f"{float(v)!r}D" for v in c)
+        + "))"
+        for c in codebooks[s]
     )
-    # struct array_min orders by (dist, code): ties -> lowest code,
-    # identical to DuckDB's list_position(d, list_min(d)) - 1 — and
-    # the k distance expressions appear ONCE (array_position+array_min
-    # would inline them twice, doubling the analyzed tree)
-    return F.expr(f"CAST(array_min(array({structs})).code AS INT)")
+    dot = (
+        f"aggregate(zip_with(slice({emb_col}, {start}, {dsub}), b.cent, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CAST(array_min(transform(array({book}), (b, i) -> "
+        f"named_struct('score', (b.c2 - (2.0D * {dot})), 'code', i)"
+        ")).code AS INT)"
+    )
 
 
 def pq_encode(
@@ -129,22 +143,79 @@ def pq_encode(
     codebooks: Codebooks,
     out_col: str = "pq_code",
     dim: int = 64,
+    check_dim: bool = True,
 ) -> DataFrame:
     """Map-only PQ encode: ``out_col`` is an array<int> of m codes.
-    No shuffle, no UDF — m*k literal squared-distance expressions
-    inside whole-stage codegen. At m=8,k=16 the array fits 4 bits per
+    No shuffle, no UDF — m*k literal score expressions evaluated
+    JVM-side. At m=8,k=16 the array fits 4 bits per
     entry; stored as int for parquet simplicity (dictionary encoding
-    collapses it on disk)."""
+    collapses it on disk). ``check_dim=False`` skips the first()
+    probe for callers that already validated the frame (the training
+    loop re-encodes the same persisted corpus every round)."""
     m, _, _ = _check_books(codebooks, dim)
-    # Loud dim guard (similarity._check_dim recipe): zip_with pads a
-    # short slice with NULLs -> NULL distances -> NULL codes, which
-    # would silently break every downstream ADC. One pruned first().
+    # Loud dim guard (similarity._check_dim recipe): a short slice
+    # yields NULL distances -> NULL codes, which would silently break
+    # every downstream ADC. One pruned first().
     from product_etl_spark.operators.similarity import _check_dim
 
-    _check_dim(df, emb_col, dim)
+    if check_dim:
+        _check_dim(df, emb_col, dim)
     return df.withColumn(
         out_col, F.array(*[_code_expr(emb_col, s, codebooks) for s in range(m)])
     )
+
+
+def pq_encode_fast(
+    df: DataFrame,
+    emb_col: str,
+    codebooks: Codebooks,
+    out_col: str = "pq_code",
+    dim: int = 64,
+) -> DataFrame:
+    """Arrow-batched numpy encode — the bulk-throughput path for
+    index builds: one einsum per batch instead of per-row interpreted
+    lambdas. At 200k x 64 dims on local[32] the measured gap over the
+    expression path is ~1.4x (Arrow transfer of the embeddings
+    dominates; tools/bench_pq.py) and grows with batch size and
+    vector width. Same argmin score (``||c||^2 - 2<x,c>``) and
+    the same ties->lowest-code rule (np.argmin returns the first
+    minimum), but numpy's dot uses pairwise summation while the
+    expression path folds left — on an exact score tie at the double
+    ULP level the chosen code can differ. Use ``pq_encode`` where
+    bit-parity with the DuckDB oracle is the contract; this
+    everywhere else."""
+    import numpy as np
+
+    m, k, dsub = _check_books(codebooks, dim)
+    from product_etl_spark.operators.similarity import _check_dim
+
+    _check_dim(df, emb_col, dim)
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    c2 = np.einsum("mkd,mkd->mk", C, C)  # (m, k)
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            ).reshape(n, m, dsub)
+            dots = np.einsum("nmd,mkd->nmk", X, C)  # (n, m, k)
+            codes = np.argmin(c2[None, :, :] - 2.0 * dots, axis=2)
+            pdf = pdf.copy()
+            pdf[out_col] = [row.astype("int32") for row in codes]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, out_schema)
 
 
 def _with_adc_dist2(
@@ -157,13 +228,26 @@ def _with_adc_dist2(
     """Asymmetric squared distance: full-precision query subvector vs
     the corpus row's code-selected centroid, looked up by indexing a
     literal array-of-arrays (pure expression, no join). Generated as
-    Spark SQL strings (see _dist2_spark_sql for why). The selected
+    Spark SQL strings (py4j Column construction costs seconds per
+    query for trees this size; one F.expr is a single round-trip and
+    a fast JVM parse). The selected
     centroid per subspace goes through an INTERMEDIATE ``_cent{s}``
-    column: it is referenced 2*dsub times in the distance terms, and
+    column: it is referenced in the distance terms, and
     CollapseProject deliberately keeps multiply-referenced non-cheap
     aliases, so the 16x-k*dsub codebook literal lands in the analyzed
     plan ONCE per subspace instead of 16x. Term order matches the
-    generated oracle SQL exactly."""
+    generated oracle SQL exactly.
+
+    The distance itself is deliberately a zip_with/aggregate lambda,
+    NOT an unrolled element_at chain: the scoring projection gets
+    fused under the top-k window's pre-shuffle Sort
+    (WindowGroupLimit partial), and the unrolled form inflated that
+    single sort_addToSorter method past what janino can compile —
+    the stage then fell back to FULLY interpreted execution AND paid
+    a multi-second failed compile per query. The lambda evaluates as
+    a CodegenFallback expression inside an otherwise small, compiled
+    stage. IEEE fold order is identical either way (element order,
+    left fold from 0.0)."""
     m, _, dsub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
     for s in range(m):
         book = (
@@ -180,13 +264,12 @@ def _with_adc_dist2(
         )
     total = "CAST(0.0 AS DOUBLE)"
     for s in range(m):
-        term = "CAST(0.0 AS DOUBLE)"
-        for j in range(dsub):
-            d = (
-                f"(CAST(element_at({q_emb}, {s * dsub + j + 1}) AS DOUBLE)"
-                f" - element_at(_cent{s}, {j + 1}))"
-            )
-            term = f"({term} + {d} * {d})"
+        term = (
+            f"aggregate(zip_with(slice({q_emb}, {s * dsub + 1}, {dsub}), "
+            f"_cent{s}, (x, y) -> (CAST(x AS DOUBLE) - y) * "
+            "(CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v)"
+        )
         total = f"({total} + {term})"
     return df.withColumn(out_col, F.expr(total)).drop(
         *[f"_cent{s}" for s in range(m)]
@@ -214,6 +297,13 @@ def pq_adc_topk(
     neighbor_id == query_id rows when self-matches are unwanted
     (knn_bruteforce excludes them by join condition instead)."""
     _check_books(codebooks, dim)
+    # guard the QUERY side too: a mismatched query embedding makes
+    # every slice/zip_with NULL -> adc_dist2 NULL -> the window's
+    # NULLS FIRST sort hands out ranks by neighbor_id alone —
+    # silently wrong top-k
+    from product_etl_spark.operators.similarity import _check_dim
+
+    _check_dim(queries, query_emb, dim)
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
     )
@@ -252,12 +342,24 @@ def train_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    if init is not None and (len(init) != m or len(init[0]) != k):
+        # _check_books alone can't catch this: a 16x16x4 init also
+        # tiles 64 dims, but the explode loop below would mix m=8
+        # 8-dim subvectors with 4-dim centroids and blow up deep in
+        # the update loop
+        raise ValueError(
+            f"init codebooks are {len(init)}x{len(init[0])} but "
+            f"m={m}, k={k} were requested"
+        )
     books = init if init is not None else md5_codebooks(m, k, dsub)
     _check_books(books, dim)
+    from product_etl_spark.operators.similarity import _check_dim
+
     corpus = corpus.select(emb_col).persist()
+    _check_dim(corpus, emb_col, dim)  # once; the loop skips it
     try:
         for _ in range(n_iters):
-            coded = pq_encode(corpus, emb_col, books, dim=dim)
+            coded = pq_encode(corpus, emb_col, books, dim=dim, check_dim=False)
             exploded = coded.select(
                 F.explode(
                     F.array(
@@ -301,7 +403,12 @@ def quantization_error(
         .select(F.avg("_re").alias("mse"))
         .first()
     )
-    return float(row["mse"]) if row and row["mse"] is not None else 0.0
+    if row is None or row["mse"] is None:
+        # avg over zero rows is NULL; 0.0 here would report a
+        # PERFECT score for an accidentally-empty corpus and let a
+        # before/after training gate pass on no data
+        raise ValueError("quantization_error: empty input frame")
+    return float(row["mse"])
 
 
 def build_ivf_pq_index(
@@ -324,6 +431,37 @@ def build_ivf_pq_index(
     return pq_encode(
         _with_list_id(corpus, centroids, emb_col), emb_col, codebooks, dim=dim
     ).select(F.col(corpus_id).alias("neighbor_id"), "list_id", "pq_code")
+
+
+def _probe_lists(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_id: str,
+    query_emb: str,
+    dim: int,
+) -> DataFrame:
+    """Per-query probe lists: the nprobe nearest coarse centroids
+    (broadcast; both frames are contract-small). Shared by the
+    in-memory and persisted IVF-PQ query paths so probe tie-breaking
+    and the query-side dim guard live in ONE place. Returns
+    (query_id, _q_emb, list_id)."""
+    from product_etl_spark.functions import vectors as V
+    from product_etl_spark.operators.similarity import _check_dim
+
+    _check_dim(queries, query_emb, dim)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(centroids))
+    wq = Window.partitionBy("query_id").orderBy(
+        V.l2_distance("_q_emb", "centroid").asc(), F.col("list_id").asc()
+    )
+    return (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_q_emb", "list_id")
+    )
 
 
 def knn_ivf_pq(
@@ -360,22 +498,7 @@ def knn_ivf_pq(
             corpus, centroids, codebooks, corpus_id, emb_col, dim=dim
         )
     )
-    # per-query probe lists: nprobe nearest centroids (centroids are
-    # driver-contract small -> broadcast; queries small by contract)
-    from product_etl_spark.functions import vectors as V
-
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(emb_col).alias("_q_emb")
-    )
-    qc = q.crossJoin(F.broadcast(centroids))
-    wq = Window.partitionBy("query_id").orderBy(
-        V.l2_distance("_q_emb", "centroid").asc(), F.col("list_id").asc()
-    )
-    probes = (
-        qc.withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= nprobe)
-        .select("query_id", "_q_emb", "list_id")
-    )
+    probes = _probe_lists(queries, centroids, nprobe, query_id, emb_col, dim)
     pairs = coded.join(F.broadcast(probes), "list_id")
     scored = _with_adc_dist2(pairs, "_q_emb", "pq_code", codebooks)
     from product_etl_spark.operators.similarity import topk_per_key
@@ -478,24 +601,12 @@ def knn_ivf_pq_index(
     probed lists' code files (PartitionFilters on list_id — the
     knn_ivf_index pruning recipe) and never any embedding bytes.
     Returns (query_id, neighbor_id, adc_dist2, rank)."""
-    from product_etl_spark.functions import vectors as V
     from product_etl_spark.operators.similarity import topk_per_key
 
     books = read_codebooks(spark, index_path)
     _check_books(books, dim)
     cents = spark.read.parquet(f"{index_path}/centroids")
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
-    )
-    qc = q.crossJoin(F.broadcast(cents))
-    wq = Window.partitionBy("query_id").orderBy(
-        V.l2_distance("_q_emb", "centroid").asc(), F.col("list_id").asc()
-    )
-    probes = (
-        qc.withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= nprobe)
-        .select("query_id", "_q_emb", "list_id")
-    )
+    probes = _probe_lists(queries, cents, nprobe, query_id, query_emb, dim)
     probe_lists = [
         r["list_id"] for r in probes.select("list_id").distinct().collect()
     ]
@@ -515,29 +626,33 @@ def knn_ivf_pq_index(
 # ---------------------------------------------------------------- oracle SQL
 
 
-def _sql_sub_dist2(emb: str, s: int, dsub: int, centroid: list[float]) -> str:
-    """Left-folded sum of squared element diffs — the exact term
-    order Spark's aggregate(zip_with(...)) produces, so the IEEE
-    double matches bit-for-bit."""
-    acc = "CAST(0.0 AS DOUBLE)"
+def _sql_sub_score(emb: str, s: int, dsub: int, centroid: list[float]) -> str:
+    """``||c||^2 - 2<x,c>`` with the dot left-folded in element
+    order — the exact arithmetic the _code_expr lambda performs for
+    Spark, so the IEEE double matches bit-for-bit."""
+    dot = "CAST(0.0 AS DOUBLE)"
     for j, v in enumerate(centroid):
-        t = (
-            f"(CAST({emb}[{s * dsub + j + 1}] AS DOUBLE) - CAST({v} AS DOUBLE))"
+        dot = (
+            f"({dot} + (CAST({emb}[{s * dsub + j + 1}] AS DOUBLE)"
+            f" * CAST({float(v)!r} AS DOUBLE)))"
         )
-        acc = f"({acc} + {t} * {t})"
-    return acc
+    c2 = _c2_literal(centroid)
+    return (
+        f"(CAST({c2!r} AS DOUBLE) - (CAST(2.0 AS DOUBLE) * {dot}))"
+    )
 
 
-def pq_codes_oracle_sql(codebooks: Codebooks, m: int, dsub: int) -> str:
-    """DuckDB expression list reproducing pq_encode's codes for the
-    embeddings table (generated literals, same tie-break)."""
+def pq_codes_oracle_sql(codebooks: Codebooks, m: int, dsub: int) -> list[str]:
+    """DuckDB expression list (one string per subspace) reproducing
+    pq_encode's codes for the embeddings table (generated literals,
+    same score formula, same tie-break)."""
     parts = []
     for s in range(m):
-        dists = ", ".join(
-            _sql_sub_dist2("embedding", s, dsub, c) for c in codebooks[s]
+        scores = ", ".join(
+            _sql_sub_score("embedding", s, dsub, c) for c in codebooks[s]
         )
         parts.append(
-            f"(list_position([{dists}], list_min([{dists}])) - 1)"
+            f"(list_position([{scores}], list_min([{scores}])) - 1)"
         )
     return parts
 

@@ -112,22 +112,32 @@ def topk_per_key(
     order_cols: list,
     k: int,
     rank_col: str = "rank",
-    n_salt: int = 16,
+    n_salt: int = 1,
 ) -> DataFrame:
-    """Top-k rows per key with a SALTED two-phase window.
+    """Top-k rows per key via ``row_number() OVER (PARTITION BY
+    key)``, with an optional SALTED two-phase variant.
 
-    A single ``row_number() OVER (PARTITION BY key)`` funnels every
-    candidate row for a key through ONE reducer — with few keys (the
-    broadcast-query kNN contract: a handful of queries, unbounded
-    corpus) that is a 1000-executor cluster idling behind nq tasks.
-    Phase 1 ranks within (key, salt) — n_salt * nq reducers — and
-    keeps k rows per bucket; phase 2 ranks the surviving
-    n_salt * k rows per key. Correct for ANY bucket assignment
-    because each bucket's top-k is a superset of the global top-k
-    members that hashed into it — REQUIRES ``order_cols`` to be a
-    total order (tie-break to a unique id), which also makes the
-    result deterministic. ``n_salt<=1`` degrades to the single
-    window."""
+    On Spark 3.5+/4 the single window is already scale-safe for the
+    broadcast-query kNN contract (few keys, unbounded corpus):
+    the rank filter plants a ``WindowGroupLimit(Partial)`` BEFORE the
+    exchange, so each map task ships at most k rows per key and the
+    per-key reducer sees <= k * n_map_tasks rows, not the corpus
+    [observed in the executed plan; the shuffle is bounded, not the
+    full candidate set]. ``n_salt>1`` adds a (key, salt) pre-rank —
+    n_salt*nq reducers, each keeping k — for engines without
+    WindowGroupLimit or k*tasks volumes that still overwhelm one
+    reducer. Correct for ANY bucket assignment because each bucket's
+    top-k is a superset of the global top-k members that hashed into
+    it — REQUIRES ``order_cols`` to be a total order (tie-break to a
+    unique id), which also makes the result deterministic
+    (equivalence asserted for n_salt in {1,2,16,64})."""
+    if n_salt and n_salt > 1 and ("_salt" in df.columns or "_r1" in df.columns):
+        # withColumn would silently REPLACE and then drop a caller
+        # column of the same name — destroyed data, no error
+        raise ValueError(
+            "topk_per_key uses internal columns _salt/_r1; rename the "
+            "input columns or pass n_salt=1"
+        )
     w_final = Window.partitionBy(*key_cols).orderBy(*order_cols)
     if n_salt and n_salt > 1:
         w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
@@ -488,12 +498,13 @@ def knn_ivf(
         F.col(id_col).alias("neighbor_id"),
         V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
-    )
+    return topk_per_key(
+        sims,
+        ["query_id"],
+        [F.desc("sim"), F.asc("neighbor_id")],
+        k,
+        rank_col="rn",
+    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
 
 
 def knn_lsh(
@@ -525,12 +536,13 @@ def knn_lsh(
         F.col(id_col).alias("neighbor_id"),
         V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
-    )
+    return topk_per_key(
+        sims,
+        ["query_id"],
+        [F.desc("sim"), F.asc("neighbor_id")],
+        k,
+        rank_col="rn",
+    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
 
 
 def cosine_near_dup_pairs(
@@ -684,9 +696,10 @@ def knn_ivf_index(
             V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")
         ).alias("sim"),
     )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
-    )
+    return topk_per_key(
+        sims,
+        ["query_id"],
+        [F.desc("sim"), F.asc("neighbor_id")],
+        k,
+        rank_col="rn",
+    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))

@@ -204,3 +204,65 @@ def test_train_codebooks_deterministic(planted):
     a = PQ.train_codebooks(planted, "embedding", n_iters=2)
     b = PQ.train_codebooks(planted, "embedding", n_iters=2)
     assert a == b
+
+
+def test_encode_fast_matches_expression_path(planted):
+    """The Arrow/numpy bulk encoder must produce the same codes as
+    the oracle-parity expression path (ties at double-ULP level are
+    the only theoretical divergence; none exist on this data)."""
+    books = PQ.md5_codebooks(8, 16, 8)
+    slow = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in PQ.pq_encode(planted, "embedding", books).select(
+            "vec_id", "pq_code"
+        ).collect()
+    }
+    fast = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in PQ.pq_encode_fast(planted, "embedding", books).select(
+            "vec_id", "pq_code"
+        ).collect()
+    }
+    assert slow == fast
+
+
+def test_query_dim_mismatch_raises(spark, planted):
+    """A query frame with wrong-dim embeddings must fail LOUDLY —
+    otherwise NULL distances sort NULLS FIRST and the top-k is
+    assigned by neighbor_id alone."""
+    books = PQ.md5_codebooks(8, 16, 8)
+    corpus = PQ.pq_encode(planted, "embedding", books)
+    bad_q = spark.createDataFrame(
+        [(0, [0.0] * 32)], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim 32"):
+        PQ.pq_adc_topk(corpus, bad_q, books, k_neighbors=3)
+    cents = S.ivf_centroids(planted, "embedding", "vec_id", n_lists=4)
+    with pytest.raises(ValueError, match="dim 32"):
+        PQ.knn_ivf_pq(planted, bad_q, cents, books, k_neighbors=3)
+
+
+def test_train_init_geometry_mismatch_raises(planted):
+    init = PQ.md5_codebooks(16, 16, 4)  # tiles 64 dims, but m=8 asked
+    with pytest.raises(ValueError, match="init codebooks"):
+        PQ.train_codebooks(planted, "embedding", m=8, k=16, init=init)
+
+
+def test_quantization_error_empty_raises(planted):
+    from pyspark.sql import functions as F2
+
+    books = PQ.md5_codebooks(8, 16, 8)
+    with pytest.raises(ValueError, match="empty"):
+        PQ.quantization_error(
+            planted.filter(F2.lit(False)), "embedding", books
+        )
+
+
+def test_topk_reserved_column_collision_raises(planted):
+    df = planted.select(
+        F.col("cluster").alias("key"),
+        F.col("vec_id").alias("item"),
+        F.lit(1).alias("_salt"),
+    )
+    with pytest.raises(ValueError, match="_salt"):
+        S.topk_per_key(df, ["key"], [F.col("item").asc()], 3, n_salt=4)
