@@ -4,6 +4,7 @@ from product_etl_spark.operators import (  # noqa: F401
     cms,
     dedup,
     pq,
+    retrieval,
     rollup,
     sampling,
     similarity,

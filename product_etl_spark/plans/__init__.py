@@ -40,13 +40,13 @@ had a driver row in rounds 1-4 (41 queries: the TPC-H composite suite
 q72-q90/q105-q111, time-series tail q98/q100/q103/q104, sampling
 q61-q63/q101, lag/rank/dow windows q52/q53/q55, arrays/JSON
 q67/q68/q78/q79/q80, text q65/q77/q113, SCD2 q95, NTILE q76, k-means
-q93), the new-in-r5 compressed-ANN family (q115 PQ encode, q116 PQ
-ADC top-k — never driver-checked, by the rotation policy they take
-the slots of the q24/q96 anchors, whose families keep r1-r4 green
-rows + local verification), plus 7 anchors that were green in r1-r4
-and are the flagship reps of their families (q01 pricing, q02 top-k
-join, q31/q32 MinHash-LSH, q94 curation chain, q112 decontamination,
-q114 PageRank). Cumulative driver coverage per
+q93), the new-in-r5 families (q115 PQ encode, q116 PQ ADC top-k,
+q117 BM25 — never driver-checked, by the rotation policy they take
+the slots of the q24/q96/q31 anchors, whose families keep r1-r4
+green rows + local verification), plus 6 anchors that were green in
+r1-r4 and are the flagship reps of their families (q01 pricing, q02
+top-k join, q32 MinHash-LSH pair join, q94 curation chain, q112
+decontamination, q114 PageRank). Cumulative driver coverage per
 query per round is recorded in COVERAGE.md; every query demoted this
 round already has a green driver row in CORRECTNESS_r02/r04.
 q93_kmeans_ivf_lists is iterative (not ANSI-expressible) and is the
@@ -109,13 +109,13 @@ _DRIVER_WINDOW = [
     "q110_tpch_q20_potential_promotion",
     "q111_tpch_q21_waiting_suppliers",
     "q113_bigram_lm_perplexity",
-    # -- new-in-r5 compressed-ANN family (never driver-checked) --
+    # -- new-in-r5 families (never driver-checked) --
     "q115_pq_codes",
     "q116_pq_adc_topk",
-    # -- 7 anchors: flagship family reps, green in r1-r4 --
+    "q117_bm25_search",
+    # -- 6 anchors: flagship family reps, green in r1-r4 --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
-    "q31_minhash_signatures",
     "q32_lsh_near_dup_pairs",
     "q94_corpus_curation",
     "q112_benchmark_decontam",

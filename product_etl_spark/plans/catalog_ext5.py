@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from product_etl_spark.operators import pq as PQ
+from product_etl_spark.operators.retrieval import bm25_oracle_sql, bm25_topk
 from product_etl_spark.plans.catalog import _t, register
 
 _M, _K, _DSUB, _DIM = 8, 16, 8, 64
@@ -82,6 +83,22 @@ def _q116_sql() -> str:
     SELECT query_id, neighbor_id, ROUND(d2, 6) AS adc_dist2, rank
     FROM ranked WHERE rank <= 5
     """
+
+
+_BM25_TERMS = ["join", "filter", "hash"]
+
+
+@register("q117_bm25_search", bm25_oracle_sql(_BM25_TERMS, top_n=10))
+def q117_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for a bag-of-terms query over documents
+    (operators/retrieval.bm25_topk) — the lexical-retrieval family
+    (Lucene's default ranking) next to q99's TF-IDF. Tokens filter to
+    the query's terms BEFORE the (doc,term) aggregate; df/corpus
+    stats broadcast back; per-term contributions round to 1e-9 and
+    sum as DECIMAL so the ranking key is order-insensitive and
+    engine-exact; top-10 is a TakeOrdered, no global window."""
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, top_n=10)
 
 
 @register("q116_pq_adc_topk", _q116_sql())

@@ -1,0 +1,65 @@
+"""BM25 retrieval: planted-relevance ordering, saturation behavior,
+empty-query guard (cross-engine parity is covered by
+tests/test_oracle_parity.py via q117)."""
+
+from __future__ import annotations
+
+import pytest
+
+from product_etl_spark.operators.retrieval import bm25_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    filler = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        # doc 0: dense in both query terms
+        (0, "spark shuffle spark shuffle spark shuffle " + filler),
+        # doc 1: one query term, once
+        (1, "spark " + filler),
+        # doc 2: no query terms
+        (2, filler),
+        # doc 3: one term but the doc is long (length-normalized down)
+        (3, "spark " + " ".join(f"x{i}" for i in range(300))),
+        # docs 4..9: background containing 'shuffle' so idf is finite
+        *[(i, "shuffle " + filler) for i in range(4, 10)],
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_planted_relevance_order(corpus):
+    got = bm25_topk(corpus, ["spark", "shuffle"], top_n=10).collect()
+    ranked = [r["doc_id"] for r in got]
+    assert ranked[0] == 0  # dense in both terms
+    assert 2 not in ranked  # no query terms -> not retrieved
+    # short doc with one hit beats the 300-token doc with one hit
+    assert ranked.index(1) < ranked.index(3)
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[0]["n_hit_terms"] == 2
+    assert by_id[1]["n_hit_terms"] == 1
+    assert all(r["score"] > 0 for r in got)
+
+
+def test_tf_saturation(corpus, spark):
+    """BM25's k1 saturation: 100 repetitions of a term must score
+    less than 100x a single occurrence (unlike raw TF)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "spark " + " ".join(f"w{i}" for i in range(50))),
+            (1, " ".join(["spark"] * 100) + " "
+                + " ".join(f"w{i}" for i in range(50))),
+            (2, " ".join(f"w{i}" for i in range(50))),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["spark"]).collect()}
+    assert got[1] > got[0]
+    assert got[1] < got[0] * 10
+
+
+def test_empty_terms_raise(corpus):
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(corpus, [])
