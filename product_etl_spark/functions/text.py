@@ -37,6 +37,21 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: The retrieval-term alphabet shared by q99 TF-IDF and BM25 (q117):
+#: lowercased alphanumeric runs. Both the Spark expression and the
+#: generated DuckDB oracles use this exact pattern — edit it HERE so
+#: the two retrieval families cannot desynchronize.
+TERM_RE = "[a-z0-9]+"
+
+
+def index_terms(col: Column | str) -> Column:
+    """Retrieval terms -> array<string>: lowercased ``TERM_RE`` runs
+    (NULL-safe). Explode for (doc, term) aggregates."""
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(_c(col), F.lit(""))), F.lit(TERM_RE), 0
+    )
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish token count: splits words from digits and
     punctuation runs, the usual cheap proxy for BPE token counts when

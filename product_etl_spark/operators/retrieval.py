@@ -25,10 +25,40 @@ it (the q113 perplexity precedent).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_RE = "[a-z0-9]+"
+from product_etl_spark.functions.text import TERM_RE, index_terms
+
+
+def _normalize_terms(terms: list[str]) -> list[str]:
+    """Lowercase, validate against the index alphabet, dedup.
+
+    Terms that cannot match any indexed token (mixed alphabet,
+    punctuation, empties) are REJECTED loudly: "Spark" or "don't"
+    would otherwise silently retrieve nothing on both engines.
+    Duplicates collapse — scoring is SET-of-terms semantics
+    (query-side term frequency is not modeled); the dedup makes that
+    explicit instead of depending on the IN-list/groupBy quietly
+    doing it."""
+    if not terms:
+        raise ValueError("bm25 needs at least one query term")
+    norm, bad = [], []
+    for t in terms:
+        lt = str(t).lower()
+        if re.fullmatch(TERM_RE, lt):
+            if lt not in norm:
+                norm.append(lt)
+        else:
+            bad.append(t)
+    if bad:
+        raise ValueError(
+            f"query terms not in the index alphabet {TERM_RE}: {bad!r} "
+            "(tokenize/strip them first)"
+        )
+    return norm
 
 
 def bm25_topk(
@@ -40,23 +70,17 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-``top_n`` documents for a bag-of-terms query by BM25.
+    """Top-``top_n`` documents for a set-of-terms query by BM25
+    (duplicate query terms collapse; see _normalize_terms).
 
     Returns (doc_id, score, n_hit_terms), score rounded to 6 for
     output; the RANKING key is the unrounded decimal sum (ties ->
     lowest doc_id).
     """
-    if not terms:
-        raise ValueError("bm25_topk needs at least one query term")
+    terms = _normalize_terms(terms)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                F.lit(TOKEN_RE),
-                0,
-            )
-        ).alias("term"),
+        F.explode(index_terms(text_col)).alias("term"),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
@@ -65,14 +89,18 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs")
-    ).crossJoin(
-        dl.agg(
-            (
-                F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
-            ).alias("avgdl")
+    # avgdl = total tokens / N over ALL documents (the Okapi/Lucene
+    # definition) — averaging only token-bearing docs would inflate
+    # avgdl whenever the corpus has empty/NULL texts and weaken the
+    # length normalization
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("_sum_dl")))
+        .withColumn(
+            "avgdl",
+            F.col("_sum_dl").cast("double") / F.col("n_docs").cast("double"),
         )
+        .drop("_sum_dl")
     )
     # contribution, shaped EXACTLY like the oracle SQL:
     #   idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
@@ -114,13 +142,17 @@ def bm25_oracle_sql(
     terms: list[str], top_n: int = 10, k1: float = 1.2, b: float = 0.75
 ) -> str:
     """DuckDB SQL mirroring bm25_topk on the ``documents`` view —
-    same expression shape, same 1e-9 rounding, same decimal sum."""
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    same term normalization, same expression shape, same 1e-9
+    rounding, same decimal sum. Terms are validated/escaped before
+    interpolation (a quote or an empty list would otherwise generate
+    unparseable SQL)."""
+    terms = _normalize_terms(terms)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
     WITH toks AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(COALESCE(text, '')),
-                                       '{TOKEN_RE}')) AS term
+                                       '{TERM_RE}')) AS term
       FROM documents
     ), dl AS (
       SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
@@ -131,8 +163,8 @@ def bm25_oracle_sql(
       SELECT term, COUNT(*) AS df FROM tf GROUP BY term
     ), stats AS (
       SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-             (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-              FROM dl) AS avgdl
+             (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+               / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
     ), scored AS (
       SELECT tf.doc_id,
              CAST(ROUND(

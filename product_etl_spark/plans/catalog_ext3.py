@@ -210,16 +210,11 @@ def q99_tfidf_top_terms(spark, sf_dir):
     (doc,term) aggregate, df a term aggregate, their join shuffles on
     term (count rows only), the rank window partitions by doc_id, and
     the corpus size joins as a broadcast scalar."""
+    from product_etl_spark.functions.text import index_terms
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                F.lit("[a-z0-9]+"),
-                0,
-            )
-        ).alias("term"),
+        "doc_id", F.explode(index_terms("text")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -63,3 +63,41 @@ def test_tf_saturation(corpus, spark):
 def test_empty_terms_raise(corpus):
     with pytest.raises(ValueError, match="at least one"):
         bm25_topk(corpus, [])
+
+
+def test_term_normalization_and_rejection(corpus):
+    """Mixed-case terms normalize to the index alphabet (they would
+    otherwise silently match nothing); out-of-alphabet terms are
+    rejected loudly; duplicates collapse to set semantics."""
+    base = {(r["doc_id"], r["score"]) for r in bm25_topk(corpus, ["spark"]).collect()}
+    upper = {(r["doc_id"], r["score"]) for r in bm25_topk(corpus, ["Spark"]).collect()}
+    dup = {(r["doc_id"], r["score"]) for r in bm25_topk(corpus, ["spark", "SPARK"]).collect()}
+    assert base == upper == dup
+    with pytest.raises(ValueError, match="index alphabet"):
+        bm25_topk(corpus, ["don't"])
+    from product_etl_spark.operators.retrieval import bm25_oracle_sql
+
+    with pytest.raises(ValueError, match="index alphabet"):
+        bm25_oracle_sql(["a b"])
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_oracle_sql([])
+
+
+def test_avgdl_counts_empty_docs(spark):
+    """Okapi avgdl = total tokens / ALL docs: adding empty documents
+    lowers avgdl, which strengthens length normalization — the
+    long-doc score must not be unaffected by empty docs."""
+    base_rows = [
+        (0, "spark " + " ".join(f"w{i}" for i in range(10))),
+        (1, "spark " + " ".join(f"x{i}" for i in range(200))),
+        (2, "spark a b"),
+    ]
+    with_empty = base_rows + [(10, None), (11, ""), (12, "")]
+    d1 = spark.createDataFrame(base_rows, "doc_id int, text string")
+    d2 = spark.createDataFrame(with_empty, "doc_id int, text string")
+    s1 = {r["doc_id"]: r["score"] for r in bm25_topk(d1, ["spark"]).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in bm25_topk(d2, ["spark"]).collect()}
+    # lower avgdl -> every dl/avgdl grows -> the LONG doc is penalized
+    # more than the short one (idf shifts multiply all docs equally,
+    # so compare the long/short ratio, not absolute scores)
+    assert s2[1] / s2[0] < s1[1] / s1[0]
