@@ -92,3 +92,89 @@ def pack_contexts(
     return c.withColumn(
         "pack_id", F.floor(F.col("_cum_before") / F.lit(pack_size)).cast("long")
     ).drop("_cum_before")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token sequence into sliding windows of
+    ``max_tokens`` whitespace tokens with ``overlap`` tokens shared
+    between consecutive chunks — the standard long-document
+    preprocessing ahead of a fixed-context trainer (pack_contexts is
+    the dual: it JOINS short docs, this SPLITS long ones).
+
+    Map-only: tokenize, generate window starts with
+    ``sequence(0, n-1, step)`` executor-side (never a driver loop,
+    never a corpus-wide window), explode, slice. Chunk count per doc
+    is ceil(n/step) — bounded by document length, so one huge
+    document fans out to many rows instead of one huge task.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text); deterministic,
+    and empty/NULL documents yield no chunks.
+    """
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens "
+            f"(got overlap={overlap}, max_tokens={max_tokens})"
+        )
+    step = max_tokens - overlap
+    from product_etl_spark.functions.text import tokens
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    return (
+        toked.select(
+            "doc_id",
+            "_toks",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), F.size("_toks") - 1, F.lit(step)
+                )
+            ).alias("chunk_id", "_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens).alias(
+                "_chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_chunk").alias("n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(max_tokens: int = 64, overlap: int = 0) -> str:
+    """DuckDB SQL mirroring chunk_documents over the ``documents``
+    view: same whitespace tokenization, same start grid
+    (range(0, n, step) = the starts strictly below n), same clamped
+    slice."""
+    step = max_tokens - overlap
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), {step})) AS start,
+             generate_subscripts(range(0, len(toks), {step}), 1) - 1
+               AS chunk_id
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           len(toks[start + 1 : start + {max_tokens}]) AS n_tokens,
+           array_to_string(toks[start + 1 : start + {max_tokens}], ' ')
+             AS chunk_text
+    FROM s
+    """

@@ -123,3 +123,22 @@ def q116_pq_adc_topk(spark, sf_dir):
         F.round("adc_dist2", 6).alias("adc_dist2"),
         "rank",
     )
+
+
+from product_etl_spark.operators.packing import (  # noqa: E402
+    chunk_documents,
+    chunk_documents_oracle_sql,
+)
+
+
+@register("q118_doc_chunking", chunk_documents_oracle_sql(max_tokens=40, overlap=8))
+def q118_doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking (operators/packing.
+    chunk_documents): 40-token windows, 8-token overlap — the
+    long-document dual of q66's context packing. Map-only fan-out:
+    the start grid is generated executor-side per row (sequence +
+    posexplode), so one huge document becomes many rows, never one
+    huge task; no shuffle anywhere (plan-asserted in
+    tests/test_chunking.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=40, overlap=8)
