@@ -239,3 +239,90 @@ def test_bloom_never_false_negative_property(spark, seen, probes):
     }
     for k in set(seen):
         assert tagged[k] is True
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz09", min_size=1, max_size=4),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    max_tokens=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=11),
+)
+def test_chunking_reconstructs_any_document(spark, docs, max_tokens, overlap):
+    """For ANY token sequence and any legal (max_tokens, overlap):
+    dropping each chunk's leading `overlap` tokens (after the first)
+    and concatenating reconstructs the document exactly — no token
+    lost, none duplicated, order preserved."""
+    from hypothesis import assume
+
+    from product_etl_spark.operators.packing import chunk_documents
+
+    assume(overlap < max_tokens)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt = []
+        for j, r in enumerate(chunks):
+            ts = r["chunk_text"].split(" ")
+            assert len(ts) == r["n_tokens"] <= max_tokens
+            rebuilt += ts if j == 0 else ts[overlap:]
+        assert rebuilt == toks
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0, max_value=2.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pq_codes_in_range_and_stable_under_repartition(spark, vecs):
+    """For ANY float32 vectors: every code is in [0, k); codes are a
+    pure row function, so repartitioning cannot change them; the
+    numpy fast path agrees with the expression path."""
+    from product_etl_spark.operators import pq as PQ
+
+    books = PQ.md5_codebooks(4, 8, 4)  # dim 16
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    base = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in PQ.pq_encode(df, "embedding", books, dim=16).collect()
+    }
+    assert all(0 <= c < 8 for codes in base.values() for c in codes)
+    assert all(len(codes) == 4 for codes in base.values())
+    repart = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in PQ.pq_encode(
+            df.repartition(5), "embedding", books, dim=16
+        ).collect()
+    }
+    assert repart == base
+    fast = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in PQ.pq_encode_fast(df, "embedding", books, dim=16).collect()
+    }
+    assert fast == base
