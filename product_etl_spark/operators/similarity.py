@@ -59,7 +59,12 @@ def _check_dim(df: DataFrame, emb_col: str, dim: int) -> None:
     hyperplane dim: zip_with pads the shorter side with NULLs, the
     dot becomes NULL, and every vector lands in bucket 0 — the LSH
     silently degrades to a full cross join. One first() on a
-    column-pruned scan; cheap next to the bucketed join it guards."""
+    column-pruned scan; cheap next to the bucketed join it guards.
+    Streaming frames skip the probe (an eager first() is illegal on
+    them) — the map-only vector ops stay streaming-transparent and
+    the dim contract is the caller's on that path."""
+    if df.isStreaming:
+        return
     row = df.select(F.size(F.col(emb_col)).alias("_d")).first()
     if row is not None and row["_d"] != dim:
         raise ValueError(
