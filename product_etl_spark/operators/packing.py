@@ -131,9 +131,15 @@ def chunk_documents(
         toked.select(
             "doc_id",
             "_toks",
+            # start grid stops at the last start that contributes a
+            # NEW token (start <= n - overlap - 1): a start inside the
+            # final overlap region would emit a chunk fully contained
+            # in its predecessor — pure duplicate training data
             F.posexplode(
                 F.sequence(
-                    F.lit(0), F.size("_toks") - 1, F.lit(step)
+                    F.lit(0),
+                    F.greatest(F.size("_toks") - overlap - 1, F.lit(0)),
+                    F.lit(step),
                 )
             ).alias("chunk_id", "_start"),
         )
@@ -158,6 +164,13 @@ def chunk_documents_oracle_sql(max_tokens: int = 64, overlap: int = 0) -> str:
     view: same whitespace tokenization, same start grid
     (range(0, n, step) = the starts strictly below n), same clamped
     slice."""
+    if not (0 <= overlap < max_tokens):
+        # the Spark twin raises too; an unvalidated oracle would
+        # silently generate range(0, n, 0) = zero rows and "pass"
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens "
+            f"(got overlap={overlap}, max_tokens={max_tokens})"
+        )
     step = max_tokens - overlap
     return f"""
     WITH t AS (
@@ -167,8 +180,10 @@ def chunk_documents_oracle_sql(max_tokens: int = 64, overlap: int = 0) -> str:
       FROM documents
     ), s AS (
       SELECT doc_id, toks,
-             unnest(range(0, len(toks), {step})) AS start,
-             generate_subscripts(range(0, len(toks), {step}), 1) - 1
+             unnest(range(0, GREATEST(len(toks) - {overlap}, 1), {step}))
+               AS start,
+             generate_subscripts(
+               range(0, GREATEST(len(toks) - {overlap}, 1), {step}), 1) - 1
                AS chunk_id
       FROM t WHERE len(toks) > 0
     )

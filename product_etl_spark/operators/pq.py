@@ -155,14 +155,27 @@ def pq_encode(
     m, _, _ = _check_books(codebooks, dim)
     # Loud dim guard (similarity._check_dim recipe): a short slice
     # yields NULL distances -> NULL codes, which would silently break
-    # every downstream ADC. One pruned first().
+    # every downstream ADC. Batch: one pruned first(). Streaming: an
+    # eager probe is illegal, so the guard becomes a PER-ROW
+    # raise_error — mis-dimensioned rows must fail the batch, not get
+    # checkpoint-committed as garbage codes.
     from product_etl_spark.operators.similarity import _check_dim
 
+    codes = F.array(*[_code_expr(emb_col, s, codebooks) for s in range(m)])
     if check_dim:
-        _check_dim(df, emb_col, dim)
-    return df.withColumn(
-        out_col, F.array(*[_code_expr(emb_col, s, codebooks) for s in range(m)])
-    )
+        if df.isStreaming:
+            codes = F.when(F.size(F.col(emb_col)) == dim, codes).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pq_encode: embedding dim "),
+                        F.size(F.col(emb_col)).cast("string"),
+                        F.lit(f" != expected dim {dim}"),
+                    )
+                ).cast("array<int>")
+            )
+        else:
+            _check_dim(df, emb_col, dim)
+    return df.withColumn(out_col, codes)
 
 
 def pq_encode_fast(

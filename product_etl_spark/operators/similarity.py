@@ -50,8 +50,23 @@ def bucket_expr(emb_col: str, planes: list[list[float]]):
 def lsh_assign_buckets(
     df: DataFrame, emb_col: str, n_planes: int = 4, dim: int = 64
 ) -> DataFrame:
-    _check_dim(df, emb_col, dim)
-    return df.withColumn("bucket", bucket_expr(emb_col, hyperplanes(n_planes, dim)))
+    bucket = bucket_expr(emb_col, hyperplanes(n_planes, dim))
+    if df.isStreaming:
+        # _check_dim's eager probe is illegal on streams; guard per
+        # row instead — a silent dim mismatch would put every vector
+        # in bucket 0 (full cross join downstream)
+        bucket = F.when(F.size(F.col(emb_col)) == dim, bucket).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("lsh_assign_buckets: embedding dim "),
+                    F.size(F.col(emb_col)).cast("string"),
+                    F.lit(f" != expected dim {dim}"),
+                )
+            ).cast("int")
+        )
+    else:
+        _check_dim(df, emb_col, dim)
+    return df.withColumn("bucket", bucket)
 
 
 def _check_dim(df: DataFrame, emb_col: str, dim: int) -> None:
@@ -61,8 +76,9 @@ def _check_dim(df: DataFrame, emb_col: str, dim: int) -> None:
     silently degrades to a full cross join. One first() on a
     column-pruned scan; cheap next to the bucketed join it guards.
     Streaming frames skip the probe (an eager first() is illegal on
-    them) — the map-only vector ops stay streaming-transparent and
-    the dim contract is the caller's on that path."""
+    them); streaming callers (pq_encode, lsh_assign_buckets) attach a
+    per-row raise_error guard instead, so a mis-dimensioned stream
+    fails the batch rather than committing garbage."""
     if df.isStreaming:
         return
     row = df.select(F.size(F.col(emb_col)).alias("_d")).first()

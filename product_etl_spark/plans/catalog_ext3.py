@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from product_etl_spark.functions.text import TERM_RE, index_terms
 from product_etl_spark.operators import sampling as SA
 from product_etl_spark.operators import timeseries as TS
 from product_etl_spark.plans.catalog import _t, dec, register
@@ -182,9 +183,9 @@ def q98_cohort_retention(spark, sf_dir):
 
 @register(
     "q99_tfidf_top_terms",
-    """
+    f"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TERM_RE}')) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -210,8 +211,6 @@ def q99_tfidf_top_terms(spark, sf_dir):
     (doc,term) aggregate, df a term aggregate, their join shuffles on
     term (count rows only), the rank window partitions by doc_id, and
     the corpus size joins as a broadcast scalar."""
-    from product_etl_spark.functions.text import index_terms
-
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(index_terms("text")).alias("term")

@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from product_etl_spark.operators import pq as PQ
+from product_etl_spark.operators.packing import (
+    chunk_documents,
+    chunk_documents_oracle_sql,
+)
 from product_etl_spark.operators.retrieval import bm25_oracle_sql, bm25_topk
 from product_etl_spark.plans.catalog import _t, register
 
@@ -125,13 +129,13 @@ def q116_pq_adc_topk(spark, sf_dir):
     )
 
 
-from product_etl_spark.operators.packing import (  # noqa: E402
-    chunk_documents,
-    chunk_documents_oracle_sql,
+_CHUNK_MAX, _CHUNK_OVERLAP = 40, 8
+
+
+@register(
+    "q118_doc_chunking",
+    chunk_documents_oracle_sql(max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP),
 )
-
-
-@register("q118_doc_chunking", chunk_documents_oracle_sql(max_tokens=40, overlap=8))
 def q118_doc_chunking(spark, sf_dir):
     """Sliding-window document chunking (operators/packing.
     chunk_documents): 40-token windows, 8-token overlap — the
@@ -141,4 +145,4 @@ def q118_doc_chunking(spark, sf_dir):
     huge task; no shuffle anywhere (plan-asserted in
     tests/test_chunking.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, max_tokens=40, overlap=8)
+    return chunk_documents(docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP)

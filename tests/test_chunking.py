@@ -61,3 +61,34 @@ def test_bad_overlap_raises(docs):
         chunk_documents(docs, max_tokens=10, overlap=10)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, max_tokens=10, overlap=-1)
+
+
+def test_no_degenerate_trailing_chunk(spark):
+    """A start inside the final overlap region would emit a chunk
+    fully contained in its predecessor (pure duplicate text): a
+    33-token doc at (max=40, overlap=8, step=32) must yield ONE
+    chunk, not a second 1-token chunk of already-covered text."""
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(33)))], "doc_id int, text string"
+    )
+    got = chunk_documents(df, max_tokens=40, overlap=8).collect()
+    assert len(got) == 1 and got[0]["n_tokens"] == 33
+    # boundary: 41 tokens -> second chunk carries new token t40
+    df2 = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(41)))], "doc_id int, text string"
+    )
+    got2 = sorted(
+        chunk_documents(df2, max_tokens=40, overlap=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["n_tokens"] for r in got2] == [40, 9]
+    assert got2[1]["chunk_text"].split(" ")[-1] == "t40"
+
+
+def test_oracle_sql_validates_params():
+    from product_etl_spark.operators.packing import chunk_documents_oracle_sql
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents_oracle_sql(10, 10)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents_oracle_sql(10, -1)

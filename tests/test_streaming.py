@@ -218,3 +218,28 @@ def test_map_only_operators_run_unchanged_on_streams(spark, tmp_path):
         ).collect()
     }
     assert got2 == want2 and len(got2) == 6
+
+
+def test_streaming_dim_mismatch_fails_batch(spark, tmp_path):
+    """A mis-dimensioned embedding stream must FAIL, not checkpoint-
+    commit garbage codes (the batch path raises eagerly; streams get
+    a per-row raise_error guard)."""
+    import pytest as _pytest
+
+    from product_etl_spark.operators import pq as PQ
+    from product_etl_spark.streaming.pipeline import run_available_now
+
+    src = str(tmp_path / "bad_emb_src")
+    spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id int, embedding array<float>"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id int, embedding array<float>"
+    ).parquet(src)
+    books = PQ.md5_codebooks(4, 8, 4)  # dim 16, data is dim 8
+    with _pytest.raises(Exception, match="dim"):
+        run_available_now(
+            PQ.pq_encode(stream, "embedding", books, dim=16),
+            str(tmp_path / "bad_out"),
+            str(tmp_path / "bad_ckpt"),
+        )
