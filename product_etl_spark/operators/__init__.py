@@ -10,6 +10,7 @@ from product_etl_spark.operators import (  # noqa: F401
     similarity,
     sketches,
     skew,
+    sq,
     timeseries,
     zorder,
 )

@@ -1,0 +1,173 @@
+"""Scalar quantization (SQ8) for embedding columns — the second
+compression point on the ANN scale path (FAISS ScalarQuantizer
+recipe), next to product quantization (pq.py).
+
+SQ8 stores one byte per DIMENSION (64-dim float32: 256 B -> 64 B,
+4x) with near-exact distances; PQ stores ~4 bits per SUBSPACE (64x)
+with coarser distances. A 100 TB deployment typically serves
+candidates from the PQ index and re-ranks the survivors against SQ8
+codes — both corpus-side states fit where float32 cannot.
+
+Spark-first shape: training is ONE pass computing per-dimension
+min/max (posexplode -> dim-keyed agg, map-side combined, never
+corpus-keyed; driver state is 2*dim doubles). Encode/decode/distance
+are PURE MAP transform-lambdas over literal bounds arrays — no
+shuffle, no UDF, streaming-transparent. The DuckDB oracle reproduces
+encode exactly: bounds are data-derived but both engines compute the
+identical doubles from the identical floats, and the quantization
+``round((x - min) * 255 / (max - min))`` is the same IEEE expression
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Bounds = tuple[list[float], list[float]]  # (mins, maxs) per dimension
+
+
+def sq8_train(df: DataFrame, emb_col: str, dim: int = 64) -> Bounds:
+    """Per-dimension (min, max) — the SQ8 codebook. One posexplode +
+    dim-keyed aggregate; driver state is 2*dim doubles."""
+    rows = (
+        df.select(F.posexplode(F.col(emb_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"sq8_train saw {len(rows)} dimensions, expected {dim} "
+            "(empty corpus or ragged embeddings)"
+        )
+    mins, maxs = [0.0] * dim, [0.0] * dim
+    for r in rows:
+        mins[r["pos"]] = float(r["lo"])
+        maxs[r["pos"]] = float(r["hi"])
+    return mins, maxs
+
+
+def _bounds_arrays(mins: list[float], maxs: list[float]) -> tuple[str, str]:
+    lo = "array(" + ", ".join(f"{float(v)!r}D" for v in mins) + ")"
+    # constant dimensions (max == min) quantize to code 0 via a scale
+    # of 0 — guard the division by substituting span 1 (the decode
+    # then reproduces the constant exactly)
+    span = "array(" + ", ".join(
+        f"{(float(h) - float(l)) if h != l else 1.0!r}D"
+        for l, h in zip(mins, maxs)
+    ) + ")"
+    return lo, span
+
+
+def sq8_encode(
+    df: DataFrame,
+    emb_col: str,
+    bounds: Bounds,
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Map-only SQ8 encode: ``out_col`` is an array<int> of
+    per-dimension codes in [0, 255]:
+    ``round((x - min) * 255 / span)`` clamped. Pure transform-lambda
+    over literal bounds — no shuffle, streaming-transparent."""
+    mins, maxs = bounds
+    lo, span = _bounds_arrays(mins, maxs)
+    expr = (
+        f"zip_with({emb_col}, zip_with({lo}, {span}, (l, s) -> "
+        "named_struct('l', l, 's', s)), (x, b) -> "
+        "CAST(LEAST(255, GREATEST(0, "
+        "ROUND((CAST(x AS DOUBLE) - b.l) * 255.0D / b.s))) AS INT))"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def sq8_decode_expr(code_col: str, bounds: Bounds) -> F.Column:
+    """Dequantized embedding (array<double>) from SQ8 codes:
+    ``min + code * span / 255`` — for re-ranking or feeding the
+    exact-distance kernels."""
+    mins, maxs = bounds
+    lo, span = _bounds_arrays(mins, maxs)
+    return F.expr(
+        f"zip_with({code_col}, zip_with({lo}, {span}, (l, s) -> "
+        "named_struct('l', l, 's', s)), (c, b) -> "
+        "b.l + CAST(c AS DOUBLE) * b.s / 255.0D)"
+    )
+
+
+def sq8_l2_rerank(
+    coded_corpus: DataFrame,
+    queries: DataFrame,
+    bounds: Bounds,
+    k_neighbors: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    query_emb: str = "embedding",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Asymmetric L2 top-k against SQ8 codes: the query stays float,
+    the corpus is dequantized inside the distance lambda — the
+    re-rank stage of a PQ-then-SQ8 serving stack. Broadcast queries,
+    corpus never shuffles, bounded top-k (topk_per_key)."""
+    from product_etl_spark.operators.similarity import topk_per_key
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
+    )
+    pairs = coded_corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), code_col
+    ).crossJoin(F.broadcast(q))
+    scored = pairs.withColumn(
+        "_deq", sq8_decode_expr(code_col, bounds)
+    ).withColumn(
+        "sq_dist2",
+        F.expr(
+            "aggregate(zip_with(_q_emb, _deq, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+    ).drop("_deq")
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("sq_dist2").asc(), F.col("neighbor_id").asc()],
+        k_neighbors,
+    ).select("query_id", "neighbor_id", "sq_dist2", "rank")
+
+
+def sq8_codes_oracle_sql() -> str:
+    """DuckDB SQL reproducing sq8_train + sq8_encode over the
+    ``embeddings`` view: per-dimension bounds from the same data,
+    the same round/clamp expression, codes joined to a '-' string.
+    Both engines derive bounds from identical floats and run the
+    identical double expression, so codes match exactly (round
+    half-way cases cannot arise from these finite inputs landing
+    exactly on .5 — and any would hit both engines' ROUND the same
+    way)."""
+    return """
+    WITH dims AS (
+      SELECT pos, val FROM (
+        SELECT unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+    ), bounds AS (
+      SELECT pos, CAST(MIN(val) AS DOUBLE) AS lo, CAST(MAX(val) AS DOUBLE) AS hi
+      FROM dims GROUP BY pos
+    ), coded AS (
+      SELECT e.vec_id, d.pos,
+             CAST(LEAST(255, GREATEST(0,
+               ROUND((CAST(d.val AS DOUBLE) - b.lo) * CAST(255.0 AS DOUBLE)
+                     / (CASE WHEN b.hi = b.lo THEN CAST(1.0 AS DOUBLE)
+                             ELSE b.hi - b.lo END)))) AS INT) AS code
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) d
+      JOIN bounds b ON b.pos = d.pos
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY pos) AS sq_code
+    FROM coded GROUP BY vec_id
+    """

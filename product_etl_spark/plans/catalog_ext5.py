@@ -146,3 +146,25 @@ def q118_doc_chunking(spark, sf_dir):
     tests/test_chunking.py)."""
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP)
+
+
+from product_etl_spark.operators import sq as SQ  # noqa: E402
+
+
+@register("q119_sq8_codes", SQ.sq8_codes_oracle_sql())
+def q119_sq8_codes(spark, sf_dir):
+    """Scalar-quantize every embedding to one byte per dimension
+    (operators/sq.py — FAISS ScalarQuantizer recipe, the 4x
+    companion to q115's 64x PQ): train = one posexplode min/max
+    aggregate (driver state 2*dim doubles), encode = a pure
+    transform-lambda over literal bounds. Codes surface as a
+    '-'-joined string for an engine-portable hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bounds = SQ.sq8_train(emb, "embedding", dim=64)
+    coded = SQ.sq8_encode(emb, "embedding", bounds)
+    return coded.select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("sq_code", lambda c: c.cast("string"))
+        ).alias("sq_code"),
+    )
