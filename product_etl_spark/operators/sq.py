@@ -40,9 +40,11 @@ def sq8_train(df: DataFrame, emb_col: str, dim: int = 64) -> Bounds:
         .collect()
     )
     if len(rows) != dim:
+        # catches the empty corpus and raggedness that changes the
+        # set of positions; a SHORT row hiding among full-length rows
+        # is invisible here — sq8_encode's per-row guard catches it
         raise ValueError(
-            f"sq8_train saw {len(rows)} dimensions, expected {dim} "
-            "(empty corpus or ragged embeddings)"
+            f"sq8_train saw {len(rows)} dimensions, expected {dim}"
         )
     mins, maxs = [0.0] * dim, [0.0] * dim
     for r in rows:
@@ -51,16 +53,18 @@ def sq8_train(df: DataFrame, emb_col: str, dim: int = 64) -> Bounds:
     return mins, maxs
 
 
-def _bounds_arrays(mins: list[float], maxs: list[float]) -> tuple[str, str]:
-    lo = "array(" + ", ".join(f"{float(v)!r}D" for v in mins) + ")"
-    # constant dimensions (max == min) quantize to code 0 via a scale
-    # of 0 — guard the division by substituting span 1 (the decode
-    # then reproduces the constant exactly)
-    span = "array(" + ", ".join(
-        f"{(float(h) - float(l)) if h != l else 1.0!r}D"
+def _bounds_struct_array(mins: list[float], maxs: list[float]) -> str:
+    """ONE literal array of (lo, span) structs (the pq.py literal-SQL
+    pattern) — a runtime zip_with over two literal arrays would
+    rebuild the same structs per ROW, which Catalyst does not
+    constant-fold. Constant dimensions (max == min) get span 1 so the
+    division is guarded and the decode reproduces the constant
+    exactly (code 0)."""
+    return "array(" + ", ".join(
+        f"named_struct('l', {float(l)!r}D, 's', "
+        f"{(float(h) - float(l)) if h != l else 1.0!r}D)"
         for l, h in zip(mins, maxs)
     ) + ")"
-    return lo, span
 
 
 def sq8_encode(
@@ -69,31 +73,46 @@ def sq8_encode(
     bounds: Bounds,
     out_col: str = "sq_code",
 ) -> DataFrame:
-    """Map-only SQ8 encode: ``out_col`` is an array<int> of
-    per-dimension codes in [0, 255]:
-    ``round((x - min) * 255 / span)`` clamped. Pure transform-lambda
-    over literal bounds — no shuffle, streaming-transparent."""
+    """Map-only SQ8 encode: ``out_col`` is an array<TINYINT> — ONE
+    byte per dimension in Tungsten rows and parquet, which is the
+    whole point of SQ8 (an int array would silently keep the float32
+    footprint). The stored value is ``code - 128`` (codes 0..255 ->
+    -128..127); ``sq8_decode_expr`` adds the offset back.
+
+    Every row is integrity-guarded: a wrong-length embedding or a
+    NULL element RAISES instead of quantizing to the per-dimension
+    minimum (GREATEST/LEAST skip NULLs, so an unguarded encode would
+    fabricate plausible-looking codes from corrupt input). The guard
+    is per-row, so it also covers short rows hiding behind a valid
+    first row and streaming frames. Pure transform-lambda over a
+    literal bounds array — no shuffle, streaming-transparent."""
     mins, maxs = bounds
-    lo, span = _bounds_arrays(mins, maxs)
-    expr = (
-        f"zip_with({emb_col}, zip_with({lo}, {span}, (l, s) -> "
-        "named_struct('l', l, 's', s)), (x, b) -> "
-        "CAST(LEAST(255, GREATEST(0, "
-        "ROUND((CAST(x AS DOUBLE) - b.l) * 255.0D / b.s))) AS INT))"
+    dim = len(mins)
+    b = _bounds_struct_array(mins, maxs)
+    code = (
+        f"zip_with({emb_col}, {b}, (x, b) -> "
+        "CAST(CAST(LEAST(255, GREATEST(0, "
+        "ROUND((CAST(x AS DOUBLE) - b.l) * 255.0D / b.s))) AS INT)"
+        " - 128 AS TINYINT))"
     )
-    return df.withColumn(out_col, F.expr(expr))
+    guarded = (
+        f"IF(size({emb_col}) = {dim} AND NOT exists({emb_col}, "
+        f"x -> x IS NULL), {code}, "
+        f"raise_error(concat('sq8_encode: embedding must be {dim} "
+        f"non-null floats, got size ', CAST(size({emb_col}) AS STRING))))"
+    )
+    return df.withColumn(out_col, F.expr(guarded))
 
 
 def sq8_decode_expr(code_col: str, bounds: Bounds) -> F.Column:
-    """Dequantized embedding (array<double>) from SQ8 codes:
-    ``min + code * span / 255`` — for re-ranking or feeding the
-    exact-distance kernels."""
+    """Dequantized embedding (array<double>) from SQ8 tinyint codes:
+    ``min + (code + 128) * span / 255`` — for re-ranking or feeding
+    the exact-distance kernels."""
     mins, maxs = bounds
-    lo, span = _bounds_arrays(mins, maxs)
+    b = _bounds_struct_array(mins, maxs)
     return F.expr(
-        f"zip_with({code_col}, zip_with({lo}, {span}, (l, s) -> "
-        "named_struct('l', l, 's', s)), (c, b) -> "
-        "b.l + CAST(c AS DOUBLE) * b.s / 255.0D)"
+        f"zip_with({code_col}, {b}, (c, b) -> "
+        "b.l + (CAST(c AS DOUBLE) + 128.0D) * b.s / 255.0D)"
     )
 
 
@@ -113,8 +132,15 @@ def sq8_l2_rerank(
     corpus never shuffles, bounded top-k (topk_per_key)."""
     from product_etl_spark.operators.similarity import topk_per_key
 
+    dim = len(bounds[0])
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_emb).alias("_q_emb")
+        F.col(query_id).alias("query_id"),
+        F.expr(
+            f"IF(size({query_emb}) = {dim} AND NOT exists({query_emb}, "
+            f"x -> x IS NULL), {query_emb}, "
+            f"raise_error('sq8_l2_rerank: query embedding must be {dim} "
+            "non-null floats'))"
+        ).alias("_q_emb"),
     )
     pairs = coded_corpus.select(
         F.col(corpus_id).alias("neighbor_id"), code_col

@@ -162,9 +162,14 @@ def q119_sq8_codes(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     bounds = SQ.sq8_train(emb, "embedding", dim=64)
     coded = SQ.sq8_encode(emb, "embedding", bounds)
+    # stored codes are tinyint (code - 128); display the 0..255 form
+    # the oracle computes
     return coded.select(
         "vec_id",
         F.concat_ws(
-            "-", F.transform("sq_code", lambda c: c.cast("string"))
+            "-",
+            F.transform(
+                "sq_code", lambda c: (c.cast("int") + F.lit(128)).cast("string")
+            ),
         ).alias("sq_code"),
     )

@@ -38,7 +38,7 @@ def test_roundtrip_error_bounded_and_constant_dim_exact(vecs):
     deq = coded.withColumn("_deq", SQ.sq8_decode_expr("sq_code", bounds))
     rows = deq.select("embedding", "_deq", "sq_code").collect()
     for r in rows:
-        assert all(0 <= c <= 255 for c in r["sq_code"])
+        assert all(-128 <= c <= 127 for c in r["sq_code"])  # tinyint
         for j, (x, y) in enumerate(zip(r["embedding"], r["_deq"])):
             span = maxs[j] - mins[j]
             if span == 0:
@@ -108,10 +108,33 @@ def test_sq8_rerank_finds_true_neighbor(vecs):
     assert got == {k: v[1] for k, v in best.items()}
 
 
-def test_train_rejects_ragged_or_empty(spark):
+def test_train_rejects_empty(spark):
     with pytest.raises(ValueError, match="dimensions"):
         SQ.sq8_train(
             spark.createDataFrame([], "vec_id int, embedding array<float>"),
             "embedding",
             dim=16,
         )
+
+
+def test_encode_rejects_short_and_null_rows(spark, vecs):
+    """Per-row integrity: a short row hiding among full-length rows,
+    or a NULL element, must RAISE — GREATEST/LEAST skip NULLs, so an
+    unguarded encode would fabricate the per-dimension minimum as a
+    plausible-looking code."""
+    bounds = SQ.sq8_train(vecs, "embedding", dim=16)
+    good = [(0, [0.1] * 16)]
+    short = [(1, [0.9] * 8)]
+    nully = [(2, [0.1] * 15 + [None])]
+    for bad in (short, nully):
+        df = spark.createDataFrame(
+            good + bad, "vec_id int, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="sq8_encode"):
+            SQ.sq8_encode(df, "embedding", bounds).collect()
+    with pytest.raises(Exception, match="sq8_l2_rerank"):
+        SQ.sq8_l2_rerank(
+            SQ.sq8_encode(vecs, "embedding", bounds),
+            spark.createDataFrame(short, "vec_id int, embedding array<float>"),
+            bounds,
+        ).collect()
