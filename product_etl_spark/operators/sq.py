@@ -197,3 +197,133 @@ def sq8_codes_oracle_sql() -> str:
            string_agg(CAST(code AS VARCHAR), '-' ORDER BY pos) AS sq_code
     FROM coded GROUP BY vec_id
     """
+
+
+def midrange_thresholds(bounds: Bounds) -> list[float]:
+    """Per-dimension binarization thresholds from sq8_train bounds:
+    the midrange ``(lo + hi) / 2``. Min/max are EXACT (no float
+    summation), so the threshold double is identical in any engine —
+    unlike a mean, whose partial-sum order differs across engines and
+    could flip a sign bit for a value within a few ulps of it."""
+    mins, maxs = bounds
+    return [(lo + hi) / 2.0 for lo, hi in zip(mins, maxs)]
+
+
+def bin_sign_encode(
+    df: DataFrame,
+    emb_col: str,
+    thresholds: list[float],
+    out_col: str = "bin_code",
+    word_bits: int = 32,
+) -> DataFrame:
+    """1-bit-per-dimension binary hash: bit j of the code is
+    ``x_j > t_j`` — 64-dim float32 shrinks 32x (to 8 bytes), the
+    bottom rung of the quantization ladder under SQ8 (4x) and PQ
+    (64x). Codes pack into ``ceil(dim/word_bits)`` BIGINT words of
+    ``word_bits`` bits each (32 keeps every word positive and far
+    from signed-overflow edges in BOTH engines). Map-only sum of
+    shifted indicator bits; the same per-row integrity guard as
+    sq8_encode. Everything downstream of the threshold compare is
+    INTEGER arithmetic — Hamming ranking has zero float-parity
+    risk."""
+    dim = len(thresholds)
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        terms = []
+        for j in range(w * word_bits, min((w + 1) * word_bits, dim)):
+            terms.append(
+                f"IF(CAST(element_at({emb_col}, {j + 1}) AS DOUBLE) > "
+                f"{float(thresholds[j])!r}D, "
+                f"CAST({1 << (j - w * word_bits)} AS BIGINT), CAST(0 AS BIGINT))"
+            )
+        words.append("(" + " + ".join(terms) + ")")
+    code = "array(" + ", ".join(words) + ")"
+    guarded = (
+        f"IF(size({emb_col}) = {dim} AND NOT exists({emb_col}, "
+        f"x -> x IS NULL), {code}, "
+        f"raise_error(concat('bin_sign_encode: embedding must be {dim} "
+        f"non-null floats, got size ', CAST(size({emb_col}) AS STRING))))"
+    )
+    return df.withColumn(out_col, F.expr(guarded))
+
+
+def hamming_topk(
+    coded_corpus: DataFrame,
+    coded_queries: DataFrame,
+    k_neighbors: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    code_col: str = "bin_code",
+) -> DataFrame:
+    """Top-k by Hamming distance between packed binary codes:
+    ``sum over words of bit_count(xor(a, b))`` — pure integer ops, so
+    ranking is EXACT in any engine (no float boundary can decide
+    membership). Broadcast queries; corpus never shuffles; bounded
+    top-k. The standard use: cheap 32x-compressed first-pass
+    filtering ahead of an SQ8/exact re-rank."""
+    from product_etl_spark.operators.similarity import topk_per_key
+
+    q = coded_queries.select(
+        F.col(query_id).alias("query_id"), F.col(code_col).alias("_q_code")
+    )
+    pairs = coded_corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), code_col
+    ).crossJoin(F.broadcast(q))
+    scored = pairs.withColumn(
+        "hamming",
+        F.expr(
+            f"aggregate(zip_with({code_col}, _q_code, (a, b) -> "
+            "CAST(bit_count(a ^ b) AS BIGINT)), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v)"
+        ),
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("hamming").asc(), F.col("neighbor_id").asc()],
+        k_neighbors,
+    ).select("query_id", "neighbor_id", "hamming", "rank")
+
+
+def binary_hash_oracle_sql(top_n: int = 5, word_bits: int = 32) -> str:
+    """DuckDB SQL reproducing midrange thresholds + bin_sign_encode +
+    hamming_topk over ``embeddings`` (vec_id < 3 as queries, the rest
+    as corpus). The thresholds are data-derived but exact (min/max,
+    no summation), and everything after the compare is integer."""
+    return f"""
+    WITH dims AS (
+      SELECT e.vec_id, d.pos, d.val
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) d
+    ), thr AS (
+      SELECT pos,
+             (CAST(MIN(val) AS DOUBLE) + CAST(MAX(val) AS DOUBLE))
+               / CAST(2.0 AS DOUBLE) AS t
+      FROM dims GROUP BY pos
+    ), bits AS (
+      SELECT d.vec_id,
+             CAST((d.pos - 1) // {word_bits} AS INT) AS word,
+             SUM(CASE WHEN CAST(d.val AS DOUBLE) > thr.t
+                 THEN (1::BIGINT << CAST((d.pos - 1) % {word_bits} AS INT))
+                 ELSE 0 END) AS w
+      FROM dims d JOIN thr ON thr.pos = d.pos
+      GROUP BY d.vec_id, (d.pos - 1) // {word_bits}
+    ), codes AS (
+      SELECT vec_id, word, w FROM bits
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(bit_count(xor(c.w, q.w))) AS hamming
+      FROM codes c JOIN codes q
+        ON c.word = q.word AND q.vec_id < 3 AND c.vec_id >= 3
+      GROUP BY q.vec_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY hamming, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {top_n}
+    """

@@ -173,3 +173,21 @@ def q119_sq8_codes(spark, sf_dir):
             ),
         ).alias("sq_code"),
     )
+
+
+@register("q120_binary_hash_hamming", SQ.binary_hash_oracle_sql(top_n=5))
+def q120_binary_hash_hamming(spark, sf_dir):
+    """Binary sign hashing + Hamming top-5 (operators/sq.py): the
+    1-bit rung of the quantization ladder (32x compression) under
+    SQ8 (4x, q119) and PQ (64x, q115). Thresholds are per-dimension
+    midranges — exact min/max, no cross-engine float-summation risk —
+    and the Hamming ranking is pure integer arithmetic, so this
+    oracle is exact by construction. Broadcast queries; the packed
+    corpus never shuffles; bounded top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bounds = SQ.sq8_train(emb, "embedding", dim=64)
+    thr = SQ.midrange_thresholds(bounds)
+    coded = SQ.bin_sign_encode(emb, "embedding", thr)
+    corpus = coded.filter(F.col("vec_id") >= 3)
+    queries = coded.filter(F.col("vec_id") < 3)
+    return SQ.hamming_topk(corpus, queries, k_neighbors=5)

@@ -50,4 +50,4 @@ def test_window_covers_all_never_driver_checked():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 119
+    assert len(names) == len(set(names)) == 120

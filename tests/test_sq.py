@@ -138,3 +138,48 @@ def test_encode_rejects_short_and_null_rows(spark, vecs):
             spark.createDataFrame(short, "vec_id int, embedding array<float>"),
             bounds,
         ).collect()
+
+
+def test_binary_hash_matches_python_model(vecs):
+    """Packed sign bits and Hamming ranking must equal a direct
+    Python model (all-integer semantics — no tolerance needed)."""
+    bounds = SQ.sq8_train(vecs, "embedding", dim=16)
+    thr = SQ.midrange_thresholds(bounds)
+    coded = SQ.bin_sign_encode(vecs, "embedding", thr)
+    rows = {r["vec_id"]: (r["embedding"], r["bin_code"]) for r in coded.collect()}
+
+    def model_code(v):
+        words = [0]
+        for j, x in enumerate(v):
+            if float(x) > thr[j]:
+                words[0] |= 1 << j
+        return words
+
+    for vid, (emb, code) in rows.items():
+        assert list(code) == model_code(emb), vid
+
+    corpus = coded.filter(F.col("vec_id") >= 2)
+    queries = coded.filter(F.col("vec_id") < 2)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"])
+        for r in SQ.hamming_topk(corpus, queries, k_neighbors=3).collect()
+    }
+    for qid in (0, 1):
+        qc = rows[qid][1][0]
+        dists = sorted(
+            (bin(rows[c][1][0] ^ qc).count("1"), c)
+            for c in rows
+            if c >= 2
+        )
+        for rank, (d, c) in enumerate(dists[:3], start=1):
+            assert got[(qid, rank)] == (c, d)
+
+
+def test_bin_encode_rejects_short_rows(spark, vecs):
+    bounds = SQ.sq8_train(vecs, "embedding", dim=16)
+    thr = SQ.midrange_thresholds(bounds)
+    df = spark.createDataFrame(
+        [(0, [0.1] * 16), (1, [0.9] * 4)], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="bin_sign_encode"):
+        SQ.bin_sign_encode(df, "embedding", thr).collect()
