@@ -100,6 +100,30 @@ def main():
     ivfpq_rows = ivfpq.collect()
     t_ivfpq = time.time() - t0
 
+    # SQ8 + binary-hash throughput over the same corpus
+    from product_etl_spark.operators import sq as SQmod
+
+    bounds = SQmod.sq8_train(corpus, "embedding", dim=DIM)
+    t0 = time.time()
+    sq_coded = SQmod.sq8_encode(rest, "embedding", bounds).persist()
+    sq_coded.count()
+    t_sq_encode = time.time() - t0
+    t0 = time.time()
+    sq_rows = SQmod.sq8_l2_rerank(
+        sq_coded, queries, bounds, k_neighbors=5
+    ).collect()
+    t_sq_rerank = time.time() - t0
+
+    thr = SQmod.midrange_thresholds(bounds)
+    t0 = time.time()
+    bin_corpus = SQmod.bin_sign_encode(rest, "embedding", thr).persist()
+    bin_corpus.count()
+    t_bin_encode = time.time() - t0
+    bin_q = SQmod.bin_sign_encode(queries, "embedding", thr)
+    t0 = time.time()
+    ham_rows = SQmod.hamming_topk(bin_corpus, bin_q, k_neighbors=5).collect()
+    t_hamming = time.time() - t0
+
     # quality: ADC top-1 should land in the query's own planted cluster
     cluster_of_q = {
         r["vec_id"]: r["cluster"] for r in queries.select("vec_id", "cluster").collect()
@@ -130,6 +154,12 @@ def main():
                 "adc_rows": len(adc_rows),
                 "ivfpq_rows": len(ivfpq_rows),
                 "adc_top1_cluster_agreement": f"{agree}/{NQ}",
+                "sq8_encode_sec": round(t_sq_encode, 2),
+                "sq8_rerank_sec": round(t_sq_rerank, 2),
+                "sq8_rows": len(sq_rows),
+                "bin_encode_sec": round(t_bin_encode, 2),
+                "hamming_topk_sec": round(t_hamming, 2),
+                "hamming_rows": len(ham_rows),
             }
         )
     )
