@@ -67,6 +67,21 @@ def _bounds_struct_array(mins: list[float], maxs: list[float]) -> str:
     ) + ")"
 
 
+def _row_guard(emb_col: str, dim: int, fn_name: str, code: str) -> str:
+    """Shared per-row integrity guard: wrong-length or NULL-element
+    embeddings RAISE (GREATEST/LEAST and zip_with skip NULLs, so an
+    unguarded path would fabricate plausible values from corrupt
+    input). One definition so the three guarded paths (sq8_encode,
+    bin_sign_encode, sq8_l2_rerank) cannot drift."""
+    return (
+        f"IF(size({emb_col}) = {dim} AND NOT exists({emb_col}, "
+        f"x -> x IS NULL), {code}, "
+        f"raise_error(concat('{fn_name}: embedding must be {dim} "
+        f"non-null floats, got size ', "
+        f"COALESCE(CAST(size({emb_col}) AS STRING), 'NULL'))))"
+    )
+
+
 def sq8_encode(
     df: DataFrame,
     emb_col: str,
@@ -95,13 +110,9 @@ def sq8_encode(
         "ROUND((CAST(x AS DOUBLE) - b.l) * 255.0D / b.s))) AS INT)"
         " - 128 AS TINYINT))"
     )
-    guarded = (
-        f"IF(size({emb_col}) = {dim} AND NOT exists({emb_col}, "
-        f"x -> x IS NULL), {code}, "
-        f"raise_error(concat('sq8_encode: embedding must be {dim} "
-        f"non-null floats, got size ', CAST(size({emb_col}) AS STRING))))"
+    return df.withColumn(
+        out_col, F.expr(_row_guard(emb_col, dim, "sq8_encode", code))
     )
-    return df.withColumn(out_col, F.expr(guarded))
 
 
 def sq8_decode_expr(code_col: str, bounds: Bounds) -> F.Column:
@@ -136,10 +147,7 @@ def sq8_l2_rerank(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.expr(
-            f"IF(size({query_emb}) = {dim} AND NOT exists({query_emb}, "
-            f"x -> x IS NULL), {query_emb}, "
-            f"raise_error('sq8_l2_rerank: query embedding must be {dim} "
-            "non-null floats'))"
+            _row_guard(query_emb, dim, "sq8_l2_rerank", query_emb)
         ).alias("_q_emb"),
     )
     pairs = coded_corpus.select(
@@ -239,13 +247,9 @@ def bin_sign_encode(
             )
         words.append("(" + " + ".join(terms) + ")")
     code = "array(" + ", ".join(words) + ")"
-    guarded = (
-        f"IF(size({emb_col}) = {dim} AND NOT exists({emb_col}, "
-        f"x -> x IS NULL), {code}, "
-        f"raise_error(concat('bin_sign_encode: embedding must be {dim} "
-        f"non-null floats, got size ', CAST(size({emb_col}) AS STRING))))"
+    return df.withColumn(
+        out_col, F.expr(_row_guard(emb_col, dim, "bin_sign_encode", code))
     )
-    return df.withColumn(out_col, F.expr(guarded))
 
 
 def hamming_topk(
@@ -310,12 +314,10 @@ def binary_hash_oracle_sql(top_n: int = 5, word_bits: int = 32) -> str:
                  ELSE 0 END) AS w
       FROM dims d JOIN thr ON thr.pos = d.pos
       GROUP BY d.vec_id, (d.pos - 1) // {word_bits}
-    ), codes AS (
-      SELECT vec_id, word, w FROM bits
     ), pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              SUM(bit_count(xor(c.w, q.w))) AS hamming
-      FROM codes c JOIN codes q
+      FROM bits c JOIN bits q
         ON c.word = q.word AND q.vec_id < 3 AND c.vec_id >= 3
       GROUP BY q.vec_id, c.vec_id
     ), ranked AS (
