@@ -63,20 +63,35 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": reps,
-                "warmup": warmup,
-                "agg": "median",
-            }
-        )
+    meta = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "warmup": warmup,
+        "agg": "median",
+    }
+    # Full-precision, full-name per-query detail goes to a sidecar file;
+    # stdout gets ONE compact line. The driver records only the LAST
+    # 2000 bytes of stdout — the full 120-query dict with descriptive
+    # names is ~3.5 KB, which truncated the front of the JSON line and
+    # made BENCH_r{2..5}.json unparseable ("parsed": null). Short qNN
+    # keys + 2-decimal values keep the line well under the window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**meta, "queries": timings}, f, indent=1)
+    compact = {n.split("_")[0]: round(t, 2) for n, t in timings.items()}
+    line = json.dumps(
+        {**meta, "queries": compact}, separators=(",", ":")
+    )
+    while len(line) > 1900:  # belt-and-braces: drop cheapest queries
+        compact.pop(min(compact, key=compact.get))
+        meta["queries_omitted"] = len(timings) - len(compact)
+        line = json.dumps({**meta, "queries": compact}, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

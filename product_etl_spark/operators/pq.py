@@ -117,6 +117,13 @@ def _code_expr(emb_col: str, s: int, codebooks: Codebooks) -> F.Column:
     order (elementwise products left-folded from 0.0), a tiny tree,
     and no compile at all. The THROUGHPUT path for bulk encoding is
     pq_encode_fast (Arrow-batched numpy)."""
+    return F.expr(_code_sql(emb_col, s, codebooks))
+
+
+def _code_sql(emb_col: str, s: int, codebooks: Codebooks) -> str:
+    """SQL-string form of _code_expr, so callers can compose it inside
+    larger guarded expressions (pq_encode wraps the m-code array in
+    sq._row_guard, which is string-level)."""
     dsub = len(codebooks[0][0])
     start = s * dsub + 1
     book = ", ".join(
@@ -130,7 +137,7 @@ def _code_expr(emb_col: str, s: int, codebooks: Codebooks) -> F.Column:
         "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
         "(acc, v) -> acc + v)"
     )
-    return F.expr(
+    return (
         f"CAST(array_min(transform(array({book}), (b, i) -> "
         f"named_struct('score', (b.c2 - (2.0D * {dot})), 'code', i)"
         ")).code AS INT)"
@@ -153,28 +160,27 @@ def pq_encode(
     probe for callers that already validated the frame (the training
     loop re-encodes the same persisted corpus every round)."""
     m, _, _ = _check_books(codebooks, dim)
-    # Loud dim guard (similarity._check_dim recipe): a short slice
-    # yields NULL distances -> NULL codes, which would silently break
-    # every downstream ADC. Batch: one pruned first(). Streaming: an
-    # eager probe is illegal, so the guard becomes a PER-ROW
-    # raise_error — mis-dimensioned rows must fail the batch, not get
-    # checkpoint-committed as garbage codes.
+    # Loud dim guard (similarity._check_dim recipe): a short or
+    # NULL-element slice yields NULL scores, NULL sorts FIRST in the
+    # struct array_min, so every corrupt row would encode as code 0 —
+    # silently poisoning every downstream ADC/dedup rank. The guard is
+    # therefore PER-ROW (sq._row_guard: size == dim AND no NULL
+    # elements, else raise_error) on batch AND streaming — a short row
+    # hiding behind a valid first row must fail the job, not encode.
+    # Batch additionally keeps the eager first() probe so an
+    # obviously-wrong frame fails at build time, before any job runs.
     from product_etl_spark.operators.similarity import _check_dim
+    from product_etl_spark.operators.sq import _row_guard
 
-    codes = F.array(*[_code_expr(emb_col, s, codebooks) for s in range(m)])
+    codes_sql = (
+        "array(" + ", ".join(_code_sql(emb_col, s, codebooks) for s in range(m)) + ")"
+    )
     if check_dim:
-        if df.isStreaming:
-            codes = F.when(F.size(F.col(emb_col)) == dim, codes).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit("pq_encode: embedding dim "),
-                        F.size(F.col(emb_col)).cast("string"),
-                        F.lit(f" != expected dim {dim}"),
-                    )
-                ).cast("array<int>")
-            )
-        else:
+        codes = F.expr(_row_guard(emb_col, dim, "pq_encode", codes_sql))
+        if not df.isStreaming:
             _check_dim(df, emb_col, dim)
+    else:
+        codes = F.expr(codes_sql)
     return df.withColumn(out_col, codes)
 
 
@@ -299,9 +305,14 @@ def pq_adc_topk(
     query_emb: str = "embedding",
     code_col: str = "pq_code",
     dim: int = 64,
+    n_salt: int = 1,
 ) -> DataFrame:
     """ADC top-k: broadcast the (small by contract) query set against
-    the coded corpus; per-query top-k via a query-partitioned window.
+    the coded corpus; per-query top-k via a bounded single-window
+    rank (WindowGroupLimit plants the partial limit before the
+    exchange, so map tasks ship at most k rows per query). Pass
+    ``n_salt>1`` to engage topk_per_key's salted two-phase variant
+    when k*n_map_tasks per query still overwhelms one reducer.
     The corpus side NEVER shuffles — at 100 TB this is a map over the
     4-byte-per-row coded corpus plus a window keyed by query id.
     Returns (query_id, neighbor_id, adc_dist2, rank). Like FAISS, a
@@ -331,6 +342,7 @@ def pq_adc_topk(
         ["query_id"],
         [F.col("adc_dist2").asc(), F.col("neighbor_id").asc()],
         k_neighbors,
+        n_salt=n_salt,
     ).select("query_id", "neighbor_id", "adc_dist2", "rank")
 
 
@@ -489,6 +501,7 @@ def knn_ivf_pq(
     emb_col: str = "embedding",
     dim: int = 64,
     coded_corpus: DataFrame | None = None,
+    n_salt: int = 1,
 ) -> DataFrame:
     """IVF-PQ: coarse-prune with IVF lists, then ADC-score only the
     probed lists' coded rows — the standard billion-scale recipe
@@ -503,7 +516,8 @@ def knn_ivf_pq(
 
     Composition of audited parts: ivf_assign (literal-argmin map),
     pq_encode (literal map), the query->probe-list broadcast join
-    from knn_ivf, and the salted ADC top-k from pq_adc_topk."""
+    from knn_ivf, and the bounded single-window ADC top-k from
+    pq_adc_topk (``n_salt>1`` engages the salted two-phase rank)."""
     coded = (
         coded_corpus
         if coded_corpus is not None
@@ -521,6 +535,7 @@ def knn_ivf_pq(
         ["query_id"],
         [F.col("adc_dist2").asc(), F.col("neighbor_id").asc()],
         k_neighbors,
+        n_salt=n_salt,
     ).select("query_id", "neighbor_id", "adc_dist2", "rank")
 
 

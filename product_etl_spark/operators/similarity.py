@@ -159,6 +159,15 @@ def topk_per_key(
             "topk_per_key uses internal columns _salt/_r1; rename the "
             "input columns or pass n_salt=1"
         )
+    if rank_col in df.columns:
+        # Same silent-replace hazard for the OUTPUT column, on every
+        # path (not just the salted one): withColumn(rank_col, ...)
+        # would overwrite caller data with row numbers.
+        raise ValueError(
+            f"topk_per_key writes rank column {rank_col!r}, which "
+            "already exists in the input; rename it or pass a "
+            "different rank_col"
+        )
     w_final = Window.partitionBy(*key_cols).orderBy(*order_cols)
     if n_salt and n_salt > 1:
         w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)

@@ -65,7 +65,7 @@ def _europe_suppliers(s, n, r):
       SELECT pk, MIN(cost) AS mincost FROM eps GROUP BY pk
     )
     SELECT e.s_acctbal, e.s_name, e.n_name,
-           p.p_partkey, p.p_name, e.cost
+           p.p_partkey, p.p_name, CAST(e.cost AS DOUBLE) AS cost
     FROM eps e
     JOIN minc m ON m.pk = e.pk AND e.cost = m.mincost
     JOIN part p ON p.p_partkey = e.pk
@@ -108,7 +108,12 @@ def q105_tpch_q2_min_cost_supplier(spark, sf_dir):
         eps.join(minc, (F.col("_pk") == F.col("l_partkey"))
                  & (F.col("cost") == F.col("mincost")))
         .join(F.broadcast(wanted), F.col("p_partkey") == F.col("l_partkey"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        # DOUBLE at the result boundary: the driver's compare hashes the
+        # pandas string form, and Spark's Decimal('68076.40') !=
+        # DuckDB-via-pandas float 68076.4 (r5 q105 hash mismatch). The
+        # aggregation itself stays exact decimal; only the output casts.
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.col("cost").cast("double").alias("cost"))
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(10)
     )

@@ -266,3 +266,51 @@ def test_topk_reserved_column_collision_raises(planted):
     )
     with pytest.raises(ValueError, match="_salt"):
         S.topk_per_key(df, ["key"], [F.col("item").asc()], 3, n_salt=4)
+
+
+def test_topk_rank_column_collision_raises(planted):
+    """A caller column named after rank_col must be rejected on EVERY
+    path (not just the salted one) — withColumn would silently
+    overwrite it with row numbers."""
+    df = planted.select(
+        F.col("cluster").alias("key"),
+        F.col("vec_id").alias("item"),
+        F.lit(9).alias("rank"),
+    )
+    with pytest.raises(ValueError, match="rank"):
+        S.topk_per_key(df, ["key"], [F.col("item").asc()], 3)
+    with pytest.raises(ValueError, match="score"):
+        S.topk_per_key(
+            df.withColumnRenamed("rank", "score"),
+            ["key"],
+            [F.col("item").asc()],
+            3,
+            rank_col="score",
+        )
+
+
+def test_encode_corrupt_row_behind_valid_first_raises(spark, planted):
+    """Per-row integrity: a short or NULL-element embedding hiding
+    behind a valid first row must RAISE, not argmin over NULL scores
+    into code 0 (NULL sorts first in the struct array_min)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    books = PQ.md5_codebooks(8, 16, 8)
+    good = planted.limit(2).select("vec_id", "embedding")
+    short = good.limit(1).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.slice("embedding", 1, 32).alias("embedding"),
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        PQ.pq_encode(good.unionByName(short), "embedding", books).collect()
+    assert "pq_encode" in str(ei.value)
+    nulled = good.limit(1).select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(i = 7, NULL, x))"
+        ).alias("embedding"),
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        PQ.pq_encode(good.unionByName(nulled), "embedding", books).collect()
+    assert "pq_encode" in str(ei.value)

@@ -6,7 +6,7 @@ Measures, at BENCH_PQ_VECS vectors x 64 dims:
 - pq_encode vectors/sec (the map-only compression pass — this is the
   number that scales linearly with cluster cores at 100 TB),
 - pq_adc_topk wall for BENCH_PQ_QUERIES queries over the coded
-  corpus (broadcast queries + salted two-phase top-k),
+  corpus (broadcast queries + bounded single-window top-k),
 - knn_ivf_pq wall for the same queries with nprobe/n_lists pruning,
 - ADC top-1 agreement with exact (uncompressed) L2 top-1 on planted
   clusters — the compression-quality sanity number.
