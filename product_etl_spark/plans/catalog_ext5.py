@@ -23,7 +23,12 @@ from product_etl_spark.operators.packing import (
     chunk_documents,
     chunk_documents_oracle_sql,
 )
-from product_etl_spark.operators.retrieval import bm25_oracle_sql, bm25_topk
+from product_etl_spark.operators.retrieval import (
+    bm25_oracle_sql,
+    bm25_topk,
+    hybrid_rrf_oracle_sql,
+    hybrid_rrf_topk,
+)
 from product_etl_spark.plans.catalog import _t, register
 
 _M, _K, _DSUB, _DIM = 8, 16, 8, 64
@@ -191,3 +196,32 @@ def q120_binary_hash_hamming(spark, sf_dir):
     corpus = coded.filter(F.col("vec_id") >= 3)
     queries = coded.filter(F.col("vec_id") < 3)
     return SQ.hamming_topk(corpus, queries, k_neighbors=5)
+
+
+_HYBRID_TERMS = ["spark", "hash", "merge", "window"]
+_HYBRID_QVEC = 7
+
+
+@register(
+    "q121_hybrid_rrf_search",
+    hybrid_rrf_oracle_sql(_HYBRID_TERMS, _HYBRID_QVEC, depth=25, top_n=10),
+)
+def q121_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid lexical+vector retrieval fused by reciprocal-rank
+    fusion (operators/retrieval.hybrid_rrf_topk): BM25 top-25 and
+    exact-decimal-L2 top-25 (query = embedding of vec_id 7), fused by
+    sum(1/(60+rank)) — the Elasticsearch/Vespa first-stage hybrid
+    recipe, here with engine-exact ranks on BOTH legs (decimal BM25
+    sums; per-element-rounded decimal L2 with zero libm calls) so the
+    fused ordering is oracle-exact, not merely close.
+
+    Scale shape: each leg bounds its single rank window with
+    rank<=depth (WindowGroupLimit before the exchange); fusion
+    touches 2*depth rows. The corpus never shuffles on either leg —
+    BM25's tf filters to query terms before aggregating, the vector
+    leg broadcasts the 1-row query."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs, emb, _HYBRID_TERMS, _HYBRID_QVEC, depth=25, top_n=10
+    )

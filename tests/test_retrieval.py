@@ -101,3 +101,67 @@ def test_avgdl_counts_empty_docs(spark):
     # more than the short one (idf shifts multiply all docs equally,
     # so compare the long/short ratio, not absolute scores)
     assert s2[1] / s2[0] < s1[1] / s1[0]
+
+
+def test_rrf_fusion_prefers_docs_in_both_lists(spark):
+    from product_etl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id int, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(12, 1), (13, 2), (14, 3)], "doc_id int, rank int"
+    )
+    got = rrf_fuse([lex, vec], k0=60, top_n=10).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # doc 12 (rank 3 + rank 1) outscores doc 10 (rank 1 alone)
+    assert got[0]["doc_id"] == 12 and got[0]["n_lists"] == 2
+    assert by_id[12]["rrf_score"] == pytest.approx(
+        1 / 63 + 1 / 61, abs=2e-9
+    )
+    assert by_id[10]["rrf_score"] == pytest.approx(1 / 61, abs=2e-9)
+    # equal-rank docs (11 and 13, both rank 2) tie-break by doc_id
+    assert [r["doc_id"] for r in got] == [12, 10, 11, 13, 14]
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_l2_ranked_excludes_self_and_is_bounded(spark):
+    from product_etl_spark.operators.retrieval import l2_ranked
+
+    rows = [(i, [float(i), 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = l2_ranked(emb, 2, depth=3).collect()
+    assert [r["doc_id"] for r in got] == [1, 3, 0]  # nearest first; 2 absent
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # the corpus side must not shuffle: query broadcasts
+    plan = (
+        l2_ranked(emb, 2, depth=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hybrid_rrf_lex_only_and_vec_only_docs_surface(spark):
+    """A doc retrieved by only one leg still fuses (n_lists=1), and
+    the fused frame carries both legs' members."""
+    from product_etl_spark.operators.retrieval import hybrid_rrf_topk
+
+    filler = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark " + filler), (1, filler), (2, "spark " + filler)],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [5.0, 5.0]), (1, [1.0, 1.0]), (2, [1.1, 1.0]), (9, [1.0, 0.9])],
+        "vec_id int, embedding array<float>",
+    )
+    got = hybrid_rrf_topk(docs, emb, ["spark"], query_vec_id=9, top_n=10)
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[0]["n_lists"] == 1 or by_id[0]["n_lists"] == 2
+    assert 1 in by_id and 2 in by_id  # vector neighbors of 9 surface
+    # lexical doc 0 surfaces even though its vector is far
+    assert 0 in by_id
