@@ -97,3 +97,58 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(flagged, id_col, "leftanti")
+
+
+def fuzzy_contaminated_ids(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: train docs whose MinHash-LSH
+    bands collide with any benchmark doc — catches paraphrased /
+    lightly-edited contamination the exact n-gram probe
+    (contamination_scores) misses. This is the two-sided complement
+    of dedup.lsh_candidate_pairs: same signatures, same banding, but
+    the join is train-bands x BENCHMARK-bands instead of self.
+
+    Returns ``(id_col, n_bench_matches)`` — distinct benchmark docs
+    sharing at least one band bucket.
+
+    Scale shape: the benchmark side is tiny by contract (eval suites
+    vs a 100 TB corpus), so its band frame BROADCASTS; the train
+    corpus pays exactly the signature aggregation (one doc-keyed
+    shuffle with map-side combine) and a map-side hash join — the
+    corpus never shuffles on the band key, and there is no self-join
+    quadratic risk."""
+    from product_etl_spark.operators.dedup import minhash_signatures
+
+    def _bands(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
+        band_hashes = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col),
+            F.posexplode(F.array(*band_hashes)).alias("band", "bh"),
+        )
+
+    t = _bands(train)
+    e = _bands(bench).select(
+        F.col(id_col).alias("_bench_id"), "band", "bh"
+    )
+    return (
+        t.join(F.broadcast(e), ["band", "bh"])
+        .groupBy(id_col)
+        .agg(F.countDistinct("_bench_id").alias("n_bench_matches"))
+    )

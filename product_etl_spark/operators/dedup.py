@@ -519,3 +519,38 @@ def dedup_corpus(
     # drop the higher id of each confirmed near-dup pair
     losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def canonical_by_quality(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    quality_col: str,
+    min_members: int = 1,
+) -> DataFrame:
+    """Highest-QUALITY member per duplicate cluster (vs the min-id
+    rule of fingerprint_dedup/keep_canonical): real curation keeps
+    the longest/cleanest copy, not the lowest id. Ties -> lowest id.
+
+    One min-struct aggregation — (-quality, id) minimized — so the
+    selection is a single partial+final aggregation (SortAggregate
+    for the struct buffer, still map-side combinable): no window, no
+    whole-corpus sort, no second pass. Returns
+    ``(cluster_col, n_members, canonical_id, canonical_quality)``
+    for clusters with at least ``min_members`` rows."""
+    best = df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(
+            F.struct(
+                (-F.col(quality_col).cast("long")).alias("nq"),
+                F.col(id_col).cast("long").alias("cid"),
+            )
+        ).alias("_b"),
+    )
+    out = best.select(
+        cluster_col,
+        "n_members",
+        F.col("_b.cid").alias("canonical_id"),
+        (-F.col("_b.nq")).alias("canonical_quality"),
+    )
+    return out.filter(F.col("n_members") >= min_members) if min_members > 1 else out

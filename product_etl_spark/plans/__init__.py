@@ -60,6 +60,7 @@ from product_etl_spark.plans import catalog_ext2  # noqa: F401  (registers q81+)
 from product_etl_spark.plans import catalog_ext3  # noqa: F401  (registers q96+)
 from product_etl_spark.plans import catalog_ext4  # noqa: F401  (registers q105+)
 from product_etl_spark.plans import catalog_ext5  # noqa: F401  (registers q115+)
+from product_etl_spark.plans import catalog_ext6  # noqa: F401  (registers q122+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker

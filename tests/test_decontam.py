@@ -87,3 +87,28 @@ def test_benchmark_probe_broadcast_and_single_corpus_pass(spark):
     # both counts come from ONE aggregation over ONE shingle pass:
     # the corpus text column is read by exactly one scan subtree
     assert plan.count("Scan ExistingRDD") <= 2  # bench + docs, once each
+
+
+def test_fuzzy_contaminated_ids_planted(spark):
+    """A train doc sharing most bigrams with a bench doc collides in
+    at least one LSH band; an unrelated doc never appears. The bench
+    band frame must broadcast (corpus never shuffles on band keys)."""
+    from product_etl_spark.operators.decontam import fuzzy_contaminated_ids
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame(
+        [(900, base)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base + " extra"),            # near-copy of the bench doc
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    got = fuzzy_contaminated_ids(train, bench, "text", "doc_id")
+    rows = {r["doc_id"]: r["n_bench_matches"] for r in got.collect()}
+    assert rows.get(1) == 1
+    assert 2 not in rows
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

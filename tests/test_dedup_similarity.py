@@ -648,3 +648,34 @@ def test_segment_dedup_blank_docs_no_phantom_segment(spark):
     ).count() == 0
     out = remove_duplicate_segments(df, "text", "doc_id")
     assert {r["doc_id"] for r in out.collect()} == {4}
+
+
+def test_canonical_by_quality_keeps_longest_then_lowest_id(spark):
+    from product_etl_spark.operators.dedup import canonical_by_quality
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 1, 10),  # cluster c1: doc 2 is longest
+            ("c1", 2, 50),
+            ("c1", 3, 50),  # quality tie with doc 2 -> lowest id wins
+            ("c2", 4, 7),   # singleton
+        ],
+        "cluster string, doc_id long, quality long",
+    )
+    got = canonical_by_quality(df, "cluster", "doc_id", "quality")
+    by_c = {r["cluster"]: r for r in got.collect()}
+    assert by_c["c1"]["canonical_id"] == 2
+    assert by_c["c1"]["canonical_quality"] == 50
+    assert by_c["c1"]["n_members"] == 3
+    assert by_c["c2"]["canonical_id"] == 4
+    only_dups = canonical_by_quality(
+        df, "cluster", "doc_id", "quality", min_members=2
+    )
+    assert [r["cluster"] for r in only_dups.collect()] == ["c1"]
+    # selection is a single agg pass (partial+final SortAggregate for
+    # the struct min — still map-side combinable): no window, exactly
+    # one exchange on the cluster key
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert "Window" not in final
+    assert final.count("Exchange") == 1
