@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from product_etl_spark.operators import dedup as D
 from product_etl_spark.operators.decontam import fuzzy_contaminated_ids
-from product_etl_spark.plans.catalog import _t, register
+from product_etl_spark.plans.catalog import _t, dec, register
 
 # Prefix-blocking cluster key: md5 of the first 8 normalized tokens.
 # The corpus has no byte-exact duplicates (q29's fingerprint groups
@@ -139,3 +139,160 @@ _MINHASH_COLS = ",\n             ".join(
 _CAT["q123_fuzzy_decontam"]["oracle"] = _CAT["q123_fuzzy_decontam"][
     "oracle"
 ].replace("{MINHASH_COLS}", _MINHASH_COLS)
+
+
+@register(
+    "q124_grouping_sets",
+    """
+    SELECT c_mktsegment, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           GROUPING(c_mktsegment) AS g_seg,
+           GROUPING(o_orderstatus) AS g_status
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                            (c_mktsegment), (o_orderstatus))
+    """,
+)
+def q124_grouping_sets(spark, sf_dir):
+    """Irregular GROUPING SETS — the multi-granularity aggregate
+    rollup (q41) and cube (q42) can't express: (seg,status), (seg),
+    (status) but NOT the grand total. Catalyst compiles this to ONE
+    Expand + one shuffle (rows replicated per set, partial-aggregated
+    map-side) — not three scans — which is the 100 TB shape.
+    GROUPING() flags disambiguate real NULLs from aggregate rows on
+    both engines."""
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    _ = o, c  # views registered by _t
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_seg,
+               CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                (c_mktsegment), (o_orderstatus))
+        """
+    )
+
+
+@register(
+    "q125_price_histogram",
+    """
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(LEAST(19, FLOOR((o_totalprice - lo) * 20.0
+                                / (hi - lo))) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS bucket_min,
+           ROUND(MAX(o_totalprice), 2) AS bucket_max
+    FROM orders CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def q125_price_histogram(spark, sf_dir):
+    """Equi-width 20-bucket histogram of order totals. The global
+    min/max is a scalar aggregate broadcast back (1-row cross join —
+    never a shuffle of the fact side); bucketing is then a pure map
+    and the histogram one tiny 20-key aggregation. Each arithmetic
+    step ((x-lo), *20, /(hi-lo), floor) is a single correctly-rounded
+    IEEE op from identical inputs, so bucket boundaries are
+    engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(19),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    * F.lit(20.0)
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "q126_balance_outliers",
+    """
+    WITH m AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                 * CAST(c_acctbal AS DECIMAL(18,2))) AS sxx
+      FROM customer GROUP BY c_nationkey
+    ),
+    stats AS (
+      SELECT c_nationkey,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             SQRT((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS sd
+      FROM m WHERE n > 1
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+           ROUND((c.c_acctbal - s.mean) / s.sd, 6) AS z
+    FROM customer c JOIN stats s ON s.c_nationkey = c.c_nationkey
+    WHERE ABS(c.c_acctbal - s.mean) > 1.5 * s.sd
+    """,
+)
+def q126_balance_outliers(spark, sf_dir):
+    """Per-nation z-score outliers (|z| > 1.5; the balances are
+    uniform, where |z| is bounded by sqrt(3)~1.73, so a 2-sigma cut
+    would be vacuous) in customer balances —
+    the data-quality anomaly-detection family. Moments are EXACT
+    decimal sums (the q102 recipe: order-insensitive, engine-exact);
+    the mean/sd conversion and the z comparison are identical
+    correctly-rounded IEEE ops on both engines, so the outlier SET
+    (a boolean on doubles) matches bit-for-bit. Plan: one partial-
+    aggregated shuffle for the 25-row stats frame, broadcast back
+    onto the fact — the fact side never sorts or windows."""
+    c = _t(spark, sf_dir, "customer")
+    x = dec("c_acctbal")
+    m = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    stats = m.filter(F.col("n") > 1).select(
+        "c_nationkey",
+        (sx / nd).alias("mean"),
+        F.sqrt((sxx - sx * sx / nd) / (nd - F.lit(1.0))).alias("sd"),
+    )
+    return (
+        c.join(F.broadcast(stats), "c_nationkey")
+        .filter(
+            F.abs(F.col("c_acctbal") - F.col("mean")) > F.lit(1.5) * F.col("sd")
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round(
+                (F.col("c_acctbal") - F.col("mean")) / F.col("sd"), 6
+            ).alias("z"),
+        )
+    )
