@@ -6,7 +6,7 @@ spend all 50 slots on q01–q50 and leave every family introduced later
 (JSON, ranking windows, TPC-H composites, sampling, null semantics,
 HAVING, NTILE, winnowing, IVF, Gopher, PII, packing…) without a driver
 row. ``_DRIVER_WINDOW`` therefore pins an explicit 50-query window that
-covers every SURVEY §2 operator family at least once; the remaining 30
+covers every SURVEY §2 operator family at least once; the remaining 76
 queries stay registered (and locally oracle-checked by
 tests/test_oracle_parity.py) after the window.
 
@@ -35,23 +35,20 @@ stats (a strict superset: mean/variance/corr from decimal moment
 sums), q53 rank-in-group -> q99 TF-IDF (which ranks per doc with
 row_number and adds the relevance-ranking family).
 
-Round-5 ROTATION: the window now carries every query that had never
-had a driver row in rounds 1-4 (41 queries: the TPC-H composite suite
-q72-q90/q105-q111, time-series tail q98/q100/q103/q104, sampling
-q61-q63/q101, lag/rank/dow windows q52/q53/q55, arrays/JSON
-q67/q68/q78/q79/q80, text q65/q77/q113, SCD2 q95, NTILE q76, k-means
-q93), the new-in-r5 families (q115 PQ encode, q116 PQ ADC top-k,
-q117 BM25 — never driver-checked, by the rotation policy they take
-the slots of the q24/q96/q31 anchors, whose families keep r1-r4
-green rows + local verification), plus 6 anchors that were green in
-r1-r4 and are the flagship reps of their families (q01 pricing, q02
-top-k join, q32 MinHash-LSH pair join, q94 curation chain, q112
-decontamination, q114 PageRank). Cumulative driver coverage per
-query per round is recorded in COVERAGE.md; every query demoted this
-round already has a green driver row in CORRECTNESS_r02/r04.
-q93_kmeans_ivf_lists is iterative (not ANSI-expressible) and is the
-window's single rows-only entry — the driver records the weaker
-check, as designed.
+Round-6 ROTATION: after r5, every catalog query has had a driver
+row except the two r5 failures (q68 array-column compare crash and
+q105 decimal-vs-double hash mismatch — both root-caused and fixed
+this round, so they lead the window), the three registered after the
+r5 window froze (q118 chunking, q119 SQ8, q120 binary Hamming), and
+the six new-in-r6 entries (q121 hybrid RRF, q122 quality-canonical,
+q123 fuzzy decontam, q124 grouping sets, q125 histogram, q126
+z-outliers). Those 11 + the 6 standing anchors (q01/q02/q32/q94/
+q112/q114) fill 17 slots; the remaining 33 REFRESH the stalest
+coverage — the 21 queries whose only green row is r1, the two whose
+last row is r2/r3 (q11/q34), and ten r2-r4 high-traffic family reps
+(q35/q36/q45/q46/q47/q49/q51/q54/q56/q57). Per-query round stamps
+live in COVERAGE.md; every query demoted this round has a green
+driver row in r4 or r5.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -68,59 +65,63 @@ from product_etl_spark.plans import catalog_ext6  # noqa: F401  (registers q122+
 _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 
 _DRIVER_WINDOW = [
-    # -- 41 queries never driver-checked in rounds 1-4 (see COVERAGE.md) --
-    "q52_value_delta_lag",
-    "q53_order_rank_in_customer",
-    "q55_events_per_day_of_week",
-    "q61_train_test_split",
-    "q62_stratified_cap",
-    "q63_source_mixing",
-    "q65_line_repetition",
-    "q67_nations_intersect",
+    # -- r5 failures, now fixed (array->string boundary; decimal->double) --
     "q68_user_event_type_sets",
-    "q72_tpch_q3_shipping_priority",
-    "q74_tpch_q10_returned_items",
-    "q76_ntile_quartiles",
-    "q77_vocabulary_topk",
-    "q78_array_higher_order",
-    "q79_json_schema_on_read",
-    "q80_running_distinct_types",
-    "q81_tpch_q7_volume_shipping",
-    "q82_tpch_q8_market_share",
-    "q83_tpch_q9_product_profit",
-    "q84_tpch_q13_order_count_distribution",
-    "q85_tpch_q14_promo_revenue",
-    "q86_tpch_q15_top_supplier",
-    "q87_tpch_q17_small_quantity_revenue",
-    "q88_tpch_q18_large_volume_customers",
-    "q89_tpch_q19_bracketed_revenue",
-    "q90_tpch_q22_idle_balances",
-    "q93_kmeans_ivf_lists",
-    "q95_scd2_customer_history",
-    "q98_cohort_retention",
-    "q100_trailing_7d_spend",
-    "q101_weighted_doc_sample",
-    "q103_event_transitions",
-    "q104_event_type_overlap",
     "q105_tpch_q2_min_cost_supplier",
-    "q106_tpch_q4_order_priority",
-    "q107_tpch_q11_value_concentration",
-    "q108_tpch_q12_late_shipment_priority",
-    "q109_tpch_q16_supplier_count",
-    "q110_tpch_q20_potential_promotion",
-    "q111_tpch_q21_waiting_suppliers",
-    "q113_bigram_lm_perplexity",
-    # -- new-in-r5 families (never driver-checked) --
-    "q115_pq_codes",
-    "q116_pq_adc_topk",
-    "q117_bm25_search",
-    # -- 6 anchors: flagship family reps, green in r1-r4 --
+    # -- registered late in r5, never driver-checked --
+    "q118_doc_chunking",
+    "q119_sq8_codes",
+    "q120_binary_hash_hamming",
+    # -- new in r6, never driver-checked --
+    "q121_hybrid_rrf_search",
+    "q122_quality_canonical_dedup",
+    "q123_fuzzy_decontam",
+    "q124_grouping_sets",
+    "q125_price_histogram",
+    "q126_balance_outliers",
+    # -- 6 anchors: flagship family reps, green every round --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q32_lsh_near_dup_pairs",
     "q94_corpus_curation",
     "q112_benchmark_decontam",
     "q114_transition_pagerank",
+    # -- refresh: last driver-green in r1 only (oldest coverage) --
+    "q03_region_nation_rollup",
+    "q04_customers_without_orders",
+    "q07_order_date_range",
+    "q08_segment_distinct_nations",
+    "q10_topk_brands",
+    "q13_customer_only_nations",
+    "q14_first_order_per_customer",
+    "q15_running_customer_revenue",
+    "q17_null_empty_guards",
+    "q19_orders_by_year",
+    "q22_url_extraction",
+    "q25_event_type_share",
+    "q28_doc_quality",
+    "q33_ngram_jaccard_pairs",
+    "q37_label_centroid_norms",
+    "q39_completeness_report",
+    "q42_cube_flag_status",
+    "q43_price_percentiles",
+    "q44_acctbal_stats",
+    "q48_lineitem_unpivot",
+    "q50_bpe_token_count",
+    # -- refresh: last green r2/r3 --
+    "q11_distinct_flag_status",
+    "q34_simhash",
+    # -- refresh: r2-r4 greens, high-traffic families --
+    "q35_knn_bruteforce",
+    "q36_lsh_bucket_histogram",
+    "q45_price_band_range_join",
+    "q46_asof_purchase_signup",
+    "q47_event_pivot",
+    "q49_distinct_users_by_type",
+    "q51_props_json_extract",
+    "q54_above_nation_average",
+    "q56_ivf_assignment",
+    "q57_winnowing_fingerprints",
 ]
 
 

@@ -33,21 +33,21 @@ def test_rows_only_set_matches_catalog():
     assert no_oracle == plans._ROWS_ONLY
 
 
-def test_window_covers_all_never_driver_checked():
-    """Round-5 rotation invariant: every query that had no driver row in
-    rounds 1-4 (per COVERAGE.md) is in this round's window."""
-    never_checked_prefixes = {
-        "q52", "q53", "q55", "q61", "q62", "q63", "q65", "q67", "q68",
-        "q72", "q74", "q76", "q77", "q78", "q79", "q80", "q81", "q82",
-        "q83", "q84", "q85", "q86", "q87", "q88", "q89", "q90", "q93",
-        "q95", "q98", "q100", "q101", "q103", "q104", "q105", "q106",
-        "q107", "q108", "q109", "q110", "q111", "q113",
+def test_window_covers_all_never_driver_green():
+    """Round-6 rotation invariant: every query with no GREEN driver
+    row through r5 (the two r5 failures, the three late-r5
+    registrations, and the six new-in-r6 entries; per COVERAGE.md)
+    is in this round's window."""
+    never_green_prefixes = {
+        "q68", "q105",                     # r5 failures, fixed in r6
+        "q118", "q119", "q120",            # registered after r5 froze
+        "q121", "q122", "q123", "q124", "q125", "q126",  # new in r6
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    missing = never_checked_prefixes - window_prefixes
-    assert not missing, f"never-driver-checked queries left out: {missing}"
+    missing = never_green_prefixes - window_prefixes
+    assert not missing, f"never-driver-green queries left out: {missing}"
 
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 120
+    assert len(names) == len(set(names)) == 126
