@@ -90,3 +90,101 @@ def transition_counts(
         .groupBy(F.col("_prev").alias("prev_type"), F.col(type_col).alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance=None,
+    strict: bool = False,
+) -> DataFrame:
+    """pandas.merge_asof semantics as ONE partitioned window — the
+    q46 union-window formulation generalized: every left row gets the
+    nearest preceding (``backward``) or following (``forward``) right
+    row within the same ``by`` key, each right ``value_cols`` entry
+    surfaced as ``<name>_asof`` plus the matched ``<ts_col>_asof``.
+
+    ``tolerance`` (a Column-compatible interval/number matching the
+    ts type's difference, e.g. ``F.expr("INTERVAL 7 DAYS")``) NULLs
+    matches farther than the bound. ``strict=True`` excludes
+    same-instant right rows (pandas ``allow_exact_matches=False``).
+
+    Scale shape: NO range join and NO per-row subquery — left and
+    right union into one frame, one window partitioned by ``by``
+    ordered by (ts, side) carries the last/first right values, then
+    left rows filter back out. Exactly one shuffle on the key; ties
+    at the same timestamp resolve right-row-first (backward) /
+    left-row-first (forward), matching merge_asof's inclusive
+    default. At 100 TB this is the canonical Spark as-of shape:
+    hash-partition by entity, sort within partition, single pass.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    clash = sorted(
+        c for c in left.columns
+        if c in ("_side", "_asof_ts") or c.startswith(("_v_", "_m_"))
+    )
+    if clash:
+        raise ValueError(f"asof_join reserved columns in left: {clash}")
+    # side ordering: the right row must sort BEFORE the left row at an
+    # equal timestamp for inclusive backward matches (and after it for
+    # strict), mirrored for forward.
+    right_first = (direction == "backward") != strict
+    r = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.lit(0 if right_first else 2).alias("_side"),
+        F.col(ts_col).alias("_asof_ts"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    l = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_asof_ts"].dataType).alias("_asof_ts"),
+        *[
+            F.lit(None).cast(r.schema[f"_v_{c}"].dataType).alias(f"_v_{c}")
+            for c in value_cols
+        ],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    matched = unioned.select(
+        "*",
+        pick("_asof_ts").alias("_m_ts"),
+        *[pick(f"_v_{c}").alias(f"_m_{c}") for c in value_cols],
+    ).filter(F.col("_side") == 1)
+    in_tol = F.lit(True)
+    if tolerance is not None:
+        gap = (
+            F.col("_m_ts") - F.col(ts_col)
+            if direction == "forward"
+            else F.col(ts_col) - F.col("_m_ts")
+        )
+        in_tol = gap <= tolerance
+    keep = F.col("_m_ts").isNotNull() & in_tol
+    out_cols = [c for c in left.columns]
+    return matched.select(
+        *out_cols,
+        F.when(keep, F.col("_m_ts")).alias(f"{ts_col}_asof"),
+        *[
+            F.when(keep, F.col(f"_m_{c}")).alias(f"{c}_asof")
+            for c in value_cols
+        ],
+    )

@@ -1,0 +1,118 @@
+"""asof_join vs pandas.merge_asof — the library owns the semantics,
+so every (direction, tolerance, strict) combination is checked
+against the reference implementation on deterministic data."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.timeseries import asof_join
+
+
+def _h(s: str, m: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left_rows = [
+        (u, i, 1000 + _h(f"L{u},{i}", 500))
+        for u in range(4)
+        for i in range(20)
+    ]
+    right_rows = [
+        (u, j, 1000 + _h(f"R{u},{j}", 500), 10 * u + j)
+        for u in range(4)
+        for j in range(8)
+    ]
+    left = spark.createDataFrame(left_rows, "uid int, row_id int, t long")
+    right = spark.createDataFrame(
+        right_rows, "uid int, ref_id int, t long, payload int"
+    )
+    return left, right, left_rows, right_rows
+
+
+def _expected(left_rows, right_rows, direction, tolerance=None,
+              allow_exact=True):
+    lp = pd.DataFrame(left_rows, columns=["uid", "row_id", "t"]).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        right_rows, columns=["uid", "ref_id", "t", "payload"]
+    ).sort_values("t", kind="mergesort")
+    m = pd.merge_asof(
+        lp,
+        rp[["uid", "t", "payload"]],
+        on="t",
+        by="uid",
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=allow_exact,
+        suffixes=("", "_r"),
+    )
+    return {
+        (r.uid, r.row_id): (None if pd.isna(r.payload) else int(r.payload))
+        for r in m.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_matches_pandas_merge_asof(frames, direction):
+    left, right, lr, rr = frames
+    got = asof_join(left, right, "uid", "t", ["payload"], direction=direction)
+    got_map = {
+        (r["uid"], r["row_id"]): r["payload_asof"] for r in got.collect()
+    }
+    assert got_map == _expected(lr, rr, direction)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_tolerance_matches_pandas(frames, direction):
+    left, right, lr, rr = frames
+    got = asof_join(
+        left, right, "uid", "t", ["payload"], direction=direction,
+        tolerance=F.lit(25),
+    )
+    got_map = {
+        (r["uid"], r["row_id"]): r["payload_asof"] for r in got.collect()
+    }
+    assert got_map == _expected(lr, rr, direction, tolerance=25)
+
+
+def test_strict_excludes_same_instant(spark):
+    left = spark.createDataFrame([(1, 0, 100)], "uid int, row_id int, t long")
+    right = spark.createDataFrame(
+        [(1, 9, 100, 77), (1, 8, 90, 55)], "uid int, ref_id int, t long, payload int"
+    )
+    inclusive = asof_join(left, right, "uid", "t", ["payload"]).collect()[0]
+    assert inclusive["payload_asof"] == 77  # same-instant match allowed
+    strict = asof_join(
+        left, right, "uid", "t", ["payload"], strict=True
+    ).collect()[0]
+    assert strict["payload_asof"] == 55  # falls back to the earlier row
+
+
+def test_reserved_columns_and_bad_direction_raise(spark):
+    left = spark.createDataFrame([(1, 2, 3)], "uid int, t int, _side int")
+    right = spark.createDataFrame([(1, 2, 3)], "uid int, t int, v int")
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right, "uid", "t", ["v"])
+    ok_left = spark.createDataFrame([(1, 2)], "uid int, t int")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ok_left, right, "uid", "t", ["v"], direction="nearest")
+
+
+def test_single_exchange_plan(spark):
+    """The as-of is ONE key-partitioned window: exactly one exchange,
+    no range join, no broadcast of the fact sides."""
+    left = spark.createDataFrame([(1, 0, 10)], "uid int, row_id int, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5, 3)], "uid int, ref_id int, t long, payload int"
+    )
+    df = asof_join(left, right, "uid", "t", ["payload"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "Join" not in final
