@@ -418,3 +418,93 @@ def hybrid_rrf_oracle_sql(
     ORDER BY rrf_dec DESC, doc_id ASC
     LIMIT {int(top_n)}
     """
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "rel_score",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell/Goldstein
+    1998) of a per-query candidate set: greedily pick the candidate
+    maximizing ``lam * relevance - (1 - lam) * max_sim_to_selected``
+    until ``k`` are chosen. The anti-redundancy second stage of a
+    retrieval pipeline — run it on the (bounded) output of
+    hybrid_rrf_topk / knn / BM25, never on a raw corpus.
+
+    Returns (query_col, id_col, mmr_rank, mmr_score).
+
+    Shape: the greedy argmax is inherently sequential IN k, so this
+    is the documented applyInPandas case — one Arrow-batched pandas
+    group per query (bounded by the candidate depth contract, which
+    the operator ENFORCES via max_candidates), parallel ACROSS
+    queries. Relevance scores are min-max normalized within the
+    candidate set so ``lam`` weighs comparable [0,1] quantities
+    against cosine similarity.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    max_candidates = 10_000  # greedy is O(k * n * dim) per query
+
+    out_schema = StructType(
+        [
+            candidates.schema[query_col],
+            candidates.schema[id_col],
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_candidates:
+            raise ValueError(
+                f"mmr_rerank: {n} candidates for one query exceeds the "
+                f"bounded-candidate contract ({max_candidates}); rerank "
+                "a top-N retrieval output, not a corpus"
+            )
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = X / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        span = rel.max() - rel.min()
+        rel = (rel - rel.min()) / span if span > 0 else np.ones_like(rel)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_sim = np.full(n, -np.inf)
+        for _ in range(min(k, n)):
+            if chosen:
+                sim_new = U @ U[chosen[-1]]
+                max_sim = np.maximum(max_sim, sim_new)
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = lam * rel
+            mmr[chosen] = -np.inf
+            best = int(np.argmax(mmr))  # ties -> first = best rel, lowest id
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[chosen].to_numpy(),
+                id_col: pdf[id_col].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score": np.array(scores, dtype=np.float64),
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(_pick, out_schema)

@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 
 from product_etl_spark.operators import dedup as D
 from product_etl_spark.operators.decontam import fuzzy_contaminated_ids
+from product_etl_spark.operators.langid import (
+    classify_char_ngram,
+    langid_confusion_oracle_sql,
+    train_char_ngram_profiles,
+)
 from product_etl_spark.plans.catalog import _t, dec, register
 
 # Prefix-blocking cluster key: md5 of the first 8 normalized tokens.
@@ -295,4 +300,31 @@ def q126_balance_outliers(spark, sf_dir):
                 (F.col("c_acctbal") - F.col("mean")) / F.col("sd"), 6
             ).alias("z"),
         )
+    )
+
+
+@register("q127_trained_langid_confusion", langid_confusion_oracle_sql(50))
+def q127_trained_langid_confusion(spark, sf_dir):
+    """Trained char-trigram language ID (operators/langid.py,
+    Cavnar/Trenkle profiles): train top-50 per-language trigram
+    profiles on even doc_ids, classify odd doc_ids by distinct-gram
+    overlap, emit the (true lang, predicted, n_docs) confusion
+    counts. Integer scoring with lexicographic tie-breaks -> the
+    oracle matches bit-for-bit. (The synthetic corpus is all-latin,
+    so ACCURACY here is near-chance by construction — the planted
+    multilingual fixtures in tests/test_langid.py are the accuracy
+    check; this row proves the distributed train/classify plumbing.)
+
+    Scale shape: profiles broadcast (n_langs x 50 rows); corpus
+    tokenization is map-only; one (doc,lang) agg with map-side
+    combine; the train window is per-language and rank-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    profiles = train_char_ngram_profiles(train, "text", "lang", "doc_id", 50)
+    pred = classify_char_ngram(test, profiles, "text", "doc_id")
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
