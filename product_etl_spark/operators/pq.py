@@ -709,3 +709,46 @@ def pq_adc_oracle_terms(codebooks: Codebooks, q_emb: str, code_arr: str) -> str:
             term = f"({term} + {d} * {d})"
         total = f"({total} + {term})"
     return total
+
+
+def append_to_ivf_pq_index(
+    spark,
+    index_path: str,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> int:
+    """Incrementally grow a persisted IVF-PQ index: assign + encode
+    ``new_batch`` with the index's EXISTING centroids and codebooks
+    and append the coded rows into ``<index_path>/codes`` (same
+    list_id partition layout, so probes keep partition-pruning).
+    Returns the number of appended vectors.
+
+    This is the production ingest path — a new corpus shard becomes
+    one map-only assign+encode pass plus a partitioned append; no
+    retraining, no rewrite of existing lists, centroids/codebooks
+    untouched. Quantization error for the new rows is whatever the
+    frozen codebooks give (the FAISS add-after-train contract);
+    retrain + rebuild when drift warrants it.
+
+    Idempotence contract: the append is AT-LEAST-ONCE (a retried
+    batch writes its rows twice — parquet appends are not
+    transactional). Callers ingesting from an unreliable queue should
+    dedup upstream (operators/dedup_incremental) or rebuild the
+    affected lists; the probe path itself tolerates duplicate
+    neighbor rows (duplicates rank adjacently and are collapsible by
+    id downstream).
+    """
+    books = read_codebooks(spark, index_path)
+    _check_books(books, dim)
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    coded = build_ivf_pq_index(
+        new_batch, cents, books, corpus_id=id_col, emb_col=emb_col, dim=dim
+    )
+    n = coded.count()
+    if n:
+        coded.write.mode("append").partitionBy("list_id").parquet(
+            f"{index_path}/codes"
+        )
+    return n

@@ -314,3 +314,50 @@ def test_encode_corrupt_row_behind_valid_first_raises(spark, planted):
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
         PQ.pq_encode(good.unionByName(nulled), "embedding", books).collect()
     assert "pq_encode" in str(ei.value)
+
+
+def test_append_to_index_equals_full_build(spark, planted, tmp_path):
+    """Build an index on half the corpus, append the other half: every
+    probe must return exactly what a full-corpus build returns (same
+    frozen centroids/codebooks -> same codes -> same ADC ranks)."""
+    first = planted.filter(F.col("vec_id") % 2 == 0)
+    second = planted.filter(F.col("vec_id") % 2 == 1)
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    PQ.write_ivf_pq_index(first, "embedding", "vec_id", inc_path)
+    n = PQ.append_to_ivf_pq_index(spark, inc_path, second)
+    assert n == second.count()
+    # full build with the SAME deterministic centroids: seed from the
+    # same half so coarse centroids match the incremental index
+    from product_etl_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(first, "embedding", "vec_id", n_lists=4)
+    books = PQ.md5_codebooks(8, 16, 8)
+    coded_full = PQ.build_ivf_pq_index(planted, cents, books)
+    coded_full.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{full_path}/codes"
+    )
+    cents.write.mode("overwrite").parquet(f"{full_path}/centroids")
+    rows = [(s, c, books[s][c]) for s in range(8) for c in range(16)]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{full_path}/codebooks")
+
+    queries = planted.filter(F.col("vec_id") < 3)
+    got_inc = PQ.knn_ivf_pq_index(spark, inc_path, queries, k_neighbors=5)
+    got_full = PQ.knn_ivf_pq_index(spark, full_path, queries, k_neighbors=5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    inc_rows = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"]) for r in got_inc.collect())
+    )
+    full_rows = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"]) for r in got_full.collect())
+    )
+    assert inc_rows == full_rows and len(inc_rows) == 15
+    # appended rows landed in the existing partition layout
+    import os
+
+    lists = sorted(
+        d for d in os.listdir(f"{inc_path}/codes") if d.startswith("list_id=")
+    )
+    assert lists and all("=" in d for d in lists)
