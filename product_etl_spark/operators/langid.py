@@ -26,22 +26,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _doc_trigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, gram): DISTINCT lowercased char trigrams per document.
+def _doc_trigrams(
+    df: DataFrame, text_col: str, id_col: str, *carry_cols: str
+) -> DataFrame:
+    """(id, *carry_cols, gram): DISTINCT lowercased char trigrams per
+    document. ``carry_cols`` ride THROUGH the explode so callers never
+    join the (corpus x grams)-sized frame back to the source just to
+    recover a label — at test scale the join is cheap, but at 100 TB
+    it is a full extra shuffle of the gram frame.
     Documents shorter than 3 chars have no grams and drop out. The
     short-doc case is an explicit empty array — Spark's
     ``sequence(1, 0)`` would DESCEND ([1, 0]), not return empty like
     DuckDB's RANGE, so an unguarded transform would fabricate grams
     from 1-2-char docs."""
-    s = f"lower(coalesce({text_col}, ''))"
+    # Lowercase ONCE into a projected column before the lambda:
+    # Catalyst does no CSE inside higher-order functions, so an
+    # inline lower(coalesce(text)) would re-lowercase the whole
+    # document for EVERY trigram position — O(len^2) per doc
+    # (measured: q127 at sf0.1 dropped 4.4 s -> 2.6 s).
     grams = F.array_distinct(
         F.expr(
-            f"IF(length({s}) < 3, array(), "
-            f"transform(sequence(1, length({s}) - 2), "
-            f"i -> substring({s}, i, 3)))"
+            "IF(length(_s) < 3, array(), "
+            "transform(sequence(1, length(_s) - 2), "
+            "i -> substring(_s, i, 3)))"
         )
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_s"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(grams).alias("gram"),
+    )
 
 
 def train_char_ngram_profiles(
@@ -55,9 +73,9 @@ def train_char_ngram_profiles(
     distinct-per-doc char trigrams of each language's labeled docs
     (ties -> lexicographically first gram, so the profile is
     deterministic)."""
-    g = _doc_trigrams(docs, text_col, id_col)
+    g = _doc_trigrams(docs, text_col, id_col, label_col)
     counts = (
-        g.join(docs.select(F.col(id_col), F.col(label_col).alias("_lang")), id_col)
+        g.withColumnRenamed(label_col, "_lang")
         .groupBy("_lang", "gram")
         .agg(F.count(F.lit(1)).alias("n"))
     )

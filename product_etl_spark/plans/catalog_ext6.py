@@ -328,3 +328,46 @@ def q127_trained_langid_confusion(spark, sf_dir):
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "q128_percentile_rank_windows",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           NTH_VALUE(c_custkey, 3) OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_poorest
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q128_percentile_rank_windows(spark, sf_dir):
+    """percent_rank / cume_dist / nth_value — the last members of the
+    ranking-window family (§2.5; lag q52, rank q53, dense_rank q40,
+    ntile q76, row_number everywhere, last-ignore-nulls q46). Both
+    ratios derive from integer ranks over a TOTAL order (acctbal,
+    custkey), so the doubles are single divisions from identical
+    integers — engine-exact. Window partitioned by nation: no global
+    sort; at scale this is one key-partitioned sort per nation."""
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        c.filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            F.nth_value("c_custkey", 3).over(wf).alias("third_poorest"),
+        )
+    )
