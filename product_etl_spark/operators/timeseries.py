@@ -121,6 +121,12 @@ def asof_join(
     left-row-first (forward), matching merge_asof's inclusive
     default. At 100 TB this is the canonical Spark as-of shape:
     hash-partition by entity, sort within partition, single pass.
+
+    Determinism contract: the right side must have at most ONE row
+    per (by, ts) — with duplicates, WHICH duplicate's values surface
+    depends on partition-internal order (pandas.merge_asof picks the
+    last in input order; a distributed frame has no input order).
+    Pre-aggregate the right side to one row per instant first.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")

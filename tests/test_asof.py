@@ -116,3 +116,72 @@ def test_single_exchange_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
     assert "Join" not in final
+
+
+def test_hypothesis_random_matches_pandas(spark):
+    """Property: on arbitrary integer event sets (duplicate
+    timestamps, sparse keys, empty right groups), asof_join ==
+    pandas.merge_asof for backward+inclusive. Hypothesis drives the
+    data; one Spark round-trip per example is too slow, so examples
+    are batched into a single frame keyed by a case id."""
+    from hypothesis import given, settings, strategies as st
+
+    rights = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0, max_size=8,
+    )
+    lefts = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=8,
+    )
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None, database=None)
+    @given(lefts, rights)
+    def _collect(ls, rs):
+        cases.append((ls, rs))
+
+    _collect()
+
+    left_rows, right_rows = [], []
+    for cid, (ls, rs) in enumerate(cases):
+        for i, (u, t) in enumerate(ls):
+            left_rows.append((cid * 10 + u, i, t))
+        # enforce the operator's determinism contract: one right row
+        # per (key, ts) — with duplicates, which one wins is order-
+        # dependent in BOTH engines' own ways
+        seen = {}
+        for j, (u, t, p) in enumerate(rs):
+            seen[(u, t)] = (cid * 10 + u, j, t, p)
+        right_rows.extend(seen.values())
+    left = spark.createDataFrame(left_rows, "uid long, row_id long, t long")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None, None)],
+        "uid long, ref_id long, t long, payload long",
+    ).filter(F.col("uid").isNotNull())
+    got = asof_join(left, right, "uid", "t", ["payload"])
+    got_map = {
+        (r["uid"], r["row_id"], r["t"]): r["payload_asof"]
+        for r in got.collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["uid", "row_id", "t"]).sort_values(
+        "t", kind="mergesort"
+    )
+    rp = pd.DataFrame(
+        right_rows, columns=["uid", "ref_id", "t", "payload"]
+    ).sort_values("t", kind="mergesort")
+    if len(rp):
+        m = pd.merge_asof(
+            lp, rp[["uid", "t", "payload"]], on="t", by="uid",
+            direction="backward", suffixes=("", "_r"),
+        )
+        exp = {
+            (r.uid, r.row_id, r.t): (
+                None if pd.isna(r.payload) else int(r.payload)
+            )
+            for r in m.itertuples()
+        }
+    else:
+        exp = {(r.uid, r.row_id, r.t): None for r in lp.itertuples()}
+    assert got_map == exp

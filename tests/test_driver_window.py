@@ -51,3 +51,27 @@ def test_window_covers_all_never_driver_green():
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
     assert len(names) == len(set(names)) == 128
+
+
+def test_coverage_doc_matches_window():
+    """COVERAGE.md is the rotation ledger: exactly the queries stamped
+    `r6*` must be in _DRIVER_WINDOW, and every catalog query must have
+    a ledger row — a drifted doc would misreport driver coverage to
+    the next round."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = {}
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        for ln in f:
+            m = re.match(r"\| (q\d+\S*) \| (.*) \|$", ln.strip())
+            if m:
+                rows[m.group(1)] = m.group(2)
+    from product_etl_spark.plans.catalog import CATALOG
+
+    assert set(rows) == set(CATALOG), (
+        set(rows) ^ set(CATALOG)
+    )
+    scheduled = {n for n, stamps in rows.items() if "r6*" in stamps}
+    assert scheduled == set(plans._DRIVER_WINDOW)
