@@ -679,3 +679,52 @@ def test_canonical_by_quality_keeps_longest_then_lowest_id(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert "Window" not in final
     assert final.count("Exchange") == 1
+
+
+def test_cosine_fast_path_matches_expression_path(spark, sf_dir):
+    """The numpy blocked sweep must produce the same pair set and the
+    same (4-decimal) sims as the oracle-exact expression path on the
+    real embeddings table, including the zero-norm rule and the
+    skewed-block guard."""
+    import pytest
+
+    from product_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_fast,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    slow = {
+        (r["label"], r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_near_dup_pairs(
+            e, "embedding", "vec_id", "label", threshold=0.3
+        ).collect()
+    }
+    fast = {
+        (r["label"], r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_near_dup_pairs_fast(
+            e, "embedding", "vec_id", "label", threshold=0.3
+        ).collect()
+    }
+    assert set(fast) == set(slow)
+    for k in slow:
+        assert abs(fast[k] - slow[k]) <= 1e-4  # one 4th-decimal ulp
+
+    # zero-norm embeddings pair at sim 0 (excluded at threshold 0.3)
+    import pyspark.sql.functions as F2
+
+    z = spark.createDataFrame(
+        [(1, 100, [0.0, 0.0]), (1, 101, [1.0, 0.0]), (1, 102, [1.0, 0.0])],
+        "label int, vec_id int, embedding array<float>",
+    )
+    got = cosine_near_dup_pairs_fast(
+        z, "embedding", "vec_id", "label", threshold=0.3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(101, 102)]
+
+    with pytest.raises(Exception, match="max_block_rows"):
+        cosine_near_dup_pairs_fast(
+            e, "embedding", "vec_id", "label", threshold=0.3,
+            max_block_rows=5,
+        ).collect()
+    _ = F2
