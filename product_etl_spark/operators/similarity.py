@@ -822,3 +822,102 @@ def cosine_near_dup_pairs_fast(
         )
 
     return src.groupBy(block_col).applyInPandas(per_block, out_schema)
+
+
+def knn_bruteforce_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    emb_col: str,
+    id_col: str,
+    query_id_col: str = "query_id",
+    k: int = 5,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Arrow-batched numpy twin of ``knn_bruteforce`` (the
+    cosine_near_dup_pairs_fast pattern): queries collect to the
+    driver (BOUNDED — ``max_queries`` raises on violation, the same
+    small-query contract the expression path broadcasts under), the
+    corpus streams through mapInPandas computing a per-batch partial
+    top-k, and one final bounded window merges partials. The shuffle
+    carries at most ``k x n_batches x n_queries`` candidate rows —
+    never the corpus.
+
+    numpy's pairwise dot differs from the interpreted fold in the
+    last ulp, so a tie at the 4th decimal can order differently; use
+    the expression path where oracle bit-parity is the contract, this
+    one for bulk sweeps."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = queries.select(id_col, emb_col).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_bruteforce_fast: {len(q_rows)} queries exceed the "
+            f"small-query contract ({max_queries}); batch them or use "
+            "an index (knn_ivf / knn_ivf_pq)"
+        )
+    if not q_rows:
+        raise ValueError("knn_bruteforce_fast: empty query set")
+    q_ids = np.array([r[id_col] for r in q_rows])
+    Q = np.array([np.asarray(r[emb_col], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn_safe = np.where(qn == 0.0, 1.0, qn)
+    UQ = Q / qn_safe[:, None]
+    UQ[qn == 0.0] = 0.0
+
+    src = corpus.select(id_col, emb_col)
+    out_schema = StructType(
+        [
+            StructField(query_id_col, src.schema[id_col].dataType),
+            StructField("neighbor_id", src.schema[id_col].dataType),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            norms = np.linalg.norm(X, axis=1)
+            safe = np.where(norms == 0.0, 1.0, norms)
+            U = X / safe[:, None]
+            U[norms == 0.0] = 0.0
+            ids = pdf[id_col].to_numpy()
+            S = UQ @ U.T  # (n_q, n)
+            # self-matches excluded like the expression path
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = S[qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                take = min(k, cand_idx.size)
+                # top-k by (sim desc, id asc): argsort on (-sim, id)
+                order = np.lexsort((ids[cand_idx], -row[cand_idx]))[:take]
+                sel = cand_idx[order]
+                out_q.extend([q_ids[qi]] * take)
+                out_n.extend(ids[sel])
+                out_s.extend(row[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.asarray(out_q),
+                        "neighbor_id": np.asarray(out_n),
+                        "sim": np.asarray(out_s, dtype=np.float64),
+                    }
+                )
+
+    partials = src.mapInPandas(partial_topk, out_schema)
+    return topk_per_key(
+        partials,
+        [query_id_col],
+        [F.desc("sim"), F.asc("neighbor_id")],
+        k,
+        rank_col="rn",
+    ).select(query_id_col, "neighbor_id", F.round("sim", 4).alias("cos_sim"))

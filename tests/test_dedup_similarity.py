@@ -728,3 +728,32 @@ def test_cosine_fast_path_matches_expression_path(spark, sf_dir):
             max_block_rows=5,
         ).collect()
     _ = F2
+
+
+def test_knn_fast_matches_expression_path(spark, sf_dir):
+    """knn_bruteforce_fast must return the same neighbors/sims as the
+    expression path on the real embeddings (ulp-level ties aside),
+    and enforce its query-set bound."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    slow = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.knn_bruteforce(emb, qs, "embedding", "vec_id", k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.knn_bruteforce_fast(
+            emb, qs, "embedding", "vec_id", k=5
+        ).collect()
+    }
+    assert set(fast) == set(slow)
+    for key in slow:
+        assert abs(fast[key] - slow[key]) <= 1e-4
+    with pytest.raises(ValueError, match="small-query contract"):
+        S.knn_bruteforce_fast(emb, emb, "embedding", "vec_id", max_queries=3)
+    with pytest.raises(ValueError, match="empty query set"):
+        S.knn_bruteforce_fast(
+            emb, emb.filter(F.lit(False)), "embedding", "vec_id"
+        )
