@@ -1,0 +1,127 @@
+"""Table profiling and snapshot diffing — the data-quality /
+audit operators around an ETL engine.
+
+``profile_columns`` is the ANALYZE-style column profile (null
+fraction, distinct count, min/max) a pipeline runs before trusting a
+new feed; ``snapshot_diff`` is the audit complement of the upsert
+sink (operators/upsert.py): given yesterday's and today's snapshot of
+a keyed table, report added / removed / changed rows.
+
+Scale shape: profile = ONE pass over the table (all aggregates in a
+single groupBy-less agg — no per-column scans), exact distincts via
+count(distinct) which Spark plans as one Expand + two-phase agg;
+swap in approx_count_distinct at extreme cardinality. Diff = one
+full-outer join on the key (co-partitioned shuffle both sides), with
+change detection on a md5 over the compared columns so arbitrarily
+wide rows compare as one string each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_nulls,
+    n_distinct, min_str, max_str). min/max surface as strings so
+    heterogeneous column types fit one frame (the profile is a
+    report, not an input to arithmetic).
+
+    ONE aggregation pass computes every column's stats together —
+    never a scan per column. ``exact_distinct=False`` swaps
+    count(distinct) for approx_count_distinct (HLL; use at
+    100 TB-cardinality columns)."""
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        nd = (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            nd.alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # pivot the single wide row to one row per column via stack —
+    # executor-side, no driver collect
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_non_null, n_distinct, min_str, max_str)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "column",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots of a keyed table:
+    (key_cols..., change) with change in added|removed|changed.
+    Unchanged rows are absent (the diff is the point). With
+    ``compare_cols`` None, every non-key column common to both
+    frames is compared.
+
+    One full-outer join on the key; change detection hashes the
+    compared columns into one md5 per side (NULL-tagged, so NULL and
+    'NULL' differ), keeping the join payload two strings wide no
+    matter how wide the table is."""
+    if not key_cols:
+        raise ValueError("snapshot_diff needs key columns")
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - set(key_cols)
+        )
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no columns to compare")
+
+    def _sig(df: DataFrame, alias: str) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("\x00N")).otherwise(
+                    F.concat(F.lit("\x00V"), F.col(c).cast("string"))
+                )
+            )
+        return df.select(
+            *[F.col(c) for c in key_cols],
+            F.md5(F.concat(*parts)).alias(alias),
+        )
+
+    o = _sig(old, "_old_sig")
+    n = _sig(new, "_new_sig")
+    j = o.join(n, key_cols, "full_outer")
+    return (
+        j.select(
+            *key_cols,
+            F.when(F.col("_old_sig").isNull(), F.lit("added"))
+            .when(F.col("_new_sig").isNull(), F.lit("removed"))
+            .when(F.col("_old_sig") != F.col("_new_sig"), F.lit("changed"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

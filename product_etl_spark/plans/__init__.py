@@ -46,9 +46,8 @@ z-outliers). Those 11 + the 6 standing anchors (q01/q02/q32/q94/
 q112/q114) fill 17 slots; the remaining 33 REFRESH the stalest
 coverage — the 21 queries whose only green row is r1, the two whose
 last row is r2/r3 (q11/q34), and ten r2-r4 high-traffic family reps
-(q35/q36/q45/q46/q47/q49/q51/q54 + q127/q128 in the last two slots;
-q56 IVF-assign and q57 winnowing keep r2-r4 rows). Per-query round
-stamps
+(q35/q36/q45/q46/q47/q49 + q127-q130 in the last four slots; q51,
+q54, q56, q57 keep r2-r4 rows). Per-query round stamps
 live in COVERAGE.md; every query demoted this round has a green
 driver row in r4 or r5.
 """
@@ -120,8 +119,10 @@ _DRIVER_WINDOW = [
     "q46_asof_purchase_signup",
     "q47_event_pivot",
     "q49_distinct_users_by_type",
-    "q51_props_json_extract",
-    "q54_above_nation_average",
+    # q129/q130 (new in r6) take two more refresh slots; JSON extract
+    # (q51) and above-average (q54) keep r2-r4 green rows
+    "q129_column_profile",
+    "q130_snapshot_diff",
     # q127/q128 (new in r6) take the last two refresh slots; IVF
     # assignment (q56, r2-r4 green) and winnowing (q57, r2-r4 green)
     # keep local verification

@@ -371,3 +371,108 @@ def q128_percentile_rank_windows(spark, sf_dir):
             F.nth_value("c_custkey", 3).over(wf).alias("third_poorest"),
         )
     )
+
+
+@register(
+    "q129_column_profile",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(l_quantity) AS nn_q, COUNT(DISTINCT l_quantity) AS nd_q,
+             CAST(MIN(l_quantity) AS VARCHAR) AS mn_q,
+             CAST(MAX(l_quantity) AS VARCHAR) AS mx_q,
+             COUNT(l_returnflag) AS nn_r, COUNT(DISTINCT l_returnflag) AS nd_r,
+             CAST(MIN(l_returnflag) AS VARCHAR) AS mn_r,
+             CAST(MAX(l_returnflag) AS VARCHAR) AS mx_r,
+             COUNT(l_partkey) AS nn_p, COUNT(DISTINCT l_partkey) AS nd_p,
+             CAST(MIN(l_partkey) AS VARCHAR) AS mn_p,
+             CAST(MAX(l_partkey) AS VARCHAR) AS mx_p
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS column, n_rows, n_rows - nn_q AS n_nulls,
+           nd_q AS n_distinct, mn_q AS min_str, mx_q AS max_str FROM s
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, n_rows - nn_r, nd_r, mn_r, mx_r FROM s
+    UNION ALL
+    SELECT 'l_partkey', n_rows, n_rows - nn_p, nd_p, mn_p, mx_p FROM s
+    """,
+)
+def q129_column_profile(spark, sf_dir):
+    """ANALYZE-style column profile (operators/profile.profile_columns):
+    null counts, exact distincts, min/max for three lineitem columns
+    in ONE aggregation pass (a single agg computes every column's
+    stats — never a scan per column; Spark plans the multi-distinct
+    as one Expand + two-phase agg). The wide row pivots to one row
+    per column via stack(), executor-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    from product_etl_spark.operators.profile import profile_columns
+
+    return profile_columns(li, ["l_quantity", "l_returnflag", "l_partkey"])
+
+
+@register(
+    "q130_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey < 50
+    ),
+    d AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.c_acctbal <> n.c_acctbal
+                       OR o.c_mktsegment <> n.c_mktsegment THEN 'changed'
+             END AS change
+      FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT change, COUNT(*) AS n_rows, MIN(c_custkey) AS min_key
+    FROM d WHERE change IS NOT NULL GROUP BY change
+    """,
+)
+def q130_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/profile.snapshot_diff) — the audit
+    complement of the upsert sink: old = customers as-is; new =
+    customers minus every 97th (removed), with every 13th balance
+    bumped (changed), plus re-keyed copies of the first 50 (added).
+    One full-outer join on the key; each side's compared columns
+    collapse to ONE md5 so the join payload stays two strings wide
+    regardless of table width. Aggregated to (change, n, min_key)
+    for a compact deterministic check."""
+    c = _t(spark, sf_dir, "customer")
+    from product_etl_spark.operators.profile import snapshot_diff
+
+    old = c.select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") < 50).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    d = snapshot_diff(old, new, ["c_custkey"])
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+    )
