@@ -125,3 +125,60 @@ def snapshot_diff(
         )
         .filter(F.col("change").isNotNull())
     )
+
+
+def profile_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    null_rate_jump: float = 0.1,
+    distinct_ratio_drop: float = 0.5,
+) -> DataFrame:
+    """Feed-drift findings between two ``profile_columns`` outputs:
+    one row per (column, finding) with the baseline/current values
+    stringified. Findings:
+
+    - ``column_added`` / ``column_removed`` — schema drift;
+    - ``null_rate_jump`` — null fraction rose by more than
+      ``null_rate_jump`` absolute (a broken upstream join or parser
+      regression shows up here first);
+    - ``distinct_collapse`` — distinct-per-row ratio fell below
+      ``distinct_ratio_drop`` x baseline (a constant-fill bug or a
+      truncated dimension).
+
+    Both profiles are tiny (one row per column), so every join here
+    is broadcast-sized; run it as the gate between landing a feed and
+    publishing it."""
+    b = baseline.select(
+        F.col("column"),
+        (F.col("n_nulls").cast("double") / F.col("n_rows")).alias("b_null_rate"),
+        (F.col("n_distinct").cast("double") / F.col("n_rows")).alias("b_distinct_ratio"),
+    )
+    c = current.select(
+        F.col("column"),
+        (F.col("n_nulls").cast("double") / F.col("n_rows")).alias("c_null_rate"),
+        (F.col("n_distinct").cast("double") / F.col("n_rows")).alias("c_distinct_ratio"),
+    )
+    j = b.join(c, "column", "full_outer")
+    findings = j.select(
+        "column",
+        F.when(F.col("b_null_rate").isNull(), F.lit("column_added"))
+        .when(F.col("c_null_rate").isNull(), F.lit("column_removed"))
+        .when(
+            F.col("c_null_rate") - F.col("b_null_rate") > null_rate_jump,
+            F.lit("null_rate_jump"),
+        )
+        .when(
+            (F.col("b_distinct_ratio") > 0)
+            & (
+                F.col("c_distinct_ratio")
+                < F.col("b_distinct_ratio") * distinct_ratio_drop
+            ),
+            F.lit("distinct_collapse"),
+        )
+        .alias("finding"),
+        F.round("b_null_rate", 6).alias("baseline_null_rate"),
+        F.round("c_null_rate", 6).alias("current_null_rate"),
+        F.round("b_distinct_ratio", 6).alias("baseline_distinct_ratio"),
+        F.round("c_distinct_ratio", 6).alias("current_distinct_ratio"),
+    )
+    return findings.filter(F.col("finding").isNotNull())

@@ -48,3 +48,32 @@ def test_snapshot_diff_classifies_and_nulls_differ_from_literal(spark):
         snapshot_diff(old, new, [])
     with pytest.raises(ValueError, match="no columns"):
         snapshot_diff(old.select("k"), new.select("k"), ["k"])
+
+
+def test_profile_drift_findings(spark):
+    from product_etl_spark.operators.profile import profile_drift
+
+    base_df = spark.createDataFrame(
+        [(i, f"v{i}", "seg") for i in range(100)], "k int, s string, seg string"
+    )
+    # current: s nulled out for 30%, seg collapsed to one value (it
+    # already is), k intact; column s2 added, seg removed
+    cur_df = spark.createDataFrame(
+        [(i, None if i < 30 else f"v{i}", i % 2) for i in range(100)],
+        "k int, s string, s2 int",
+    )
+    b = profile_columns(base_df, ["k", "s", "seg"])
+    c = profile_columns(cur_df, ["k", "s", "s2"])
+    got = {r["column"]: r["finding"] for r in profile_drift(b, c).collect()}
+    assert got == {
+        "s": "null_rate_jump",
+        "seg": "column_removed",
+        "s2": "column_added",
+    }
+    # distinct collapse: constant-fill bug in k
+    bad = spark.createDataFrame([(7, "x") for _ in range(100)], "k int, s string")
+    c2 = profile_columns(bad, ["k"])
+    got2 = {r["column"]: r["finding"] for r in profile_drift(
+        profile_columns(base_df, ["k"]), c2
+    ).collect()}
+    assert got2 == {"k": "distinct_collapse"}
