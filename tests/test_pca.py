@@ -1,0 +1,86 @@
+"""PCA: planted low-rank recovery, numpy cross-check, projection
+properties, streaming-transparent map."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.pca import pca_project, pca_train
+
+
+def _h(s, m=2001):
+    return (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m) / 1000.0 - 1.0
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Rank-2 data + small noise in 8 dims: variance concentrates in
+    two known directions."""
+    d = 8
+    a = np.array([_h(f"a{j}") for j in range(d)])
+    b = np.array([_h(f"b{j}") for j in range(d)])
+    b -= a * (a @ b) / (a @ a)  # orthogonalize
+    rows = []
+    for i in range(300):
+        x = (
+            3.0 * _h(f"c1,{i}") * a
+            + 1.5 * _h(f"c2,{i}") * b
+            + 0.01 * np.array([_h(f"n{i},{j}") for j in range(d)])
+        )
+        rows.append((i, [float(v) for v in x]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, rows, a, b
+
+
+def test_recovers_planted_subspace_and_matches_numpy(planted):
+    df, rows, a, b = planted
+    mean, comps, explained = pca_train(df, "embedding", k=2, dim=8)
+    # the top-2 subspace spans {a, b}: projecting a and b onto the
+    # component span preserves nearly all their norm
+    C = np.array(comps)
+    for v in (a, b):
+        u = v / np.linalg.norm(v)
+        proj = C.T @ (C @ u)
+        assert np.linalg.norm(proj) > 0.99
+    assert explained[0] > explained[1] > 0
+    assert sum(explained) > 0.99  # rank-2 + 1% noise
+    # exact cross-check vs numpy on the same data
+    X = np.array([r[1] for r in rows])
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:2]].T
+    assert np.allclose(np.asarray(mean), mu, atol=1e-9)
+    for i in range(2):
+        dot = abs(np.dot(top[i], C[i]))
+        assert dot > 1.0 - 1e-8  # same direction up to sign
+
+
+def test_projection_matches_numpy_and_is_map_only(planted):
+    df, rows, *_ = planted
+    mean, comps, _ = pca_train(df, "embedding", k=2, dim=8)
+    out = pca_project(df, mean, comps, "embedding")
+    got = {r["vec_id"]: np.asarray(r["pca_emb"]) for r in out.collect()}
+    X = np.array([r[1] for r in rows])
+    expected = (X - np.asarray(mean)) @ np.array(comps).T
+    for i, r in enumerate(rows):
+        assert np.allclose(got[r[0]], expected[i], atol=1e-9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_guards(spark, planted):
+    df, *_ = planted
+    with pytest.raises(ValueError, match="0 < k <= dim"):
+        pca_train(df, "embedding", k=9, dim=8)
+    with pytest.raises(ValueError, match="embedding dim"):
+        pca_train(df, "embedding", k=2, dim=16)
+    two = df.limit(1)
+    with pytest.raises(Exception, match=">= 2 vectors"):
+        pca_train(two, "embedding", k=1, dim=8)
+    with pytest.raises(ValueError, match="length mismatch"):
+        pca_project(df, [0.0] * 8, [[0.0] * 7])
