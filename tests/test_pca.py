@@ -84,3 +84,34 @@ def test_guards(spark, planted):
         pca_train(two, "embedding", k=1, dim=8)
     with pytest.raises(ValueError, match="length mismatch"):
         pca_project(df, [0.0] * 8, [[0.0] * 7])
+
+
+def test_pca_rotation_improves_pq_quantization(spark):
+    """The OPQ motivation end-to-end: on CORRELATED data, PQ over the
+    PCA-rotated (decorrelated, variance-sorted) embeddings quantizes
+    with lower trained reconstruction error than PQ over raw
+    embeddings — the reason the rotation precedes quantization in
+    FAISS OPQ pipelines."""
+    from product_etl_spark.operators import pq as PQ
+
+    d, m, k = 8, 4, 4
+    # strongly correlated dims: x_j ~ base + small per-dim jitter
+    rows = []
+    for i in range(400):
+        base = 2.0 * _h(f"base{i}")
+        vec = [float(base + 0.15 * _h(f"j{i},{j}")) for j in range(d)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+    df.count()
+    mean, comps, _ = pca_train(df, "embedding", k=d, dim=d)
+    rotated = pca_project(df, mean, comps, "embedding", out_col="rot").select(
+        "vec_id", F.col("rot").alias("embedding")
+    ).persist()
+    rotated.count()
+    init = PQ.md5_codebooks(m, k, d // m)
+    raw_books = PQ.train_codebooks(df, "embedding", m=m, k=k, n_iters=3, dim=d, init=init)
+    rot_books = PQ.train_codebooks(rotated, "embedding", m=m, k=k, n_iters=3, dim=d, init=init)
+    err_raw = PQ.quantization_error(df, "embedding", raw_books, dim=d)
+    err_rot = PQ.quantization_error(rotated, "embedding", rot_books, dim=d)
+    assert err_rot < err_raw * 0.95  # measured ~13% gain on this fixture
+    df.unpersist(); rotated.unpersist()
