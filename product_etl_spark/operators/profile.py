@@ -7,10 +7,10 @@ new feed; ``snapshot_diff`` is the audit complement of the upsert
 sink (operators/upsert.py): given yesterday's and today's snapshot of
 a keyed table, report added / removed / changed rows.
 
-Scale shape: profile = ONE pass over the table (all aggregates in a
-single groupBy-less agg — no per-column scans), exact distincts via
-count(distinct) which Spark plans as one Expand + two-phase agg;
-swap in approx_count_distinct at extreme cardinality. Diff = one
+Scale shape: profile = two passes over the table (plain stats, then
+distincts — see profile_columns for why not one), each covering all
+columns at once; swap in approx_count_distinct at extreme
+cardinality. Diff = one
 full-outer join on the key (co-partitioned shuffle both sides), with
 change detection on a md5 over the compared columns so arbitrarily
 wide rows compare as one string each.
@@ -30,29 +30,37 @@ def profile_columns(
     heterogeneous column types fit one frame (the profile is a
     report, not an input to arithmetic).
 
-    ONE aggregation pass computes every column's stats together —
-    never a scan per column. ``exact_distinct=False`` swaps
-    count(distinct) for approx_count_distinct (HLL; use at
-    100 TB-cardinality columns)."""
+    TWO aggregation passes — one for the plain stats (counts, min,
+    max), one for the distincts — deliberately NOT one: mixing
+    count(distinct) with plain aggregates in a single agg makes
+    Catalyst Expand every input row once per distinct group WITH all
+    payload columns riding along (measured 2.6 s combined vs
+    0.56 + 0.45 s split, lineitem x 3 columns at sf0.1). Each pass
+    computes every column together — never a scan per column.
+    ``exact_distinct=False`` swaps count(distinct) for
+    approx_count_distinct (HLL; use at 100 TB-cardinality columns —
+    it also collapses the distinct pass into plain partial aggs)."""
     if not cols:
         raise ValueError("profile_columns needs at least one column")
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_columns: unknown columns {missing}")
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    plain = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        nd = (
-            F.countDistinct(F.col(c))
-            if exact_distinct
-            else F.approx_count_distinct(F.col(c))
-        )
-        aggs += [
+        plain += [
             F.count(F.col(c)).alias(f"_nn_{c}"),
-            nd.alias(f"_nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
-    wide = df.agg(*aggs)
+    distincts = [
+        (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        ).alias(f"_nd_{c}")
+        for c in cols
+    ]
+    wide = df.agg(*plain).crossJoin(df.agg(*distincts))
     # pivot the single wide row to one row per column via stack —
     # executor-side, no driver collect
     stack_args = ", ".join(

@@ -400,10 +400,11 @@ def q128_percentile_rank_windows(spark, sf_dir):
 def q129_column_profile(spark, sf_dir):
     """ANALYZE-style column profile (operators/profile.profile_columns):
     null counts, exact distincts, min/max for three lineitem columns
-    in ONE aggregation pass (a single agg computes every column's
-    stats — never a scan per column; Spark plans the multi-distinct
-    as one Expand + two-phase agg). The wide row pivots to one row
-    per column via stack(), executor-side."""
+    in two aggregation passes — plain stats and distincts split on
+    purpose: one combined agg Expands every row per distinct group
+    with all payload columns riding along (measured 2.6x slower).
+    Each pass covers all columns; the wide row pivots to one row per
+    column via stack(), executor-side."""
     li = _t(spark, sf_dir, "lineitem")
     from product_etl_spark.operators.profile import profile_columns
 

