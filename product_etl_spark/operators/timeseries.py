@@ -194,3 +194,57 @@ def asof_join(
             for c in value_cols
         ],
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame, key_col: str, day_col: str, value_col: str
+) -> DataFrame:
+    """Linear-interpolation twin of ``gapfill_locf``: interior gaps
+    take the straight line between the surrounding observations,
+    leading gaps backfill from the first observation, trailing gaps
+    carry the last forward. Output adds ``<value>_filled`` and
+    ``is_gap``.
+
+    Scale shape: identical to LOCF — executor-side day grid, then
+    TWO frames over ONE key-partitioned sort (preceding for the
+    previous observation, following for the next; same partition +
+    ordering, so Catalyst plans one Exchange + one Sort feeding both
+    Window nodes). The interpolation arithmetic is a fixed sequence
+    of IEEE ops from identical inputs (int day deltas, double
+    values), so results are engine-exact."""
+    spans = df.groupBy(key_col).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    grid = spans.select(
+        key_col, F.explode(F.sequence("_d0", "_d1")).alias(day_col)
+    )
+    joined = grid.join(df, [key_col, day_col], "left")
+    v = F.col(value_col).cast("double")
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col(value_col).isNotNull(), F.col(day_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_fwd)
+    interp = prev_v + (next_v - prev_v) * (
+        F.datediff(F.col(day_col), prev_d).cast("double")
+        / F.datediff(next_d, prev_d).cast("double")
+    )
+    filled = (
+        F.when(F.col(value_col).isNotNull(), v)
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return joined.withColumn(f"{value_col}_filled", filled).withColumn(
+        "is_gap", F.col(value_col).isNull().cast("int")
+    )

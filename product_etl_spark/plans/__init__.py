@@ -46,7 +46,7 @@ z-outliers). Those 11 + the 6 standing anchors (q01/q02/q32/q94/
 q112/q114) fill 17 slots; the remaining 33 REFRESH the stalest
 coverage — the 21 queries whose only green row is r1, the two whose
 last row is r2/r3 (q11/q34), and ten r2-r4 high-traffic family reps
-(q35/q36/q45/q46/q47/q49 + q127-q130 in the last four slots; q51,
+(q35/q36/q45/q46/q47 + q127-q131 in the last five slots; q49, q51,
 q54, q56, q57 keep r2-r4 rows). Per-query round stamps
 live in COVERAGE.md; every query demoted this round has a green
 driver row in r4 or r5.
@@ -118,7 +118,8 @@ _DRIVER_WINDOW = [
     "q45_price_band_range_join",
     "q46_asof_purchase_signup",
     "q47_event_pivot",
-    "q49_distinct_users_by_type",
+    # q131 (new in r6) replaces q49's refresh slot (r2-r4 green)
+    "q131_daily_gapfill_interpolate",
     # q129/q130 (new in r6) take two more refresh slots; JSON extract
     # (q51) and above-average (q54) keep r2-r4 green rows
     "q129_column_profile",

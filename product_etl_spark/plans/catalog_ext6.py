@@ -477,3 +477,78 @@ def q130_snapshot_diff(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.min("c_custkey").alias("min_key"),
     )
+
+
+@register(
+    "q131_daily_gapfill_interpolate",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,4))) AS day_value
+      FROM events WHERE event_type = 'purchase' AND user_id < 40
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, CAST(g.d AS DATE) AS day
+      FROM spans s CROSS JOIN UNNEST(generate_series(
+        CAST(s.d0 AS TIMESTAMP), CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d)
+    ),
+    ctx AS (
+      SELECT g.user_id, g.day,
+             CAST(d.day_value AS DOUBLE) AS v,
+             last_value(CAST(d.day_value AS DOUBLE) IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(CAST(d.day_value AS DOUBLE) IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id,
+           CAST(day - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * (CAST(day - pd AS BIGINT)::DOUBLE
+                                     / CAST(nd - pd AS BIGINT)::DOUBLE)
+                 WHEN pv IS NOT NULL THEN pv
+                 ELSE nv END, 6) AS day_value_filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM ctx
+    """,
+)
+def q131_daily_gapfill_interpolate(spark, sf_dir):
+    """Linear-interpolation gap-fill (timeseries.gapfill_interpolate)
+    — the interpolation twin of q96's LOCF: interior gaps take the
+    line between surrounding observations, edges backfill/carry.
+    Same scale shape (executor-side day grid; two frames over one
+    key-partitioned sort — one Exchange feeds both Window nodes);
+    the arithmetic is a fixed IEEE sequence from int day deltas and
+    doubles, so the oracle matches exactly."""
+    from product_etl_spark.operators import timeseries as TS2
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value", 18, 4)).alias("day_value"))
+    )
+    filled = TS2.gapfill_interpolate(daily, "user_id", "day", "day_value")
+    return filled.select(
+        "user_id",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast(
+            "bigint"
+        ).alias("day_epoch"),
+        F.round("day_value_filled", 6).alias("day_value_filled"),
+        "is_gap",
+    )

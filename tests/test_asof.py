@@ -185,3 +185,28 @@ def test_hypothesis_random_matches_pandas(spark):
     else:
         exp = {(r.uid, r.row_id, r.t): None for r in lp.itertuples()}
     assert got_map == exp
+
+
+def test_gapfill_interpolate_lines_and_edges(spark):
+    from product_etl_spark.operators.timeseries import gapfill_interpolate
+    import datetime as dt
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1), 10.0),
+        (1, d(2024, 1, 4), 40.0),   # gap 2,3 -> 20, 30
+        (1, d(2024, 1, 6), 0.0),    # gap 5 -> 20
+        (2, d(2024, 2, 1), 5.0),    # singleton span: no gaps
+    ]
+    df = spark.createDataFrame(rows, "k int, day date, v double")
+    got = {
+        (r["k"], r["day"].isoformat()): (r["v_filled"], r["is_gap"])
+        for r in gapfill_interpolate(df, "k", "day", "v").collect()
+    }
+    assert got[(1, "2024-01-02")] == (20.0, 1)
+    assert got[(1, "2024-01-03")] == (30.0, 1)
+    assert got[(1, "2024-01-05")] == (20.0, 1)
+    assert got[(1, "2024-01-01")] == (10.0, 0)
+    assert got[(1, "2024-01-06")] == (0.0, 0)
+    assert got[(2, "2024-02-01")] == (5.0, 0)
+    assert len(got) == 7
