@@ -96,7 +96,11 @@ def incremental_embedding_dedup(
     radius would silently lose candidates, so it RAISES instead.
 
     Rejected rows carry (id, matched_id, hamming) of their NEAREST
-    offending match (ties -> lowest id)."""
+    offending match (ties -> lowest id). Re-running an already-
+    ingested batch rejects every row against its OWN stored signature
+    (matched_id == id, hamming 0) and appends nothing — so a caller
+    appending ``accepted`` to a corpus never double-accepts across
+    replays."""
     dim = len(thresholds)
     n_bands = (dim + band_bits - 1) // band_bits
     if max_hamming >= n_bands:
@@ -115,8 +119,10 @@ def incremental_embedding_dedup(
         store = None
         have_store = False
 
-    # candidates: batch x store (excluding a row's own stored
-    # signature) plus batch x smaller-id batch member
+    # candidates: batch x store (INCLUDING a row's own stored
+    # signature — a replayed batch must re-collide with itself and
+    # accept nothing, the incremental_dedup corpus-append idempotence
+    # contract) plus batch x smaller-id batch member
     cand = None
     if have_store:
         sidx = hamming_band_index(
@@ -127,7 +133,6 @@ def incremental_embedding_dedup(
         )
         c1 = (
             bidx.join(sidx, ["band", "bv"])
-            .filter(F.col(id_col) != F.col("_sid"))
             .select(
                 F.col(id_col),
                 F.col("_code"),

@@ -643,3 +643,66 @@ def compact_distinct_sketch_state(
     for d in dirs:
         if not d.endswith("/base"):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def stream_dedup_embeddings(
+    spark: SparkSession,
+    input_dir: str,
+    accepted_dir: str,
+    signature_store: str,
+    checkpoint: str,
+    thresholds: list[float],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_hamming: int = 3,
+):
+    """Continuously ingest embedding batches (parquet files landing
+    in ``input_dir``) and keep only vectors no closer than
+    ``max_hamming`` sign-bits to anything already accepted — the
+    vector-space twin of ``stream_dedup_corpus``, built on
+    operators/embdedup.incremental_embedding_dedup (multi-index
+    Hamming banding over the 32x-compressed signature store).
+
+    Same effectively-exactly-once argument as the corpus dedup: the
+    store append is idempotent (already-stored ids are anti-joined
+    before appending; a replayed batch re-derives the same verdicts),
+    so checkpoint-tracked file pickup + rerun-idempotent dedup never
+    double-accepts a vector."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from product_etl_spark.operators.embdedup import incremental_embedding_dedup
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(emb_col, ArrayType(DoubleType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        accepted, _ = incremental_embedding_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            signature_store,
+            thresholds,
+            emb_col=emb_col,
+            id_col=id_col,
+            max_hamming=max_hamming,
+        )
+        accepted.write.mode("append").parquet(accepted_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

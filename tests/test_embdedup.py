@@ -46,10 +46,14 @@ def test_cross_batch_and_in_batch_dedup(spark, tmp_path):
     got = rej2.collect()[0]
     assert got["vec_id"] == 10 and got["matched_id"] == 0 and got["hamming"] == 1
 
-    # rerun batch 2: same verdicts, store not double-appended
+    # rerun batch 2: every row now collides with the store (11 with
+    # its OWN signature at hamming 0) -> nothing accepted, nothing
+    # appended — the corpus-append idempotence contract
     n_before = spark.read.parquet(store).count()
     acc3, rej3 = incremental_embedding_dedup(spark, b2, store, THR)
-    assert [r["vec_id"] for r in acc3.collect()] == [11]
+    assert acc3.count() == 0
+    own = {r["vec_id"]: (r["matched_id"], r["hamming"]) for r in rej3.collect()}
+    assert own[11] == (11, 0)
     assert spark.read.parquet(store).count() == n_before
 
 
@@ -72,3 +76,37 @@ def test_radius_at_pigeonhole_limit_and_guard(spark, tmp_path):
         hamming_band_index(
             bin_sign_encode(coded, "embedding", THR), "vec_id", band_bits=12
         )
+
+
+def test_streaming_wrapper_accepts_once_across_batches(spark, tmp_path):
+    """Two landed files with an overlapping near-dup: the survivor set
+    holds the first-seen vector once and the cross-file near-dup is
+    dropped; a replayed pipeline run (fresh checkpoint, same store)
+    accepts nothing new."""
+    import os
+
+    from product_etl_spark.streaming.pipeline import stream_dedup_embeddings
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    store = str(tmp_path / "store")
+    acc = str(tmp_path / "acc")
+    ck = str(tmp_path / "ck")
+    base = _bits(3, 7, 11)
+    _df(spark, [(0, _vec(base)), (1, _vec(_bits(30, 31, 32, 33, 34)))]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = stream_dedup_embeddings(spark, src, acc, store, ck, THR)
+    q.awaitTermination()
+    _df(spark, [(5, _vec(_bits(3, 7, 11, 60)))]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_dedup_embeddings(spark, src, acc, store, ck, THR)
+    q.awaitTermination()
+    got = sorted(r["vec_id"] for r in spark.read.parquet(acc).collect())
+    assert got == [0, 1]  # 5 is 1 bit from stored 0 -> dropped
+    # replay with a fresh checkpoint: same files, nothing new accepted
+    q = stream_dedup_embeddings(spark, src, acc, store, ck + "_2", THR)
+    q.awaitTermination()
+    got2 = sorted(r["vec_id"] for r in spark.read.parquet(acc).collect())
+    assert got2 == [0, 1]
