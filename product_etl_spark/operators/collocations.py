@@ -1,0 +1,83 @@
+"""Bigram collocation mining by pointwise mutual information.
+
+PMI(x, y) = ln( p(x,y) / (p(x) p(y)) ) over adjacent word pairs —
+the classic collocation statistic (Church & Hanks 1990). Training-data
+pipelines use it to surface multi-word expressions worth protecting
+from tokenizer splits and to build phrase vocabularies (word2vec's
+phrase pass is thresholded PMI).
+
+Reference parity: extends the text-analysis family (token stats q27,
+TF-IDF q99, bigram LM q113) — the reference ETL has no corpus
+statistics at all; this is the training-data-pipeline superset.
+
+Scale shape: one tokenize + LEAD pass builds bigram rows with
+multiplicity (the same shape as the q113 LM trainer — rows, not
+per-doc arrays, so arbitrarily long documents never blow task
+memory). Pair and unigram counts are map-side-combined groupBy
+shuffles bounded by vocabulary, not corpus; the min-count floor is
+applied to the pair table BEFORE the two vocabulary joins, so the
+joined relation is the frequent tail only. Corpus totals are 1-row
+aggregates combined by crossJoin (broadcast, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import text as T
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 10,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi) for adjacent-word pairs seen at least
+    ``min_pair_count`` times. pmi is rounded to 4 decimals at the
+    surface; internal arithmetic is double with a fixed operation
+    order so an independent engine reproduces it bit-for-bit."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bb = (
+        tok.select(
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    pairs = (
+        bb.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("n1_total")
+    ).crossJoin(bb.agg(F.count(F.lit(1)).cast("double").alias("n2_total")))
+    ux = uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("nx"))
+    uy = uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("ny"))
+    return (
+        pairs.join(ux, "w1")
+        .join(uy, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("n2_total"))
+                    / (
+                        (F.col("nx").cast("double") / F.col("n1_total"))
+                        * (F.col("ny").cast("double") / F.col("n1_total"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -59,6 +59,7 @@ from product_etl_spark.plans import catalog_ext3  # noqa: F401  (registers q96+)
 from product_etl_spark.plans import catalog_ext4  # noqa: F401  (registers q105+)
 from product_etl_spark.plans import catalog_ext5  # noqa: F401  (registers q115+)
 from product_etl_spark.plans import catalog_ext6  # noqa: F401  (registers q122+)
+from product_etl_spark.plans import catalog_ext7  # noqa: F401  (registers q132+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -112,9 +113,12 @@ _DRIVER_WINDOW = [
     # -- refresh: last green r2/r3 --
     "q11_distinct_flag_status",
     "q34_simhash",
-    # -- refresh: r2-r4 greens, high-traffic families --
-    "q35_knn_bruteforce",
-    "q36_lsh_bucket_histogram",
+    # -- refresh: r2-r4 greens, high-traffic families; q132/q133
+    # (new in r6, never driver-checked) take the q35/q36 slots —
+    # the similarity family keeps the q32 anchor and q121's vector
+    # leg in-window, and q35/q36 keep r2-r4 green rows --
+    "q132_url_canonicalization",
+    "q133_bigram_pmi",
     "q45_price_band_range_join",
     "q46_asof_purchase_signup",
     "q47_event_pivot",

@@ -1,0 +1,149 @@
+"""Seventh extension catalog (q132+): web-curation additions —
+URL canonicalization / registrable-domain extraction and bigram-PMI
+collocation mining.
+
+Reference parity note: the reference ETL downloads scraped image and
+product URLs verbatim (`1_image_extractor_from_html.py`,
+`db_orchestrator.py` download paths) — differently-tracked URLs for
+the same resource are re-fetched. q132 is the canonicalizer that
+prevents that, exercised over deterministically messy URLs built
+from the part table (the q22 precedent). q133 extends the
+text-analysis family with the Church–Hanks collocation statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import urls as U
+from product_etl_spark.operators.collocations import bigram_pmi
+from product_etl_spark.plans.catalog import _t, register
+
+
+@register(
+    "q132_url_canonicalization",
+    """
+    SELECT p_partkey,
+           CASE p_partkey % 4
+             WHEN 0 THEN 'https://www.shop.example.com/item/'
+                         || p_partkey || '?a=1&b=2'
+             WHEN 1 THEN 'http://blog.example.co.uk/post/' || p_partkey
+             WHEN 2 THEN 'https://cdn.imghost.net/' || p_partkey || '.jpg'
+             ELSE 'https://mirror.example.com:8443/dl?v=' || p_partkey % 7
+           END AS canon_url,
+           CASE p_partkey % 4
+             WHEN 1 THEN 'example.co.uk'
+             WHEN 2 THEN 'imghost.net'
+             ELSE 'example.com'
+           END AS domain
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def q132_url_canonicalization(spark, sf_dir):
+    """URL canonicalization + registrable domain over messy crawl
+    URLs (mixed-case scheme/host, default and non-default ports,
+    userinfo, tracking params incl. Alibaba's spm, fragments,
+    trailing slashes) synthesized deterministically from part — the
+    q22 precedent. The ORACLE does not re-implement the normalizer:
+    it CONSTRUCTS the expected canonical string per bucket by hand,
+    so the two sides are independent derivations.
+
+    Scale shape: map-only codegen expressions (regexp/split/array),
+    no shuffle, no Python — cost bounded by the scan.
+    """
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    raw = p.filter(k < 400).select(
+        "p_partkey",
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Shop.Example.COM:443/item/"),
+                k.cast("string"),
+                F.lit("/?spm=a21bo.1&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("http://Blog.Example.CO.UK:80/post/"),
+                k.cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.lit("https://cdn.imghost.net/"),
+                k.cast("string"),
+                F.lit(".jpg?utm_campaign=x&utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://user:pw@Mirror.Example.com:8443/dl?fbclid=abc&v="),
+                (k % 7).cast("string"),
+            )
+        )
+        .alias("raw_url"),
+    )
+    return raw.select(
+        "p_partkey",
+        U.normalize_url("raw_url").alias("canon_url"),
+        U.url_registered_domain("raw_url").alias("domain"),
+    )
+
+
+@register(
+    "q133_bigram_pmi",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    bb AS (
+      SELECT b.w1 AS w1, b.w2 AS w2
+      FROM (
+        SELECT UNNEST(CASE WHEN LEN(toks) < 2 THEN []
+                 ELSE [struct_pack(w1 := toks[i], w2 := toks[i+1])
+                       FOR i IN RANGE(1, LEN(toks))] END) AS b
+        FROM tok
+      )
+    ),
+    flat AS (SELECT UNNEST(toks) AS tk FROM tok),
+    pairs AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bb GROUP BY w1, w2
+              HAVING COUNT(*) >= 10),
+    uni AS (SELECT tk, COUNT(*) AS n_tok FROM flat GROUP BY tk),
+    tot AS (SELECT (SELECT COUNT(*) FROM flat)::DOUBLE AS n1_total,
+                   (SELECT COUNT(*) FROM bb)::DOUBLE AS n2_total)
+    SELECT p.w1, p.w2, p.n_pair,
+           ROUND(LN((p.n_pair::DOUBLE / t.n2_total)
+                    / ((ux.n_tok::DOUBLE / t.n1_total)
+                       * (uy.n_tok::DOUBLE / t.n1_total))), 4) AS pmi
+    FROM pairs p
+    JOIN uni ux ON ux.tk = p.w1
+    JOIN uni uy ON uy.tk = p.w2
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT 30
+    """,
+)
+def q133_bigram_pmi(spark, sf_dir):
+    """Top-30 adjacent-word collocations by PMI (Church–Hanks) over
+    documents — the phrase-mining pass of a tokenizer/vocabulary
+    pipeline (word2vec's phrase detector is thresholded PMI).
+
+    Scale shape in operators/collocations.py: vocabulary-bounded
+    count shuffles, min-count floor before the joins, 1-row totals
+    broadcast; top-30 is TakeOrderedAndProject. Float policy matches
+    q113: fixed double operation order, ROUND(.,4) at the surface,
+    ordering on the rounded value with (w1, w2) tie-breaks.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bigram_pmi(d, "text", "doc_id", min_pair_count=10)
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )
