@@ -119,7 +119,9 @@ _DRIVER_WINDOW = [
     # leg in-window, and q35/q36 keep r2-r4 green rows --
     "q132_url_canonicalization",
     "q133_bigram_pmi",
-    "q45_price_band_range_join",
+    # q134 (new in r6) takes q45's slot — the range/as-of family
+    # keeps q46 in-window and q45 keeps r2-r4 green rows
+    "q134_changelog_snapshot",
     "q46_asof_purchase_signup",
     "q47_event_pivot",
     # q131 (new in r6) replaces q49's refresh slot (r2-r4 green)

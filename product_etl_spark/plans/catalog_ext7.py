@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from product_etl_spark.functions import urls as U
+from product_etl_spark.operators.changelog import apply_changelog
 from product_etl_spark.operators.collocations import bigram_pmi
-from product_etl_spark.plans.catalog import _t, register
+from product_etl_spark.plans.catalog import _t, dec, register
 
 
 @register(
@@ -147,3 +148,55 @@ def q133_bigram_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "q134_changelog_snapshot",
+    """
+    WITH log AS (
+      SELECT l_orderkey, l_linenumber AS v,
+             CASE WHEN (l_orderkey + l_linenumber) % 17 = 0 THEN 'D'
+                  WHEN l_linenumber = 1 THEN 'I' ELSE 'U' END AS op,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem
+    ),
+    agg AS (
+      -- struct MAX, not arg_max: (l_orderkey, l_linenumber) is NOT
+      -- unique in this testdata, and arg_max ties are engine-
+      -- arbitrary; lexicographic struct comparison (v, op, qty,
+      -- price) is the same total order Spark's max-struct uses.
+      SELECT l_orderkey,
+             MAX(struct_pack(v := v, op := op, qty := qty,
+                             price := price)) AS s
+      FROM log GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, s.qty AS qty, s.price AS price
+    FROM agg WHERE s.op <> 'D'
+    """,
+)
+def q134_changelog_snapshot(spark, sf_dir):
+    """CDC changelog application (operators/changelog.py): lineitem
+    reinterpreted as a change feed — key l_orderkey, version
+    l_linenumber (the TPC-H primary key makes versions unique per
+    key), op derived deterministically from the row (every 17th
+    (key+version) is a delete). The snapshot is the highest-version
+    payload per key, with keys whose final op is a delete absent —
+    the set-based replacement for the reference's row-at-a-time
+    psycopg2 upsert/delete loops.
+
+    Scale shape: ONE max-struct groupBy (partial agg map-side), no
+    window, no join; the oracle's arg_max mirrors the struct-max.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    log = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("version"),
+        F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 17 == 0, "D")
+        .when(F.col("l_linenumber") == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        dec("l_quantity").alias("qty"),
+        dec("l_extendedprice").alias("price"),
+    )
+    return apply_changelog(log, ["l_orderkey"])
