@@ -37,10 +37,12 @@ from pyspark.sql import types as T
 CORRUPT = "_corrupt_record"
 
 
-def read_jsonl(
-    spark: SparkSession, path: str, schema: T.StructType
+def split_parsed(
+    lines: DataFrame, schema: T.StructType
 ) -> tuple[DataFrame, DataFrame]:
-    """Read JSONL into (good, quarantine).
+    """Split a DataFrame of raw lines (column ``value``) into
+    (good, quarantine). Shared by the batch reader and the streaming
+    ingest — both halves are map-only projections of the input.
 
     good: one row per parseable line, columns = ``schema`` fields.
     quarantine: (line, input_file) for every line that failed to
@@ -52,16 +54,12 @@ def read_jsonl(
     parse_schema = T.StructType(
         [*schema.fields, T.StructField(CORRUPT, T.StringType())]
     )
-    raw = (
-        spark.read.text(path)
-        .filter(F.trim(F.col("value")) != "")
-        .select(
-            F.col("value"),
-            F.input_file_name().alias("input_file"),
-            F.from_json(
-                F.col("value"), parse_schema, {"mode": "PERMISSIVE"}
-            ).alias("r"),
-        )
+    raw = lines.filter(F.trim(F.col("value")) != "").select(
+        F.col("value"),
+        F.input_file_name().alias("input_file"),
+        F.from_json(
+            F.col("value"), parse_schema, {"mode": "PERMISSIVE"}
+        ).alias("r"),
     )
     bad = F.col(f"r.{CORRUPT}").isNotNull()
     good = raw.filter(~bad).select(
@@ -71,6 +69,13 @@ def read_jsonl(
         F.col("value").alias("line"), "input_file"
     )
     return good, quarantine
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSONL into (good, quarantine) — see ``split_parsed``."""
+    return split_parsed(spark.read.text(path), schema)
 
 
 def write_jsonl(

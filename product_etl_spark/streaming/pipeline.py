@@ -706,3 +706,56 @@ def stream_dedup_embeddings(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_jsonl(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    quarantine_dir: str,
+    checkpoint: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous JSONL corpus ingest with corrupt-record quarantine —
+    the streaming twin of ``sources.jsonl.read_jsonl`` (the split
+    itself is the SAME ``split_parsed`` projection; streaming vs
+    batch is only the file-arrival contract).
+
+    Each micro-batch's good rows and quarantined raw lines are
+    written with overwrite to immutable ``batch=<id>`` directories
+    (the replay-safe fold scaffold): a checkpoint-replayed batch
+    rewrites the same directory with the same content, so the
+    pipeline is end-to-end exactly-once without a transactional
+    sink. Read the corpus back with
+    ``spark.read.parquet(f"{corpus_dir}/batch=*")``.
+
+    Drains the available backlog under Trigger.AvailableNow and
+    stops; ``max_files_per_trigger`` bounds micro-batch size for
+    continuous operation (a crawl backlog of thousands of shards
+    otherwise lands in one giant first batch).
+    """
+    from product_etl_spark.sources.jsonl import split_parsed
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        good, bad = split_parsed(batch_df, schema)
+        # Two sinks from one batch: the split shares the scan via
+        # plan reuse; each write is an independent immutable dir.
+        good.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
+        bad.write.mode("overwrite").parquet(
+            f"{quarantine_dir}/batch={batch_id}"
+        )
+
+    return (
+        lines.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
