@@ -16,8 +16,11 @@ per-doc arrays, so arbitrarily long documents never blow task
 memory). Pair and unigram counts are map-side-combined groupBy
 shuffles bounded by vocabulary, not corpus; the min-count floor is
 applied to the pair table BEFORE the two vocabulary joins, so the
-joined relation is the frequent tail only. Corpus totals are 1-row
-aggregates combined by crossJoin (broadcast, no shuffle).
+joined relation is the frequent tail only. Corpus totals fold from
+the count tables themselves (1-row aggregates over vocabulary-sized
+input, combined by crossJoin broadcast) — the corpus is tokenized
+exactly twice (unigrams; bigrams via the per-doc LEAD), never a
+third time for totals.
 """
 
 from __future__ import annotations
@@ -50,15 +53,18 @@ def bigram_pmi(
         )
         .filter(F.col("w2").isNotNull())
     )
-    pairs = (
-        bb.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_pair_count)
-    )
+    pairs_all = bb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    pairs = pairs_all.filter(F.col("n_pair") >= min_pair_count)
     uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    totals = tok.agg(
-        F.count(F.lit(1)).cast("double").alias("n1_total")
-    ).crossJoin(bb.agg(F.count(F.lit(1)).cast("double").alias("n2_total")))
+    # Totals FOLD from the count tables (vocabulary-sized input) —
+    # never a separate corpus pass. The corpus is tokenized exactly
+    # twice: once for unigrams, once (plus the per-doc LEAD) for
+    # bigrams.
+    totals = uni.agg(
+        F.sum("n_tok").cast("double").alias("n1_total")
+    ).crossJoin(
+        pairs_all.agg(F.sum("n_pair").cast("double").alias("n2_total"))
+    )
     ux = uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("nx"))
     uy = uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("ny"))
     return (
