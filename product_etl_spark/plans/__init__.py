@@ -123,7 +123,8 @@ _DRIVER_WINDOW = [
     # keeps q46 in-window and q45 keeps r2-r4 green rows
     "q134_changelog_snapshot",
     "q46_asof_purchase_signup",
-    "q47_event_pivot",
+    # q135 (new in r6) takes q47's slot; q47 keeps r2-r4 green rows
+    "q135_unicode_clean",
     # q131 (new in r6) replaces q49's refresh slot (r2-r4 green)
     "q131_daily_gapfill_interpolate",
     # q129/q130 (new in r6) take two more refresh slots; JSON extract

@@ -1,13 +1,15 @@
-"""Seventh extension catalog (q132+): web-curation additions —
-URL canonicalization / registrable-domain extraction and bigram-PMI
-collocation mining.
+"""Seventh extension catalog (q132+): web-curation and CDC additions —
+URL canonicalization / registrable-domain extraction, bigram-PMI
+collocation mining, changelog (CDC) snapshot application, and Unicode
+text normalization.
 
 Reference parity note: the reference ETL downloads scraped image and
 product URLs verbatim (`1_image_extractor_from_html.py`,
 `db_orchestrator.py` download paths) — differently-tracked URLs for
-the same resource are re-fetched. q132 is the canonicalizer that
-prevents that, exercised over deterministically messy URLs built
-from the part table (the q22 precedent). q133 extends the
+the same resource are re-fetched — and applies change feeds
+row-at-a-time through psycopg2 upserts/deletes. q132 is the URL
+canonicalizer, q134 the set-based changelog apply, q135 the Unicode
+canonicalization its verbatim string storage lacks; q133 extends the
 text-analysis family with the Church–Hanks collocation statistic.
 """
 
@@ -15,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from product_etl_spark.functions import unicode_text as UT
 from product_etl_spark.functions import urls as U
 from product_etl_spark.operators.changelog import apply_changelog
 from product_etl_spark.operators.collocations import bigram_pmi
@@ -178,15 +181,17 @@ def q133_bigram_pmi(spark, sf_dir):
 def q134_changelog_snapshot(spark, sf_dir):
     """CDC changelog application (operators/changelog.py): lineitem
     reinterpreted as a change feed — key l_orderkey, version
-    l_linenumber (the TPC-H primary key makes versions unique per
-    key), op derived deterministically from the row (every 17th
+    l_linenumber (NOT unique per key in this testdata; ties resolve
+    by the struct's lexicographic total order, identical in both
+    engines), op derived deterministically from the row (every 17th
     (key+version) is a delete). The snapshot is the highest-version
     payload per key, with keys whose final op is a delete absent —
     the set-based replacement for the reference's row-at-a-time
     psycopg2 upsert/delete loops.
 
     Scale shape: ONE max-struct groupBy (partial agg map-side), no
-    window, no join; the oracle's arg_max mirrors the struct-max.
+    window, no join; the oracle's struct MAX mirrors the same
+    lexicographic total order.
     """
     li = _t(spark, sf_dir, "lineitem")
     log = li.select(
@@ -200,3 +205,41 @@ def q134_changelog_snapshot(spark, sf_dir):
         dec("l_extendedprice").alias("price"),
     )
     return apply_changelog(log, ["l_orderkey"])
+
+
+@register(
+    "q135_unicode_clean",
+    """
+    SELECT p_partkey,
+           p_name || ' ' || chr(233) AS cleaned,
+           LENGTH(p_name || ' ' || chr(233)) AS n_chars
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def q135_unicode_clean(spark, sf_dir):
+    """Unicode curation canonicalization (functions/unicode_text.py):
+    deterministically messy text built from part — a zero-width space,
+    a C0 control, and a DECOMPOSED accent ('e' + U+0301) — cleaned by
+    strip-controls + strip-zero-width + NFC. The oracle CONSTRUCTS
+    the expected composed string independently (p_name || ' ' ||
+    chr(233)) rather than re-running a normalizer, so the two sides
+    are independent derivations (the q132 pattern).
+
+    Scale shape: strips are codegen regexp_replace; NFC is the
+    documented Arrow-batched pandas UDF (Spark exposes no
+    normalization expression). Map-only, bounded by the scan.
+    """
+    p = _t(spark, sf_dir, "part")
+    raw = p.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            # ZWSP + space + C0 control + DECOMPOSED e-acute
+            F.lit("\u200b \x01e\u0301"),
+        ).alias("raw"),
+    )
+    return raw.select(
+        "p_partkey",
+        UT.clean_text("raw").alias("cleaned"),
+        F.length(UT.clean_text("raw")).alias("n_chars"),
+    )
