@@ -411,6 +411,47 @@ def remove_duplicate_segments(
     )
 
 
+def dedup_paragraphs_within_doc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """WITHIN-document paragraph dedup, first occurrence wins — the
+    Dolma paragraph-dedup policy applied inside each page: templated
+    boilerplate repeated within one document (nav blocks, cookie
+    banners, footer text stamped per section) is dropped without
+    touching cross-document statistics (that is
+    ``remove_duplicate_segments``' job). Returns (id, deduped text,
+    n_paragraphs_kept).
+
+    Scale shape: paragraphs are ROWS (posexplode of a single split —
+    long documents never materialize per-row arrays in agg buffers
+    beyond their own paragraph structs); first occurrence is one
+    min(pos) aggregation keyed (id, paragraph) — no window;
+    reassembly is one groupBy(id) with an order-struct sort. Both
+    shuffles key on id(+paragraph) — uniform, and the second reuses
+    nothing hot. Empty paragraphs (split artifacts of repeated
+    separators) are dropped.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.trim(F.col("para")) != "")
+    )
+    firsts = paras.groupBy(id_col, "para").agg(F.min("pos").alias("pos"))
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
+            sep,
+        ).alias(out_col or text_col),
+        F.count(F.lit(1)).alias("n_paragraphs_kept"),
+    )
+
+
 def keep_canonical(
     df: DataFrame, dedup_groups: DataFrame, id_col: str
 ) -> DataFrame:

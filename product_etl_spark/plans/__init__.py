@@ -102,7 +102,9 @@ _DRIVER_WINDOW = [
     "q22_url_extraction",
     "q25_event_type_share",
     "q28_doc_quality",
-    "q33_ngram_jaccard_pairs",
+    # q136 (new in r6) takes q33's refresh slot — the near-dup family
+    # keeps the q32 anchor in-window; q33 keeps its r1 green row
+    "q136_within_doc_paragraph_dedup",
     "q37_label_centroid_norms",
     "q39_completeness_report",
     "q42_cube_flag_status",

@@ -243,3 +243,55 @@ def q135_unicode_clean(spark, sf_dir):
         UT.clean_text("raw").alias("cleaned"),
         F.length(UT.clean_text("raw")).alias("n_chars"),
     )
+
+
+@register(
+    "q136_within_doc_paragraph_dedup",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    ab AS (
+      SELECT doc_id,
+             array_to_string(t[1:8], ' ') AS a,
+             array_to_string(t[9:16], ' ') AS b
+      FROM tok WHERE LEN(t) >= 16
+    )
+    SELECT doc_id,
+           CASE WHEN a = b THEN a
+                ELSE a || chr(10) || chr(10) || b END AS text,
+           CASE WHEN a = b THEN 1 ELSE 2 END AS n_paragraphs_kept
+    FROM ab
+    """,
+)
+def q136_within_doc_paragraph_dedup(spark, sf_dir):
+    """Within-document paragraph dedup (Dolma policy; operators/
+    dedup.dedup_paragraphs_within_doc): three-paragraph documents
+    A\\n\\nB\\n\\nA synthesized deterministically from each doc's
+    tokens (first 8 words / next 8 words) — the engine must drop the
+    repeated trailing A while preserving order, collapsing further
+    to one paragraph when A happens to equal B. The oracle CONSTRUCTS
+    the expected text per row (the q132/q135 independent-derivation
+    pattern) — it never runs a dedup.
+
+    Scale shape: paragraphs as rows, min(pos) first-occurrence agg
+    (no window), one ordered reassembly agg — both shuffles keyed on
+    doc(+paragraph), uniform.
+    """
+    from product_etl_spark.functions import text as T
+    from product_etl_spark.operators.dedup import dedup_paragraphs_within_doc
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", T.tokens("text").alias("t")
+    ).filter(F.size("t") >= 16)
+    a = F.array_join(F.slice("t", 1, 8), " ")
+    b = F.array_join(F.slice("t", 9, 8), " ")
+    synth = toks.select(
+        "doc_id",
+        F.concat(a, F.lit("\n\n"), b, F.lit("\n\n"), a).alias("text"),
+    )
+    return dedup_paragraphs_within_doc(synth, "text", "doc_id")

@@ -42,7 +42,7 @@ def test_window_covers_all_never_driver_green():
         "q68", "q105",                     # r5 failures, fixed in r6
         "q118", "q119", "q120",            # registered after r5 froze
         "q121", "q122", "q123", "q124", "q125", "q126", "q127", "q128",
-        "q129", "q130", "q131", "q132", "q133", "q134", "q135",
+        "q129", "q130", "q131", "q132", "q133", "q134", "q135", "q136",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
     missing = never_green_prefixes - window_prefixes
@@ -51,7 +51,7 @@ def test_window_covers_all_never_driver_green():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 135
+    assert len(names) == len(set(names)) == 136
 
 
 def test_coverage_doc_matches_window():
