@@ -61,6 +61,26 @@ def _normalize_terms(terms: list[str]) -> list[str]:
     return norm
 
 
+def _bm25_contrib_expr(k1: float, b: float) -> F.Column:
+    """Per-(doc, term) BM25 contribution from columns tf/df/dl/
+    n_docs/avgdl — shaped EXACTLY like the oracle SQL, shared by the
+    corpus-scan and persisted-index paths:
+      idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      tfn  = (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    rounded to 9 decimals and summed as DECIMAL(18,9) (order-
+    insensitive addition; module-docstring contract)."""
+    return F.round(
+        F.expr(
+            f"ln(1.0D + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE))"
+            f" + 0.5D) / (CAST(df AS DOUBLE) + 0.5D))"
+            f" * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r}D)"
+            f" / (CAST(tf AS DOUBLE) + {k1!r}D * ((1.0D - {b!r}D)"
+            f" + {b!r}D * (CAST(dl AS DOUBLE) / avgdl))))"
+        ),
+        9,
+    ).cast("decimal(18,9)")
+
+
 def _bm25_scored(
     docs: DataFrame,
     terms: list[str],
@@ -96,26 +116,11 @@ def _bm25_scored(
         )
         .drop("_sum_dl")
     )
-    # contribution, shaped EXACTLY like the oracle SQL:
-    #   idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
-    #   tfn  = (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl / avgdl))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_contrib",
-            F.round(
-                F.expr(
-                    f"ln(1.0D + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE))"
-                    f" + 0.5D) / (CAST(df AS DOUBLE) + 0.5D))"
-                    f" * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r}D)"
-                    f" / (CAST(tf AS DOUBLE) + {k1!r}D * ((1.0D - {b!r}D)"
-                    f" + {b!r}D * (CAST(dl AS DOUBLE) / avgdl))))"
-                ),
-                9,
-            ).cast("decimal(18,9)"),
-        )
+        .withColumn("_contrib", _bm25_contrib_expr(k1, b))
     )
     return scored.groupBy("doc_id").agg(
         F.sum("_contrib").alias("_score_dec"),
@@ -508,3 +513,120 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(_pick, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the lexical twin of similarity.py's
+# persisted IVF index: build once, serve queries that READ ONLY the
+# postings buckets containing the query's terms (partition pruning).
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Python mirror of functions.text.hash64(term) % n_buckets —
+    needed driver-side to turn query terms into partition filters.
+    Bit-exact with the Spark expression (same md5/15-hex recipe);
+    asserted in tests/test_retrieval_index.py."""
+    import hashlib
+
+    h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "error",
+) -> None:
+    """Materialize a BM25-servable inverted index:
+
+    - ``postings/`` — (term, doc_id, tf) parquet PARTITIONED BY
+      term_bucket = hash64(term) % n_buckets, so a query touches
+      ~|query terms| buckets out of n_buckets;
+    - ``doclens/`` — (doc_id, dl);
+    - ``stats/`` — 1 row (n_docs, avgdl), Okapi definition (all docs
+      counted, empty docs included — same contract as _bm25_scored).
+
+    Build cost: one tokenize pass + one (doc,term) shuffle — the same
+    work a single bm25_topk query pays; every query after reads only
+    its buckets. Buckets, not raw term partitions: one directory per
+    distinct term would create vocabulary-many partitions (millions of
+    tiny files at corpus scale); hashed buckets keep file counts fixed
+    and partition pruning exact.
+    """
+    from product_etl_spark.functions.text import hash64, index_terms
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(index_terms(text_col)).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.sum("dl").alias("_sum_dl")))
+        .withColumn(
+            "avgdl",
+            F.col("_sum_dl").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .drop("_sum_dl")
+    )
+    (
+        tf.withColumn("term_bucket", hash64(F.col("term")) % n_buckets)
+        .write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(f"{index_path}/postings")
+    )
+    dl.write.mode(mode).parquet(f"{index_path}/doclens")
+    stats.write.mode(mode).parquet(f"{index_path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    terms: list[str],
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-k served FROM the persisted index: reads only the
+    postings buckets of the query terms (PartitionFilters — asserted
+    in tests), plus the doclens of matching docs and the 1-row stats.
+    Scores are bit-identical to ``bm25_topk`` over the same corpus:
+    the contribution expression is shared, df is counted from the
+    pruned postings (equal to the batch df by construction), and the
+    decimal-sum contract makes aggregation order irrelevant.
+    """
+    qterms = _normalize_terms(terms)
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in qterms})
+    tf = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(qterms))
+        .select("doc_id", "term", "tf")
+    )
+    dl = spark.read.parquet(f"{index_path}/doclens")
+    stats = spark.read.parquet(f"{index_path}/stats")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_contrib", _bm25_contrib_expr(k1, b))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("_contrib").alias("_score_dec"),
+        F.count(F.lit(1)).alias("n_hit_terms"),
+    )
+    return (
+        agg.orderBy(F.col("_score_dec").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+        .select(
+            "doc_id",
+            F.round(F.col("_score_dec").cast("double"), 6).alias("score"),
+            "n_hit_terms",
+        )
+    )
