@@ -1,0 +1,88 @@
+"""Privacy auditing over tabular data: k-anonymity and l-diversity
+reports.
+
+Complements functions/text.redact_pii (which scrubs free text): these
+audit the STRUCTURED side. A release is k-anonymous when every
+combination of quasi-identifier values (the columns an attacker could
+link on — zip, birth year, segment…) is shared by at least k rows;
+it is l-diverse when every such group also contains at least l
+distinct values of the sensitive attribute (k-anonymity alone fails
+when a group is homogeneous in the secret — Machanavajjhala et al.).
+
+The reference exports raw per-product CSV/PDF fan-outs with no such
+gate; a pipeline publishing data derived from user events needs one.
+
+Scale shape: both reports are ONE groupBy over the quasi-identifier
+columns (map-side partial agg; countDistinct for l-diversity is
+exact per group, bounded by the sensitive column's per-group
+cardinality). The risky-row total is a 1-row aggregate of the group
+table, not a second corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Groups violating k-anonymity: one row per quasi-identifier
+    combination with fewer than k records — (quasi cols..., n_rows
+    [, n_sensitive]). Empty result == the release is k-anonymous.
+
+    Pass ``sensitive_col`` to also get the group's distinct sensitive
+    count (the l-diversity ingredient) in the same single pass.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("n_sensitive"))
+    return df.groupBy(*quasi_cols).agg(*aggs).filter(F.col("n_rows") < k)
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Groups violating l-diversity: quasi-identifier combinations
+    whose sensitive attribute takes fewer than l distinct values —
+    including singleton-k groups (a group of one is trivially
+    1-diverse and maximally identifying)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )
+
+
+def anonymity_summary(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """One-row release gate: (n_groups, n_risky_groups, n_risky_rows,
+    risky_row_pct) — the number a publish job thresholds on before
+    writing an export."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_rows") < k, 1).otherwise(0)).alias(
+            "n_risky_groups"
+        ),
+        F.sum(
+            F.when(F.col("n_rows") < k, F.col("n_rows")).otherwise(0)
+        ).alias("n_risky_rows"),
+        F.round(
+            F.sum(F.when(F.col("n_rows") < k, F.col("n_rows")).otherwise(0))
+            * 100.0
+            / F.sum("n_rows"),
+            4,
+        ).alias("risky_row_pct"),
+    )

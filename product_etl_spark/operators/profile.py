@@ -190,3 +190,69 @@ def profile_drift(
         F.round("c_distinct_ratio", 6).alias("current_distinct_ratio"),
     )
     return findings.filter(F.col("finding").isNotNull())
+
+
+def population_stability_index(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-level drift between two snapshots of a numeric
+    column: per-bin PSI contributions, (bin, n_expected, n_actual,
+    psi_term). Total PSI = SUM(psi_term); the usual gates are 0.1
+    (investigate) and 0.25 (block the feed) — this is the
+    distribution-shaped complement to profile_drift's per-column
+    summary stats (a mean can hold still while the shape migrates).
+
+    Bin edges are equi-width over the EXPECTED snapshot's [min, max]
+    (the baseline defines the frame of reference; actual values
+    outside it clamp into the edge bins, which is where fresh drift
+    shows up). Fractions are Laplace-smoothed ((n+1)/(N+n_bins)) so
+    an empty bin contributes a finite term instead of ln(0).
+
+    Scale shape: one 1-row min/max aggregate over expected
+    (broadcast), then ONE map-side-combined groupBy(bin) per
+    snapshot — at most n_bins rows ever shuffle; the join of the two
+    bin tables is trivially broadcast. Float policy: fixed IEEE op
+    order, ROUND at the surface (q113).
+    """
+    stats = expected.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+
+    def bins(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+        raw = F.floor((v - F.col("_lo")) / width)
+        bin_ = F.greatest(
+            F.lit(0), F.least(F.lit(n_bins - 1), raw)
+        ).cast("int")
+        return (
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    e = bins(expected, "n_expected")
+    a = bins(actual, "n_actual")
+    j = e.join(a, "bin", "full_outer")
+    tot_e = e.agg(F.sum("n_expected").alias("_te"))
+    tot_a = a.agg(F.sum("n_actual").alias("_ta"))
+    j = j.crossJoin(F.broadcast(tot_e)).crossJoin(F.broadcast(tot_a))
+    k = F.lit(float(n_bins))
+    p_e = (F.coalesce("n_expected", F.lit(0)) + 1).cast("double") / (
+        F.col("_te").cast("double") + k
+    )
+    p_a = (F.coalesce("n_actual", F.lit(0)) + 1).cast("double") / (
+        F.col("_ta").cast("double") + k
+    )
+    return j.select(
+        "bin",
+        F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+        F.round((p_a - p_e) * (F.log(p_a) - F.log(p_e)), 6).alias("psi_term"),
+    )

@@ -60,6 +60,7 @@ from product_etl_spark.plans import catalog_ext4  # noqa: F401  (registers q105+
 from product_etl_spark.plans import catalog_ext5  # noqa: F401  (registers q115+)
 from product_etl_spark.plans import catalog_ext6  # noqa: F401  (registers q122+)
 from product_etl_spark.plans import catalog_ext7  # noqa: F401  (registers q132+)
+from product_etl_spark.plans import catalog_ext8  # noqa: F401  (registers q137+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker

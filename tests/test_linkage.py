@@ -1,0 +1,88 @@
+"""Record linkage (operators/linkage.py): blocked pair generation,
+edit-distance matching, and transitive entity resolution on planted
+clusters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.linkage import (
+    blocked_pairs,
+    edit_distance_pairs,
+    resolve_entities,
+)
+
+
+def _records(spark):
+    # Three spellings of one product (chain: A~B at dist 1, B~C at
+    # dist 1, A~C at dist 2), one unrelated record in the same block,
+    # one record alone in another block, and one with a NULL block.
+    rows = [
+        (1, "golden lavender chiffon", "blk1"),
+        (2, "goldenn lavender chiffon", "blk1"),
+        (3, "goldenn lavender chiffonx", "blk1"),
+        (4, "midnight rose steel plum", "blk1"),
+        (5, "antique azure snow", "blk2"),
+        (6, "whatever", None),
+    ]
+    return spark.createDataFrame(rows, ["rid", "name", "blk"])
+
+
+def test_blocked_pairs_within_block_only_and_null_blocks_never_pair(spark):
+    df = _records(spark)
+    pairs = blocked_pairs(df, "rid", ["blk"], carry_cols=["name"]).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # all C(4,2)=6 pairs of blk1; record 5 alone; record 6 unblocked
+    assert ids == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    for r in pairs:  # carried fields are aligned with the ids
+        assert r["name_a"] != r["name_b"]
+
+
+def test_multi_key_blocking_unions_and_dedups(spark):
+    rows = [(1, "a", "x", "p"), (2, "b", "x", "p"), (3, "c", "y", "p")]
+    df = spark.createDataFrame(rows, ["rid", "name", "blk1", "blk2"])
+    pairs = blocked_pairs(df, "rid", ["blk1", "blk2"], ["name"])
+    ids = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    # (1,2) co-blocked under BOTH keys must appear once; blk2 adds
+    # the cross pairs with 3
+    assert ids == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_edit_distance_pairs_threshold(spark):
+    df = _records(spark)
+    matched = edit_distance_pairs(df, "rid", "name", ["blk"], max_dist=2)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in matched.collect()}
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 2}
+
+
+def test_resolve_entities_transitive_closure_and_singletons(spark):
+    df = _records(spark)
+    # tight threshold: only A~B and B~C pair — closure must still
+    # put 1,2,3 in ONE entity (min id), everyone else their own
+    out = resolve_entities(df, "rid", "name", ["blk"], max_dist=1)
+    ents = {r["rid"]: r["entity_id"] for r in out.collect()}
+    assert ents == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6}
+    # every input row survives exactly once
+    assert out.count() == 6
+
+
+def test_resolve_entities_cross_block_matches_via_second_key(spark):
+    rows = [
+        (1, "alpha beta gamma", "b1", "z9"),
+        (2, "alpha beta gamm", "b2", "z9"),  # other block, same zip
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name", "blk", "zip"])
+    one_key = resolve_entities(df, "rid", "name", ["blk"], max_dist=2)
+    assert {r["entity_id"] for r in one_key.collect()} == {1, 2}
+    two_keys = resolve_entities(df, "rid", "name", ["blk", "zip"], max_dist=2)
+    assert {r["entity_id"] for r in two_keys.collect()} == {1}
+
+
+def test_blocked_pairs_block_expression(spark):
+    # blocking key may be an expression (name prefix)
+    rows = [(1, "golden a"), (2, "golden b"), (3, "silver a")]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    pairs = blocked_pairs(
+        df, "rid", [F.substring("name", 1, 6)], ["name"]
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
