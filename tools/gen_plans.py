@@ -60,6 +60,10 @@ HEADLINERS = [
     ("q127_trained_langid_confusion", "profiles broadcast; corpus tokenized map-side, (doc,lang) agg combines"),
     ("q133_bigram_pmi", "vocab-bounded count shuffles; min-count floor BEFORE the joins; totals broadcast"),
     ("q134_changelog_snapshot", "CDC apply as ONE max-struct agg: single exchange, partial map-side, no window"),
+    ("q137_entity_resolution_pairs", "blocked linkage: equi-join on the block key, levenshtein as residual, no cartesian"),
+    ("q138_dsir_importance", "n_buckets-bounded feature tables; log-ratio table broadcast into the doc-side join"),
+    ("q139_price_psi_drift", "1-row baseline min/max broadcast; one map-side-combined groupBy(bin) per snapshot"),
+    ("q141_copurchase_triangles", "degree-ordered wedges: node-keyed equi-joins only, fan-out bounded by out-degree"),
 ]
 
 
