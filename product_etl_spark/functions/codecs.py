@@ -301,6 +301,33 @@ def wav_samples(data: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def phash_dct(px: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> str:
+    """DCT perceptual hash (the classic pHash recipe): gray ->
+    (hash_size*highfreq_factor)² bilinear downsample -> 2-D
+    orthonormal DCT-II -> keep the top-left hash_size² low-frequency
+    block -> threshold each coefficient at the block median -> hex
+    (16 chars / 64 bits at the defaults).
+
+    More robust than ``average_hash`` to global brightness/contrast
+    shifts (those concentrate in the DC coefficient; the median
+    threshold over the low block barely moves) and to re-encoding
+    noise (high frequencies are discarded before thresholding). The
+    DCT is two small matrix multiplies (numpy, no scipy)."""
+    n = hash_size * highfreq_factor
+    g = to_gray(resize_bilinear(px, n, n)).astype(np.float64)
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    basis[0] /= np.sqrt(2.0)
+    low = (basis @ g @ basis.T)[:hash_size, :hash_size].flatten()
+    bits = low > np.median(low)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, f"0{hash_size * hash_size // 4}x")
+
+
 def average_hash(px: np.ndarray, hash_size: int = 8) -> str:
     """Real perceptual average-hash: gray -> hash_size² downsample ->
     threshold at the mean -> hex (16 chars for the 64-bit default)."""

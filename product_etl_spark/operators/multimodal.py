@@ -353,3 +353,112 @@ def synthesize_media(df: DataFrame, uri_col: str, media_type: str) -> DataFrame:
         F.lit(media_type).alias("media_type"),
         F.repeat(F.unhex(F.md5(F.col(uri_col))), 4).cast("binary").alias("content"),
     )
+
+
+#: (media_id, phash) rows from the perceptual-hash stage.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame, method: str = "dct") -> DataFrame:
+    """Perceptual 64-bit image hash per row: ``dct`` (codecs.phash_dct,
+    the classic pHash — robust to brightness/contrast and re-encoding
+    noise) or ``average`` (codecs.average_hash). Undecodable or NULL
+    payloads yield a NULL phash (callers filter; a corrupt image must
+    not kill a 100 TB dedup job — the quarantine pattern, not the
+    raise-per-row one appropriate for OWN-pipeline-generated
+    embeddings in pq/sq encode)."""
+    from product_etl_spark.functions import codecs
+
+    fn = codecs.phash_dct if method == "dct" else codecs.average_hash
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                h = None
+                if content is not None:
+                    try:
+                        h = fn(codecs.decode_image(bytes(content)))
+                    except Exception:
+                        h = None
+                out.append({"media_id": media_id, "phash": h})
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+    method: str = "dct",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance:
+    (id_a, id_b, hamming) for every pair within ``max_hamming`` bits —
+    the image twin of the LSH text dedup and the LAION-style
+    re-encoded/resized/brightness-shifted duplicate filter.
+
+    Scale shape: NEVER all-pairs. The 64-bit hashes are split into
+    64/band_bits bands (embdedup.hamming_band_index — the multi-index
+    pigeonhole: two hashes within d bits must agree on at least one
+    band when d <= n_bands - 1, so the band self-join is EXACT for
+    ``max_hamming <= n_bands - 1`` and the function raises beyond it
+    rather than silently losing candidates). Exact bit_count verify
+    runs only on band-collided candidates. Decode+hash is one Arrow-
+    batched map; everything after is JVM integer ops keyed on
+    uniformly-distributed band values.
+    """
+    from product_etl_spark.operators.embdedup import (
+        _hamming,
+        hamming_band_index,
+    )
+
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for "
+            f"pigeonhole exactness; got {n_bands} (band_bits={band_bits})"
+        )
+    hashed = image_phash(media, method).filter(F.col("phash").isNotNull())
+    coded = hashed.select(
+        "media_id",
+        F.array(
+            F.conv(F.substring("phash", 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring("phash", 9, 8), 16, 10).cast("long"),
+        ).alias("_code"),
+    )
+    bidx = hamming_band_index(coded, "media_id", "_code", 64, band_bits)
+    a = bidx.select(
+        F.col("media_id").alias("id_a"),
+        F.col("_code").alias("_code_a"),
+        "band",
+        "bv",
+    )
+    b = bidx.select(
+        F.col("media_id").alias("id_b"),
+        F.col("_code").alias("_code_b"),
+        F.col("band").alias("_band_b"),
+        F.col("bv").alias("_bv_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("_band_b"))
+            & (F.col("bv") == F.col("_bv_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "_code_a", "_code_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", _hamming("_code_a", "_code_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
