@@ -221,24 +221,43 @@ def population_stability_index(
         F.min(F.col(value_col).cast("double")).alias("_lo"),
         F.max(F.col(value_col).cast("double")).alias("_hi"),
     )
+    e = psi_bin_counts(expected, value_col, stats, n_bins, "n_expected")
+    a = psi_bin_counts(actual, value_col, stats, n_bins, "n_actual")
+    return psi_from_counts(e, a, n_bins)
 
-    def bins(df: DataFrame, out: str) -> DataFrame:
-        v = F.col(value_col).cast("double")
-        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
-        raw = F.floor((v - F.col("_lo")) / width)
-        bin_ = F.greatest(
-            F.lit(0), F.least(F.lit(n_bins - 1), raw)
-        ).cast("int")
-        return (
-            df.filter(v.isNotNull())
-            .crossJoin(F.broadcast(stats))
-            .select(bin_.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
-    e = bins(expected, "n_expected")
-    a = bins(actual, "n_actual")
+def psi_bin_counts(
+    df: DataFrame,
+    value_col: str,
+    stats: DataFrame,
+    n_bins: int,
+    out: str,
+) -> DataFrame:
+    """(bin, <out>) equi-width bin counts of ``value_col`` framed by
+    ``stats`` (a 1-row (_lo, _hi) frame — the BASELINE's min/max, so
+    every snapshot and every streaming micro-batch bins identically).
+    Out-of-range values clamp to the edge bins. Shared by the batch
+    PSI and the streaming drift monitor so the two cannot drift."""
+    v = F.col(value_col).cast("double")
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    raw = F.floor((v - F.col("_lo")) / width)
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def psi_from_counts(
+    e: DataFrame, a: DataFrame, n_bins: int
+) -> DataFrame:
+    """Per-bin PSI terms from two (bin, count) tables — the smoothing
+    + term arithmetic of population_stability_index, reusable over
+    counts that were accumulated elsewhere (e.g. folded from
+    streaming micro-batch partials)."""
     j = e.join(a, "bin", "full_outer")
     tot_e = e.agg(F.sum("n_expected").alias("_te"))
     tot_a = a.agg(F.sum("n_actual").alias("_ta"))

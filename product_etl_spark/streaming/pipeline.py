@@ -759,3 +759,76 @@ def stream_ingest_jsonl(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def prepare_psi_baseline(
+    expected: DataFrame, value_col: str, n_bins: int, path: str
+) -> None:
+    """Freeze a PSI baseline for the streaming drift monitor: one
+    parquet of (bin, n_expected, _lo, _hi) — the bin frame AND the
+    reference counts. Computed once from the blessed snapshot; every
+    later micro-batch bins against the SAME frozen frame (recomputing
+    min/max per batch would silently re-frame the bins and hide
+    drift)."""
+    from product_etl_spark.operators.profile import psi_bin_counts
+
+    stats = expected.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    counts = psi_bin_counts(expected, value_col, stats, n_bins, "n_expected")
+    counts.crossJoin(F.broadcast(stats)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def stream_psi_monitor(
+    values: DataFrame,
+    value_col: str,
+    baseline_path: str,
+    state_dir: str,
+    checkpoint: str,
+    n_bins: int = 10,
+):
+    """Streaming PSI drift monitor: each micro-batch's bin counts are
+    written as an immutable ``state_dir/batch=<id>`` partial (the
+    replay-safe _fold_to_batch_dirs contract — a replayed batch
+    rewrites the same directory with the same content, so restarts
+    never double-count). ``read_psi_drift`` folds the partials into
+    the current observed distribution and scores it against the
+    frozen baseline with the SAME arithmetic as the batch operator
+    (profile.psi_from_counts — the q139 semantics, not a streaming
+    re-implementation).
+
+    State per batch is at most n_bins rows — kilobytes, regardless of
+    stream volume.
+    """
+    from product_etl_spark.operators.profile import psi_bin_counts
+
+    spark = values.sparkSession
+    base = spark.read.parquet(baseline_path)
+    stats = base.select("_lo", "_hi").limit(1)
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return psi_bin_counts(batch_df, value_col, stats, n_bins, "n_actual")
+
+    return _fold_to_batch_dirs(values, state_dir, checkpoint, partial)
+
+
+def read_psi_drift(
+    spark: SparkSession, state_dir: str, baseline_path: str, n_bins: int = 10
+) -> DataFrame:
+    """Current drift report from the monitor state: per-bin PSI terms
+    of (all observed micro-batches combined) vs the frozen baseline —
+    identical output contract to profile.population_stability_index.
+    Total PSI = SUM(psi_term); gate at 0.1 / 0.25."""
+    from product_etl_spark.operators.profile import psi_from_counts
+
+    base = spark.read.parquet(baseline_path)
+    e = base.select("bin", "n_expected")
+    a = (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("n_actual").alias("n_actual"))
+    )
+    return psi_from_counts(e, a, n_bins)

@@ -1,0 +1,78 @@
+"""Streaming PSI drift monitor: frozen baseline, replay-safe
+micro-batch partials, batch-identical scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.profile import population_stability_index
+from product_etl_spark.streaming.pipeline import (
+    prepare_psi_baseline,
+    read_psi_drift,
+    stream_psi_monitor,
+)
+
+
+def _write_vals(spark, path, vals):
+    spark.createDataFrame([(float(v),) for v in vals], "v double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_stream_psi_matches_batch_operator(spark, tmp_path):
+    base_vals = [float(i % 100) for i in range(1000)]
+    cur_vals = [float(i % 50 + 50) for i in range(600)]  # shifted up
+    expected = spark.createDataFrame([(v,) for v in base_vals], "v double")
+    actual = spark.createDataFrame([(v,) for v in cur_vals], "v double")
+    batch_terms = {
+        r["bin"]: r["psi_term"]
+        for r in population_stability_index(expected, actual, "v", 10).collect()
+    }
+
+    bp = str(tmp_path / "baseline")
+    prepare_psi_baseline(expected, "v", 10, bp)
+    src = str(tmp_path / "in")
+    # two arrivals -> two micro-batches folded into one observed dist
+    _write_vals(spark, src, cur_vals[:200])
+    stream = spark.readStream.schema("v double").parquet(src)
+    st = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    stream_psi_monitor(stream, "v", bp, st, ck)
+    _write_vals(spark, src, cur_vals[200:])
+    stream2 = spark.readStream.schema("v double").parquet(src)
+    stream_psi_monitor(stream2, "v", bp, st, ck)
+
+    stream_terms = {
+        r["bin"]: r["psi_term"]
+        for r in read_psi_drift(spark, st, bp, 10).collect()
+    }
+    assert stream_terms == batch_terms
+    total = sum(stream_terms.values())
+    assert total > 0.25  # the planted shift trips the gate
+
+
+def test_stream_psi_replay_is_idempotent(spark, tmp_path):
+    expected = spark.range(500).select((F.col("id") % 100).alias("v"))
+    bp = str(tmp_path / "baseline")
+    prepare_psi_baseline(expected, "v", 10, bp)
+    src = str(tmp_path / "in")
+    _write_vals(spark, src, [float(i % 100) for i in range(300)])
+
+    def run():
+        stream = spark.readStream.schema("v double").parquet(src)
+        stream_psi_monitor(
+            stream, "v", bp, str(tmp_path / "state"), str(tmp_path / "ck2")
+        )
+
+    run()
+    first = read_psi_drift(spark, str(tmp_path / "state"), bp, 10).collect()
+    # replay from a FRESH checkpoint (simulates redelivery): partials
+    # land in the same batch=N dirs with the same content
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ck2"))
+    run()
+    second = read_psi_drift(spark, str(tmp_path / "state"), bp, 10).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    # same distribution as baseline -> no drift
+    assert abs(sum(r["psi_term"] for r in second)) < 1e-6
