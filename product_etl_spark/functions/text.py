@@ -354,3 +354,57 @@ def line_repetition_ratio(col: Column | str) -> Column:
     return F.when(n <= 1, F.lit(0.0)).otherwise(
         F.round(F.lit(1.0) - n_distinct / n, 4)
     )
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
+    """Duplicate word-n-gram fraction (Gopher/RefinedWeb repetition
+    family, the n-gram rung above ``line_repetition_ratio``):
+    1 - distinct_ngrams/total_ngrams; 0 for documents shorter than
+    ``n`` words. High values flag boilerplate/templated text that
+    survives line-level dedup (repeated phrases, SEO stuffing).
+
+    MAP-ONLY: the shingle array never explodes across a shuffle —
+    distinct-within-row is array_distinct on the row's own array, so
+    the metric costs one projection however large the corpus. Float
+    policy: one integer division per row, ROUND(.,4) at the surface
+    (engine-exact; both operands are integers)."""
+    grams = word_shingles(col, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / total.cast("double"),
+            4,
+        )
+    )
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading-ease score from regex-countable proxies:
+    sentences = [.!?]+ runs (min 1), words = whitespace tokens
+    (min 1), syllables = [aeiouy]+ vowel groups over the whole text,
+    floored at the word count (every word has >= 1 syllable — the
+    standard cheap approximation). 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words).
+
+    Engine-exact: all three counts are integers; the two divisions
+    and the affine combination run in ONE fixed IEEE order; ROUND(.,4)
+    at the surface. Map-only — a pure projection, like the rest of
+    the quality-heuristic family (quality_score, gopher_quality_flags
+    feed the same curation filters)."""
+    s = F.coalesce(_c(col), F.lit(""))
+    n_words = F.greatest(token_count(s), F.lit(1)).cast("double")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(s, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("double")
+    vowel_groups = F.size(
+        F.regexp_extract_all(F.lower(s), F.lit("[aeiouy]+"), 0)
+    )
+    n_syll = F.greatest(vowel_groups, token_count(s)).cast("double")
+    return F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words),
+        4,
+    )

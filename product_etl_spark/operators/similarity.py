@@ -921,3 +921,99 @@ def knn_bruteforce_fast(
         k,
         rank_col="rn",
     ).select(query_id_col, "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+
+
+# ------------------------------------------------------- exact Lloyd step
+
+
+def _l2_dec(a_col: str, b_col: str) -> F.Column:
+    """Engine-exact squared L2 between two array columns: each
+    (x-y) and its square are SINGLE IEEE-754 double ops, each term is
+    rounded to 1e-9 and summed as DECIMAL (order-insensitive) — the
+    retrieval._l2_dec_expr recipe, repeated here so the k-means family
+    carries its own exactness contract."""
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, (x, y) -> "
+        "CAST(ROUND((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 9) AS DECIMAL(18,9))), "
+        "CAST(0 AS DECIMAL(28,9)), "
+        "(acc, v) -> CAST(acc + v AS DECIMAL(28,9)))"
+    )
+
+
+def _assign_exact(
+    corpus: DataFrame, cents: DataFrame, emb_col: str, id_col: str
+) -> DataFrame:
+    """(id, list_id) by exact-decimal L2 argmin; ties -> lowest list."""
+    joined = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(emb_col),
+        "list_id",
+        _l2_dec("_cent", emb_col).alias("_d"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.min(F.struct("_d", "list_id")).alias("_best"),
+            F.first(emb_col).alias(emb_col),
+        )
+        .select(id_col, emb_col, F.col("_best.list_id").alias("list_id"))
+    )
+
+
+def kmeans_one_iter_exact(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_lists: int = 4,
+) -> DataFrame:
+    """One ENGINE-EXACT Lloyd iteration: seed with the ``n_lists``
+    lowest-id vectors, assign by exact-decimal L2, recompute each
+    centroid as the per-dimension mean, re-assign. Returns
+    (id, list_id) after the refinement step.
+
+    This is the driver-checkable twin of ``ivf_centroids_kmeans``
+    (q93): every arithmetic step is reproducible bit-for-bit in ANSI
+    SQL — distances are per-term-rounded decimal sums; the mean is an
+    exact decimal sum (elements rounded to 1e-6) cast to double
+    (exact: the unscaled value stays under 2^53) divided by the
+    bigint count in ONE IEEE op, rounded to 1e-9 — so the assignments
+    are integer-decided and a DuckDB oracle can replay the iteration
+    exactly. The trained multi-iteration float path (q93) keeps its
+    pytest recall bound; this pins the update RULE cross-engine.
+
+    Scale shape: seeds/centroids are k-row broadcasts; the update is
+    one (list,pos)-keyed aggregate bounded by k*dim output rows; the
+    corpus shuffles once in the assignment argmin (partial map-side
+    combine) and never self-joins."""
+    w = Window.orderBy(F.col(id_col))
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(w) - 1).alias("list_id"),
+            F.col(emb_col).alias("_cent"),
+        )
+    )
+    a0 = _assign_exact(corpus, seeds, emb_col, id_col)
+    dims = a0.select(
+        "list_id", F.posexplode(emb_col).alias("pos", "_val")
+    )
+    cdims = dims.groupBy("list_id", "pos").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("_val").cast("double"), 6).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("_c")
+    )
+    cents1 = cdims.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_c"))),
+            lambda s: s["_c"],
+        ).alias("_cent")
+    )
+    return _assign_exact(corpus, cents1, emb_col, id_col).select(
+        id_col, "list_id"
+    )

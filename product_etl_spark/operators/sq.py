@@ -316,7 +316,7 @@ def binary_hash_oracle_sql(top_n: int = 5, word_bits: int = 32) -> str:
       GROUP BY d.vec_id, (d.pos - 1) // {word_bits}
     ), pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             SUM(bit_count(xor(c.w, q.w))) AS hamming
+             CAST(SUM(bit_count(xor(c.w, q.w))) AS BIGINT) AS hamming
       FROM bits c JOIN bits q
         ON c.word = q.word AND q.vec_id < 3 AND c.vec_id >= 3
       GROUP BY q.vec_id, c.vec_id

@@ -34,12 +34,88 @@ partition.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to MERGE into a table another writer
+    currently holds. The staging-swap publish is single-writer per
+    table path: two interleaved read-merge-swap cycles would silently
+    drop one side's rows (lost update), so the second writer fails
+    LOUDLY instead. The reference gets this from Postgres row locks
+    inside one transaction (ETL.py:620-626 single-txn commit); on a
+    real lake deployment a table format (Delta/Iceberg optimistic
+    commit) replaces this lock."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+@contextmanager
+def _table_write_lock(path: str):
+    """Advisory single-writer lock for the read-merge-swap cycle:
+    an atomically-created ``{path}__lock`` directory holding the
+    owner's pid. A concurrent writer raises ConcurrentWriteError; a
+    lock whose owner process is dead on this host (crashed writer) is
+    broken automatically — crash convergence, not manual cleanup.
+    The lock covers the WHOLE cycle (read of current state through
+    swap), not just the rename: the lost-update window is the read,
+    not the publish."""
+    lock_dir = f"{path}__lock"
+    meta = os.path.join(lock_dir, "owner.json")
+
+    def _acquire():
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
+        os.mkdir(lock_dir)  # atomic: exactly one creator wins
+
+    try:
+        _acquire()
+    except FileExistsError:
+        owner_alive, owner = True, "<unreadable>"
+        try:
+            with open(meta) as f:
+                info = json.load(f)
+            owner = f"pid {info.get('pid')} since {info.get('ts')}"
+            owner_alive = _pid_alive(int(info["pid"]))
+        except (OSError, ValueError, KeyError, TypeError):
+            pass  # unreadable/missing metadata: assume held
+        if owner_alive:
+            raise ConcurrentWriteError(
+                f"table {path!r} is locked by another writer ({owner}); "
+                "concurrent MERGEs into one table path would lose "
+                "updates — serialize the writers or move the table to "
+                "a format with optimistic commits (Delta/Iceberg)"
+            )
+        shutil.rmtree(lock_dir, ignore_errors=True)  # stale: owner dead
+        try:
+            _acquire()  # a racing breaker may still beat us
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"table {path!r}: lost the race to re-acquire a stale "
+                "lock — another writer is active"
+            ) from None
+    try:
+        with open(meta, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        yield
+    finally:
+        shutil.rmtree(lock_dir, ignore_errors=True)
 
 
 def _with_audit(updates: DataFrame, current: DataFrame | None, keys: list[str]):
@@ -104,12 +180,15 @@ def upsert_parquet(
     handle obtained *before* a later merge goes stale (the swap
     replaces the directory) and must be re-read.
 
-    Concurrency: single-writer per table path (concurrent merges to
-    *different* tables are safe and used by run_ingest; two writers
-    swapping the same path would race on the rename). Multi-writer
-    tables are table-format territory — Delta/Iceberg MERGE with
-    optimistic concurrency replaces this writer unchanged at the
-    call site.
+    Concurrency: single-writer per table path, ENFORCED — the whole
+    read-merge-swap cycle runs under an advisory lock
+    (``{path}__lock``); a second concurrent writer raises
+    ConcurrentWriteError instead of silently losing one side's rows,
+    and a crashed writer's stale lock is broken automatically when
+    its pid is gone. Concurrent merges to *different* tables are safe
+    and used by run_ingest. Multi-writer tables are table-format
+    territory — Delta/Iceberg MERGE with optimistic concurrency
+    replaces this writer unchanged at the call site.
 
     ``updates`` must be unique per key; we enforce with
     ``dropDuplicates(keys)`` (deterministic inputs make the kept row
@@ -122,6 +201,24 @@ def upsert_parquet(
     # report "absent" and downgrade every MERGE to an initial
     # overwrite. Hadoop-FS probe + local-only publish instead.
     require_local(path, "upsert_parquet")
+    with _table_write_lock(path):
+        return _merge_and_publish(
+            spark, updates, path, keys, mode, partition_cols, audit
+        )
+
+
+def _merge_and_publish(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    mode: str,
+    partition_cols: list[str] | None,
+    audit: bool,
+) -> DataFrame:
+    """The read-merge-swap cycle, called under _table_write_lock."""
+    from product_etl_spark.fs import table_exists
+
     current = None
     if table_exists(spark, path):
         current = spark.read.parquet(path)

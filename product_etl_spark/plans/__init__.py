@@ -35,21 +35,26 @@ stats (a strict superset: mean/variance/corr from decimal moment
 sums), q53 rank-in-group -> q99 TF-IDF (which ranks per doc with
 row_number and adds the relevance-ranking family).
 
-Round-6 ROTATION: after r5, every catalog query has had a driver
-row except the two r5 failures (q68 array-column compare crash and
-q105 decimal-vs-double hash mismatch — both root-caused and fixed
-this round, so they lead the window), the three registered after the
-r5 window froze (q118 chunking, q119 SQ8, q120 binary Hamming), and
-the six new-in-r6 entries (q121 hybrid RRF, q122 quality-canonical,
-q123 fuzzy decontam, q124 grouping sets, q125 histogram, q126
-z-outliers). Those 11 + the 6 standing anchors (q01/q02/q32/q94/
-q112/q114) fill 17 slots; the remaining 33 REFRESH the stalest
-coverage — the 21 queries whose only green row is r1, the two whose
-last row is r2/r3 (q11/q34), and ten r2-r4 high-traffic family reps
-(q35/q36/q45/q46/q47 + q127-q131 in the last five slots; q49, q51,
-q54, q56, q57 keep r2-r4 rows). Per-query round stamps
-live in COVERAGE.md; every query demoted this round has a green
-driver row in r4 or r5.
+Round-7 ROTATION: r6 went 48/50 green; the two reds (q120 binary
+Hamming, q134 changelog snapshot) were result-SURFACE type
+mismatches (DuckDB HUGEINT->float64 vs Spark BIGINT; Spark Decimal
+vs the oracle's float stringification) — both fixed at the catalog
+boundary this round and re-scheduled first. Next come the five
+registered after the r6 window froze (q137 entity resolution, q138
+DSIR, q139 PSI, q140 k-anonymity, q141 triangles), the five
+new-in-r7 entries (q142 exact k-means step — closing the k-means
+family's rows-only hole, q143 integrity checksums, q144 dup-n-gram
+fraction, q145 Flesch readability, q146 skyline), the 6 standing
+anchors (q01/q02/q32/q94/q112/q114), and q33 (the only query whose
+sole green row is r1). The remaining 31 REFRESH the stalest
+coverage: all 22 queries last green in r4 with an r1 row
+(q05/q06/q09/q12/q16/q18/q20/q21/q23/q24/q26/q27/q29/q30/q31/q35/
+q36/q38/q40/q41/q45/q47) and nine r2-r4 family reps (q49 exact
+distinct, q51 JSON, q56 IVF assign, q57 winnowing, q58 Gopher, q64
+PII, q69 null-aware NOT IN, q92 blocked cosine, q99 TF-IDF). The
+twelve remaining r2-r4 queries (q54/q59/q60/q66/q70/q71/q73/q75/
+q91/q96/q97/q102) rotate in r8; every demoted query keeps a green
+row <= r6 old. Per-query round stamps live in COVERAGE.md.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -61,6 +66,7 @@ from product_etl_spark.plans import catalog_ext5  # noqa: F401  (registers q115+
 from product_etl_spark.plans import catalog_ext6  # noqa: F401  (registers q122+)
 from product_etl_spark.plans import catalog_ext7  # noqa: F401  (registers q132+)
 from product_etl_spark.plans import catalog_ext8  # noqa: F401  (registers q137+)
+from product_etl_spark.plans import catalog_ext9  # noqa: F401  (registers q142+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -68,20 +74,21 @@ from product_etl_spark.plans import catalog_ext8  # noqa: F401  (registers q137+
 _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 
 _DRIVER_WINDOW = [
-    # -- r5 failures, now fixed (array->string boundary; decimal->double) --
-    "q68_user_event_type_sets",
-    "q105_tpch_q2_min_cost_supplier",
-    # -- registered late in r5, never driver-checked --
-    "q118_doc_chunking",
-    "q119_sq8_codes",
+    # -- r6 failures (surface types), fixed at the catalog boundary --
     "q120_binary_hash_hamming",
-    # -- new in r6, never driver-checked --
-    "q121_hybrid_rrf_search",
-    "q122_quality_canonical_dedup",
-    "q123_fuzzy_decontam",
-    "q124_grouping_sets",
-    "q125_price_histogram",
-    "q126_balance_outliers",
+    "q134_changelog_snapshot",
+    # -- registered late in r6, never driver-checked --
+    "q137_entity_resolution_pairs",
+    "q138_dsir_importance",
+    "q139_price_psi_drift",
+    "q140_k_anonymity_audit",
+    "q141_copurchase_triangles",
+    # -- new in r7, never driver-checked --
+    "q142_kmeans_one_iter_lists",
+    "q143_order_partition_checksums",
+    "q144_dup_ngram_fraction",
+    "q145_flesch_readability",
+    "q146_part_price_size_skyline",
     # -- 6 anchors: flagship family reps, green every round --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -89,56 +96,41 @@ _DRIVER_WINDOW = [
     "q94_corpus_curation",
     "q112_benchmark_decontam",
     "q114_transition_pagerank",
-    # -- refresh: last driver-green in r1 only (oldest coverage) --
-    "q03_region_nation_rollup",
-    "q04_customers_without_orders",
-    "q07_order_date_range",
-    "q08_segment_distinct_nations",
-    "q10_topk_brands",
-    "q13_customer_only_nations",
-    "q14_first_order_per_customer",
-    "q15_running_customer_revenue",
-    "q17_null_empty_guards",
-    "q19_orders_by_year",
-    "q22_url_extraction",
-    "q25_event_type_share",
-    "q28_doc_quality",
-    # q136 (new in r6) takes q33's refresh slot — the near-dup family
-    # keeps the q32 anchor in-window; q33 keeps its r1 green row
-    "q136_within_doc_paragraph_dedup",
-    "q37_label_centroid_norms",
-    "q39_completeness_report",
-    "q42_cube_flag_status",
-    "q43_price_percentiles",
-    "q44_acctbal_stats",
-    "q48_lineitem_unpivot",
-    "q50_bpe_token_count",
-    # -- refresh: last green r2/r3 --
-    "q11_distinct_flag_status",
-    "q34_simhash",
-    # -- refresh: r2-r4 greens, high-traffic families; q132/q133
-    # (new in r6, never driver-checked) take the q35/q36 slots —
-    # the similarity family keeps the q32 anchor and q121's vector
-    # leg in-window, and q35/q36 keep r2-r4 green rows --
-    "q132_url_canonicalization",
-    "q133_bigram_pmi",
-    # q134 (new in r6) takes q45's slot — the range/as-of family
-    # keeps q46 in-window and q45 keeps r2-r4 green rows
-    "q134_changelog_snapshot",
-    "q46_asof_purchase_signup",
-    # q135 (new in r6) takes q47's slot; q47 keeps r2-r4 green rows
-    "q135_unicode_clean",
-    # q131 (new in r6) replaces q49's refresh slot (r2-r4 green)
-    "q131_daily_gapfill_interpolate",
-    # q129/q130 (new in r6) take two more refresh slots; JSON extract
-    # (q51) and above-average (q54) keep r2-r4 green rows
-    "q129_column_profile",
-    "q130_snapshot_diff",
-    # q127/q128 (new in r6) take the last two refresh slots; IVF
-    # assignment (q56, r2-r4 green) and winnowing (q57, r2-r4 green)
-    # keep local verification
-    "q127_trained_langid_confusion",
-    "q128_percentile_rank_windows",
+    # -- the only query whose sole green row is r1 --
+    "q33_ngram_jaccard_pairs",
+    # -- refresh: last driver-green r4 (r1-r4 rows) --
+    "q05_customers_with_urgent_orders",
+    "q06_order_counts_left",
+    "q09_priority_status_matrix",
+    "q12_active_nations_union",
+    "q16_like_filter",
+    "q18_price_buckets",
+    "q20_string_projection",
+    "q21_attribute_parse_explode",
+    "q23_hourly_event_rollup",
+    "q24_sessionization",
+    "q26_user_event_timeline",
+    "q27_doc_token_stats",
+    "q29_doc_fingerprint_dedup",
+    "q30_doc_script_langid",
+    "q31_minhash_signatures",
+    "q35_knn_bruteforce",
+    "q36_lsh_bucket_histogram",
+    "q38_referential_integrity",
+    "q40_brand_dictionary",
+    "q41_rollup_region_nation",
+    "q45_price_band_range_join",
+    "q47_event_pivot",
+    # -- refresh: last driver-green r4 (r2-r4 rows), family reps --
+    "q49_distinct_users_by_type",
+    "q51_props_json_extract",
+    "q56_ivf_assignment",
+    "q57_winnowing_fingerprints",
+    "q58_gopher_quality_filters",
+    "q64_pii_redaction",
+    "q69_null_aware_not_in",
+    "q92_cosine_near_dup_pairs",
+    "q99_tfidf_top_terms",
 ]
 
 

@@ -174,7 +174,8 @@ def q133_bigram_pmi(spark, sf_dir):
                              price := price)) AS s
       FROM log GROUP BY l_orderkey
     )
-    SELECT l_orderkey, s.qty AS qty, s.price AS price
+    SELECT l_orderkey, CAST(s.qty AS DOUBLE) AS qty,
+           CAST(s.price AS DOUBLE) AS price
     FROM agg WHERE s.op <> 'D'
     """,
 )
@@ -204,7 +205,15 @@ def q134_changelog_snapshot(spark, sf_dir):
         dec("l_quantity").alias("qty"),
         dec("l_extendedprice").alias("price"),
     )
-    return apply_changelog(log, ["l_orderkey"])
+    snap = apply_changelog(log, ["l_orderkey"])
+    # Result-surface boundary: decimals stay exact inside the
+    # changelog apply; the comparison surface is DOUBLE so both
+    # engines stringify identically (same recipe as q105, r5).
+    return snap.select(
+        "l_orderkey",
+        F.col("qty").cast("double").alias("qty"),
+        F.col("price").cast("double").alias("price"),
+    )
 
 
 @register(

@@ -111,7 +111,7 @@ def q137_entity_resolution_pairs(spark, sf_dir):
                - LN((r.n_r + 1)::DOUBLE / (tot.nr + 1024)) AS logratio
       FROM rcnt r LEFT JOIN tcnt t USING (bucket) CROSS JOIN tot
     )
-    SELECT doc_id, SUM(n) AS n_tokens,
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
            ROUND(SUM(n::DOUBLE * logratio) / SUM(n)::DOUBLE, 4) AS score
     FROM doc JOIN ratio USING (bucket)
     GROUP BY doc_id

@@ -1,0 +1,277 @@
+"""Ninth extension catalog (q142+): the engine-exact k-means step,
+data-integrity checksums, repetition/readability text metrics, and the
+2-D skyline.
+
+q142 closes the last rows-only hole in the catalog: q93's trained
+k-means can't be ANSI-oracled (iterative float refinement), but ONE
+Lloyd iteration with exact-decimal arithmetic can — the update RULE is
+now driver-checkable while q93 keeps its pytest recall bound. q143 is
+the copy-validation gate a 100 TB migration needs (the reference
+re-exports CSVs with no verification — ETL.py's csv dumps). q144/q145
+extend the Gopher-style quality family (functions/text.py); q146 adds
+the multi-objective shortlist (Pareto frontier) operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import text as T
+from product_etl_spark.operators.integrity import group_checksums
+from product_etl_spark.operators.similarity import kmeans_one_iter_exact
+from product_etl_spark.operators.skyline import skyline_2d
+from product_etl_spark.plans.catalog import _t, register
+
+
+@register(
+    "q142_kmeans_one_iter_lists",
+    """
+    WITH dims AS (
+      SELECT e.vec_id, d.pos, CAST(d.val AS DOUBLE) AS val
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) d
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, vec_id
+      FROM embeddings ORDER BY vec_id LIMIT 4
+    ), sdims AS (
+      SELECT s.list_id, d.pos, d.val AS c
+      FROM seeds s JOIN dims d ON d.vec_id = s.vec_id
+    ), d0 AS (
+      SELECT d.vec_id, s.list_id,
+             SUM(CAST(ROUND((d.val - s.c) * (d.val - s.c), 9)
+                      AS DECIMAL(18,9))) AS dist
+      FROM dims d JOIN sdims s ON s.pos = d.pos
+      GROUP BY d.vec_id, s.list_id
+    ), a0 AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM d0) WHERE rn = 1
+    ), c1 AS (
+      SELECT a0.list_id, d.pos,
+             ROUND(CAST(SUM(CAST(ROUND(d.val, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*), 9) AS c
+      FROM a0 JOIN dims d ON d.vec_id = a0.vec_id
+      GROUP BY a0.list_id, d.pos
+    ), d1 AS (
+      SELECT d.vec_id, c.list_id,
+             SUM(CAST(ROUND((d.val - c.c) * (d.val - c.c), 9)
+                      AS DECIMAL(18,9))) AS dist
+      FROM dims d JOIN c1 c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.list_id
+    ), a1 AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM d1) WHERE rn = 1
+    )
+    SELECT list_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM a1 GROUP BY list_id
+    """,
+)
+def q142_kmeans_one_iter_lists(spark, sf_dir):
+    """One engine-exact Lloyd iteration (operators/similarity.
+    kmeans_one_iter_exact): seed with the 4 lowest-id vectors, assign
+    by exact-decimal L2, recompute per-dimension means (decimal sum
+    -> one double division -> ROUND 1e-9), re-assign; surfaced as
+    per-list populations — the driver-checkable twin of q93's trained
+    multi-iteration path (pytest recall bound), closing the k-means
+    family's rows-only hole. Every assignment is integer-decided
+    (decimal comparisons), so the oracle replays the iteration
+    bit-for-bit.
+
+    Scale shape: k-row centroid broadcasts; the mean update is a
+    (list,pos)-keyed aggregate bounded by k*dim rows; the corpus
+    never self-joins."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        kmeans_one_iter_exact(e, "embedding", "vec_id", n_lists=4)
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@register(
+    "q143_order_partition_checksums",
+    """
+    WITH fp AS (
+      SELECT o_orderstatus,
+             ('0x' || substr(md5(
+                CAST(o_orderkey AS VARCHAR) || chr(31) ||
+                CAST(o_custkey AS VARCHAR) || chr(31) ||
+                o_orderstatus || chr(31) ||
+                CAST(o_totalprice AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           bit_xor(h) AS xor_fp, MIN(h) AS min_fp, MAX(h) AS max_fp
+    FROM fp GROUP BY o_orderstatus
+    """,
+)
+def q143_order_partition_checksums(spark, sf_dir):
+    """Order-independent per-partition table checksums (operators/
+    integrity.group_checksums): row fingerprint = portable md5-derived
+    60-bit hash of the canonical column rendering, reduced per
+    o_orderstatus group by COUNT + XOR + MIN/MAX — the copy-validation
+    gate for a 100 TB migration (source and destination each compute
+    their half in ANY md5-capable engine; the oracle IS the
+    other-engine half). The reference exports full CSVs with no
+    verification step (ETL.py csv dumps).
+
+    Scale shape: ONE groupBy, all four aggregates combine
+    associatively map-side; the shuffle carries one row per
+    (partition group x map task)."""
+    o = _t(spark, sf_dir, "orders")
+    return group_checksums(
+        o,
+        ["o_orderstatus"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+@register(
+    "q144_dup_ngram_fraction",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN LEN(toks) < 3 THEN []
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN RANGE(1, LEN(toks) - 1)] END AS grams
+      FROM t
+    )
+    SELECT doc_id, LEN(grams) AS n_grams,
+           CASE WHEN LEN(grams) <= 0 THEN 0.0
+                ELSE ROUND(1.0 - LEN(list_distinct(grams))::DOUBLE
+                           / LEN(grams)::DOUBLE, 4) END AS dup_frac
+    FROM g
+    ORDER BY dup_frac DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q144_dup_ngram_fraction(spark, sf_dir):
+    """Duplicate word-3-gram fraction per document (functions/text.
+    dup_ngram_fraction — the Gopher/RefinedWeb repetition filter one
+    rung above q65's line repetition): flags boilerplate/templated
+    text that survives line-level dedup. Top-100 most repetitive.
+
+    Scale shape: MAP-ONLY — distinct-within-row is array_distinct on
+    the row's own shingle array, so the metric is a pure projection;
+    the only exchange is the final top-k (TakeOrderedAndProject).
+    Float policy: one integer division per row, ROUND(.,4)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(T.word_shingles("text", 3)).alias("n_grams"),
+            T.dup_ngram_fraction("text", 3).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q145_flesch_readability",
+    r"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             GREATEST(LEN(list_filter(
+               string_split_regex(COALESCE(text,''), '\s+'),
+               x -> x <> '')), 1)::DOUBLE AS n_words,
+             GREATEST(LEN(regexp_extract_all(COALESCE(text,''),
+               '[.!?]+')), 1)::DOUBLE AS n_sents,
+             LEN(regexp_extract_all(LOWER(COALESCE(text,'')),
+               '[aeiouy]+')) AS vg,
+             LEN(list_filter(
+               string_split_regex(COALESCE(text,''), '\s+'),
+               x -> x <> '')) AS nw_raw
+      FROM documents
+    )
+    , s AS (
+      SELECT lang,
+             CAST(ROUND(206.835 - 1.015 * (n_words / n_sents)
+                  - 84.6 * (GREATEST(vg, nw_raw)::DOUBLE / n_words), 4)
+                  AS DECIMAL(12,4)) AS score
+      FROM m
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 4) AS avg_flesch
+    FROM s GROUP BY lang
+    """,
+)
+def q145_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease (functions/text.flesch_reading_ease)
+    aggregated per language — the readability rung of the quality-
+    heuristic family (q28 quality score, q58 Gopher flags): curation
+    recipes band corpora by readability to balance difficulty.
+
+    Float policy: per-row score is integer counts through a FIXED
+    IEEE op order, rounded 1e-4 and cast to decimal; the per-lang
+    mean is an exact DECIMAL sum (order-insensitive) -> one double
+    division -> ROUND(.,4) — the repo's reorderable-sum rule (AVG
+    over raw doubles would be partition-order-dependent).
+
+    Scale shape: map-only projection + one lang-keyed aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            T.flesch_reading_ease("text")
+            .cast("decimal(12,4)")
+            .alias("score"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("score").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_flesch"),
+        )
+    )
+
+
+@register(
+    "q146_part_price_size_skyline",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(p_retailprice AS DOUBLE) AS price, p_size
+      FROM part
+    )
+    SELECT price, p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price <= p.price AND q.p_size >= p.p_size
+        AND (q.price < p.price OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q146_part_price_size_skyline(spark, sf_dir):
+    """2-D skyline (operators/skyline.skyline_2d): the Pareto
+    frontier of distinct (retail price, size) part points — cheapest
+    part at every size level that no other part beats on both axes
+    (multi-objective shortlist). The oracle derives the same set via
+    the quadratic NOT-EXISTS dominance definition; the Spark plan is
+    the sort + running-max window form — two independent derivations
+    of one invariant.
+
+    Scale shape: distinct on the value pair (map-side combine), then
+    ONE window over the distinct point set (bounded by the value
+    space, not the table); the NOT-EXISTS self-join exists only in
+    the oracle."""
+    p = _t(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_retailprice").cast("double").alias("price"), "p_size"
+    )
+    return skyline_2d(pts, "price", "p_size")

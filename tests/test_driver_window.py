@@ -34,15 +34,14 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-6 rotation invariant: every query with no GREEN driver
-    row through r5 (the two r5 failures, the three late-r5
-    registrations, and the six new-in-r6 entries; per COVERAGE.md)
-    is in this round's window."""
+    """Round-7 rotation invariant: every query with no GREEN driver
+    row through r6 (the two r6 surface-type failures, the five
+    late-r6 registrations, and the five new-in-r7 entries; per
+    COVERAGE.md) is in this round's window."""
     never_green_prefixes = {
-        "q68", "q105",                     # r5 failures, fixed in r6
-        "q118", "q119", "q120",            # registered after r5 froze
-        "q121", "q122", "q123", "q124", "q125", "q126", "q127", "q128",
-        "q129", "q130", "q131", "q132", "q133", "q134", "q135", "q136",
+        "q120", "q134",                    # r6 failures, fixed in r7
+        "q137", "q138", "q139", "q140", "q141",  # registered after r6 froze
+        "q142", "q143", "q144", "q145", "q146",  # new in r7
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
     missing = never_green_prefixes - window_prefixes
@@ -51,12 +50,12 @@ def test_window_covers_all_never_driver_green():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 141
+    assert len(names) == len(set(names)) == 146
 
 
 def test_coverage_doc_matches_window():
     """COVERAGE.md is the rotation ledger: exactly the queries stamped
-    `r6*` must be in _DRIVER_WINDOW, and every catalog query must have
+    `r7*` must be in _DRIVER_WINDOW, and every catalog query must have
     a ledger row — a drifted doc would misreport driver coverage to
     the next round."""
     import os
@@ -74,5 +73,5 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r6*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r7*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)

@@ -1,0 +1,168 @@
+"""Unit tests for the r7 operators: integrity checksums, 2-D skyline,
+repetition/readability text metrics, and the engine-exact Lloyd step.
+(Oracle parity for their catalog entries q142-q146 is covered by
+test_oracle_parity.py / test_driver_window_parity.py; these pin the
+operator semantics on hand-built frames.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions.text import (
+    dup_ngram_fraction,
+    flesch_reading_ease,
+)
+from product_etl_spark.operators.integrity import (
+    group_checksums,
+    table_checksum,
+)
+from product_etl_spark.operators.skyline import skyline_2d
+
+
+def test_checksum_order_independent(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id int, v string"
+    )
+    b = spark.createDataFrame(
+        [(3, "z"), (1, "x"), (2, "y")], "id int, v string"
+    ).repartition(3)
+    ca = table_checksum(a, ["id", "v"]).collect()[0]
+    cb = table_checksum(b, ["id", "v"]).collect()[0]
+    assert ca == cb
+    assert ca["n_rows"] == 3
+
+
+def test_checksum_detects_single_value_change(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "Y")], "id int, v string")
+    ca = table_checksum(a, ["id", "v"]).collect()[0]
+    cb = table_checksum(b, ["id", "v"]).collect()[0]
+    assert ca["n_rows"] == cb["n_rows"] == 2
+    assert ca["xor_fp"] != cb["xor_fp"]
+
+
+def test_checksum_null_vs_empty_distinct(spark):
+    a = spark.createDataFrame([(1, None)], "id int, v string")
+    b = spark.createDataFrame([(1, "")], "id int, v string")
+    ca = table_checksum(a, ["id", "v"]).collect()[0]
+    cb = table_checksum(b, ["id", "v"]).collect()[0]
+    assert ca["xor_fp"] != cb["xor_fp"]
+
+
+def test_checksum_field_boundary_not_ambiguous(spark):
+    # ("ab", "c") must not collide with ("a", "bc")
+    a = spark.createDataFrame([("ab", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "bc")], "x string, y string")
+    ca = table_checksum(a, ["x", "y"]).collect()[0]
+    cb = table_checksum(b, ["x", "y"]).collect()[0]
+    assert ca["xor_fp"] != cb["xor_fp"]
+
+
+def test_group_checksums_per_group(spark):
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3)], "g string, v int"
+    )
+    rows = {r["g"]: r for r in group_checksums(df, ["g"], ["v"]).collect()}
+    assert rows["A"]["n_rows"] == 2 and rows["B"]["n_rows"] == 1
+    # a group's checksum is independent of the other groups
+    df2 = spark.createDataFrame([("B", 3)], "g string, v int")
+    only_b = group_checksums(df2, ["g"], ["v"]).collect()[0]
+    assert only_b["xor_fp"] == rows["B"]["xor_fp"]
+
+
+def test_skyline_dominance(spark):
+    # minimize x, maximize y. (1,5) and (3,7) are the frontier;
+    # (2,5) dominated by (1,5); (3,6) by (3,7); (4,7) by (3,7);
+    # duplicate (1,5) collapses.
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 7), (3, 6), (4, 7), (1, 5)], "x int, y int"
+    )
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(pts, "x", "y").collect())
+    assert got == [(1, 5), (3, 7)]
+
+
+def test_skyline_matches_not_exists_definition(spark):
+    import random
+
+    rng = random.Random(7)
+    data = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(200)]
+    df = spark.createDataFrame(data, "x int, y int")
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    pts = sorted(set(data))
+    brute = [
+        p
+        for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts
+        )
+    ]
+    assert got == sorted(brute)
+
+
+def test_dup_ngram_fraction_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 grams, 3 distinct
+            (2, "all words unique here now"),  # 3 grams, 3 distinct
+            (3, "too short"),           # < n words -> 0.0
+            (4, None),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", dup_ngram_fraction("text", 3).alias("f")
+        ).collect()
+    }
+    assert got[1] == round(1 - 3 / 7, 4)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
+def test_flesch_ordering_sane(spark):
+    simple = "The cat sat. The dog ran. It was fun."
+    dense = (
+        "Notwithstanding institutional heterogeneity, organizational "
+        "restructuring necessitates comprehensive reevaluation of "
+        "interdepartmental communication methodologies."
+    )
+    df = spark.createDataFrame(
+        [(1, simple), (2, dense)], "id int, text string"
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", flesch_reading_ease("text").alias("s")
+        ).collect()
+    }
+    assert got[1] > 80  # short words, short sentences
+    assert got[2] < got[1] - 50  # polysyllabic one-sentence wall
+
+
+def test_kmeans_one_iter_refines_assignment(spark):
+    # Two planted clusters around (0,0) and (10,10); seeds are the 2
+    # lowest ids — both in cluster A (the pathological seeding). The
+    # mean-update step must still pull cluster B's points together.
+    from product_etl_spark.operators.similarity import kmeans_one_iter_exact
+
+    rows = [
+        (0, [0.0, 0.1]),
+        (1, [0.2, 0.0]),
+        (2, [0.1, 0.2]),
+        (3, [10.0, 10.1]),
+        (4, [10.2, 9.9]),
+        (5, [9.9, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in kmeans_one_iter_exact(
+            df, "embedding", "vec_id", n_lists=2
+        ).collect()
+    }
+    # all of cluster B lands in ONE list, distinct from vec 0's list
+    assert len({got[3], got[4], got[5]}) == 1
+    assert len(got) == 6

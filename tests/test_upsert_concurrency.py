@@ -1,0 +1,84 @@
+"""Single-writer contract of the upsert sink: a second concurrent
+writer must fail LOUDLY (ConcurrentWriteError), never silently
+interleave read-merge-swap cycles; a crashed writer's stale lock must
+break automatically."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from product_etl_spark.operators.upsert import (
+    ConcurrentWriteError,
+    _table_write_lock,
+    upsert_parquet,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_second_writer_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    upsert_parquet(spark, _df(spark, [(1, "a")]), path, ["k"])
+    # writer A holds the lock mid-cycle; writer B's merge must raise
+    with _table_write_lock(path):
+        with pytest.raises(ConcurrentWriteError, match="locked by another"):
+            upsert_parquet(spark, _df(spark, [(2, "b")]), path, ["k"])
+    # table state is writer A's era, untouched by the failed writer
+    assert [r["k"] for r in spark.read.parquet(path).collect()] == [1]
+
+
+def test_interleaved_upserts_serialize_not_lose(spark, tmp_path):
+    """The failure the lock exists for: writer B starting after A has
+    read but before A swapped would resurrect pre-A state and drop
+    A's rows. With the lock, B fails while A is in flight; retried
+    after A completes, both updates survive."""
+    path = str(tmp_path / "tbl")
+    upsert_parquet(spark, _df(spark, [(1, "a")]), path, ["k"])
+    with _table_write_lock(path):  # simulate A mid-merge
+        with pytest.raises(ConcurrentWriteError):
+            upsert_parquet(spark, _df(spark, [(2, "b")]), path, ["k"])
+    # B retries after A's cycle finished
+    upsert_parquet(spark, _df(spark, [(2, "b")]), path, ["k"])
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == [1, 2]
+
+
+def test_stale_lock_of_dead_writer_is_broken(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    upsert_parquet(spark, _df(spark, [(1, "a")]), path, ["k"])
+    lock_dir = f"{path}__lock"
+    os.mkdir(lock_dir)
+    # a pid that cannot exist on linux (> pid_max default)
+    with open(os.path.join(lock_dir, "owner.json"), "w") as f:
+        json.dump({"pid": 2**22 + 12345, "ts": 0}, f)
+    upsert_parquet(spark, _df(spark, [(2, "b")]), path, ["k"])
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == [1, 2]
+    assert not os.path.exists(lock_dir)  # released after the cycle
+
+
+def test_unreadable_lock_is_assumed_held(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    os.mkdir(f"{path}__lock")  # no owner.json at all
+    with pytest.raises(ConcurrentWriteError):
+        upsert_parquet(spark, _df(spark, [(1, "a")]), path, ["k"])
+
+
+def test_lock_released_on_failure(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    with pytest.raises(Exception):
+        # duplicate column names -> the merge raises inside the lock
+        upsert_parquet(
+            spark,
+            spark.createDataFrame([(1, 1)], "k int, k int"),
+            path,
+            ["k"],
+        )
+    assert not os.path.exists(f"{path}__lock")
+    # and the table is writable afterwards
+    upsert_parquet(spark, _df(spark, [(1, "a")]), path, ["k"])
