@@ -363,11 +363,15 @@ def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
     ``n`` words. High values flag boilerplate/templated text that
     survives line-level dedup (repeated phrases, SEO stuffing).
 
-    MAP-ONLY: the shingle array never explodes across a shuffle —
-    distinct-within-row is array_distinct on the row's own array, so
-    the metric costs one projection however large the corpus. Float
-    policy: one integer division per row, ROUND(.,4) at the surface
-    (engine-exact; both operands are integers)."""
+    FILTER-EXPRESSION form (map-only, case-sensitive): fine inside a
+    one-shot predicate, but it references word_shingles THREE times
+    and higher-order functions are interpreted with no CSE — measured
+    6.8 s vs ~1.0 s at sf0.1 against the row-wise shape (explode +
+    LEAD windows via operators.dedup.exploded_shingles + one doc-keyed
+    count, codegen throughout). Hot paths use the exploded shape; see
+    q144 (plans/catalog_ext9.py). Float policy: one integer division
+    per row, ROUND(.,4) at the surface (engine-exact; both operands
+    are integers)."""
     grams = word_shingles(col, n)
     total = F.size(grams)
     return F.when(total <= 0, F.lit(0.0)).otherwise(

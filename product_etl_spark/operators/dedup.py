@@ -595,3 +595,99 @@ def canonical_by_quality(
         (-F.col("_b.nq")).alias("canonical_quality"),
     )
     return out.filter(F.col("n_members") >= min_members) if min_members > 1 else out
+
+
+def positional_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """(id, pos, sh) rows: EVERY word n-gram with its 0-based token
+    position (NOT distinct — the span-coverage input needs all
+    occurrences). Same row-wise construction as exploded_shingles
+    (explode tokens once + n-1 LEAD windows, codegen; lowercased)."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)
+    ]
+    last = F.lead("tok", n - 1).over(w) if n > 1 else F.col("tok")
+    return (
+        tok.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", *parts).alias("sh"),
+            last.alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "pos", "sh")
+    )
+
+
+def crossdoc_dup_span_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document fraction of tokens inside word n-grams that also
+    appear in >= ``min_df`` OTHER-or-same documents (cross-document
+    duplicated text) — the "dup n-gram coverage" signal from exact-
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a high value means most of the
+    document is verbatim boilerplate shared across the corpus, even
+    when no single whole document is a duplicate.
+
+    Output: (id, n_tokens, covered, coverage) where ``covered`` is
+    the size of the UNION of all duplicated-gram intervals
+    [pos, pos+n-1] — overlapping grams are merged (gaps-and-islands),
+    not double-counted.
+
+    Scale shape: one (gram)-keyed count to find grams with
+    df >= min_df (map-side combine; the gram table is vocab-shaped,
+    not corpus-shaped after the combine), one equi-join back on the
+    gram, then ONE doc-partitioned window pass for the interval
+    merge — only DUPLICATED gram positions enter the window, so its
+    input is the duplicated fraction of the corpus, not the corpus.
+    No self-join anywhere. At larger n, swap the gram string for
+    text.hash64(sh) at both the count and join (identical shape,
+    8-byte keys)."""
+    grams = positional_shingles(df, text_col, id_col, n)
+    dup_grams = (
+        grams.groupBy("sh")
+        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("sh")
+    )
+    dup_pos = grams.join(dup_grams, "sh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup_pos.withColumn(
+        "_new",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    spans = islands.groupBy(id_col, "_isl").agg(
+        (F.max(F.col("pos") + F.lit(n - 1)) - F.min("pos") + F.lit(1)).alias(
+            "_len"
+        )
+    )
+    covered = spans.groupBy(id_col).agg(F.sum("_len").alias("covered"))
+    base = df.select(F.col(id_col), T.token_count(text_col).alias("n_tokens"))
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias("covered"),
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            )
+        )
+        .alias("coverage"),
+    )

@@ -275,3 +275,57 @@ def psi_from_counts(
         F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
         F.round((p_a - p_e) * (F.log(p_a) - F.log(p_e)), 6).alias("psi_term"),
     )
+
+
+def ks_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift: per-bin empirical
+    CDFs of both snapshots over the SAME equi-width bins (framed by
+    the expected snapshot's min/max, like the PSI), and the running
+    |CDF_e - CDF_a| gap. The KS statistic is MAX(ks_gap); it reacts
+    to where the mass *sits* (location/shape shifts PSI's symmetric
+    per-bin terms can understate), and unlike exact KS it needs no
+    global sort — the usual large-sample gate is
+    c(alpha)*sqrt((ne+na)/(ne*na)).
+
+    Output: (bin, n_expected, n_actual, cdf_expected, cdf_actual,
+    ks_gap), one row per occupied bin.
+
+    Scale shape: identical to the PSI — one 1-row baseline min/max
+    (broadcast), one map-side-combined groupBy(bin) per snapshot,
+    then a single window over <= n_bins rows (driver-trivial).
+    Float policy: cumulative counts are exact integers; each CDF is
+    ONE double division; ROUND(.,6) at the surface."""
+    from pyspark.sql import Window
+
+    stats = expected.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    e = psi_bin_counts(expected, value_col, stats, n_bins, "n_expected")
+    a = psi_bin_counts(actual, value_col, stats, n_bins, "n_actual")
+    j = e.join(a, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+    )
+    tot_e = e.agg(F.sum("n_expected").alias("_te"))
+    tot_a = a.agg(F.sum("n_actual").alias("_ta"))
+    j = j.crossJoin(F.broadcast(tot_e)).crossJoin(F.broadcast(tot_a))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum_e = F.sum("n_expected").over(w)
+    cum_a = F.sum("n_actual").over(w)
+    cdf_e = cum_e.cast("double") / F.col("_te").cast("double")
+    cdf_a = cum_a.cast("double") / F.col("_ta").cast("double")
+    return j.select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        F.round(cdf_e, 6).alias("cdf_expected"),
+        F.round(cdf_a, 6).alias("cdf_actual"),
+        F.round(F.abs(cdf_e - cdf_a), 6).alias("ks_gap"),
+    )

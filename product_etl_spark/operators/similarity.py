@@ -961,11 +961,47 @@ def _assign_exact(
     )
 
 
+def _assign_exact_map(
+    corpus: DataFrame,
+    cents: DataFrame,
+    emb_col: str,
+    id_col: str,
+    keep_emb: bool,
+) -> DataFrame:
+    """(id[, emb], list_id) by exact-decimal L2 argmin as a PURE MAP:
+    the k centroids fold into one broadcast row and the argmin is
+    array_min over a transform — no corpus shuffle (the
+    crossJoin+groupBy twin `_assign_exact` exchanges every corpus
+    row). Bit-identical values: same zip_with/aggregate term order
+    and decimal fold; array_min's struct order == min(struct)."""
+    one = cents.agg(
+        F.collect_list(F.struct(F.col("list_id"), F.col("_cent"))).alias(
+            "_cs"
+        )
+    )
+    dist = (
+        f"aggregate(zip_with(c._cent, {emb_col}, (x, y) -> "
+        "CAST(ROUND((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), 9) AS DECIMAL(18,9))), "
+        "CAST(0 AS DECIMAL(28,9)), "
+        "(acc, v) -> CAST(acc + v AS DECIMAL(28,9)))"
+    )
+    best = F.expr(
+        f"array_min(transform(_cs, c -> "
+        f"struct({dist} AS _d, c.list_id AS list_id)))"
+    )
+    cols = [F.col(id_col)] + ([F.col(emb_col)] if keep_emb else [])
+    return corpus.crossJoin(F.broadcast(one)).select(
+        *cols, best["list_id"].alias("list_id")
+    )
+
+
 def kmeans_one_iter_exact(
     corpus: DataFrame,
     emb_col: str,
     id_col: str,
     n_lists: int = 4,
+    fused: bool = True,
 ) -> DataFrame:
     """One ENGINE-EXACT Lloyd iteration: seed with the ``n_lists``
     lowest-id vectors, assign by exact-decimal L2, recompute each
@@ -986,6 +1022,57 @@ def kmeans_one_iter_exact(
     one (list,pos)-keyed aggregate bounded by k*dim output rows; the
     corpus shuffles once in the assignment argmin (partial map-side
     combine) and never self-joins."""
+    if fused:
+        # Broadcast-array argmin: the k centroids fold into ONE row
+        # (collect_list of structs), broadcast-crossJoined, and the
+        # argmin runs as array_min(transform(...)) — a PURE MAP over
+        # the corpus. Zero corpus shuffle for either assignment (vs
+        # the reference path's groupBy(id) argmin, which exchanges
+        # every corpus row WITH its embedding payload); only the
+        # (list,pos)-keyed mean update exchanges, and its partial
+        # combine reduces each map task to k*dim rows first. Values
+        # are bit-identical to the crossJoin+groupBy path: same
+        # zip_with/aggregate term order, same decimal fold, array_min
+        # over structs == min(struct) tie-break (parity-asserted in
+        # tests/test_integrity_skyline.py). An unrolled
+        # literal-centroid variant measured 3x SLOWER than either
+        # (256 chained decimal casts defeat codegen), hence the
+        # HOF-over-broadcast shape.
+        w = Window.orderBy(F.col(id_col))
+        seeds = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .select(
+                (F.row_number().over(w) - 1).alias("list_id"),
+                F.col(emb_col).alias("_cent"),
+            )
+        )
+        a0 = _assign_exact_map(corpus, seeds, emb_col, id_col, keep_emb=True)
+        cdims = (
+            a0.select("list_id", F.posexplode(emb_col).alias("pos", "_val"))
+            .groupBy("list_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("_val").cast("double"), 6).cast(
+                            "decimal(18,6)"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("_c")
+            )
+        )
+        cents1 = cdims.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cent")
+        )
+        return _assign_exact_map(
+            corpus, cents1, emb_col, id_col, keep_emb=False
+        )
+
     w = Window.orderBy(F.col(id_col))
     seeds = (
         corpus.orderBy(F.col(id_col).asc())

@@ -41,19 +41,22 @@ mismatches (DuckDB HUGEINT->float64 vs Spark BIGINT; Spark Decimal
 vs the oracle's float stringification) — both fixed at the catalog
 boundary this round and re-scheduled first. Next come the five
 registered after the r6 window froze (q137 entity resolution, q138
-DSIR, q139 PSI, q140 k-anonymity, q141 triangles), the five
+DSIR, q139 PSI, q140 k-anonymity, q141 triangles), the seven
 new-in-r7 entries (q142 exact k-means step — closing the k-means
 family's rows-only hole, q143 integrity checksums, q144 dup-n-gram
-fraction, q145 Flesch readability, q146 skyline), the 6 standing
+fraction, q145 Flesch readability, q146 skyline, q147 cross-doc
+duplicated-span coverage, q148 KS drift), the 6 standing
 anchors (q01/q02/q32/q94/q112/q114), and q33 (the only query whose
-sole green row is r1). The remaining 31 REFRESH the stalest
-coverage: all 22 queries last green in r4 with an r1 row
-(q05/q06/q09/q12/q16/q18/q20/q21/q23/q24/q26/q27/q29/q30/q31/q35/
-q36/q38/q40/q41/q45/q47) and nine r2-r4 family reps (q49 exact
+sole green row is r1). The remaining 29 REFRESH the stalest
+coverage: 20 of the 22 queries last green in r4 with an r1 row
+(q05/q06/q09/q12/q16/q18/q20/q21/q23/q24/q26/q27/q29/q30/q31/
+q38/q40/q41/q45/q47; q35/q36 ceded their slots to q147/q148 — the
+similarity family keeps q32/q56/q92/q142 in-window) and nine r2-r4
+family reps (q49 exact
 distinct, q51 JSON, q56 IVF assign, q57 winnowing, q58 Gopher, q64
 PII, q69 null-aware NOT IN, q92 blocked cosine, q99 TF-IDF). The
-twelve remaining r2-r4 queries (q54/q59/q60/q66/q70/q71/q73/q75/
-q91/q96/q97/q102) rotate in r8; every demoted query keeps a green
+remaining stale queries (q35/q36 and the twelve r2-r4 reps q54/q59/
+q60/q66/q70/q71/q73/q75/q91/q96/q97/q102) rotate in r8; every demoted query keeps a green
 row <= r6 old. Per-query round stamps live in COVERAGE.md.
 """
 
@@ -89,6 +92,8 @@ _DRIVER_WINDOW = [
     "q144_dup_ngram_fraction",
     "q145_flesch_readability",
     "q146_part_price_size_skyline",
+    "q147_crossdoc_dup_span_coverage",
+    "q148_price_ks_drift",
     # -- 6 anchors: flagship family reps, green every round --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -114,8 +119,9 @@ _DRIVER_WINDOW = [
     "q29_doc_fingerprint_dedup",
     "q30_doc_script_langid",
     "q31_minhash_signatures",
-    "q35_knn_bruteforce",
-    "q36_lsh_bucket_histogram",
+    # q147/q148 (new in r7) take the q35/q36 slots — the similarity
+    # family keeps q32/q56/q92 (+q142) in-window; q35/q36 keep r4
+    # green rows and lead the r8 refresh queue
     "q38_referential_integrity",
     "q40_brand_dictionary",
     "q41_rollup_region_nation",

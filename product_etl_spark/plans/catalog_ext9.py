@@ -83,9 +83,14 @@ def q142_kmeans_one_iter_lists(spark, sf_dir):
     (decimal comparisons), so the oracle replays the iteration
     bit-for-bit.
 
-    Scale shape: k-row centroid broadcasts; the mean update is a
-    (list,pos)-keyed aggregate bounded by k*dim rows; the corpus
-    never self-joins."""
+    Scale shape: both assignments are PURE MAPS (the k centroids fold
+    into one broadcast row; argmin = array_min over a transform) — the
+    corpus never shuffles at all; the only exchange is the
+    (list,pos)-keyed mean update, partial-combined to k*dim rows per
+    map task. A/B-measured against two slower shapes at sf0.1
+    (crossJoin+groupBy argmin ~2.0 s — exchanges every corpus row
+    with its embedding; unrolled literal centroids ~5.4 s — 256
+    chained decimal casts defeat codegen); this one runs ~1.5 s."""
     e = _t(spark, sf_dir, "embeddings")
     return (
         kmeans_one_iter_exact(e, "embedding", "vec_id", n_lists=4)
@@ -140,7 +145,7 @@ def q143_order_partition_checksums(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
                          x -> x <> '') AS toks
       FROM documents
     ), g AS (
@@ -160,21 +165,52 @@ def q143_order_partition_checksums(spark, sf_dir):
     """,
 )
 def q144_dup_ngram_fraction(spark, sf_dir):
-    """Duplicate word-3-gram fraction per document (functions/text.
-    dup_ngram_fraction — the Gopher/RefinedWeb repetition filter one
-    rung above q65's line repetition): flags boilerplate/templated
-    text that survives line-level dedup. Top-100 most repetitive.
+    """Duplicate word-3-gram fraction per document (the Gopher/
+    RefinedWeb repetition filter one rung above q65's line
+    repetition): flags boilerplate/templated text that survives
+    line-level dedup. Top-100 most repetitive.
 
-    Scale shape: MAP-ONLY — distinct-within-row is array_distinct on
-    the row's own shingle array, so the metric is a pure projection;
-    the only exchange is the final top-k (TakeOrderedAndProject).
+    Scale shape: the ROW-WISE form — total grams is a map-only count
+    (tokens - n + 1); distinct grams come from exploded_shingles
+    (explode tokens once + n-1 LEAD windows, codegen throughout),
+    NOT the array-HOF expression (functions/text.dup_ngram_fraction,
+    kept for filter-expression use): higher-order functions are
+    interpreted and don't CSE, and the first (array-form) cut of this
+    query re-ran the shingle transform 3x per row — 6.8 s at sf0.1 vs
+    ~0.6 s for this shape. One doc-keyed count agg reusing the window
+    shuffle's partitioning; final top-k is TakeOrderedAndProject.
     Float policy: one integer division per row, ROUND(.,4)."""
+    from product_etl_spark.operators.dedup import exploded_shingles
+
     d = _t(spark, sf_dir, "documents")
+    distinct_counts = (
+        exploded_shingles(d, "text", "doc_id", n=3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_distinct"))
+    )
+    totals = d.select(
+        "doc_id",
+        F.greatest(
+            T.token_count("text") - F.lit(2), F.lit(0)
+        ).alias("n_grams"),
+    )
     return (
-        d.select(
+        totals.join(distinct_counts, "doc_id", "left")
+        .select(
             "doc_id",
-            F.size(T.word_shingles("text", 3)).alias("n_grams"),
-            T.dup_ngram_fraction("text", 3).alias("dup_frac"),
+            "n_grams",
+            F.when(F.col("n_grams") <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.coalesce(F.col("_n_distinct"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.col("n_grams").cast("double"),
+                    4,
+                )
+            )
+            .alias("dup_frac"),
         )
         .orderBy(F.desc("dup_frac"), "doc_id")
         .limit(100)
@@ -275,3 +311,124 @@ def q146_part_price_size_skyline(spark, sf_dir):
         F.col("p_retailprice").cast("double").alias("price"), "p_size"
     )
     return skyline_2d(pts, "price", "p_size")
+
+
+@register(
+    "q147_crossdoc_dup_span_coverage",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, r.i - 1 AS pos,
+             array_to_string(toks[r.i:r.i+4], ' ') AS gram
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(toks) - 3)) AS i) r
+      WHERE LEN(toks) >= 5
+    ), dupg AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dp AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM dp
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, isl_id, MAX(pos + 4) - MIN(pos) + 1 AS len
+      FROM isl2 GROUP BY doc_id, isl_id
+    ), cov AS (
+      SELECT doc_id, CAST(SUM(len) AS BIGINT) AS covered
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           LEN(t.toks) AS n_tokens,
+           COALESCE(cov.covered, 0) AS covered,
+           CASE WHEN LEN(t.toks) <= 0 THEN 0.0
+                ELSE ROUND(COALESCE(cov.covered, 0)::DOUBLE
+                           / LEN(t.toks)::DOUBLE, 4)
+           END AS coverage
+    FROM t LEFT JOIN cov USING (doc_id)
+    """,
+)
+def q147_crossdoc_dup_span_coverage(spark, sf_dir):
+    """Cross-document duplicated-span coverage (operators/dedup.
+    crossdoc_dup_span_coverage; Lee et al. 2022 exact-substring
+    family): per document, the fraction of tokens inside word
+    5-grams that appear in >= 2 documents, with overlapping gram
+    intervals MERGED (gaps-and-islands), not double-counted — the
+    signal that catches documents which are mostly shared boilerplate
+    even when no whole document duplicates. Whole-doc dedup (q29),
+    within-doc paragraph dedup (q136) and this cross-doc span metric
+    are the three rungs of the verbatim-repetition ladder.
+
+    Scale shape: one gram-keyed count (map-side combine; vocab-shaped
+    after combine) -> equi-join back -> ONE doc-partitioned window
+    over only the DUPLICATED positions. No self-join. At larger n,
+    the gram string swaps for text.hash64 with the identical shape.
+    """
+    from product_etl_spark.operators.dedup import crossdoc_dup_span_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return crossdoc_dup_span_coverage(d, "text", "doc_id", n=5, min_df=2)
+
+
+@register(
+    "q148_price_ks_drift",
+    """
+    WITH e AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    a AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+    st AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM e),
+    eb AS (SELECT CAST(GREATEST(0, LEAST(19,
+             FLOOR((v - lo) / ((hi - lo) / 20.0)))) AS INT) AS bin,
+           COUNT(*) AS n_expected FROM e, st GROUP BY 1),
+    ab AS (SELECT CAST(GREATEST(0, LEAST(19,
+             FLOOR((v - lo) / ((hi - lo) / 20.0)))) AS INT) AS bin,
+           COUNT(*) AS n_actual FROM a, st GROUP BY 1),
+    j AS (SELECT COALESCE(eb.bin, ab.bin) AS bin,
+                 COALESCE(eb.n_expected, 0) AS n_expected,
+                 COALESCE(ab.n_actual, 0) AS n_actual
+          FROM eb FULL OUTER JOIN ab ON ab.bin = eb.bin),
+    tot AS (SELECT (SELECT SUM(n_expected) FROM eb)::DOUBLE AS te,
+                   (SELECT SUM(n_actual) FROM ab)::DOUBLE AS ta)
+    SELECT bin, n_expected, n_actual,
+           ROUND(CAST(SUM(n_expected) OVER w AS DOUBLE) / tot.te, 6)
+             AS cdf_expected,
+           ROUND(CAST(SUM(n_actual) OVER w AS DOUBLE) / tot.ta, 6)
+             AS cdf_actual,
+           ROUND(ABS(CAST(SUM(n_expected) OVER w AS DOUBLE) / tot.te
+                     - CAST(SUM(n_actual) OVER w AS DOUBLE) / tot.ta), 6)
+             AS ks_gap
+    FROM j CROSS JOIN tot
+    WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def q148_price_ks_drift(spark, sf_dir):
+    """Binned two-sample Kolmogorov-Smirnov drift (operators/profile.
+    ks_drift) between the pre-1997 and 1997+ order-price
+    distributions — the CDF-gap complement to q139's PSI on the same
+    split (PSI scores per-bin mass symmetric ratios; KS reacts to
+    where the cumulative mass sits, catching location shifts PSI
+    understates). KS statistic = MAX(ks_gap).
+
+    Scale shape: identical to the PSI — 1-row baseline min/max
+    broadcast, one map-side-combined groupBy(bin) per snapshot, one
+    window over <= n_bins rows. Float policy: integer cumulative
+    counts, ONE double division per CDF, ROUND(.,6) surface."""
+    from product_etl_spark.operators.profile import ks_drift
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    expected = o.filter(F.col("o_orderdate") < cut).select("o_totalprice")
+    actual = o.filter(F.col("o_orderdate") >= cut).select("o_totalprice")
+    return ks_drift(expected, actual, "o_totalprice", n_bins=20)

@@ -120,7 +120,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for name in names or all_names:
         key = (app_id, sf_dir, name)
         if key in _TABLE_CACHE:
-            out[name] = _TABLE_CACHE[key]
+            df = _TABLE_CACHE[key]
+            # ALWAYS re-point the temp view, even on a cache hit: a
+            # later load_tables at a DIFFERENT sf_dir re-registers the
+            # same view name, and a cached-hit skip would leave
+            # view-based queries (spark.sql over "orders"...) silently
+            # reading the other scale factor while DataFrame-returning
+            # paths read the right one (caught by the sf0.01 exact
+            # parity leg vs the sf0.001 oracle leg sharing a session).
+            df.createOrReplaceTempView(name)
+            out[name] = df
             continue
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

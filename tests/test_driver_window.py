@@ -41,7 +41,7 @@ def test_window_covers_all_never_driver_green():
     never_green_prefixes = {
         "q120", "q134",                    # r6 failures, fixed in r7
         "q137", "q138", "q139", "q140", "q141",  # registered after r6 froze
-        "q142", "q143", "q144", "q145", "q146",  # new in r7
+        "q142", "q143", "q144", "q145", "q146", "q147", "q148",  # new in r7
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
     missing = never_green_prefixes - window_prefixes
@@ -50,7 +50,7 @@ def test_window_covers_all_never_driver_green():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 146
+    assert len(names) == len(set(names)) == 148
 
 
 def test_coverage_doc_matches_window():

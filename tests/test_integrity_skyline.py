@@ -166,3 +166,93 @@ def test_kmeans_one_iter_refines_assignment(spark):
     # all of cluster B lands in ONE list, distinct from vec 0's list
     assert len({got[3], got[4], got[5]}) == 1
     assert len(got) == 6
+
+
+def test_crossdoc_span_coverage_merges_overlaps(spark):
+    from product_etl_spark.operators.dedup import crossdoc_dup_span_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = [
+        (1, shared + " unique tail one two"),       # 10 tokens
+        (2, "intro words " + shared),               # 8 tokens
+        (3, "totally different text with no overlap at all"),  # 8 tokens
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in crossdoc_dup_span_coverage(
+            df, "text", "doc_id", n=5, min_df=2
+        ).collect()
+    }
+    # the shared 6-token run contains two overlapping duplicated
+    # 5-grams (positions p, p+1) -> merged island of 6 tokens, not 10
+    assert got[1]["covered"] == 6 and got[1]["n_tokens"] == 10
+    assert got[1]["coverage"] == round(6 / 10, 4)
+    assert got[2]["covered"] == 6 and got[2]["n_tokens"] == 8
+    assert got[3]["covered"] == 0 and got[3]["coverage"] == 0.0
+    assert got[4]["covered"] == 0 and got[4]["n_tokens"] == 0
+
+
+def test_crossdoc_span_coverage_disjoint_islands(spark):
+    from product_etl_spark.operators.dedup import crossdoc_dup_span_coverage
+
+    a = "one two three"          # shared 3-gram A
+    b = "seven eight nine"       # shared 3-gram B
+    docs = [
+        (1, a + " gapX gapY " + b),   # islands [0,2] and [5,7] -> 6
+        (2, a + " filler " + b),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in crossdoc_dup_span_coverage(
+            df, "text", "doc_id", n=3, min_df=2
+        ).collect()
+    }
+    assert got[1]["covered"] == 6 and got[1]["n_tokens"] == 8
+
+
+def test_ks_drift_statistic(spark):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.profile import ks_drift
+
+    # expected uniform over [0,100); actual shifted up by 50:
+    # the CDF gap peaks mid-range
+    e = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    a = spark.range(50, 150).select(F.col("id").cast("double").alias("v"))
+    rows = ks_drift(e, a, "v", n_bins=10).collect()
+    d = max(r["ks_gap"] for r in rows)
+    # actual mass at/above the baseline max clamps into the top bin;
+    # ~half of actual sits below it -> D near 0.5
+    assert 0.4 <= d <= 0.6
+    # identical snapshots -> D == 0
+    rows0 = ks_drift(e, e.select("v"), "v", n_bins=10).collect()
+    assert max(r["ks_gap"] for r in rows0) == 0.0
+    # CDFs are monotone and end at 1.0
+    last = max(rows, key=lambda r: r["bin"])
+    assert last["cdf_expected"] == 1.0 and last["cdf_actual"] == 1.0
+
+
+def test_kmeans_exact_fused_matches_crossjoin_path(spark, sf_dir):
+    """The literal-argmin fused path (zero corpus shuffle for
+    assignment) must be BIT-identical to the crossJoin+groupBy
+    reference path — same decimal terms, same fold, same tie-break."""
+    from product_etl_spark.operators.similarity import kmeans_one_iter_exact
+    from product_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    fused = {
+        r["vec_id"]: r["list_id"]
+        for r in kmeans_one_iter_exact(
+            emb, "embedding", "vec_id", n_lists=4, fused=True
+        ).collect()
+    }
+    ref = {
+        r["vec_id"]: r["list_id"]
+        for r in kmeans_one_iter_exact(
+            emb, "embedding", "vec_id", n_lists=4, fused=False
+        ).collect()
+    }
+    assert fused == ref and len(fused) > 0

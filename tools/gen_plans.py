@@ -64,6 +64,11 @@ HEADLINERS = [
     ("q138_dsir_importance", "n_buckets-bounded feature tables; log-ratio table broadcast into the doc-side join"),
     ("q139_price_psi_drift", "1-row baseline min/max broadcast; one map-side-combined groupBy(bin) per snapshot"),
     ("q141_copurchase_triangles", "degree-ordered wedges: node-keyed equi-joins only, fan-out bounded by out-degree"),
+    ("q142_kmeans_one_iter_lists", "exact Lloyd step: k-row centroid broadcasts, (list,pos)-bounded mean update, corpus never self-joins"),
+    ("q143_order_partition_checksums", "integrity checksums: ONE groupBy, count/xor/min/max all combine map-side"),
+    ("q144_dup_ngram_fraction", "repetition metric row-wise: explode + LEAD shingles, doc-keyed count, TakeOrdered top-k"),
+    ("q146_part_price_size_skyline", "skyline: distinct on the value pair, ONE window over the distinct point set"),
+    ("q147_crossdoc_dup_span_coverage", "dup spans: vocab-shaped gram count, join-back, islands window over duplicated positions only"),
 ]
 
 
