@@ -300,14 +300,22 @@ def ks_drift(
     then a single window over <= n_bins rows (driver-trivial).
     Float policy: cumulative counts are exact integers; each CDF is
     ONE double division; ROUND(.,6) at the surface."""
-    from pyspark.sql import Window
-
     stats = expected.agg(
         F.min(F.col(value_col).cast("double")).alias("_lo"),
         F.max(F.col(value_col).cast("double")).alias("_hi"),
     )
     e = psi_bin_counts(expected, value_col, stats, n_bins, "n_expected")
     a = psi_bin_counts(actual, value_col, stats, n_bins, "n_actual")
+    return ks_from_counts(e, a)
+
+
+def ks_from_counts(e: DataFrame, a: DataFrame) -> DataFrame:
+    """KS report from two (bin, count) frames — shared by the batch
+    operator (q148) and the STREAMING drift monitor (the same frozen
+    baseline + folded micro-batch partials that feed read_psi_drift
+    serve KS with no new streaming state)."""
+    from pyspark.sql import Window
+
     j = e.join(a, "bin", "full_outer").select(
         "bin",
         F.coalesce("n_expected", F.lit(0)).alias("n_expected"),

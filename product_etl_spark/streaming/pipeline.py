@@ -832,3 +832,24 @@ def read_psi_drift(
         .agg(F.sum("n_actual").alias("n_actual"))
     )
     return psi_from_counts(e, a, n_bins)
+
+
+def read_ks_drift(
+    spark: SparkSession, state_dir: str, baseline_path: str
+) -> DataFrame:
+    """KS drift report from the SAME monitor state as read_psi_drift:
+    the frozen baseline counts vs the folded micro-batch partials,
+    scored as per-bin CDF gaps (profile.ks_from_counts — the q148
+    semantics). KS statistic = MAX(ks_gap). Zero extra streaming
+    state: one stream_psi_monitor feeds BOTH drift gates — PSI for
+    per-bin mass ratios, KS for cumulative location shifts."""
+    from product_etl_spark.operators.profile import ks_from_counts
+
+    base = spark.read.parquet(baseline_path)
+    e = base.select("bin", "n_expected")
+    a = (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("n_actual").alias("n_actual"))
+    )
+    return ks_from_counts(e, a)

@@ -76,3 +76,37 @@ def test_stream_psi_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
     # same distribution as baseline -> no drift
     assert abs(sum(r["psi_term"] for r in second)) < 1e-6
+
+
+def test_stream_ks_matches_batch_operator(spark, tmp_path):
+    """The SAME monitor state that feeds read_psi_drift serves KS:
+    gaps must equal the batch ks_drift on the identical split."""
+    from product_etl_spark.operators.profile import ks_drift
+    from product_etl_spark.streaming.pipeline import read_ks_drift
+
+    base_vals = [float(i % 100) for i in range(1000)]
+    cur_vals = [float(i % 50 + 50) for i in range(600)]
+    expected = spark.createDataFrame([(v,) for v in base_vals], "v double")
+    actual = spark.createDataFrame([(v,) for v in cur_vals], "v double")
+    batch = {
+        r["bin"]: (r["cdf_expected"], r["cdf_actual"], r["ks_gap"])
+        for r in ks_drift(expected, actual, "v", 10).collect()
+    }
+
+    bp = str(tmp_path / "baseline")
+    prepare_psi_baseline(expected, "v", 10, bp)
+    src = str(tmp_path / "in")
+    _write_vals(spark, src, cur_vals[:250])
+    stream = spark.readStream.schema("v double").parquet(src)
+    st, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    stream_psi_monitor(stream, "v", bp, st, ck)
+    _write_vals(spark, src, cur_vals[250:])
+    stream2 = spark.readStream.schema("v double").parquet(src)
+    stream_psi_monitor(stream2, "v", bp, st, ck)
+
+    streamed = {
+        r["bin"]: (r["cdf_expected"], r["cdf_actual"], r["ks_gap"])
+        for r in read_ks_drift(spark, st, bp).collect()
+    }
+    assert streamed == batch
+    assert max(g for _, _, g in streamed.values()) > 0.4  # planted shift
