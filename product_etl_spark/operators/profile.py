@@ -337,3 +337,97 @@ def ks_from_counts(e: DataFrame, a: DataFrame) -> DataFrame:
         F.round(cdf_a, 6).alias("cdf_actual"),
         F.round(F.abs(cdf_e - cdf_a), 6).alias("ks_gap"),
     )
+
+
+def fd_violations(
+    df: DataFrame, determinant: list[str], dependent: list[str]
+) -> DataFrame:
+    """Functional-dependency audit: every determinant value mapping to
+    MORE than one distinct dependent combination violates the rule
+    "determinant -> dependent" (the relational data-quality analogue
+    of schema constraints the writer can't enforce). Output:
+    determinant cols + (n_rows, n_values) for violating groups only.
+
+    Scale shape: ONE groupBy over the determinant (count partial
+    map-side; the distinct-count expands to Spark's standard two-phase
+    distinct aggregate); the report is bounded by the violating-key
+    space."""
+    return (
+        df.groupBy(*determinant)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*dependent).alias("n_values"),
+        )
+        .filter(F.col("n_values") > 1)
+    )
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic bulk-amount anomaly screen (fabricated or truncated
+    numeric feeds drift from log10(1+1/d)). Output per digit 1-9:
+    (digit, n, obs_frac, benford_frac, abs_dev).
+
+    Float policy: obs_frac is ONE double division (count/total);
+    benford_frac is 1.0/d -> +1 -> log10, a fixed IEEE+libm chain
+    (the q138 LN precedent); ROUND(.,6) at the surface.
+
+    Scale shape: one groupBy over 9 digit values (map-side combine),
+    total broadcast as a 1-row frame."""
+    digit = F.regexp_extract(
+        F.col(value_col).cast("string"), "[1-9]", 0
+    )
+    counts = (
+        df.select(digit.alias("_d"))
+        .filter(F.col("_d") != "")
+        .select(F.col("_d").cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    obs = F.col("n").cast("double") / F.col("_t").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_frac"),
+        F.round(benford, 6).alias("benford_frac"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+    )
+
+
+def group_entropy(
+    df: DataFrame, key_cols: list[str], cat_col: str
+) -> DataFrame:
+    """Shannon entropy of the ``cat_col`` distribution per key (nats):
+    H = -sum_c p_c ln p_c — the behavioral-diversity feature (a user
+    with one event type scores 0; uniform over k types scores ln k)
+    and the class-balance audit for training mixes. Output: key cols +
+    (n_events, entropy).
+
+    Float policy: each term p*ln(p) is a fixed IEEE+libm chain from
+    integer counts, rounded 1e-9 and summed as DECIMAL
+    (order-insensitive — the reorderable-sum rule; category order
+    across engines is otherwise arbitrary), negated, ROUND(.,4) at
+    the surface.
+
+    Scale shape: one (key, cat) groupBy, one key groupBy — both
+    map-side combined; no window, no join (the per-key total rides
+    along as a window-free sum over the category counts)."""
+    from pyspark.sql import Window
+
+    kc = (
+        df.groupBy(*key_cols, cat_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy(*key_cols)
+    p = F.col("_n").cast("double") / F.col("_tot").cast("double")
+    term = F.round(p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        kc.withColumn("_tot", F.sum("_n").over(w))
+        .groupBy(*key_cols)
+        .agg(
+            F.max("_tot").alias("n_events"),
+            F.round(-F.sum(term).cast("double"), 4).alias("entropy"),
+        )
+    )

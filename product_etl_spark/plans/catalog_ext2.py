@@ -660,10 +660,13 @@ def q92_cosine_near_dup_pairs(spark, sf_dir):
 def q93_kmeans_ivf_lists(spark, sf_dir):
     """Distributed Lloyd's k-means (3 iterations, deterministic
     lowest-id seeds) + IVF list assignment, surfaced as per-list
-    population counts. No SQL oracle: the iterative refinement isn't
-    expressible as one ANSI query (the driver records a rows-only
-    check); accuracy is pytest-verified on planted clusters
-    (tests/test_similarity.py)."""
+    population counts. No SQL oracle: the float-valued multi-iteration
+    refinement isn't expressible as one ANSI query (the driver records
+    a rows-only check); accuracy is pytest-verified on planted
+    clusters (tests/test_similarity.py), and the update RULE itself is
+    driver-checked bit-for-bit by the engine-exact single-iteration
+    twin q142 (similarity.kmeans_one_iter_exact) — the k-means family
+    is no longer oracle-blind."""
     e = _t(spark, sf_dir, "embeddings")
     cents = SIM.ivf_centroids_kmeans(
         e, "embedding", "vec_id", n_lists=4, n_iters=3

@@ -432,3 +432,105 @@ def q148_price_ks_drift(spark, sf_dir):
     expected = o.filter(F.col("o_orderdate") < cut).select("o_totalprice")
     actual = o.filter(F.col("o_orderdate") >= cut).select("o_totalprice")
     return ks_drift(expected, actual, "o_totalprice", n_bins=20)
+
+
+@register(
+    "q149_fd_violations",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_mktsegment) AS n_values
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(DISTINCT c_mktsegment) > 1
+    """,
+)
+def q149_fd_violations(spark, sf_dir):
+    """Functional-dependency audit (operators/profile.fd_violations):
+    nations whose customers span more than one market segment violate
+    the (hypothetical) rule nation -> segment — the relational
+    data-quality rule-mining primitive next to q39's completeness
+    report and q140's k-anonymity gate. Exact integer counts, no
+    float surface.
+
+    Scale shape: ONE determinant-keyed groupBy (two-phase distinct
+    aggregate); output bounded by the violating-key space."""
+    from product_etl_spark.operators.profile import fd_violations
+
+    cu = _t(spark, sf_dir, "customer")
+    return fd_violations(cu, ["c_nationkey"], ["c_mktsegment"])
+
+
+@register(
+    "q150_benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                  AS INT) AS digit
+      FROM orders
+      WHERE regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') <> ''
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n)::DOUBLE AS tot FROM c)
+    SELECT digit, n,
+           ROUND(n::DOUBLE / tot, 6) AS obs_frac,
+           ROUND(LOG10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford_frac,
+           ROUND(ABS(n::DOUBLE / tot
+                     - LOG10(1.0 + 1.0 / digit::DOUBLE)), 6) AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def q150_benford_first_digit(spark, sf_dir):
+    """Benford first-digit audit (operators/profile.
+    benford_first_digit) over order totals: observed first-significant
+    -digit fractions vs log10(1+1/d) — the bulk-amount anomaly screen
+    for fabricated/truncated numeric feeds (synthetic uniform prices
+    deviate loudly, which is itself the finding on this testdata).
+
+    Float policy: one double division per digit + a fixed libm log10
+    chain (q138's LN precedent), ROUND(.,6). Scale shape: one
+    9-value groupBy (map-side combine), 1-row total broadcast."""
+    from product_etl_spark.operators.profile import benford_first_digit
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_first_digit(o, "o_totalprice")
+
+
+@register(
+    "q151_user_event_entropy",
+    """
+    WITH kc AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), tot AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events FROM kc
+      GROUP BY user_id
+    ), terms AS (
+      SELECT kc.user_id,
+             CAST(ROUND((kc.n::DOUBLE / tot.n_events::DOUBLE)
+                  * LN(kc.n::DOUBLE / tot.n_events::DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS term
+      FROM kc JOIN tot USING (user_id)
+    )
+    SELECT t.user_id, tot.n_events,
+           ROUND(-CAST(SUM(t.term) AS DOUBLE), 4) AS entropy
+    FROM terms t JOIN tot USING (user_id)
+    GROUP BY t.user_id, tot.n_events
+    """,
+)
+def q151_user_event_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mix (operators/
+    profile.group_entropy): the behavioral-diversity feature (single-
+    type users score 0, uniform over k types ln k) and the
+    class-balance audit shape for training-mix curation. Each p*ln(p)
+    term is a fixed IEEE+libm chain rounded 1e-9 and summed as
+    DECIMAL (the reorderable-sum rule — category order is engine-
+    arbitrary), negated, ROUND(.,4).
+
+    Scale shape: one (user,type) groupBy + one user groupBy, both
+    map-side combined; the per-user total is a user-partitioned
+    window over the TYPE-level counts (bounded by the type space per
+    user), not a join."""
+    from product_etl_spark.operators.profile import group_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return group_entropy(ev, ["user_id"], "event_type")

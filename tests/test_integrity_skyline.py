@@ -283,3 +283,52 @@ def test_merge_group_checksums_equals_whole(spark):
     assert set(folded) == set(whole)
     for g in whole:
         assert tuple(folded[g]) == tuple(whole[g])
+
+
+def test_fd_violations_finds_only_violators(spark):
+    from product_etl_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame(
+        [("B1", "M1"), ("B1", "M1"), ("B2", "M1"), ("B2", "M2")],
+        "brand string, mfgr string",
+    )
+    got = fd_violations(df, ["brand"], ["mfgr"]).collect()
+    assert len(got) == 1
+    assert got[0]["brand"] == "B2" and got[0]["n_values"] == 2
+
+
+def test_benford_uniform_digits_deviate(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.profile import benford_first_digit
+
+    # 1000..9999 uniform: every first digit equally likely (1/9),
+    # far from Benford's 0.301 for digit 1
+    df = spark.range(1000, 10000).select(F.col("id").cast("double").alias("v"))
+    rows = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert abs(rows[1]["obs_frac"] - 1 / 9) < 1e-6
+    assert abs(rows[1]["benford_frac"] - math.log10(2)) < 1e-6
+    assert rows[1]["abs_dev"] > 0.18
+
+
+def test_group_entropy_known_values(spark):
+    import math
+
+    from product_etl_spark.operators.profile import group_entropy
+
+    rows = (
+        [("u1", "a")] * 4                       # single type -> 0
+        + [("u2", "a"), ("u2", "b")] * 3        # uniform 2 -> ln 2
+        + [("u3", "a")] * 3 + [("u3", "b")]     # skewed 3:1
+    )
+    df = spark.createDataFrame(rows, "user string, t string")
+    got = {
+        r["user"]: r for r in group_entropy(df, ["user"], "t").collect()
+    }
+    assert got["u1"]["entropy"] == 0.0 and got["u1"]["n_events"] == 4
+    assert abs(got["u2"]["entropy"] - math.log(2)) < 1e-3
+    skew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(got["u3"]["entropy"] - skew) < 1e-3
