@@ -411,9 +411,11 @@ def group_entropy(
     across engines is otherwise arbitrary), negated, ROUND(.,4) at
     the surface.
 
-    Scale shape: one (key, cat) groupBy, one key groupBy — both
-    map-side combined; no window, no join (the per-key total rides
-    along as a window-free sum over the category counts)."""
+    Scale shape: one (key, cat) groupBy (map-side combined), then a
+    KEY-partitioned window to ride the per-key total alongside the
+    category counts, then one key groupBy. The window's exchange and
+    frame run over the already-reduced (key, cat) COUNT table — rows
+    bounded by keys x categories, never the raw corpus. No join."""
     from pyspark.sql import Window
 
     kc = (

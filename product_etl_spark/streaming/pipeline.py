@@ -853,3 +853,37 @@ def read_ks_drift(
         .agg(F.sum("n_actual").alias("n_actual"))
     )
     return ks_from_counts(e, a)
+
+
+def stream_checksum_monitor(
+    values: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    state_dir: str,
+    checkpoint: str,
+):
+    """Streaming integrity monitor: each micro-batch's group checksums
+    (operators/integrity.group_checksums) land as an immutable
+    ``state_dir/batch=<id>`` partial — the replay-safe
+    _fold_to_batch_dirs contract, so restarts never double-count.
+    Because count/xor/min/max partials MERGE exactly
+    (merge_group_checksums), ``read_table_checksums`` reconstructs
+    the checksums of EVERYTHING ingested so far from kilobytes of
+    state — a continuously-validated table with no history rescan,
+    comparable against any other engine's half (q143's contract)."""
+    from product_etl_spark.operators.integrity import group_checksums
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return group_checksums(batch_df, group_cols, value_cols)
+
+    return _fold_to_batch_dirs(values, state_dir, checkpoint, partial)
+
+
+def read_table_checksums(
+    spark: SparkSession, state_dir: str, group_cols: list[str]
+) -> DataFrame:
+    """Current whole-history checksums from the monitor state —
+    bit-equal to group_checksums over every row ever ingested."""
+    from product_etl_spark.operators.integrity import merge_group_checksums
+
+    return merge_group_checksums(spark.read.parquet(state_dir), group_cols)

@@ -332,3 +332,38 @@ def test_group_entropy_known_values(spark):
     assert abs(got["u2"]["entropy"] - math.log(2)) < 1e-3
     skew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert abs(got["u3"]["entropy"] - skew) < 1e-3
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r7_plan_shapes(spark, sf_dir):
+    """Executed-plan assertions for the r7 entries (the PLANS.md
+    claims, enforced): q144 top-k is TakeOrderedAndProject (no global
+    sort); q146's one window runs over the DISTINCT point set (an
+    aggregate sits below it); q142's assignments are maps — no
+    corpus-keyed Exchange (the only hash exchanges key on the
+    k*dim-bounded (list_id, pos) mean update and the k-row result);
+    q143 is a single two-phase aggregate (exactly one hash
+    exchange)."""
+    from product_etl_spark.plans.catalog import CATALOG
+
+    p144 = _plan(CATALOG["q144_dup_ngram_fraction"]["fn"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p144
+    assert "Sort [dup_frac" not in p144  # no global sort
+
+    p146 = _plan(
+        CATALOG["q146_part_price_size_skyline"]["fn"](spark, sf_dir)
+    )
+    assert p146.count("Window") == 1
+    assert "HashAggregate" in p146  # the distinct below the window
+
+    p142 = _plan(CATALOG["q142_kmeans_one_iter_lists"]["fn"](spark, sf_dir))
+    # no exchange keyed on the corpus id: assignment is a pure map
+    assert "hashpartitioning(vec_id" not in p142
+
+    p143 = _plan(
+        CATALOG["q143_order_partition_checksums"]["fn"](spark, sf_dir)
+    )
+    assert p143.count("Exchange hashpartitioning") == 1

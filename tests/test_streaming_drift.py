@@ -110,3 +110,44 @@ def test_stream_ks_matches_batch_operator(spark, tmp_path):
     }
     assert streamed == batch
     assert max(g for _, _, g in streamed.values()) > 0.4  # planted shift
+
+
+def test_stream_checksums_match_batch(spark, tmp_path):
+    """Streamed per-batch checksum partials fold to EXACTLY the batch
+    operator's output over all rows ingested so far."""
+    from product_etl_spark.operators.integrity import group_checksums
+    from product_etl_spark.streaming.pipeline import (
+        read_table_checksums,
+        stream_checksum_monitor,
+    )
+
+    rows = [(i % 3, f"v{i}") for i in range(60)]
+    src = str(tmp_path / "in")
+
+    def write_rows(rs):
+        spark.createDataFrame(rs, "g int, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    st, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    write_rows(rows[:25])
+    stream_checksum_monitor(
+        spark.readStream.schema("g int, v string").parquet(src),
+        ["g"], ["g", "v"], st, ck,
+    )
+    write_rows(rows[25:])
+    stream_checksum_monitor(
+        spark.readStream.schema("g int, v string").parquet(src),
+        ["g"], ["g", "v"], st, ck,
+    )
+    streamed = {
+        r["g"]: tuple(r)
+        for r in read_table_checksums(spark, st, ["g"]).collect()
+    }
+    whole = {
+        r["g"]: tuple(r)
+        for r in group_checksums(
+            spark.createDataFrame(rows, "g int, v string"), ["g"], ["g", "v"]
+        ).collect()
+    }
+    assert streamed == whole
