@@ -433,3 +433,102 @@ def group_entropy(
             F.round(-F.sum(term).cast("double"), 4).alias("entropy"),
         )
     )
+
+
+def group_gini(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Gini coefficient of ``value_col`` per key — the inequality /
+    concentration audit (is one customer 90% of a segment's revenue?
+    is one source 90% of a training mix?). Uses the rank formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) over values
+    sorted ascending, i = 1..n.
+
+    ENGINE-EXACT: x casts to DECIMAL(18,2), both sums accumulate as
+    decimals (order-insensitive), ranks are integers from a total
+    order (value, then arbitrary-but-keyed tiebreak is unnecessary —
+    equal values in either order contribute the same i*x sum only if
+    x_i equal, which they are), and the single division is one double
+    op, ROUND(.,6) at the surface. Non-positive totals return NULL.
+
+    Scale shape: one key-partitioned window (row_number over the
+    values within each key) + one key groupBy — rank assignment
+    reuses the window exchange; no join."""
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("decimal(18,2)")
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_x").asc())
+    ranked = df.select(*key_cols, x.alias("_x")).withColumn(
+        "_i", F.row_number().over(w)
+    )
+    return ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.when(
+            F.sum("_x") > 0,
+            F.round(
+                (
+                    2.0 * F.sum(F.col("_i") * F.col("_x")).cast("double")
+                    - (F.count(F.lit(1)) + 1).cast("double")
+                    * F.sum("_x").cast("double")
+                )
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.sum("_x").cast("double")
+                ),
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: float = 10.0,
+) -> DataFrame:
+    """Robust per-group outliers by Median Absolute Deviation — the
+    heavy-tail-safe complement to q126's z-scores (one extreme value
+    drags a mean + stddev toward itself; the median and MAD barely
+    move). INTEGER-DECIDED medians: the LOWER median (the value at
+    row_number ceil(n/2) in sort order) on both levels, so no
+    interpolation arithmetic can diverge across engines; the outlier
+    predicate |x - med| > k * MAD compares decimals exactly.
+
+    Output: key cols + (value, med, mad) for flagged rows only.
+
+    Scale shape: two key-partitioned window passes (value rank, then
+    deviation rank) + key-keyed joins of 1-row-per-key medians —
+    every frame is per-key; no global sort. At extreme group sizes
+    the exact median swaps for percentile_approx with the same
+    call shape."""
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("decimal(18,2)")
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(col).asc()
+        )
+        n = Window.partitionBy(*key_cols)
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(n))
+            .filter(F.col("_rn") == F.ceil(F.col("_n") / 2))
+            .select(*key_cols, F.col(col).alias(out))
+        )
+
+    vals = df.select(*key_cols, x.alias("_x"))
+    med = lower_median(vals, "_x", "med")
+    dev = vals.join(med, key_cols).withColumn(
+        "_d", F.abs(F.col("_x") - F.col("med"))
+    )
+    mad = lower_median(dev.select(*key_cols, "_d"), "_d", "mad")
+    return (
+        dev.join(mad, key_cols)
+        .filter(F.col("_d") > F.lit(k) * F.col("mad"))
+        .select(
+            *key_cols,
+            F.col("_x").cast("double").alias("value"),
+            F.col("med").cast("double").alias("med"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+    )

@@ -534,3 +534,98 @@ def q151_user_event_entropy(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return group_entropy(ev, ["user_id"], "event_type")
+
+
+@register(
+    "q152_segment_balance_gini",
+    """
+    WITH r AS (
+      SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal) AS i
+      FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CASE WHEN SUM(x) > 0 THEN
+             ROUND((2.0 * CAST(SUM(i * x) AS DOUBLE)
+                    - (COUNT(*) + 1)::DOUBLE * CAST(SUM(x) AS DOUBLE))
+                   / (COUNT(*)::DOUBLE * CAST(SUM(x) AS DOUBLE)), 6)
+           END AS gini
+    FROM r GROUP BY c_mktsegment
+    """,
+)
+def q152_segment_balance_gini(spark, sf_dir):
+    """Gini coefficient of account balances per market segment
+    (operators/profile.group_gini) — the concentration/inequality
+    audit (one whale customer = one hot partition downstream; one
+    dominant source = a skewed training mix). Rank formula
+    G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    values. ENGINE-EXACT: decimal value/rank-product sums (tie order
+    cannot change the sum — equal x contribute equal i*x under any
+    permutation of their ranks), one fixed double chain, ROUND(.,6).
+
+    Scale shape: one key-partitioned window (rank within segment) +
+    one segment groupBy reusing its exchange; no join."""
+    from product_etl_spark.operators.profile import group_gini
+
+    cu = _t(spark, sf_dir, "customer")
+    return group_gini(cu, ["c_mktsegment"], "c_acctbal")
+
+
+@register(
+    "q153_mad_balance_outliers",
+    """
+    WITH v AS (
+      SELECT c_nationkey,
+             CAST(CASE WHEN c_custkey % 100 = 0 THEN c_acctbal * 100
+                       ELSE c_acctbal END AS DECIMAL(18,2)) AS x
+      FROM customer
+    ), m AS (
+      SELECT c_nationkey, x AS med FROM (
+        SELECT c_nationkey, x,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY x)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM v) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    ), d AS (
+      SELECT v.c_nationkey, v.x, m.med, ABS(v.x - m.med) AS dd
+      FROM v JOIN m USING (c_nationkey)
+    ), md AS (
+      SELECT c_nationkey, dd AS mad FROM (
+        SELECT c_nationkey, dd,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY dd)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM d) WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    )
+    SELECT d.c_nationkey, CAST(d.x AS DOUBLE) AS value,
+           CAST(d.med AS DOUBLE) AS med, CAST(md.mad AS DOUBLE) AS mad
+    FROM d JOIN md USING (c_nationkey)
+    WHERE d.dd > 5.0 * md.mad
+    """,
+)
+def q153_mad_balance_outliers(spark, sf_dir):
+    """Robust MAD outliers per nation (operators/profile.mad_outliers)
+    over account balances with deterministically PLANTED corruption
+    (every 100th customer's balance x100 — the q132/q135/q137
+    synthesis pattern): the heavy-tail-safe complement to q126's
+    z-scores, whose mean/stddev the planted whales would drag.
+    INTEGER-DECIDED lower medians (value at rank ceil(n/2)) on both
+    levels — no interpolation arithmetic to diverge across engines;
+    the flag predicate compares exact decimals.
+
+    Scale shape: two key-partitioned window passes + key-keyed joins
+    of 1-row-per-key medians; every frame is per-key, no global
+    sort."""
+    from product_etl_spark.operators.profile import mad_outliers
+
+    cu = _t(spark, sf_dir, "customer")
+    planted = cu.select(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 100 == 0, F.col("c_acctbal") * 100
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return mad_outliers(planted, ["c_nationkey"], "bal", k=5.0)

@@ -367,3 +367,30 @@ def test_r7_plan_shapes(spark, sf_dir):
         CATALOG["q143_order_partition_checksums"]["fn"](spark, sf_dir)
     )
     assert p143.count("Exchange hashpartitioning") == 1
+
+
+def test_group_gini_known_values(spark):
+    from product_etl_spark.operators.profile import group_gini
+
+    rows = (
+        [("eq", 10.0)] * 4                      # perfect equality -> 0
+        + [("sk", 0.0)] * 3 + [("sk", 100.0)]   # one holder has all
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in group_gini(df, ["g"], "v").collect()}
+    assert got["eq"]["gini"] == 0.0
+    # all mass in 1 of 4 -> G = (2*4*100 - 5*100) / (4*100) = 0.75
+    assert got["sk"]["gini"] == 0.75
+
+
+def test_mad_outliers_robust_to_planted_whale(spark):
+    from product_etl_spark.operators.profile import mad_outliers
+
+    vals = [float(v) for v in (10, 11, 12, 13, 14, 15, 16, 17, 18, 10000)]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "g string, v double"
+    )
+    got = mad_outliers(df, ["g"], "v", k=5.0).collect()
+    # median 14 (lower), MAD 2: only the whale exceeds 5*2
+    assert len(got) == 1 and got[0]["value"] == 10000.0
+    assert got[0]["med"] == 14.0 and got[0]["mad"] == 2.0
