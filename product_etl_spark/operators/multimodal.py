@@ -614,3 +614,57 @@ def audio_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    every_n: int = 5,
+    min_shared_frames: int = 2,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+    method: str = "dct",
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs — the third rung of the multimodal
+    dedup triad (image pHash, audio fingerprint, and now video):
+    sample every ``every_n``-th frame (sample_video_frames), hash
+    each sampled frame with the image perceptual hash, pair frames
+    across videos through the SAME banded-Hamming machinery, and
+    call two videos near-duplicates when at least
+    ``min_shared_frames`` of their sampled frames match within
+    ``max_hamming`` bits (re-encoded/rescaled copies match on most
+    frames; videos sharing only a stock intro match on one).
+
+    Output: (vid_a, vid_b, n_frame_matches, min_hamming), vid_a <
+    vid_b.
+
+    Scale shape: frame sampling and hashing are Arrow-batched maps;
+    the cross-video pairing is the image path's multi-index pigeonhole
+    band join over FRAME hashes (never all-pairs, exact for
+    max_hamming <= n_bands-1); the final aggregate is one
+    (vid_a, vid_b) groupBy over frame-match rows. Same-video frame
+    pairs are filtered before the aggregate."""
+    frames = sample_video_frames(media, every_n=every_n)
+    fm = frames.filter(F.col("frame_png").isNotNull()).select(
+        F.concat_ws(
+            "\x1f", "media_id", F.col("frame_idx").cast("string")
+        ).alias("media_id"),
+        F.col("frame_png").alias("content"),
+    )
+    fpairs = image_near_dup_pairs(
+        fm, max_hamming=max_hamming, band_bits=band_bits, method=method
+    )
+    vid_a = F.split(F.col("id_a"), "\x1f").getItem(0)
+    vid_b = F.split(F.col("id_b"), "\x1f").getItem(0)
+    cross = fpairs.select(
+        F.least(vid_a, vid_b).alias("vid_a"),
+        F.greatest(vid_a, vid_b).alias("vid_b"),
+        "hamming",
+    ).filter(F.col("vid_a") != F.col("vid_b"))
+    return (
+        cross.groupBy("vid_a", "vid_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= min_shared_frames)
+    )
