@@ -691,3 +691,107 @@ def crossdoc_dup_span_coverage(
         )
         .alias("coverage"),
     )
+
+
+def set_similarity_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity join (PPJoin-style prefix filtering,
+    Xiao et al. 2008): all pairs whose distinct-token Jaccard >=
+    threshold_num/threshold_den — the deterministic complement to the
+    probabilistic MinHash-LSH path (LSH can miss pairs near the
+    threshold; this cannot, and needs no signature tuning).
+
+    Candidate generation: tokens order globally by (document
+    frequency asc, token) — rare first — and each document exposes
+    only its PREFIX of length |s| - ceil(t*|s|) + 1. Two sets with
+    Jaccard >= t MUST share a prefix token (pigeonhole on the
+    ordered overlap), so joining on prefix tokens is lossless while
+    frequent tokens (the quadratic blowup) mostly fall outside
+    prefixes. Verification computes exact intersection sizes and
+    keeps pairs by the INTEGER cross-multiplied predicate
+    den*inter >= num*union — no float in the decision.
+
+    Output: (id_a, id_b, n_inter, n_union, jaccard ROUND 1e-4).
+
+    Scale shape: df counts are one token-keyed aggregate (map-side
+    combine); prefix positions are per-doc windows over the doc's own
+    tokens; the candidate join keys on prefix tokens whose frequency
+    the prefix rule itself suppresses; verification joins the
+    candidate pairs back to per-doc sorted token arrays (one
+    collect_set per doc) and runs array_intersect per candidate.
+    Never all-pairs: candidates are bounded by prefix-token
+    co-occurrence. Hot stop-token risk is structural: a token can
+    only generate candidates from docs where it lands in the prefix,
+    i.e. docs with almost no rarer tokens."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    sized = toks.join(dfreq, "tok")
+    wpos = Window.partitionBy(id_col).orderBy("_df", "tok")
+    wsz = Window.partitionBy(id_col)
+    ranked = sized.withColumn("_pos", F.row_number().over(wpos)).withColumn(
+        "_sz", F.count(F.lit(1)).over(wsz)
+    )
+    prefix_len = (
+        F.col("_sz")
+        - F.ceil(
+            F.col("_sz") * F.lit(threshold_num) / F.lit(threshold_den)
+        )
+        + 1
+    )
+    prefix = ranked.filter(F.col("_pos") <= prefix_len).select(id_col, "tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("tok")).alias("_set")
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b")
+    )
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size("_set_a") + F.size("_set_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_inter")
+            >= F.lit(threshold_num) * F.col("n_union")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n_union").cast("double"),
+                4,
+            ),
+        )
+    )

@@ -629,3 +629,50 @@ def q153_mad_balance_outliers(spark, sf_dir):
         .alias("bal"),
     )
     return mad_outliers(planted, ["c_nationkey"], "bal", k=5.0)
+
+
+@register(
+    "q154_exact_jaccard_join",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS s
+      FROM documents WHERE doc_id < 300
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_intersect(a.s, b.s)) AS n_inter,
+             LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))
+               AS n_union
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.s, b.s)) > 0
+    )
+    SELECT id_a, id_b, n_inter, n_union,
+           ROUND(n_inter::DOUBLE / n_union::DOUBLE, 4) AS jaccard
+    FROM pairs
+    WHERE 5 * n_inter >= 3 * n_union
+    """,
+)
+def q154_exact_jaccard_join(spark, sf_dir):
+    """EXACT set-similarity self-join at Jaccard >= 3/5 over
+    distinct-token sets (operators/dedup.set_similarity_pairs,
+    PPJoin-style prefix filtering) — the deterministic complement to
+    the MinHash-LSH near-dup path (q31-q33): LSH is probabilistic and
+    can miss threshold-grazing pairs; prefix filtering provably
+    cannot. The oracle BRUTE-FORCES all shared-token pairs (bounded
+    here by the doc_id < 300 block), so result equality is a
+    cross-engine proof that the prefix filter loses no pairs. The
+    keep decision is the integer cross-multiplication
+    5*inter >= 3*union — no float in the predicate.
+
+    Scale shape: token df counts map-side combine; prefix positions
+    are per-doc windows; the candidate join keys on PREFIX tokens
+    only (rare-first global order suppresses stop-token blowup
+    structurally); verification is array_intersect over candidate
+    pairs. Never all-pairs in the Spark plan — the O(n^2) join exists
+    only in the oracle."""
+    from product_etl_spark.operators.dedup import set_similarity_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return set_similarity_pairs(d, "text", "doc_id", 3, 5)

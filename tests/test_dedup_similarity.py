@@ -757,3 +757,26 @@ def test_knn_fast_matches_expression_path(spark, sf_dir):
         S.knn_bruteforce_fast(
             emb, emb.filter(F.lit(False)), "embedding", "vec_id"
         )
+
+
+def test_set_similarity_prefix_filter_lossless_at_boundary(spark):
+    """A pair at EXACTLY the threshold (J = 3/5) whose only shared
+    prefix token is their rarest one must survive; a pair just under
+    must not. (The oracle-equality leg proves this at corpus scale;
+    this pins the boundary arithmetic on a hand-built case.)"""
+    from product_etl_spark.operators.dedup import set_similarity_pairs
+
+    docs = [
+        # J(d1,d2) = 3/5: {a b c x} vs {a b c y z}? inter 3, union 6 -> 0.5 no.
+        # use {a b c} vs {a b c d e}: inter 3, union 5 -> exactly 3/5
+        (1, "a b c"),
+        (2, "a b c d e"),
+        # J = 2/4 = 0.5 < 3/5: excluded
+        (3, "a b p q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"], r["jaccard"])
+        for r in set_similarity_pairs(df, "text", "doc_id", 3, 5).collect()
+    }
+    assert got == {(1, 2): (3, 5, 0.6)}
