@@ -69,6 +69,7 @@ HEADLINERS = [
     ("q144_dup_ngram_fraction", "repetition metric row-wise: explode + LEAD shingles, doc-keyed count, TakeOrdered top-k"),
     ("q146_part_price_size_skyline", "skyline: distinct on the value pair, ONE window over the distinct point set"),
     ("q147_crossdoc_dup_span_coverage", "dup spans: vocab-shaped gram count, join-back, islands window over duplicated positions only"),
+    ("q154_exact_jaccard_join", "exact Jaccard join: candidates keyed on rare-first PREFIX tokens, array_intersect verify, no all-pairs"),
 ]
 
 
