@@ -305,3 +305,137 @@ def compact_bloom_sidecar(spark: SparkSession, store_path: str) -> None:
         return
     merged = bloom.distinct().localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(_bloom_path(store_path))
+
+
+# -------------------------------------------- exact-Jaccard probe store
+
+
+def build_jaccard_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Persistable index frame for the EXACT set-similarity probe:
+    one row per (id, tok, is_prefix) plus the doc's token-set size.
+    Store it partitioned/bucketed by ``tok`` so probe joins avoid
+    shuffling the store. The prefix flag follows the q154 PPJoin
+    rule over THIS corpus's token frequencies (the frozen-baseline
+    convention: probe batches rank their tokens against the STORED
+    frequency order, so a batch cannot silently re-frame prefixes).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    sized = toks.join(dfreq, "tok")
+    wpos = Window.partitionBy("id").orderBy("tok_df", "tok")
+    wsz = Window.partitionBy("id")
+    return (
+        sized.withColumn("_pos", F.row_number().over(wpos))
+        .withColumn("set_size", F.count(F.lit(1)).over(wsz))
+        .select(
+            "id",
+            "tok",
+            "tok_df",
+            "set_size",
+            (
+                F.col("_pos")
+                <= F.col("set_size")
+                - F.ceil(
+                    F.col("set_size")
+                    * F.lit(threshold_num)
+                    / F.lit(threshold_den)
+                )
+                + 1
+            ).alias("is_prefix"),
+        )
+    )
+
+
+def probe_jaccard_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """New-batch-vs-store exact set-similarity matches WITHOUT
+    rescanning accepted text: (batch_id, store_id, n_inter, n_union,
+    jaccard) for every pair at Jaccard >= num/den.
+
+    Prefix contract across the store boundary: a qualifying pair must
+    share a token that is in the prefix of AT LEAST ONE side (the
+    standard probe relaxation — lossless because the shared ordered
+    overlap reaches into the shorter prefix). Batch tokens rank
+    against the STORE's frequency order (unseen tokens rank rarest),
+    so the candidate key space is the store's own.
+
+    Scale shape: candidates join on tok where store-prefix OR
+    batch-prefix; intersection counts come from the SAME token-row
+    join aggregated per pair (no array materialization of store
+    docs); union from the stored set sizes. History is never read —
+    only the index."""
+    from pyspark.sql import Window
+
+    btoks = batch.select(
+        F.col(id_col).alias("bid"),
+        F.explode(
+            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+    store_freq = index.select("tok", "tok_df").distinct()
+    ranked = btoks.join(store_freq, "tok", "left").withColumn(
+        "_df", F.coalesce("tok_df", F.lit(0))
+    )
+    wpos = Window.partitionBy("bid").orderBy("_df", "tok")
+    wsz = Window.partitionBy("bid")
+    branked = ranked.withColumn("_pos", F.row_number().over(wpos)).withColumn(
+        "bsize", F.count(F.lit(1)).over(wsz)
+    )
+    bpref = branked.withColumn(
+        "b_prefix",
+        F.col("_pos")
+        <= F.col("bsize")
+        - F.ceil(
+            F.col("bsize") * F.lit(threshold_num) / F.lit(threshold_den)
+        )
+        + 1,
+    ).select("bid", "tok", "bsize", "b_prefix")
+    joined = bpref.join(index, "tok").select(
+        "bid", "bsize", F.col("id").alias("sid"), "set_size",
+        "b_prefix", "is_prefix",
+    )
+    pair_stats = joined.groupBy("bid", "sid").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.max("bsize").alias("_bs"),
+        F.max("set_size").alias("_ss"),
+        F.max(F.col("b_prefix") | F.col("is_prefix")).alias("_cand"),
+    )
+    union = F.col("_bs") + F.col("_ss") - F.col("n_inter")
+    return (
+        pair_stats.filter(F.col("_cand"))
+        .withColumn("n_union", union)
+        .filter(
+            F.lit(threshold_den) * F.col("n_inter")
+            >= F.lit(threshold_num) * F.col("n_union")
+        )
+        .select(
+            F.col("bid").alias("batch_id"),
+            F.col("sid").alias("store_id"),
+            "n_inter",
+            "n_union",
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n_union").cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -196,3 +196,45 @@ def test_compact_bloom_sidecar_bounds_rows_same_decisions(spark, tmp_path):
     s = incremental_dedup(spark, _df(spark, [(9, DOC_A), (10, "wholly new text here")]),
                           "text", "doc_id", store, bloom_prefilter=True)
     assert {r["doc_id"] for r in s.collect()} == {10}
+
+
+def test_jaccard_probe_matches_batch_join(spark):
+    """Probe (new batch vs stored index) must find EXACTLY the
+    cross-boundary pairs the batch operator finds on the combined
+    corpus — the losslessness contract of the prefix probe."""
+    from product_etl_spark.operators.dedup import set_similarity_pairs
+    from product_etl_spark.operators.dedup_incremental import (
+        build_jaccard_index,
+        probe_jaccard_index,
+    )
+
+    store_docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "one two three four five six"),
+        (3, "unrelated totally different words here"),
+    ]
+    batch_docs = [
+        (101, "alpha beta gamma delta zeta"),      # near-dup of 1
+        (102, "one two three four five six"),      # exact dup of 2
+        (103, "nothing in common with anything"),
+        (104, "brand new tokens only here today"),  # all tokens unseen
+    ]
+    store = spark.createDataFrame(store_docs, "doc_id int, text string")
+    batch = spark.createDataFrame(batch_docs, "doc_id int, text string")
+
+    idx = build_jaccard_index(store, "text", "doc_id", 3, 5)
+    got = {
+        (r["batch_id"], r["store_id"]): (r["n_inter"], r["n_union"])
+        for r in probe_jaccard_index(idx, batch, "text", "doc_id", 3, 5).collect()
+    }
+
+    combined = store.unionByName(batch)
+    expect = {
+        (b, s): (r["n_inter"], r["n_union"])
+        for r in set_similarity_pairs(combined, "text", "doc_id", 3, 5).collect()
+        for s, b in [sorted((r["id_a"], r["id_b"]))]
+        if s <= 3 < b  # cross-boundary pairs only
+    }
+    assert got == expect
+    assert (101, 1) in got and (102, 2) in got
+    assert not any(b in (103, 104) for b, _ in got)
