@@ -630,3 +630,54 @@ def bm25_topk_indexed(
             "n_hit_terms",
         )
     )
+
+
+def trigram_contains_search(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    needle: str,
+) -> DataFrame:
+    """Exact substring (LIKE '%needle%') search accelerated by a
+    character-trigram pre-filter — the pg_trgm recipe, Spark-shaped:
+    a document can contain the needle only if it contains EVERY
+    trigram of the needle, so candidates come from an exploded
+    trigram match + count gate and the (expensive at 100 TB) contains
+    scan runs on candidates only. Returns (id, first_pos) with
+    1-based INSTR positions.
+
+    Replaces the reference's full-table ``LIKE '%...%'`` scans
+    (check_sku_status.py:36-44 family) with an indexable shape: the
+    exploded (trigram, id) rows are exactly a persistable posting
+    frame (partition by trigram hash like retrieval.build_inverted_
+    index) for repeated-query workloads; inline derivation here keeps
+    the catalog query self-contained.
+
+    Needles shorter than 3 chars have no trigram and fall back to the
+    direct scan. Case-insensitive (both sides lowercased)."""
+    from product_etl_spark.functions import text as TX
+
+    nl = needle.lower()
+    grams = sorted({nl[i : i + 3] for i in range(len(nl) - 2)})
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(F.col(id_col), lowered.alias("_t"))
+    if grams:
+        cand = (
+            base.select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(TX.char_ngrams(F.col("_t"), 3))
+                ).alias("_g"),
+            )
+            .filter(F.col("_g").isin(grams))
+            .groupBy(id_col)
+            .agg(F.countDistinct("_g").alias("_ng"))
+            .filter(F.col("_ng") == len(grams))
+            .select(id_col)
+        )
+        base = base.join(cand, id_col, "left_semi")
+    return (
+        base.withColumn("first_pos", F.instr(F.col("_t"), nl))
+        .filter(F.col("first_pos") > 0)
+        .select(id_col, "first_pos")
+    )

@@ -676,3 +676,37 @@ def q154_exact_jaccard_join(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return set_similarity_pairs(d, "text", "doc_id", 3, 5)
+
+
+@register(
+    "q155_trigram_substring_search",
+    """
+    SELECT doc_id,
+           CAST(strpos(LOWER(COALESCE(text,'')), 'merge batch') AS INT)
+             AS first_pos
+    FROM documents
+    WHERE strpos(LOWER(COALESCE(text,'')), 'merge batch') > 0
+    """,
+)
+def q155_trigram_substring_search(spark, sf_dir):
+    """Exact substring search for 'merge batch' accelerated by the
+    character-trigram pre-filter (operators/retrieval.
+    trigram_contains_search — the pg_trgm recipe): candidates must
+    contain EVERY needle trigram (exploded match + count gate), the
+    contains verification runs on candidates only. The oracle is the
+    brute LIKE scan, so result equality proves the trigram gate
+    loses no document. Replaces the reference's full-table
+    LIKE '%...%' scans (check_sku_status.py:36-44) with the
+    indexable shape.
+
+    Scale shape: the trigram literal set prunes the exploded rows at
+    the scan (isin pushdown); the count gate is a map-side-combined
+    groupBy; contains() touches candidates only. The exploded
+    (trigram, id) frame is the persistable index for repeated
+    queries."""
+    from product_etl_spark.operators.retrieval import (
+        trigram_contains_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return trigram_contains_search(d, "text", "doc_id", "merge batch")

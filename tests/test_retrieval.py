@@ -212,3 +212,29 @@ def test_mmr_rerank_diversifies(spark):
     )
     with _pt.raises(Exception, match="bounded-candidate"):
         mmr_rerank(big, k=2).collect()
+
+
+def test_trigram_contains_search_gate_and_verify(spark):
+    """The trigram gate may admit a false candidate (all needle
+    trigrams present, not contiguous) — verification must reject it;
+    true hits survive; short needles fall back to the direct scan."""
+    from product_etl_spark.operators.retrieval import trigram_contains_search
+
+    docs = [
+        (1, "please MERGE BATCH now"),            # hit (case-folded)
+        (2, "merge bat and the batch"),           # all trigrams, no substring
+        (3, "batch then merge"),                  # missing bridge trigrams
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["first_pos"]
+        for r in trigram_contains_search(df, "text", "doc_id", "merge batch").collect()
+    }
+    assert got == {1: 8}
+    # short-needle fallback: no trigram, direct scan
+    short = {
+        r["doc_id"]: r["first_pos"]
+        for r in trigram_contains_search(df, "text", "doc_id", "at").collect()
+    }
+    assert short == {1: 15, 2: 8, 3: 2}
