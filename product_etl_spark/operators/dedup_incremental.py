@@ -310,12 +310,34 @@ def compact_bloom_sidecar(spark: SparkSession, store_path: str) -> None:
 # -------------------------------------------- exact-Jaccard probe store
 
 
+def _doc_token_rows(
+    df: DataFrame, text_col: str, id_col: str, alias: str, shingle_n: int
+) -> DataFrame:
+    """Distinct (id, tok) set elements: unigram tokens (shingle_n=1)
+    or word n-gram shingles — the unit real dedup pipelines compare,
+    because shingles stay distinctive even over a small vocabulary
+    where every long doc contains every unigram."""
+    if shingle_n > 1:
+        from product_etl_spark.operators.dedup import exploded_shingles
+
+        return exploded_shingles(df, text_col, id_col, shingle_n).select(
+            F.col(id_col).alias(alias), F.col("sh").alias("tok")
+        )
+    return df.select(
+        F.col(id_col).alias(alias),
+        F.explode(
+            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+
+
 def build_jaccard_index(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold_num: int = 3,
     threshold_den: int = 5,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Persistable index frame for the EXACT set-similarity probe:
     one row per (id, tok, is_prefix) plus the doc's token-set size.
@@ -324,15 +346,12 @@ def build_jaccard_index(
     rule over THIS corpus's token frequencies (the frozen-baseline
     convention: probe batches rank their tokens against the STORED
     frequency order, so a batch cannot silently re-frame prefixes).
+    ``shingle_n`` picks the set element (unigrams or word n-gram
+    shingles); probes against this index must pass the same value.
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
-        ).alias("tok"),
-    )
+    toks = _doc_token_rows(df, text_col, id_col, "id", shingle_n)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
     sized = toks.join(dfreq, "tok")
     wpos = Window.partitionBy("id").orderBy("tok_df", "tok")
@@ -359,38 +378,23 @@ def build_jaccard_index(
     )
 
 
-def probe_jaccard_index(
+def _rank_batch_prefix(
     index: DataFrame,
     batch: DataFrame,
     text_col: str,
     id_col: str,
-    threshold_num: int = 3,
-    threshold_den: int = 5,
+    threshold_num: int,
+    threshold_den: int,
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """New-batch-vs-store exact set-similarity matches WITHOUT
-    rescanning accepted text: (batch_id, store_id, n_inter, n_union,
-    jaccard) for every pair at Jaccard >= num/den.
-
-    Prefix contract across the store boundary: a qualifying pair must
-    share a token that is in the prefix of AT LEAST ONE side (the
-    standard probe relaxation — lossless because the shared ordered
-    overlap reaches into the shorter prefix). Batch tokens rank
-    against the STORE's frequency order (unseen tokens rank rarest),
-    so the candidate key space is the store's own.
-
-    Scale shape: candidates join on tok where store-prefix OR
-    batch-prefix; intersection counts come from the SAME token-row
-    join aggregated per pair (no array materialization of store
-    docs); union from the stored set sizes. History is never read —
-    only the index."""
+    """Batch token rows ranked against the STORE's frequency order:
+    (bid, tok, bsize, b_prefix). Store-unseen tokens rank rarest
+    (df 0), which keeps one consistent global order across both
+    sides of the probe — the precondition for the both-prefix
+    pigeonhole below."""
     from pyspark.sql import Window
 
-    btoks = batch.select(
-        F.col(id_col).alias("bid"),
-        F.explode(
-            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
-        ).alias("tok"),
-    )
+    btoks = _doc_token_rows(batch, text_col, id_col, "bid", shingle_n)
     store_freq = index.select("tok", "tok_df").distinct()
     ranked = btoks.join(store_freq, "tok", "left").withColumn(
         "_df", F.coalesce("tok_df", F.lit(0))
@@ -400,7 +404,7 @@ def probe_jaccard_index(
     branked = ranked.withColumn("_pos", F.row_number().over(wpos)).withColumn(
         "bsize", F.count(F.lit(1)).over(wsz)
     )
-    bpref = branked.withColumn(
+    return branked.withColumn(
         "b_prefix",
         F.col("_pos")
         <= F.col("bsize")
@@ -409,19 +413,95 @@ def probe_jaccard_index(
         )
         + 1,
     ).select("bid", "tok", "bsize", "b_prefix")
-    joined = bpref.join(index, "tok").select(
-        "bid", "bsize", F.col("id").alias("sid"), "set_size",
-        "b_prefix", "is_prefix",
+
+
+def probe_candidate_pairs(index: DataFrame, bpref: DataFrame) -> DataFrame:
+    """Candidate (bid, sid) pairs from a PREFIX-TOKEN-ONLY join:
+    batch prefix rows x store prefix rows on tok.
+
+    Both sides rank by one global order (store df asc, token), so
+    two sets with Jaccard >= t MUST share a token lying in BOTH
+    prefixes (pigeonhole on the ordered overlap — the same PPJoin
+    rule the batch join uses, dedup.py:set_similarity_pairs). Hot
+    stop tokens are therefore structurally suppressed on BOTH join
+    sides: a corpus-wide token ranks last everywhere and enters a
+    prefix only for docs with almost no rarer tokens. This is the
+    fix for the r7 scale finding — the previous shape joined ALL
+    batch tokens against ALL store tokens and only applied the
+    prefix condition after the per-pair aggregation, so every pair
+    sharing any stop token became a shuffle group."""
+    return (
+        bpref.filter(F.col("b_prefix"))
+        .select("bid", "tok")
+        .join(
+            index.filter(F.col("is_prefix")).select(
+                "tok", F.col("id").alias("sid")
+            ),
+            "tok",
+        )
+        .select("bid", "sid")
+        .distinct()
     )
-    pair_stats = joined.groupBy("bid", "sid").agg(
-        F.count(F.lit(1)).alias("n_inter"),
+
+
+def probe_jaccard_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """New-batch-vs-store exact set-similarity matches WITHOUT
+    rescanning accepted text: (batch_id, store_id, n_inter, n_union,
+    jaccard) for every pair at Jaccard >= num/den. ``shingle_n``
+    MUST match the value the index was built with.
+
+    Prefix contract across the store boundary: batch tokens rank
+    against the STORE's frequency order (unseen tokens rank rarest),
+    giving one global order; a qualifying pair must then share a
+    token in BOTH prefixes, so candidates come from a prefix-row x
+    prefix-row join only (``probe_candidate_pairs``).
+
+    Scale shape: (1) candidates join ONLY prefix tokens — frequent
+    tokens never fan out (the r7 verdict's scale fix; previously the
+    all-token join made every stop-token-sharing pair a shuffle
+    group); (2) verification materializes sorted token arrays for
+    the batch (small by definition) and for candidate store docs
+    only (semi-join on the candidate sid set, which is
+    probe-bounded), then runs array_intersect per candidate pair —
+    the same verify shape as the batch join; (3) union sizes come
+    from the stored set_size, so accepted history is never read —
+    only the index."""
+    bpref = _rank_batch_prefix(
+        index, batch, text_col, id_col, threshold_num, threshold_den,
+        shingle_n,
+    )
+    cand = probe_candidate_pairs(index, bpref)
+    bsets = bpref.groupBy("bid").agg(
+        F.sort_array(F.collect_set("tok")).alias("_set_b"),
         F.max("bsize").alias("_bs"),
-        F.max("set_size").alias("_ss"),
-        F.max(F.col("b_prefix") | F.col("is_prefix")).alias("_cand"),
     )
+    ssets = (
+        index.join(
+            F.broadcast(cand.select("sid").distinct()),
+            index["id"] == F.col("sid"),
+            "leftsemi",
+        )
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_set("tok")).alias("_set_s"),
+            F.max("set_size").alias("_ss"),
+        )
+        .select(F.col("id").alias("sid"), "_set_s", "_ss")
+    )
+    inter = F.size(F.array_intersect("_set_b", "_set_s"))
     union = F.col("_bs") + F.col("_ss") - F.col("n_inter")
     return (
-        pair_stats.filter(F.col("_cand"))
+        cand.join(bsets, "bid")
+        .join(ssets, "sid")
+        .withColumn("n_inter", inter)
         .withColumn("n_union", union)
         .filter(
             F.lit(threshold_den) * F.col("n_inter")

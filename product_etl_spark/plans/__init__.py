@@ -35,29 +35,27 @@ stats (a strict superset: mean/variance/corr from decimal moment
 sums), q53 rank-in-group -> q99 TF-IDF (which ranks per doc with
 row_number and adds the relevance-ranking family).
 
-Round-7 ROTATION: r6 went 48/50 green; the two reds (q120 binary
-Hamming, q134 changelog snapshot) were result-SURFACE type
-mismatches (DuckDB HUGEINT->float64 vs Spark BIGINT; Spark Decimal
-vs the oracle's float stringification) — both fixed at the catalog
-boundary this round and re-scheduled first. Next come the five
-registered after the r6 window froze (q137 entity resolution, q138
-DSIR, q139 PSI, q140 k-anonymity, q141 triangles), the seven
-new-in-r7 entries (q142 exact k-means step — closing the k-means
-family's rows-only hole, q143 integrity checksums, q144 dup-n-gram
-fraction, q145 Flesch readability, q146 skyline, q147 cross-doc
-duplicated-span coverage, q148 KS drift), the 6 standing
-anchors (q01/q02/q32/q94/q112/q114), and q33 (the only query whose
-sole green row is r1). The remaining 29 REFRESH the stalest
-coverage: 20 of the 22 queries last green in r4 with an r1 row
-(q05/q06/q09/q12/q16/q18/q20/q21/q23/q24/q26/q27/q29/q30/q31/
-q38/q40/q41/q45/q47; q35/q36 ceded their slots to q147/q148 — the
-similarity family keeps q32/q56/q92/q142 in-window) and nine r2-r4
-family reps (q49 exact
-distinct, q51 JSON, q56 IVF assign, q57 winnowing, q58 Gopher, q64
-PII, q69 null-aware NOT IN, q92 blocked cosine, q99 TF-IDF). The
-remaining stale queries (q35/q36 and the twelve r2-r4 reps q54/q59/
-q60/q66/q70/q71/q73/q75/q91/q96/q97/q102) rotate in r8; every demoted query keeps a green
-row <= r6 old. Per-query round stamps live in COVERAGE.md.
+Round-7 outcome: 50/50 green (CORRECTNESS_r07.json) — the first
+fully-green window since r4; every r7-scheduled query now has a
+fresh driver row.
+
+Round-8 ROTATION (per the r7 verdict's items 1 and 4): the seven
+queries registered after the r7 window froze lead (q149 FD
+violations, q150 Benford, q151 event entropy, q152 Gini, q153 MAD
+outliers, q154 exact-Jaccard PPJoin, q155 trigram substring search
+— all exact-local green in r7 via test_driver_window_parity.py but
+never driver-hashed). Next the 14 stale slots the verdict names:
+q35/q36 (ceded their r7 slots) and the twelve r4-last-green reps
+q54/q59/q60/q66/q70/q71/q73/q75/q91/q96/q97/q102. Then the 6
+standing anchors (q01/q02/q32/q94/q112/q114). The remaining 23
+slots refresh the r5-last-green tier (family reps across windows,
+sampling/splits, TPC-H composites, SCD2/cohort, PQ/BM25 retrieval:
+q52/q53/q55/q61/q62/q63/q65/q67/q72/q74/q76/q79/q81/q84/q87/q95/
+q98/q100/q103/q113/q115/q116/q117) — new-in-r8 registrations swap
+into these r5-refresh slots as they land, so after r8 no catalog
+entry's newest green row is older than r5 and nothing new waits a
+round. Every demoted query keeps a green row <= r7 old. Per-query
+round stamps live in COVERAGE.md.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -77,23 +75,29 @@ from product_etl_spark.plans import catalog_ext9  # noqa: F401  (registers q142+
 _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 
 _DRIVER_WINDOW = [
-    # -- r6 failures (surface types), fixed at the catalog boundary --
-    "q120_binary_hash_hamming",
-    "q134_changelog_snapshot",
-    # -- registered late in r6, never driver-checked --
-    "q137_entity_resolution_pairs",
-    "q138_dsir_importance",
-    "q139_price_psi_drift",
-    "q140_k_anonymity_audit",
-    "q141_copurchase_triangles",
-    # -- new in r7, never driver-checked --
-    "q142_kmeans_one_iter_lists",
-    "q143_order_partition_checksums",
-    "q144_dup_ngram_fraction",
-    "q145_flesch_readability",
-    "q146_part_price_size_skyline",
-    "q147_crossdoc_dup_span_coverage",
-    "q148_price_ks_drift",
+    # -- registered late in r7, never driver-checked --
+    "q149_fd_violations",
+    "q150_benford_first_digit",
+    "q151_user_event_entropy",
+    "q152_segment_balance_gini",
+    "q153_mad_balance_outliers",
+    "q154_exact_jaccard_join",
+    "q155_trigram_substring_search",
+    # -- stale refresh: the 14 slots the r7 verdict names (all r4) --
+    "q35_knn_bruteforce",
+    "q36_lsh_bucket_histogram",
+    "q54_above_nation_average",
+    "q59_master_variant_split",
+    "q60_deterministic_sample",
+    "q66_context_packing",
+    "q70_null_safe_join",
+    "q71_tpch_q6_forecast_revenue",
+    "q73_tpch_q5_local_supplier_volume",
+    "q75_having_filter",
+    "q91_segment_dedup",
+    "q96_daily_gapfill_locf",
+    "q97_event_funnel",
+    "q102_lineitem_moment_stats",
     # -- 6 anchors: flagship family reps, green every round --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -101,42 +105,31 @@ _DRIVER_WINDOW = [
     "q94_corpus_curation",
     "q112_benchmark_decontam",
     "q114_transition_pagerank",
-    # -- the only query whose sole green row is r1 --
-    "q33_ngram_jaccard_pairs",
-    # -- refresh: last driver-green r4 (r1-r4 rows) --
-    "q05_customers_with_urgent_orders",
-    "q06_order_counts_left",
-    "q09_priority_status_matrix",
-    "q12_active_nations_union",
-    "q16_like_filter",
-    "q18_price_buckets",
-    "q20_string_projection",
-    "q21_attribute_parse_explode",
-    "q23_hourly_event_rollup",
-    "q24_sessionization",
-    "q26_user_event_timeline",
-    "q27_doc_token_stats",
-    "q29_doc_fingerprint_dedup",
-    "q30_doc_script_langid",
-    "q31_minhash_signatures",
-    # q147/q148 (new in r7) take the q35/q36 slots — the similarity
-    # family keeps q32/q56/q92 (+q142) in-window; q35/q36 keep r4
-    # green rows and lead the r8 refresh queue
-    "q38_referential_integrity",
-    "q40_brand_dictionary",
-    "q41_rollup_region_nation",
-    "q45_price_band_range_join",
-    "q47_event_pivot",
-    # -- refresh: last driver-green r4 (r2-r4 rows), family reps --
-    "q49_distinct_users_by_type",
-    "q51_props_json_extract",
-    "q56_ivf_assignment",
-    "q57_winnowing_fingerprints",
-    "q58_gopher_quality_filters",
-    "q64_pii_redaction",
-    "q69_null_aware_not_in",
-    "q92_cosine_near_dup_pairs",
-    "q99_tfidf_top_terms",
+    # -- refresh: r5-last-green family reps (new-in-r8 entries swap
+    #    into these slots as they are registered) --
+    "q52_value_delta_lag",
+    "q53_order_rank_in_customer",
+    "q55_events_per_day_of_week",
+    "q61_train_test_split",
+    "q62_stratified_cap",
+    "q63_source_mixing",
+    "q65_line_repetition",
+    "q67_nations_intersect",
+    "q72_tpch_q3_shipping_priority",
+    "q74_tpch_q10_returned_items",
+    "q76_ntile_quartiles",
+    "q79_json_schema_on_read",
+    "q81_tpch_q7_volume_shipping",
+    "q84_tpch_q13_order_count_distribution",
+    "q87_tpch_q17_small_quantity_revenue",
+    "q95_scd2_customer_history",
+    "q98_cohort_retention",
+    "q100_trailing_7d_spend",
+    "q103_event_transitions",
+    "q113_bigram_lm_perplexity",
+    "q115_pq_codes",
+    "q116_pq_adc_topk",
+    "q117_bm25_search",
 ]
 
 

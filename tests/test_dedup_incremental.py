@@ -238,3 +238,56 @@ def test_jaccard_probe_matches_batch_join(spark):
     assert got == expect
     assert (101, 1) in got and (102, 2) in got
     assert not any(b in (103, 104) for b, _ in got)
+
+
+def test_jaccard_probe_stop_token_candidate_shape(spark):
+    """Scale contract (r7 verdict fix): a corpus-wide stop token must
+    NOT fan out in the probe's candidate join. Every doc here shares
+    two stop tokens ('the', 'of'); the old shape joined all batch
+    tokens against all store tokens, producing a row for every
+    (batch, store) pair — O(n_b * n_s). The prefix-only join keys on
+    each doc's rarest tokens, so the stop tokens (ranked last) never
+    enter a prefix and the pre-aggregation row count stays
+    O(true candidates), which is 1 in this fixture."""
+    from product_etl_spark.operators.dedup_incremental import (
+        _rank_batch_prefix,
+        build_jaccard_index,
+        probe_candidate_pairs,
+        probe_jaccard_index,
+    )
+
+    n_store, n_batch = 60, 40
+    store_docs = [
+        (i, f"the of s{i}a s{i}b s{i}c s{i}d") for i in range(n_store)
+    ]
+    batch_docs = [
+        (1000 + j, f"the of b{j}a b{j}b b{j}c b{j}d") for j in range(n_batch)
+    ]
+    # one genuine near-dup across the boundary: 5 of 6 tokens shared
+    batch_docs.append((2000, "the of s0a s0b s0c x0d"))
+    store = spark.createDataFrame(store_docs, "doc_id int, text string")
+    batch = spark.createDataFrame(batch_docs, "doc_id int, text string")
+
+    idx = build_jaccard_index(store, "text", "doc_id", 3, 5)
+    bpref = _rank_batch_prefix(idx, batch, "text", "doc_id", 3, 5)
+
+    # every pair shares 'the'/'of' -> the OLD all-token join would
+    # aggregate over >= n_store * n_batch pair groups; the prefix-only
+    # join must stay O(candidates), not O(pairs-sharing-any-token)
+    all_token_pairs = (
+        bpref.select("bid", "tok")
+        .join(idx.select("tok", "id"), "tok")
+        .select("bid", "id")
+        .distinct()
+        .count()
+    )
+    assert all_token_pairs >= n_store * n_batch  # the blowup being avoided
+
+    cand = probe_candidate_pairs(idx, bpref)
+    assert cand.count() <= 5  # only the planted near-dup's prefix collides
+
+    got = {
+        (r["batch_id"], r["store_id"])
+        for r in probe_jaccard_index(idx, batch, "text", "doc_id", 3, 5).collect()
+    }
+    assert got == {(2000, 0)}  # 5/7 >= 3/5; stop-token-only pairs are 2/10
