@@ -23,24 +23,29 @@ from pyspark.sql import functions as F
 
 from product_etl_spark.functions.text import hash64
 
-#: Column separator for the canonical row rendering. A field value
-#: containing the separator would make two different rows render
-#: identically ("a|b","c" vs "a","b|c") — the unit separator (0x1f)
-#: never appears in the TPC-H-ish string domains, and callers with
-#: hostile data should pre-escape.
+#: Column separator for the canonical row rendering. Field values are
+#: ESCAPED before joining (backslash doubled, 0x1f -> '\u', NULL ->
+#: the lone '\N' marker), so the rendering is injective even against
+#: hostile data: no real value can smuggle a separator ("a|b","c" vs
+#: "a","b|c") and no real string equals the NULL marker (every
+#: backslash in an escaped value is doubled; '\N' has a lone one).
 _SEP = "\x1f"
 
 
+def _rendered_field(c: str) -> Column:
+    esc = F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit(_SEP), F.lit("\\u"))
+    return F.coalesce(esc, F.lit("\\N"))
+
+
 def row_fingerprint(cols: list[str]) -> Column:
-    """Portable 60-bit row hash over the canonical rendering of
-    ``cols``: each cast to string (NULL -> a sentinel that cannot
-    collide with a real empty string), joined on the unit separator,
-    md5-hashed. Engine-portable: any system with md5 + string casts
-    reproduces it."""
-    rendered = [
-        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols
-    ]
-    return hash64(F.concat_ws(_SEP, *rendered))
+    """Portable 60-bit row hash over the canonical INJECTIVE rendering
+    of ``cols``: each cast to string and escaped (backslash doubled,
+    unit separator -> ``\\u``, NULL -> ``\\N``), joined on the unit
+    separator, md5-hashed. Engine-portable: any system with md5 +
+    REPLACE reproduces it — the q143 DuckDB oracle renders the same
+    expression, so source and replica halves stay in lockstep."""
+    return hash64(F.concat_ws(_SEP, *[_rendered_field(c) for c in cols]))
 
 
 def group_checksums(

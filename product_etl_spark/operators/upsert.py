@@ -66,6 +66,12 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+#: A lock directory with no readable owner.json is normally a writer
+#: crashed between mkdir and the metadata rename — an instant-wide
+#: window — so it may only be broken once older than this.
+_ORPHAN_LOCK_SECONDS = 300.0
+
+
 @contextmanager
 def _table_write_lock(path: str):
     """Advisory single-writer lock for the read-merge-swap cycle:
@@ -75,7 +81,17 @@ def _table_write_lock(path: str):
     broken automatically — crash convergence, not manual cleanup.
     The lock covers the WHOLE cycle (read of current state through
     swap), not just the rename: the lost-update window is the read,
-    not the publish."""
+    not the publish.
+
+    Stale locks are broken ATOMICALLY by renaming the lock dir to a
+    unique tombstone: exactly one of N racing breakers wins the
+    rename, so a loser can never rmtree the fresh lock the winner
+    re-created (the rmtree-then-mkdir race would hand the lock to two
+    writers at once — the exact lost update this lock exists to
+    prevent). Ownership metadata is published at acquisition via
+    temp-write + atomic rename; a crash inside that one-rename window
+    leaves a metadata-less lock, which is treated as held until it is
+    ``_ORPHAN_LOCK_SECONDS`` old (lock-dir mtime) and then breakable."""
     lock_dir = f"{path}__lock"
     meta = os.path.join(lock_dir, "owner.json")
 
@@ -83,6 +99,19 @@ def _table_write_lock(path: str):
         parent = os.path.dirname(os.path.abspath(path))
         os.makedirs(parent, exist_ok=True)
         os.mkdir(lock_dir)  # atomic: exactly one creator wins
+        tmp = os.path.join(lock_dir, f".owner.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        os.replace(tmp, meta)  # publish ownership atomically
+
+    def _break_stale() -> bool:
+        tombstone = f"{lock_dir}.stale.{uuid.uuid4().hex}"
+        try:
+            os.rename(lock_dir, tombstone)
+        except OSError:  # lost the breaker race: lock is contended
+            return False
+        shutil.rmtree(tombstone, ignore_errors=True)
+        return True
 
     try:
         _acquire()
@@ -94,7 +123,15 @@ def _table_write_lock(path: str):
             owner = f"pid {info.get('pid')} since {info.get('ts')}"
             owner_alive = _pid_alive(int(info["pid"]))
         except (OSError, ValueError, KeyError, TypeError):
-            pass  # unreadable/missing metadata: assume held
+            # no readable owner: ownerless crash artifact, breakable
+            # only once old enough that no live acquirer can still be
+            # inside the mkdir->rename window
+            try:
+                age = time.time() - os.stat(lock_dir).st_mtime
+                owner_alive = age < _ORPHAN_LOCK_SECONDS
+                owner = f"<no metadata, {age:.0f}s old>"
+            except OSError:
+                owner_alive = True  # vanished mid-probe: contended
         if owner_alive:
             raise ConcurrentWriteError(
                 f"table {path!r} is locked by another writer ({owner}); "
@@ -102,7 +139,11 @@ def _table_write_lock(path: str):
                 "updates — serialize the writers or move the table to "
                 "a format with optimistic commits (Delta/Iceberg)"
             )
-        shutil.rmtree(lock_dir, ignore_errors=True)  # stale: owner dead
+        if not _break_stale():
+            raise ConcurrentWriteError(
+                f"table {path!r}: lost the race to break a stale lock "
+                "— another writer is active"
+            )
         try:
             _acquire()  # a racing breaker may still beat us
         except FileExistsError:
@@ -111,8 +152,6 @@ def _table_write_lock(path: str):
                 "lock — another writer is active"
             ) from None
     try:
-        with open(meta, "w") as f:
-            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
         yield
     finally:
         shutil.rmtree(lock_dir, ignore_errors=True)

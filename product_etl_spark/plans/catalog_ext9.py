@@ -104,14 +104,18 @@ def q142_kmeans_one_iter_lists(spark, sf_dir):
 
 @register(
     "q143_order_partition_checksums",
-    """
+    r"""
     WITH fp AS (
       SELECT o_orderstatus,
              ('0x' || substr(md5(
-                CAST(o_orderkey AS VARCHAR) || chr(31) ||
-                CAST(o_custkey AS VARCHAR) || chr(31) ||
-                o_orderstatus || chr(31) ||
-                CAST(o_totalprice AS VARCHAR)), 1, 15))::BIGINT AS h
+                COALESCE(REPLACE(REPLACE(CAST(o_orderkey AS VARCHAR),
+                  '\', '\\'), chr(31), '\u'), '\N') || chr(31) ||
+                COALESCE(REPLACE(REPLACE(CAST(o_custkey AS VARCHAR),
+                  '\', '\\'), chr(31), '\u'), '\N') || chr(31) ||
+                COALESCE(REPLACE(REPLACE(o_orderstatus,
+                  '\', '\\'), chr(31), '\u'), '\N') || chr(31) ||
+                COALESCE(REPLACE(REPLACE(CAST(o_totalprice AS VARCHAR),
+                  '\', '\\'), chr(31), '\u'), '\N')), 1, 15))::BIGINT AS h
       FROM orders
     )
     SELECT o_orderstatus, COUNT(*) AS n_rows,

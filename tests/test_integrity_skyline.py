@@ -394,3 +394,31 @@ def test_mad_outliers_robust_to_planted_whale(spark):
     # median 14 (lower), MAD 2: only the whale exceeds 5*2
     assert len(got) == 1 and got[0]["value"] == 10000.0
     assert got[0]["med"] == 14.0 and got[0]["mad"] == 2.0
+
+
+def test_checksum_rendering_injective_hostile_values(spark):
+    """The escaped rendering must be injective even against values
+    containing the separator (0x1f), the NULL marker text, or
+    backslashes — a corrupted copy differing only in such cells must
+    NOT checksum clean (r7 advice finding)."""
+    cases = [
+        # NULL vs a real string spelling any marker
+        ([(1, None)], [(1, "\\N")]),
+        ([(1, None)], [(1, "<NULL>")]),
+        # separator smuggling across the field boundary
+        ([("a\x1fb", "c")], [("a", "b\x1fc")]),
+        # escape-char ambiguity
+        ([("a\\", "b")], [("a", "\\b")]),
+        ([("a\\u",)], [("a\x1f",)]),
+    ]
+    for rows_a, rows_b in cases:
+        n = len(rows_a[0])
+        schema = ", ".join(f"c{i} string" for i in range(n))
+        if rows_a[0][0] == 1:
+            schema = "c0 int, c1 string"
+        a = spark.createDataFrame(rows_a, schema)
+        b = spark.createDataFrame(rows_b, schema)
+        cols = a.columns
+        ca = table_checksum(a, cols).collect()[0]
+        cb = table_checksum(b, cols).collect()[0]
+        assert ca["xor_fp"] != cb["xor_fp"], (rows_a, rows_b)

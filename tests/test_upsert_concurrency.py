@@ -82,3 +82,61 @@ def test_lock_released_on_failure(spark, tmp_path):
     assert not os.path.exists(f"{path}__lock")
     # and the table is writable afterwards
     upsert_parquet(spark, _df(spark, [(1, "a")]), path, ["k"])
+
+
+def test_orphan_metadata_less_lock_breaks_after_age(spark, tmp_path):
+    """A writer crashing between mkdir and the owner.json rename
+    leaves a metadata-less lock. Fresh -> assumed held (a live
+    acquirer may be inside that instant-wide window); older than
+    _ORPHAN_LOCK_SECONDS -> breakable."""
+    from product_etl_spark.operators import upsert as U
+
+    path = str(tmp_path / "tbl")
+    lock_dir = f"{path}__lock"
+    os.mkdir(lock_dir)  # no owner.json
+    old = 1_000_000.0
+    os.utime(lock_dir, (old, old))  # backdate far past the threshold
+    upsert_parquet(spark, _df(spark, [(1, "a")]), path, ["k"])
+    assert [r["k"] for r in spark.read.parquet(path).collect()] == [1]
+    assert not os.path.exists(lock_dir)
+
+
+def test_stale_break_is_atomic_loser_reports_contended(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers that both observe a dead owner race to BREAK the
+    stale lock. The break is an os.rename to a unique tombstone, so
+    exactly one wins; the loser (rename raises) must treat the lock
+    as contended and raise — never rmtree the winner's fresh lock
+    (the old rmtree-then-mkdir shape handed the lock to both)."""
+    from product_etl_spark.operators import upsert as U
+
+    path = str(tmp_path / "tbl")
+    lock_dir = f"{path}__lock"
+    os.mkdir(lock_dir)
+    with open(os.path.join(lock_dir, "owner.json"), "w") as f:
+        json.dump({"pid": 2**22 + 12345, "ts": 0}, f)  # dead owner
+
+    real_rename = os.rename
+
+    def lose_the_race(src, dst):
+        if src == lock_dir:  # the other breaker renamed it first
+            raise FileNotFoundError(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(U.os, "rename", lose_the_race)
+    with pytest.raises(ConcurrentWriteError, match="break a stale lock"):
+        upsert_parquet(spark, _df(spark, [(2, "b")]), path, ["k"])
+    # the winner's lock dir was NOT touched by the loser
+    assert os.path.exists(lock_dir)
+
+
+def test_owner_metadata_published_at_acquisition(tmp_path):
+    """owner.json must exist the moment the lock is held (temp-write +
+    atomic rename inside _acquire), not only after later code runs —
+    otherwise a crash leaves an ownerless forever-held lock."""
+    path = str(tmp_path / "tbl")
+    with _table_write_lock(path):
+        meta = os.path.join(f"{path}__lock", "owner.json")
+        with open(meta) as f:
+            assert json.load(f)["pid"] == os.getpid()
