@@ -634,6 +634,13 @@ def video_near_dup_pairs(
     ``max_hamming`` bits (re-encoded/rescaled copies match on most
     frames; videos sharing only a stock intro match on one).
 
+    ``n_frame_matches`` counts DISTINCT matched frame indices on the
+    sparser side — least(distinct frames of a, distinct frames of b)
+    — NOT raw frame-pair rows: a static video whose one repeated
+    frame collides with many frames of another would otherwise reach
+    the floor on pair multiplicity alone while genuinely sharing a
+    single frame's content (r7 advice finding).
+
     Output: (vid_a, vid_b, n_frame_matches, min_hamming), vid_a <
     vid_b.
 
@@ -641,8 +648,10 @@ def video_near_dup_pairs(
     the cross-video pairing is the image path's multi-index pigeonhole
     band join over FRAME hashes (never all-pairs, exact for
     max_hamming <= n_bands-1); the final aggregate is one
-    (vid_a, vid_b) groupBy over frame-match rows. Same-video frame
-    pairs are filtered before the aggregate."""
+    (vid_a, vid_b) groupBy over frame-match rows (two exact
+    countDistincts over sampled-frame indices, bounded per pair by
+    frames/every_n). Same-video frame pairs are filtered before the
+    aggregate."""
     frames = sample_video_frames(media, every_n=every_n)
     fm = frames.filter(F.col("frame_png").isNotNull()).select(
         F.concat_ws(
@@ -653,17 +662,21 @@ def video_near_dup_pairs(
     fpairs = image_near_dup_pairs(
         fm, max_hamming=max_hamming, band_bits=band_bits, method=method
     )
-    vid_a = F.split(F.col("id_a"), "\x1f").getItem(0)
-    vid_b = F.split(F.col("id_b"), "\x1f").getItem(0)
+    pa, pb = F.split(F.col("id_a"), "\x1f"), F.split(F.col("id_b"), "\x1f")
+    swap = pa.getItem(0) > pb.getItem(0)  # keep each frame with its video
     cross = fpairs.select(
-        F.least(vid_a, vid_b).alias("vid_a"),
-        F.greatest(vid_a, vid_b).alias("vid_b"),
+        F.when(swap, pb.getItem(0)).otherwise(pa.getItem(0)).alias("vid_a"),
+        F.when(swap, pa.getItem(0)).otherwise(pb.getItem(0)).alias("vid_b"),
+        F.when(swap, pb.getItem(1)).otherwise(pa.getItem(1)).alias("frame_a"),
+        F.when(swap, pa.getItem(1)).otherwise(pb.getItem(1)).alias("frame_b"),
         "hamming",
     ).filter(F.col("vid_a") != F.col("vid_b"))
     return (
         cross.groupBy("vid_a", "vid_b")
         .agg(
-            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.least(
+                F.countDistinct("frame_a"), F.countDistinct("frame_b")
+            ).alias("n_frame_matches"),
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("n_frame_matches") >= min_shared_frames)

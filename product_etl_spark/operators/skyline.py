@@ -11,10 +11,13 @@ first, so duplicate points collapse and the price-tie case is decided
 inside the sort order (same x, smaller y is dominated and follows its
 dominator in the ordering).
 
-Scale shape: the distinct is a map-side-combined aggregate on (x, y);
-the window is a single global sort over the DISTINCT point set —
-bounded by the value-pair space, not the table. (A truly huge distinct
-point set would use the standard two-phase split: per-partition local
+Scale shape: a point can only be on the frontier if it has the best
+(max) y among all points sharing its x — same x, lower y is dominated
+— so the plan pre-aggregates groupBy(x).agg(max(y)) FIRST (map-side
+combined), and the single-partition running-max window sees exactly
+one row per DISTINCT x value, not one per distinct (x, y) pair. The
+global stage is bounded by the x value space. (A truly huge distinct
+x set would use the standard two-phase split: per-partition local
 skyline first — local skyline is a superset filter that never drops a
 global skyline point — then the global pass over the shrunken set.)
 """
@@ -29,9 +32,11 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     """Distinct Pareto-optimal (min_col, max_col) points: minimize
     ``min_col``, maximize ``max_col``. Returns the two columns,
     distinct."""
-    pts = df.select(min_col, max_col).distinct()
+    # one row per distinct x: only the max-y point at each x can be
+    # Pareto-optimal (same x, lower y is dominated)
+    pts = df.groupBy(min_col).agg(F.max(max_col).alias(max_col))
     w = (
-        Window.orderBy(F.col(min_col).asc(), F.col(max_col).desc())
+        Window.orderBy(F.col(min_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

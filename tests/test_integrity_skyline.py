@@ -422,3 +422,26 @@ def test_checksum_rendering_injective_hostile_values(spark):
         ca = table_checksum(a, cols).collect()[0]
         cb = table_checksum(b, cols).collect()[0]
         assert ca["xor_fp"] != cb["xor_fp"], (rows_a, rows_b)
+
+
+def test_skyline_window_input_one_row_per_x(spark):
+    """Scale contract (r7 verdict item 6): the unpartitioned
+    running-max window must see ONE row per distinct min_col value —
+    the groupBy(x).agg(max(y)) pre-aggregate — not one per distinct
+    (x, y) pair. Plan: the Window's child aggregates on x alone."""
+    from product_etl_spark.operators.skyline import skyline_2d
+
+    # 3 distinct x values, 300 distinct (x, y) pairs
+    pts = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "x int, y int"
+    )
+    sky = skyline_2d(pts, "x", "y")
+    plan = sky._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "max(y" in plan
+    # pre-agg keys on x only: no grouping expression mentioning y
+    import re
+    keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    assert keys and all("y" not in k for k in keys)
+    # result unchanged by the pre-agg
+    got = sorted((r["x"], r["y"]) for r in sky.collect())
+    assert got == [(0, 297), (1, 298), (2, 299)]

@@ -61,3 +61,29 @@ def test_video_near_dup_planted_copy(spark):
     assert ("noised", "orig") in pairs
     assert pairs[("noised", "orig")]["n_frame_matches"] >= 2
     assert not any("other" in k for k in pairs)
+
+
+def test_static_video_single_shared_frame_not_inflated(spark):
+    """A static video (one frame content repeated at every sampled
+    index) colliding with one matching frame of another video used to
+    reach min_shared_frames on frame-PAIR multiplicity (5 pairs from
+    1x5 index combinations). n_frame_matches now counts distinct
+    matched frame indices on the sparser side, so this pair reports 1
+    and stays below the floor."""
+    base = _clip(11)
+    static = np.repeat(base[:1], 12, axis=0)  # 12 identical frames
+    # 'mixed' shares exactly ONE sampled frame's content with 'static'
+    mixed = _clip(55)
+    mixed[4] = base[0]  # sampled at every_n=4 -> frame_idx 4
+    rows = [
+        ("static", codecs.encode_rawv(static, fps=5)),
+        ("mixed", codecs.encode_rawv(mixed, fps=5)),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    got = video_near_dup_pairs(media, every_n=4, min_shared_frames=2).collect()
+    assert got == []  # old pair-count shape reported 3 "shared frames"
+
+    # and the pair IS reported once the floor admits single-frame overlap,
+    # with the honest count of 1
+    one = video_near_dup_pairs(media, every_n=4, min_shared_frames=1).collect()
+    assert len(one) == 1 and one[0]["n_frame_matches"] == 1
