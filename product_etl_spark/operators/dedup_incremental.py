@@ -349,9 +349,21 @@ def build_jaccard_index(
     ``shingle_n`` picks the set element (unigrams or word n-gram
     shingles); probes against this index must pass the same value.
     """
+    toks = _doc_token_rows(df, text_col, id_col, "id", shingle_n)
+    return index_from_token_rows(toks, threshold_num, threshold_den)
+
+
+def index_from_token_rows(
+    toks: DataFrame, threshold_num: int = 3, threshold_den: int = 5
+) -> DataFrame:
+    """The index tail shared by the batch builder and the streaming
+    fold: distinct (id, tok) rows -> (id, tok, tok_df, set_size,
+    is_prefix). Token df and prefix ranks are computed over whatever
+    corpus the rows span — so folding per-batch token-row partials
+    through this function yields an index IDENTICAL to building from
+    the concatenated corpus (asserted in tests)."""
     from pyspark.sql import Window
 
-    toks = _doc_token_rows(df, text_col, id_col, "id", shingle_n)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
     sized = toks.join(dfreq, "tok")
     wpos = Window.partitionBy("id").orderBy("tok_df", "tok")

@@ -681,3 +681,83 @@ def trigram_contains_search(
         .filter(F.col("first_pos") > 0)
         .select(id_col, "first_pos")
     )
+
+
+def build_trigram_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the trigram posting frame ``trigram_contains_search``
+    derives inline: distinct (gram, doc_id) rows, written partitioned
+    by ``gram_bucket = hash64(gram) % n_buckets`` (the
+    build_inverted_index recipe), so repeated-needle workloads — the
+    reference's per-sweep LIKE families (check_sku_status.py:36-44,
+    fix_sku_dot_zero.py:39-44) — read only the needle's gram buckets
+    instead of re-shingling the corpus per query.
+
+    The index does NOT duplicate the corpus text (pg_trgm's index
+    doesn't either): searches verify against the caller's docs frame,
+    restricted to candidates first."""
+    from product_etl_spark.functions import text as TX
+    from product_etl_spark.functions.text import hash64
+
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(TX.char_ngrams(lowered, 3))).alias(
+            "gram"
+        ),
+    )
+    (
+        grams.withColumn("gram_bucket", hash64(F.col("gram")) % n_buckets)
+        .write.mode(mode)
+        .partitionBy("gram_bucket")
+        .parquet(f"{index_path}/postings")
+    )
+
+
+def trigram_search_indexed(
+    spark,
+    index_path: str,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    needle: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact substring search served FROM the persisted trigram index:
+    candidate ids come from the needle's gram buckets only (partition
+    filters — asserted in tests), gated on containing EVERY needle
+    trigram; the contains verification then runs on the caller's docs
+    restricted to candidates (left-semi; the candidate set is
+    needle-bounded, so the join broadcasts). Results are identical to
+    ``trigram_contains_search`` over the same corpus: same gram gate,
+    same INSTR verify.
+
+    Needles shorter than 3 chars have no trigram: falls back to the
+    direct scan (identical to the inline operator's fallback)."""
+    nl = needle.lower()
+    qgrams = sorted({nl[i : i + 3] for i in range(len(nl) - 2)})
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(F.col(id_col), lowered.alias("_t"))
+    if qgrams:
+        buckets = sorted({_term_bucket_py(g, n_buckets) for g in qgrams})
+        cand = (
+            spark.read.parquet(f"{index_path}/postings")
+            .filter(F.col("gram_bucket").isin(buckets))
+            .filter(F.col("gram").isin(qgrams))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("_ng"))
+            .filter(F.col("_ng") == len(qgrams))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        base = base.join(F.broadcast(cand), id_col, "left_semi")
+    return (
+        base.withColumn("first_pos", F.instr(F.col("_t"), nl))
+        .filter(F.col("first_pos") > 0)
+        .select(id_col, "first_pos")
+    )

@@ -887,3 +887,52 @@ def read_table_checksums(
     from product_etl_spark.operators.integrity import merge_group_checksums
 
     return merge_group_checksums(spark.read.parquet(state_dir), group_cols)
+
+
+def stream_jaccard_token_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    checkpoint: str,
+    shingle_n: int = 1,
+):
+    """Streaming half of the EXACT-dedup gate (the PPJoin probe's
+    index, operators/dedup_incremental): each micro-batch's distinct
+    (id, tok) set-element rows land as an immutable
+    ``state_dir/batch=<id>`` partial — the replay-safe
+    _fold_to_batch_dirs contract, so a redelivered batch rewrites the
+    same directory with the same content. The text-side work
+    (tokenization / shingling) runs ONCE per document at ingest;
+    ``read_jaccard_index`` then folds kilobyte-scale token rows into
+    the probe index without ever rescanning accepted text.
+
+    Assumes doc ids are unique across batches (append-only corpus —
+    the same contract as the signature store)."""
+    from product_etl_spark.operators.dedup_incremental import (
+        _doc_token_rows,
+    )
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return _doc_token_rows(batch_df, text_col, id_col, "id", shingle_n)
+
+    return _fold_to_batch_dirs(docs, state_dir, checkpoint, partial)
+
+
+def read_jaccard_index(
+    spark: SparkSession,
+    state_dir: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Current probe index from the streamed token-row state —
+    IDENTICAL to build_jaccard_index over every document ingested so
+    far (token df and prefix ranks recompute over the folded rows, so
+    the global rare-first order is exactly the batch builder's).
+    Feed straight into probe_jaccard_index."""
+    from product_etl_spark.operators.dedup_incremental import (
+        index_from_token_rows,
+    )
+
+    toks = spark.read.parquet(state_dir).select("id", "tok")
+    return index_from_token_rows(toks, threshold_num, threshold_den)

@@ -70,3 +70,72 @@ def test_bucket_layout_bounded(spark, index):
         if d.startswith("term_bucket=")
     ]
     assert 0 < len(parts) <= 16
+
+
+@pytest.fixture(scope="module")
+def tri_index(spark, sf_dir, tmp_path_factory):
+    from product_etl_spark.operators.retrieval import build_trigram_index
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path_factory.mktemp("triidx") / "idx")
+    build_trigram_index(docs, "text", "doc_id", path, n_buckets=16)
+    return docs, path
+
+
+def test_trigram_indexed_matches_inline(spark, tri_index):
+    from product_etl_spark.operators.retrieval import (
+        trigram_contains_search,
+        trigram_search_indexed,
+    )
+
+    docs, path = tri_index
+    for needle in ["merge batch", "spark", "zz-not-there"]:
+        inline = sorted(
+            tuple(r)
+            for r in trigram_contains_search(
+                docs, "text", "doc_id", needle
+            ).collect()
+        )
+        indexed = sorted(
+            tuple(r)
+            for r in trigram_search_indexed(
+                spark, path, docs, "text", "doc_id", needle, n_buckets=16
+            ).collect()
+        )
+        assert indexed == inline, needle
+    assert inline == []  # the absent needle really returns nothing
+
+
+def test_trigram_short_needle_falls_back_to_scan(spark, tri_index):
+    from product_etl_spark.operators.retrieval import (
+        trigram_contains_search,
+        trigram_search_indexed,
+    )
+
+    docs, path = tri_index
+    inline = sorted(
+        tuple(r)
+        for r in trigram_contains_search(docs, "text", "doc_id", "sp").collect()
+    )
+    indexed = sorted(
+        tuple(r)
+        for r in trigram_search_indexed(
+            spark, path, docs, "text", "doc_id", "sp", n_buckets=16
+        ).collect()
+    )
+    assert indexed == inline and len(inline) > 0
+
+
+def test_trigram_postings_read_is_partition_pruned(spark, tri_index):
+    from product_etl_spark.operators.retrieval import trigram_search_indexed
+
+    docs, path = tri_index
+    df = trigram_search_indexed(
+        spark, path, docs, "text", "doc_id", "merge batch", n_buckets=16
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(
+        ln for ln in plan.splitlines() if "postings" in ln and "Scan" in ln
+    )
+    assert "PartitionFilters" in plan and "gram_bucket" in plan
+    assert scan_line

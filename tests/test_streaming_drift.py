@@ -151,3 +151,77 @@ def test_stream_checksums_match_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == whole
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_stream_jaccard_index_matches_batch_builder(spark, tmp_path):
+    """Folded per-micro-batch token rows must reconstruct EXACTLY the
+    index build_jaccard_index computes over the concatenated corpus —
+    df counts, set sizes, and prefix flags included — and the probe
+    over the streamed index must equal the probe over the batch one."""
+    from product_etl_spark.operators.dedup_incremental import (
+        build_jaccard_index,
+        probe_jaccard_index,
+    )
+    from product_etl_spark.streaming.pipeline import (
+        read_jaccard_index,
+        stream_jaccard_token_rows,
+    )
+
+    wave1 = [(1, "alpha beta gamma delta epsilon"),
+             (2, "one two three four five six")]
+    wave2 = [(3, "unrelated totally different words here"),
+             (4, "alpha beta gamma other tokens")]
+    src, st, ck = (str(tmp_path / d) for d in ("in", "state", "ck"))
+    _write_docs(spark, src, wave1)
+    stream_jaccard_token_rows(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        "text", "doc_id", st, ck)
+    _write_docs(spark, src, wave2)
+    stream_jaccard_token_rows(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        "text", "doc_id", st, ck)
+
+    combined = spark.createDataFrame(wave1 + wave2, "doc_id int, text string")
+    want = sorted(map(tuple, build_jaccard_index(
+        combined, "text", "doc_id", 3, 5).collect()))
+    got = sorted(map(tuple, read_jaccard_index(spark, st, 3, 5).collect()))
+    assert got == want
+
+    batch = spark.createDataFrame(
+        [(101, "alpha beta gamma delta zeta"),
+         (102, "nothing shared at all")], "doc_id int, text string")
+    p_stream = sorted(map(tuple, probe_jaccard_index(
+        read_jaccard_index(spark, st, 3, 5), batch, "text", "doc_id", 3, 5
+    ).collect()))
+    p_batch = sorted(map(tuple, probe_jaccard_index(
+        build_jaccard_index(combined, "text", "doc_id", 3, 5),
+        batch, "text", "doc_id", 3, 5).collect()))
+    assert p_stream == p_batch and len(p_stream) == 1
+
+
+def test_stream_jaccard_index_replay_is_idempotent(spark, tmp_path):
+    from product_etl_spark.streaming.pipeline import (
+        read_jaccard_index,
+        stream_jaccard_token_rows,
+    )
+
+    src, st = str(tmp_path / "in"), str(tmp_path / "state")
+    _write_docs(spark, src, [(1, "alpha beta gamma"), (2, "one two three")])
+
+    def run(ck):
+        stream_jaccard_token_rows(
+            spark.readStream.schema("doc_id int, text string").parquet(src),
+            "text", "doc_id", st, ck)
+
+    run(str(tmp_path / "ck1"))
+    first = sorted(map(tuple, read_jaccard_index(spark, st).collect()))
+    # redelivery from a fresh checkpoint: same batch dirs, same content
+    run(str(tmp_path / "ck2"))
+    second = sorted(map(tuple, read_jaccard_index(spark, st).collect()))
+    assert first == second
