@@ -12,6 +12,15 @@ MEDIAN — single runs on a shared box swing ±30% with machine load,
 and the engine's steady-state cost is the signal. Reported value =
 sum of per-query medians; the JSON carries reps/warmup/agg so runs
 are comparable.
+
+$SPARK_GRAFT_BENCH_ISOLATE=N (default 0 = off) restarts the
+SparkSession (fresh SparkContext, cleared cache, re-warmed scans)
+every N queries: two consecutive rounds showed ~20% broad-based
+drift on UNTOUCHED query plans as the catalog grew (one session now
+executes 155 queries x 4 runs — accumulated listener state, codegen
+cache, and broadcast cleanup crowd later queries), and isolation
+bounds that session-age effect so real plan regressions stay
+measurable. The measured crowding coefficient lives in SCALING.md.
 """
 
 from __future__ import annotations
@@ -30,25 +39,32 @@ from product_etl_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
-    # Measured: AQE adds no steady-state latency at this scale (its
-    # stage re-optimization overlaps scheduling), so the bench runs
-    # the same profile we'd ship to a cluster.
-    spark = get_spark("product_etl_spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm up the JVM/codegen/scheduler so the first measured query
-    # isn't charged session startup (we measure queries, not boot),
-    # and pre-register all table scans (footer/schema reads).
     from product_etl_spark.session import load_tables
 
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for df in load_tables(spark, sf_dir).values():
-        df.limit(1).collect()
+    def _fresh_session():
+        # Measured: AQE adds no steady-state latency at this scale
+        # (its stage re-optimization overlaps scheduling), so the
+        # bench runs the same profile we'd ship to a cluster.
+        s = get_spark("product_etl_spark-bench")
+        s.sparkContext.setLogLevel("ERROR")
+        # Warm up the JVM/codegen/scheduler so the first measured
+        # query isn't charged session startup (we measure queries,
+        # not boot), and pre-register all table scans.
+        s.range(1_000_000).selectExpr("sum(id)").collect()
+        for df in load_tables(s, sf_dir).values():
+            df.limit(1).collect()
+        return s
+
+    spark = _fresh_session()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+    isolate = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "0")))
     timings: dict[str, float] = {}
-    for name, spec in plans.CATALOG.items():
+    for i, (name, spec) in enumerate(plans.CATALOG.items()):
+        if isolate and i and i % isolate == 0:
+            spark.stop()
+            spark = _fresh_session()
         # Untimed warmup executions first: analysis + codegen compile
         # is a one-off driver cost, not the steady-state execution a
         # cluster pays per run — the measured reps see only execution.
@@ -71,6 +87,7 @@ def main() -> None:
         "reps": reps,
         "warmup": warmup,
         "agg": "median",
+        "isolate": isolate,
     }
     # Full-precision, full-name per-query detail goes to a sidecar file;
     # stdout gets ONE compact line. The driver records only the LAST

@@ -795,3 +795,97 @@ def set_similarity_pairs(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT join: pairs where |A∩B| / |A| >=
+    threshold (A's distinct tokens mostly inside B) — the ASYMMETRIC
+    near-superset complement to the symmetric Jaccard join (q154):
+    Jaccard misses a short document embedded in a long one (the
+    boilerplate-wrapped page, the quoted post, the README pasted into
+    a bundle), because the union is dominated by the big side.
+
+    Candidate rule (prefix filter for overlap joins, Chaudhuri et al.
+    2006): order tokens globally by (df asc, token); if
+    |A∩B| >= ceil(t*|A|), then B must contain one of A's FIRST
+    |A| - ceil(t*|A|) + 1 tokens — only the CONTAINED side needs a
+    prefix, so candidates come from A-prefix tokens x B tokens.
+    A-prefix tokens are each doc's globally rarest, which is what
+    bounds the hot-token fan-out; the B side is restricted to tokens
+    that appear in some A-prefix by the join itself.
+
+    Verification: exact intersection via sorted token arrays on
+    candidate pairs only; keep by the integer predicate
+    den*inter >= num*|A|. Output: (id_small, id_big, n_small,
+    n_inter, containment ROUND 4), id_small != id_big (both
+    orientations tested independently — containment is directional).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    sized = toks.join(dfreq, "tok")
+    wpos = Window.partitionBy(id_col).orderBy("_df", "tok")
+    wsz = Window.partitionBy(id_col)
+    ranked = sized.withColumn("_pos", F.row_number().over(wpos)).withColumn(
+        "_sz", F.count(F.lit(1)).over(wsz)
+    )
+    prefix_len = (
+        F.col("_sz")
+        - F.ceil(
+            F.col("_sz") * F.lit(threshold_num) / F.lit(threshold_den)
+        )
+        + 1
+    )
+    a_prefix = ranked.filter(F.col("_pos") <= prefix_len).select(
+        F.col(id_col).alias("id_small"), "tok"
+    )
+    cand = (
+        a_prefix.join(
+            toks.select(F.col(id_col).alias("id_big"), "tok"), "tok"
+        )
+        .filter(F.col("id_small") != F.col("id_big"))
+        .select("id_small", "id_big")
+        .distinct()
+    )
+    sets = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("tok")).alias("_set")
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_small"), F.col("_set").alias("_set_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_big"), F.col("_set").alias("_set_b")
+    )
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    return (
+        cand.join(sa, "id_small")
+        .join(sb, "id_big")
+        .select(
+            "id_small",
+            "id_big",
+            F.size("_set_a").alias("n_small"),
+            inter.alias("n_inter"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_inter")
+            >= F.lit(threshold_num) * F.col("n_small")
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n_small").cast("double"),
+                4,
+            ),
+        )
+    )

@@ -248,3 +248,81 @@ def gapfill_interpolate(
     return joined.withColumn(f"{value_col}_filled", filled).withColumn(
         "is_gap", F.col(value_col).isNull().cast("int")
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell: int = 900,
+) -> DataFrame:
+    """All overlapping interval pairs per key — the interval-overlap
+    join (visit/session alignment, meeting conflicts, downtime
+    windows): pairs (id_a < id_b, same key) whose half-open integer
+    intervals [start, end) intersect, with the intersection bounds.
+
+    Scale shape: the naive formulation is a per-key self-join with a
+    RANGE predicate — a single hot key degenerates to all-pairs and
+    no equi-key exists for the shuffle. Here every interval explodes
+    into the fixed grid cells it spans (sequence(floor(s/cell),
+    floor(e/cell)) — bounded by duration/cell + 1 rows), candidates
+    join on the EQUI key (key, cell) — any intersecting pair shares
+    the cell of any point in their overlap — then exact verification
+    (s_a < e_b AND s_b < e_a) and a distinct drop the grid artifacts.
+    Pick ``cell`` near the typical interval length: smaller cells
+    fan out long intervals, larger cells group unrelated ones.
+
+    Output: key_col, id_a, id_b, ov_start, ov_end.
+    """
+    iv = df.select(
+        F.col(key_col),
+        F.col(id_col).alias("_iid"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    cells = iv.select(
+        key_col,
+        "_iid",
+        "_s",
+        "_e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s") / cell), F.floor(F.col("_e") / cell)
+            )
+        ).alias("_cell"),
+    )
+    a = cells.select(
+        F.col(key_col),
+        F.col("_cell"),
+        F.col("_iid").alias("id_a"),
+        F.col("_s").alias("_s_a"),
+        F.col("_e").alias("_e_a"),
+    )
+    b = cells.select(
+        F.col(key_col).alias("_k_b"),
+        F.col("_cell").alias("_cell_b"),
+        F.col("_iid").alias("id_b"),
+        F.col("_s").alias("_s_b"),
+        F.col("_e").alias("_e_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col(key_col) == F.col("_k_b"))
+            & (F.col("_cell") == F.col("_cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(
+            (F.col("_s_a") < F.col("_e_b")) & (F.col("_s_b") < F.col("_e_a"))
+        )
+        .select(
+            key_col,
+            "id_a",
+            "id_b",
+            F.greatest("_s_a", "_s_b").alias("ov_start"),
+            F.least("_e_a", "_e_b").alias("ov_end"),
+        )
+        .distinct()
+    )

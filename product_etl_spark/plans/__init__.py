@@ -68,6 +68,7 @@ from product_etl_spark.plans import catalog_ext6  # noqa: F401  (registers q122+
 from product_etl_spark.plans import catalog_ext7  # noqa: F401  (registers q132+)
 from product_etl_spark.plans import catalog_ext8  # noqa: F401  (registers q137+)
 from product_etl_spark.plans import catalog_ext9  # noqa: F401  (registers q142+)
+from product_etl_spark.plans import catalog_ext10  # noqa: F401  (registers q156+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -108,28 +109,29 @@ _DRIVER_WINDOW = [
     # -- refresh: r5-last-green family reps (new-in-r8 entries swap
     #    into these slots as they are registered) --
     "q52_value_delta_lag",
-    "q53_order_rank_in_customer",
-    "q55_events_per_day_of_week",
     "q61_train_test_split",
     "q62_stratified_cap",
     "q63_source_mixing",
     "q65_line_repetition",
-    "q67_nations_intersect",
     "q72_tpch_q3_shipping_priority",
     "q74_tpch_q10_returned_items",
-    "q76_ntile_quartiles",
     "q79_json_schema_on_read",
     "q81_tpch_q7_volume_shipping",
-    "q84_tpch_q13_order_count_distribution",
     "q87_tpch_q17_small_quantity_revenue",
     "q95_scd2_customer_history",
     "q98_cohort_retention",
-    "q100_trailing_7d_spend",
     "q103_event_transitions",
     "q113_bigram_lm_perplexity",
     "q115_pq_codes",
     "q116_pq_adc_topk",
     "q117_bm25_search",
+    # -- new in r8 --
+    "q156_dedup_cluster_components",
+    "q157_salted_join_rollup",
+    "q158_zorder_bucket_stats",
+    "q159_containment_pairs",
+    "q160_interval_overlap_join",
+    "q161_brand_size_price_ols",
 ]
 
 

@@ -1,0 +1,309 @@
+"""Tenth extension catalog (q156+): transitive dedup clustering with
+a RECURSIVE-CTE oracle, skew-salted join equality, Morton (z-order)
+layout keys, and asymmetric set-containment dedup.
+
+q156 closes the same class of hole q142 closed for k-means: iterative
+transitive closure (dedup.connected_components — the post-dedup step
+every near-dup pipeline ends with, and resolve_entities' clustering
+rule) was pytest-only because it isn't single-pass SQL; DuckDB's
+WITH RECURSIVE reaches the same fixpoint, so the closure itself is now
+driver-hashed. q157 driver-proves the skew.salted_join rewrite is
+RESULT-invariant (the salt is plan-only). q158 pins the bit-exact
+Morton interleave zorder.write_zordered clusters files by. q159 adds
+the asymmetric near-superset detector Jaccard structurally misses
+(a short doc embedded in a long one — boilerplate-wrapped pages,
+quoted posts), with the one-sided prefix filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.dedup import (
+    connected_components,
+    containment_pairs,
+    set_similarity_pairs,
+)
+from product_etl_spark.operators.skew import salted_join
+from product_etl_spark.operators.zorder import interleave_bits
+from product_etl_spark.plans.catalog import _t, register
+
+
+@register(
+    "q156_dedup_cluster_components",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS s
+      FROM documents WHERE doc_id < 300
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.s, b.s)) > 0
+        AND 5 * LEN(list_intersect(a.s, b.s))
+            >= 3 * (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q156_dedup_cluster_components(spark, sf_dir):
+    """Transitive closure of the exact-Jaccard near-dup pairs (q154's
+    edge set) into dedup CLUSTERS — (doc_id, component = min reachable
+    id) via dedup.connected_components' iterative min-label
+    propagation. This is the step every near-dup pipeline ends with
+    (pair lists don't dedup; clusters pick one survivor each) and the
+    clustering rule resolve_entities (q137's closure) keys entities
+    on. The oracle reaches the same fixpoint with a recursive CTE, so
+    the iterative algorithm's RESULT is driver-hashed, not just
+    pytest-bounded — the q142 treatment, applied to graph closure.
+
+    Scale shape: each round is one edge-list join + (src) groupBy-min
+    — shuffles bounded by the EDGE list, never materializing
+    reachability (the oracle's reach set is quadratic in cluster
+    size; the Spark plan's state is one label row per node).
+    Converges in O(diameter) rounds with early exit; near-dup
+    clusters are shallow. localCheckpoint per round cuts the growing
+    lineage (dedup.py:connected_components)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = set_similarity_pairs(d, "text", "doc_id", 3, 5)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), max_iter=20
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "q157_salted_join_rollup",
+    """
+    WITH big AS (
+      SELECT l_suppkey % 25 AS n_nationkey, l_quantity FROM lineitem
+    )
+    SELECT n.n_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(b.l_quantity) AS DOUBLE) AS sum_qty
+    FROM big b JOIN nation n ON n.n_nationkey = b.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q157_salted_join_rollup(spark, sf_dir):
+    """Skew-salted join (operators/skew.salted_join) driver-proven
+    RESULT-invariant: the fact side takes a salt in [0, 8), the
+    25-key dim side explodes across all 8 salts, the join keys on
+    (key, salt) — so each hot key's rows spread over 8 tasks instead
+    of pinning one — and the rollup over the joined output must hash
+    identically to the plain unsalted join the oracle runs. The salt
+    is pure plan rewriting: ANY salt assignment (even rand()) yields
+    the same join result, which is exactly what this entry proves.
+
+    The 25-value synthetic key makes every key hot (~4% of a 100 TB
+    fact table each) — the regime where AQE's skew splitting stops
+    helping (it splits partitions, not the single hash bucket a
+    hot key occupies) and explicit salting is the standard fix.
+    Decimal quantity sums are exact, surfaced as DOUBLE
+    (driver-surface rule)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 25).alias("n_nationkey"), "l_quantity"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(li, nation, on="n_nationkey", n_salts=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    """The oracle's Morton interleave, unrolled bit-by-bit exactly as
+    operators/zorder.interleave_bits unrolls it (bit i of column j ->
+    position i*2+j; j=0 is the partkey bucket)."""
+    terms = []
+    for i in range(4):
+        terms.append(f"((((l_partkey % 16) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((l_suppkey % 16) >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT ({z}) AS zkey, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    """
+
+
+@register("q158_zorder_bucket_stats", _zorder_oracle_sql())
+def q158_zorder_bucket_stats(spark, sf_dir):
+    """Morton (z-order) key distribution over (l_partkey, l_suppkey)
+    buckets — the bit-exact interleave zorder.write_zordered clusters
+    parquet files by (each output file owns a contiguous z-range = a
+    small hyper-box of the value space, so min-max stats prune scans
+    on EITHER dimension; a plain sort clusters one column and
+    scrambles the rest). The oracle unrolls the identical shift/and/or
+    expression, pinning the layout key cross-engine: a file written by
+    Spark and compacted by another engine sorts into the same curve.
+
+    Scale shape: the key is a pure unrolled codegen expression (no
+    UDF, no sketch here — deterministic modulo buckets so the oracle
+    can mirror; production zorder_key buckets by distributed quantile
+    sketch first), one map-side-combined groupBy on 256 keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = interleave_bits(
+        [F.col("l_partkey") % 16, F.col("l_suppkey") % 16], bits=4
+    )
+    return li.select(z.alias("zkey")).groupBy("zkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "q159_containment_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS s
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           LEN(a.s) AS n_small,
+           LEN(list_intersect(a.s, b.s)) AS n_inter,
+           ROUND(LEN(list_intersect(a.s, b.s))::DOUBLE
+                 / LEN(a.s)::DOUBLE, 4) AS containment
+    FROM t a JOIN t b ON a.doc_id <> b.doc_id
+    WHERE 10 * LEN(list_intersect(a.s, b.s)) >= 9 * LEN(a.s)
+    """,
+)
+def q159_containment_pairs(spark, sf_dir):
+    """EXACT set-CONTAINMENT join at |A∩B|/|A| >= 9/10
+    (dedup.containment_pairs): the asymmetric near-SUPERSET detector
+    the symmetric Jaccard join (q154/q156) structurally misses — a
+    short document embedded in a long one (boilerplate-wrapped page,
+    quoted post, README pasted into a bundle) has tiny Jaccard
+    because the union is dominated by the big side, but containment
+    1.0. Candidates use the ONE-SIDED prefix filter (only the
+    contained side needs a prefix; pigeonhole: missing all of A's
+    first |A|-ceil(t|A|)+1 rare-first tokens caps the overlap below
+    ceil(t|A|)); verification is array_intersect on candidates; the
+    keep decision is the integer cross-multiplication 10*inter >=
+    9*|A|. The oracle brute-forces all ordered pairs in the block, so
+    equality proves the one-sided prefix filter loses no pair."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return containment_pairs(d, "text", "doc_id", 9, 10)
+
+
+@register(
+    "q160_interval_overlap_join",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id AS id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 600 + (event_id % 1800) AS e
+      FROM events
+    )
+    SELECT a.user_id, a.id AS id_a, b.id AS id_b,
+           GREATEST(a.s, b.s) AS ov_start,
+           LEAST(a.e, b.e) AS ov_end
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.id < b.id
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q160_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join (operators/timeseries.
+    interval_overlap_pairs): all same-user pairs of half-open activity
+    windows [ts, ts + 600 + event_id%1800) that intersect, with the
+    intersection bounds — visit/session alignment, concurrent-usage
+    and double-booking detection. The oracle runs the naive per-key
+    RANGE self-join; the Spark plan explodes each interval into the
+    fixed 900s grid cells it spans and joins on the EQUI key
+    (user, cell) — any intersecting pair shares the cell of any
+    overlap point, so the gate is lossless — then verifies
+    s_a < e_b AND s_b < e_a exactly and dedups grid artifacts. A
+    range predicate has no shuffle key and a hot user degenerates to
+    all-pairs; the grid gives Spark a uniform equi-key whose fan-out
+    is bounded by duration/cell + 1 per interval."""
+    from product_etl_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.lit(600)
+            + (F.col("event_id") % 1800)
+        ).alias("e"),
+    )
+    return interval_overlap_pairs(ev, "user_id", "id", "s", "e", cell=900)
+
+
+@register(
+    "q161_brand_size_price_ols",
+    """
+    WITH m AS (
+      SELECT p_brand,
+             COUNT(*) AS n,
+             SUM(CAST(p_size AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(p_size AS DECIMAL(18,2))
+                 * CAST(p_size AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(p_size AS DECIMAL(18,2))
+                 * CAST(p_retailprice AS DECIMAL(18,2))) AS sxy
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept
+    FROM m
+    """,
+)
+def q161_brand_size_price_ols(spark, sf_dir):
+    """Grouped closed-form OLS (price ~ size per brand) from EXACT
+    decimal moment sums — the q102 engine-exact recipe extended from
+    descriptive moments to model fitting: the five sums aggregate as
+    exact decimals in ONE map-side-combined groupBy (order-free), are
+    converted to double once, and slope/intercept evaluate with the
+    identical single-rounded IEEE expression on both engines, so the
+    driver hash matches bit-for-bit before the cosmetic round. The
+    distributed-OLS shape scales: moments are mergeable partials
+    (the same contract as the integrity checksums), so a 100 TB fit
+    is one aggregate, never an iterative pass."""
+    p = _t(spark, sf_dir, "part")
+    x = F.col("p_size").cast("decimal(18,2)")
+    y = F.col("p_retailprice").cast("decimal(18,2)")
+    m = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+    )

@@ -780,3 +780,36 @@ def test_set_similarity_prefix_filter_lossless_at_boundary(spark):
         for r in set_similarity_pairs(df, "text", "doc_id", 3, 5).collect()
     }
     assert got == {(1, 2): (3, 5, 0.6)}
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    """One-sided prefix filter is lossless: containment_pairs must
+    equal the brute-force ordered-pair scan, including the asymmetric
+    case Jaccard misses (a short doc embedded in a long one)."""
+    docs = [
+        (1, "alpha beta gamma"),                                # short
+        (2, "alpha beta gamma plus lots of extra wrapper text"
+            " around the embedded page content"),               # superset of 1
+        (3, "one two three four five"),
+        (4, "one two three four six"),                          # 4/5 of 3
+        (5, "totally unrelated content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_small"], r["id_big"]): (r["n_small"], r["n_inter"])
+        for r in D.containment_pairs(df, "text", "doc_id", 4, 5).collect()
+    }
+
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    brute = {
+        (a, b): (len(sets[a]), len(sets[a] & sets[b]))
+        for a in sets for b in sets if a != b
+        and 5 * len(sets[a] & sets[b]) >= 4 * len(sets[a])
+    }
+    assert got == brute
+    assert (1, 2) in got          # the embedded short doc IS found
+    # ...although its Jaccard is far below 4/5 (union dominated by 2)
+    j = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    assert j < 0.3
+    assert (2, 1) not in got      # containment is directional
+    assert (4, 3) in got and (3, 4) in got  # symmetric when sizes equal

@@ -1,0 +1,36 @@
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """Grid-cell candidate gate is lossless: overlap pairs must equal
+    the brute range self-join, across cell-boundary-straddling,
+    touching (half-open: NOT overlapping), nested, and cross-key
+    cases."""
+    from product_etl_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        # key, id, start, end
+        ("u1", 1, 0, 1000),
+        ("u1", 2, 500, 1500),     # overlaps 1 across the 900 boundary
+        ("u1", 3, 1000, 2000),    # touches 1 (half-open: no overlap)
+        ("u1", 4, 100, 200),      # nested inside 1
+        ("u1", 5, 5000, 5100),    # far away
+        ("u2", 6, 0, 1000),       # same span, other key
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, s long, e long")
+    got = {
+        (r["k"], r["id_a"], r["id_b"]): (r["ov_start"], r["ov_end"])
+        for r in interval_overlap_pairs(df, "k", "id", "s", "e", 900).collect()
+    }
+    iv = {(k, i): (s, e) for k, i, s, e in rows}
+    brute = {
+        (k1, a, b): (max(s1, s2), min(e1, e2))
+        for (k1, a), (s1, e1) in iv.items()
+        for (k2, b), (s2, e2) in iv.items()
+        if k1 == k2 and a < b and s1 < e2 and s2 < e1
+    }
+    assert got == brute
+    assert ("u1", 1, 2) in got and ("u1", 1, 4) in got
+    assert ("u1", 1, 3) not in got  # half-open touch
+    assert not any(k == "u2" or b == 6 for k, _, b in got)

@@ -67,9 +67,12 @@ HEADLINERS = [
     ("q142_kmeans_one_iter_lists", "exact Lloyd step: k-row centroid broadcasts, (list,pos)-bounded mean update, corpus never self-joins"),
     ("q143_order_partition_checksums", "integrity checksums: ONE groupBy, count/xor/min/max all combine map-side"),
     ("q144_dup_ngram_fraction", "repetition metric row-wise: explode + LEAD shingles, doc-keyed count, TakeOrdered top-k"),
-    ("q146_part_price_size_skyline", "skyline: distinct on the value pair, ONE window over the distinct point set"),
     ("q147_crossdoc_dup_span_coverage", "dup spans: vocab-shaped gram count, join-back, islands window over duplicated positions only"),
     ("q154_exact_jaccard_join", "exact Jaccard join: candidates keyed on rare-first PREFIX tokens, array_intersect verify, no all-pairs"),
+    ("q146_part_price_size_skyline", "skyline r8: groupBy(x).max(y) pre-agg, global window sees one row per distinct x"),
+    ("q157_salted_join_rollup", "salted join: (key, salt) shuffle keys, dim exploded 8x, hot keys spread over 8 tasks"),
+    ("q158_zorder_bucket_stats", "Morton key: unrolled shift/and/or inside one codegen span, single map-side-combined groupBy"),
+    ("q159_containment_pairs", "containment join: ONE-SIDED prefix candidates, array_intersect verify on candidate pairs only"),
 ]
 
 
