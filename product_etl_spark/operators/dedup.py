@@ -889,3 +889,33 @@ def containment_pairs(
             ),
         )
     )
+
+
+def merge_components(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Fold NEW near-dup edges into an existing (id, component)
+    labeling WITHOUT recomputing over history's full edge list — the
+    incremental twin of ``connected_components``, same contract as
+    the signature-store probes: history is represented by its
+    folded state, never rescanned.
+
+    The old labeling collapses losslessly to STAR edges (node -> its
+    component root): stars preserve exactly the old connectivity
+    (every old cluster stays one piece) and the root is already the
+    cluster's minimum id, so min-label propagation over
+    (stars UNION new edges) yields the SAME labels as a full rerun
+    over (all old edges UNION new edges) — pytest-asserted. Input
+    size: one row per historical NODE instead of one per historical
+    EDGE (near-dup edge lists are the bigger side), and clusters
+    untouched by new edges keep their labels bit-identically.
+    """
+    stars = old_labels.select(
+        F.col("id").alias(id_a), F.col("component").alias(id_b)
+    )
+    combined = stars.unionByName(new_edges.select(id_a, id_b))
+    return connected_components(combined, id_a, id_b, max_iter=max_iter)

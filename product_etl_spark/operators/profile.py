@@ -532,3 +532,64 @@ def mad_outliers(
             F.col("mad").cast("double").alias("mad"),
         )
     )
+
+
+def segment_divergence(
+    df: DataFrame,
+    seg_col: str,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-SEGMENT distribution divergence against the global
+    population — the grouped twin of population_stability_index:
+    equi-width bins framed by the GLOBAL [min, max], per-bin PSI-style
+    terms of (segment distribution vs whole-population distribution),
+    Laplace-smoothed so segments missing a bin contribute finite
+    terms. SUM(psi_term) per segment is its divergence; a segment
+    whose feed silently shifts (one marketplace, one crawler, one
+    source) lights up while the global monitor (q139) stays flat.
+
+    Output: (seg, bin, n_global, n_seg, psi_term ROUND 6) — one row
+    per (segment x globally-nonempty bin); per-bin surface keeps the
+    float policy order-free (the total is a sum the CALLER runs).
+
+    Scale shape: one 1-row global min/max (broadcast), one
+    map-side-combined groupBy(bin) + one groupBy(seg, bin) — at most
+    n_segments x n_bins rows ever shuffle; the segment-total and
+    global frames broadcast onto the grid."""
+    stats = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    raw = F.floor((v - F.col("_lo")) / width)
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("int")
+    binned = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(seg_col).alias("seg"), bin_.alias("bin"))
+    )
+    g = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_global"))
+    s = binned.groupBy("seg", "bin").agg(F.count(F.lit(1)).alias("n_seg"))
+    tot_g = g.agg(F.sum("n_global").alias("_tg"))
+    tot_s = binned.groupBy("seg").agg(F.count(F.lit(1)).alias("_ts"))
+    grid = tot_s.crossJoin(F.broadcast(g)).join(s, ["seg", "bin"], "left")
+    k = F.lit(float(n_bins))
+    n_seg = F.coalesce("n_seg", F.lit(0))
+    p_g = (F.col("n_global") + 1).cast("double") / (
+        F.col("_tg").cast("double") + k
+    )
+    p_s = (n_seg + 1).cast("double") / (F.col("_ts").cast("double") + k)
+    return (
+        grid.crossJoin(F.broadcast(tot_g))
+        .select(
+            "seg",
+            "bin",
+            "n_global",
+            n_seg.alias("n_seg"),
+            F.round((p_s - p_g) * (F.log(p_s) - F.log(p_g)), 6).alias(
+                "psi_term"
+            ),
+        )
+    )

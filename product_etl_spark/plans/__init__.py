@@ -112,7 +112,6 @@ _DRIVER_WINDOW = [
     "q61_train_test_split",
     "q62_stratified_cap",
     "q63_source_mixing",
-    "q65_line_repetition",
     "q72_tpch_q3_shipping_priority",
     "q74_tpch_q10_returned_items",
     "q79_json_schema_on_read",
@@ -120,7 +119,6 @@ _DRIVER_WINDOW = [
     "q87_tpch_q17_small_quantity_revenue",
     "q95_scd2_customer_history",
     "q98_cohort_retention",
-    "q103_event_transitions",
     "q113_bigram_lm_perplexity",
     "q115_pq_codes",
     "q116_pq_adc_topk",
@@ -132,6 +130,8 @@ _DRIVER_WINDOW = [
     "q159_containment_pairs",
     "q160_interval_overlap_join",
     "q161_brand_size_price_ols",
+    "q162_last_touch_attribution",
+    "q163_segment_balance_divergence",
 ]
 
 

@@ -307,3 +307,120 @@ def q161_brand_size_price_ols(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / nd, 6).alias("intercept"),
     )
+
+
+@register(
+    "q162_last_touch_attribution",
+    """
+    WITH v AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT p.purchase_id, p.user_id, v.view_event_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.ts DESC) AS rn
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+    )
+    SELECT purchase_id, user_id, view_event_id, gap_us
+    FROM j WHERE rn = 1
+    """,
+)
+def q162_last_touch_attribution(spark, sf_dir):
+    """Batch last-touch attribution — the driver-checked twin of
+    streaming/pipeline.stream_purchase_attribution: every purchase
+    attributes to the same user's LATEST prior view within 1 hour
+    (NULL when none), gap surfaced in exact integer microseconds.
+    Built on timeseries.asof_join (the q46 union-window shape): both
+    sides union into one frame, ONE window partitioned by user
+    ordered by (ts, side) carries the last view forward, purchases
+    filter back out — no range join, no per-purchase subquery, one
+    shuffle on the user key. The oracle runs the naive
+    lateral-style LEFT JOIN + ROW_NUMBER pick, so equality proves
+    the union-window rewrite (including the inclusive same-instant
+    rule and the tolerance NULLing) pair-exact. Views pre-aggregate
+    to one row per (user, instant) — asof_join's determinism
+    contract."""
+    from product_etl_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    j = asof_join(
+        purchases,
+        views,
+        by="user_id",
+        ts_col="ts",
+        value_cols=["view_event_id"],
+        direction="backward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("view_event_id_asof").alias("view_event_id"),
+        (
+            F.unix_micros("ts") - F.unix_micros("ts_asof")
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "q163_segment_balance_divergence",
+    """
+    WITH vals AS (
+      SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    st AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+    b AS (SELECT seg, CAST(GREATEST(0, LEAST(9,
+            FLOOR((v - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin
+          FROM vals, st),
+    g AS (SELECT bin, COUNT(*) AS n_global FROM b GROUP BY bin),
+    s AS (SELECT seg, bin, COUNT(*) AS n_seg FROM b GROUP BY seg, bin),
+    ts AS (SELECT seg, COUNT(*) AS t_seg FROM b GROUP BY seg),
+    tg AS (SELECT SUM(n_global)::DOUBLE AS t_glob FROM g)
+    SELECT ts.seg, g.bin, g.n_global,
+           COALESCE(s.n_seg, 0) AS n_seg,
+           ROUND(((COALESCE(s.n_seg, 0) + 1)::DOUBLE
+                    / (ts.t_seg::DOUBLE + 10.0)
+                  - (g.n_global + 1)::DOUBLE / (tg.t_glob + 10.0))
+                 * (LN((COALESCE(s.n_seg, 0) + 1)::DOUBLE
+                       / (ts.t_seg::DOUBLE + 10.0))
+                    - LN((g.n_global + 1)::DOUBLE / (tg.t_glob + 10.0))),
+                 6) AS psi_term
+    FROM ts CROSS JOIN g
+    LEFT JOIN s ON s.seg = ts.seg AND s.bin = g.bin
+    CROSS JOIN tg
+    """,
+)
+def q163_segment_balance_divergence(spark, sf_dir):
+    """Per-SEGMENT distribution divergence (operators/profile.
+    segment_divergence): each market segment's account-balance
+    distribution scored against the GLOBAL population with PSI-style
+    Laplace-smoothed per-bin terms over globally-framed equi-width
+    bins. The grouped twin of the q139 drift gate: a single source
+    (one marketplace, one crawler) silently shifting lights up its
+    segment while the global monitor stays flat — the slice-level
+    bias check a training-data mixture needs. Per-bin surface keeps
+    the float policy order-free (q139's convention); SUM(psi_term)
+    per segment is the caller's gate.
+
+    Scale shape: one broadcast 1-row min/max, one groupBy(bin), one
+    groupBy(seg, bin) — at most segments x bins rows shuffle; totals
+    broadcast onto the grid."""
+    from product_etl_spark.operators.profile import segment_divergence
+
+    c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return segment_divergence(c, "c_mktsegment", "c_acctbal", 10)

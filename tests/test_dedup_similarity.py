@@ -813,3 +813,38 @@ def test_containment_pairs_matches_bruteforce(spark):
     assert j < 0.3
     assert (2, 1) not in got      # containment is directional
     assert (4, 3) in got and (3, 4) in got  # symmetric when sizes equal
+
+
+def test_merge_components_equals_full_recompute(spark):
+    """Incremental CC contract: star-collapsed old labels + new edges
+    must reproduce the full recompute over all edges — including
+    cluster MERGES caused by a new bridging edge, untouched clusters,
+    and brand-new nodes."""
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(60))
+    all_edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(70)
+        }
+    )
+    cut = len(all_edges) * 2 // 3
+    old, new = all_edges[:cut], all_edges[cut:]
+    # force a bridge between two old clusters and a brand-new node
+    new += [(0, 59), (58, 1), (100, 101)]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id_a int, id_b int")
+
+    old_labels = D.connected_components(df(old))
+    merged = {
+        (r["id"], r["component"])
+        for r in D.merge_components(old_labels, df(new)).collect()
+    }
+    full = {
+        (r["id"], r["component"])
+        for r in D.connected_components(df(old + new)).collect()
+    }
+    assert merged == full

@@ -34,14 +34,15 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-7 rotation invariant: every query with no GREEN driver
-    row through r6 (the two r6 surface-type failures, the five
-    late-r6 registrations, and the five new-in-r7 entries; per
-    COVERAGE.md) is in this round's window."""
+    """Round-8 rotation invariant: every query with no GREEN driver
+    row through r7 (the seven registered after the r7 window froze
+    and the eight new-in-r8 entries; per COVERAGE.md) is in this
+    round's window."""
     never_green_prefixes = {
-        "q120", "q134",                    # r6 failures, fixed in r7
-        "q137", "q138", "q139", "q140", "q141",  # registered after r6 froze
-        "q142", "q143", "q144", "q145", "q146", "q147", "q148",  # new in r7
+        # registered after the r7 window froze
+        "q149", "q150", "q151", "q152", "q153", "q154", "q155",
+        # new in r8
+        "q156", "q157", "q158", "q159", "q160", "q161", "q162", "q163",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
     missing = never_green_prefixes - window_prefixes
@@ -50,12 +51,12 @@ def test_window_covers_all_never_driver_green():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 155
+    assert len(names) == len(set(names)) == 163
 
 
 def test_coverage_doc_matches_window():
     """COVERAGE.md is the rotation ledger: exactly the queries stamped
-    `r7*` must be in _DRIVER_WINDOW, and every catalog query must have
+    `r8*` must be in _DRIVER_WINDOW, and every catalog query must have
     a ledger row — a drifted doc would misreport driver coverage to
     the next round."""
     import os
@@ -73,5 +74,5 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r7*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r8*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
