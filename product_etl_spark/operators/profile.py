@@ -570,10 +570,19 @@ def segment_divergence(
         .crossJoin(F.broadcast(stats))
         .select(F.col(seg_col).alias("seg"), bin_.alias("bin"))
     )
-    g = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_global"))
     s = binned.groupBy("seg", "bin").agg(F.count(F.lit(1)).alias("n_seg"))
+    return segment_divergence_from_counts(s, n_bins)
+
+
+def segment_divergence_from_counts(s: DataFrame, n_bins: int) -> DataFrame:
+    """The smoothing + term arithmetic of ``segment_divergence`` over
+    a (seg, bin, n_seg) count table — reusable over counts folded
+    elsewhere (streaming micro-batch partials), so the batch operator
+    and the monitor cannot drift. Global counts derive as the sum
+    over segments."""
+    g = s.groupBy("bin").agg(F.sum("n_seg").alias("n_global"))
     tot_g = g.agg(F.sum("n_global").alias("_tg"))
-    tot_s = binned.groupBy("seg").agg(F.count(F.lit(1)).alias("_ts"))
+    tot_s = s.groupBy("seg").agg(F.sum("n_seg").alias("_ts"))
     grid = tot_s.crossJoin(F.broadcast(g)).join(s, ["seg", "bin"], "left")
     k = F.lit(float(n_bins))
     n_seg = F.coalesce("n_seg", F.lit(0))

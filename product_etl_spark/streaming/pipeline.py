@@ -936,3 +936,63 @@ def read_jaccard_index(
 
     toks = spark.read.parquet(state_dir).select("id", "tok")
     return index_from_token_rows(toks, threshold_num, threshold_den)
+
+
+def stream_segment_divergence_monitor(
+    values: DataFrame,
+    seg_col: str,
+    value_col: str,
+    baseline_path: str,
+    state_dir: str,
+    checkpoint: str,
+    n_bins: int = 10,
+):
+    """Streaming per-SEGMENT divergence monitor: each micro-batch's
+    (seg, bin) counts — framed by the FROZEN baseline's [min, max]
+    (prepare_psi_baseline; re-framing per batch would hide drift) —
+    land as immutable replay-safe ``state_dir/batch=<id>`` partials.
+    ``read_segment_divergence`` folds them and scores every segment
+    against the global population with the EXACT batch arithmetic
+    (profile.segment_divergence_from_counts — the q163 semantics),
+    so a single source silently shifting lights up its segment while
+    the global PSI/KS gates (same scaffold) stay flat. State per
+    batch: at most segments x n_bins rows."""
+    spark = values.sparkSession
+    base = spark.read.parquet(baseline_path)
+    stats = base.select("_lo", "_hi").limit(1)
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+        raw = F.floor((v - F.col("_lo")) / width)
+        bin_ = F.greatest(
+            F.lit(0), F.least(F.lit(n_bins - 1), raw)
+        ).cast("int")
+        return (
+            batch_df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .select(F.col(seg_col).alias("seg"), bin_.alias("bin"))
+            .groupBy("seg", "bin")
+            .agg(F.count(F.lit(1)).alias("n_seg"))
+        )
+
+    return _fold_to_batch_dirs(values, state_dir, checkpoint, partial)
+
+
+def read_segment_divergence(
+    spark: SparkSession, state_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """Current per-segment divergence report from the monitor state —
+    identical output contract to profile.segment_divergence over
+    everything ingested so far (with bins framed by the frozen
+    baseline rather than the running min/max)."""
+    from product_etl_spark.operators.profile import (
+        segment_divergence_from_counts,
+    )
+
+    s = (
+        spark.read.parquet(state_dir)
+        .groupBy("seg", "bin")
+        .agg(F.sum("n_seg").alias("n_seg"))
+    )
+    return segment_divergence_from_counts(s, n_bins)

@@ -225,3 +225,57 @@ def test_stream_jaccard_index_replay_is_idempotent(spark, tmp_path):
     run(str(tmp_path / "ck2"))
     second = sorted(map(tuple, read_jaccard_index(spark, st).collect()))
     assert first == second
+
+
+def _write_seg_vals(spark, path, rows):
+    spark.createDataFrame(rows, "seg string, v double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_stream_segment_divergence_matches_batch_operator(spark, tmp_path):
+    """Folded (seg, bin) micro-batch partials must reproduce the
+    batch segment_divergence arithmetic exactly — given the same bin
+    frame. The baseline freezes [min, max] over ALL the data here, so
+    batch (running min/max) and stream (frozen frame) bin
+    identically."""
+    from product_etl_spark.operators.profile import segment_divergence
+    from product_etl_spark.streaming.pipeline import (
+        prepare_psi_baseline,
+        read_segment_divergence,
+        stream_segment_divergence_monitor,
+    )
+
+    rows = [
+        ("A", float(i % 100)) for i in range(400)
+    ] + [
+        ("B", float(i % 50 + 50)) for i in range(300)   # shifted segment
+    ]
+    all_df = spark.createDataFrame(rows, "seg string, v double")
+    batch_terms = {
+        (r["seg"], r["bin"]): (r["n_global"], r["n_seg"], r["psi_term"])
+        for r in segment_divergence(all_df, "seg", "v", 10).collect()
+    }
+
+    bp = str(tmp_path / "baseline")
+    prepare_psi_baseline(all_df, "v", 10, bp)
+    src, st, ck = (str(tmp_path / d) for d in ("in", "state", "ck"))
+    _write_seg_vals(spark, src, rows[:250])
+    stream_segment_divergence_monitor(
+        spark.readStream.schema("seg string, v double").parquet(src),
+        "seg", "v", bp, st, ck, 10)
+    _write_seg_vals(spark, src, rows[250:])
+    stream_segment_divergence_monitor(
+        spark.readStream.schema("seg string, v double").parquet(src),
+        "seg", "v", bp, st, ck, 10)
+
+    stream_terms = {
+        (r["seg"], r["bin"]): (r["n_global"], r["n_seg"], r["psi_term"])
+        for r in read_segment_divergence(spark, st, 10).collect()
+    }
+    assert stream_terms == batch_terms
+    # the shifted segment diverges, the majority segment barely does
+    tot = {}
+    for (seg, _), (_, _, t) in stream_terms.items():
+        tot[seg] = tot.get(seg, 0.0) + t
+    assert tot["B"] > 0.25 and tot["B"] > tot["A"]
