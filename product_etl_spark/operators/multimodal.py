@@ -416,6 +416,19 @@ def image_near_dup_pairs(
     batched map; everything after is JVM integer ops keyed on
     uniformly-distributed band values.
     """
+    hashed = image_phash(media, method).filter(F.col("phash").isNotNull())
+    return phash_near_dup_pairs(hashed, max_hamming, band_bits)
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> DataFrame:
+    """The banded-Hamming pairing over an already-hashed (media_id,
+    phash hex-string) frame — the candidate engine image / tile /
+    frame dedup all share. Exact for max_hamming <= n_bands - 1
+    (pigeonhole); raises beyond."""
     from product_etl_spark.operators.embdedup import (
         _hamming,
         hamming_band_index,
@@ -427,7 +440,6 @@ def image_near_dup_pairs(
             f"max_hamming={max_hamming} needs > {max_hamming} bands for "
             f"pigeonhole exactness; got {n_bands} (band_bits={band_bits})"
         )
-    hashed = image_phash(media, method).filter(F.col("phash").isNotNull())
     coded = hashed.select(
         "media_id",
         F.array(
@@ -680,4 +692,113 @@ def video_near_dup_pairs(
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("n_frame_matches") >= min_shared_frames)
+    )
+
+
+TILE_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("tile", StringType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def image_tile_phash(
+    media: DataFrame, grid: int = 2, method: str = "dct"
+) -> DataFrame:
+    """Per-REGION perceptual hashes: the full image (tile 'full') plus
+    every cell of a grid x grid crop lattice (tile 'r,c'), each hashed
+    independently — the crop-resistance primitive: a whole-image hash
+    changes completely when an image is cropped, but an aligned crop
+    IS one of the original's tiles, so its full-image hash matches
+    that tile's hash. Undecodable payloads quarantine to NULL rows
+    (the image_phash contract)."""
+    from product_etl_spark.functions import codecs
+
+    fn = codecs.phash_dct if method == "dct" else codecs.average_hash
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                tiles = {"full": None}
+                tiles.update(
+                    {f"{r},{c}": None for r in range(grid) for c in range(grid)}
+                )
+                if content is not None:
+                    try:
+                        px = codecs.decode_image(bytes(content))
+                        h, w = px.shape[0], px.shape[1]
+                        tiles["full"] = fn(px)
+                        th, tw = h // grid, w // grid
+                        if th > 0 and tw > 0:
+                            for r in range(grid):
+                                for c in range(grid):
+                                    crop = px[
+                                        r * th : (r + 1) * th,
+                                        c * tw : (c + 1) * tw,
+                                    ]
+                                    tiles[f"{r},{c}"] = fn(crop)
+                    except Exception:
+                        tiles = {k: None for k in tiles}
+                out.extend(
+                    {"media_id": media_id, "tile": t, "phash": h}
+                    for t, h in tiles.items()
+                )
+            yield pd.DataFrame(out, columns=["media_id", "tile", "phash"])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=TILE_PHASH_SCHEMA
+    )
+
+
+def image_crop_dup_pairs(
+    media: DataFrame,
+    grid: int = 2,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+    method: str = "dct",
+    min_tile_matches: int = 1,
+) -> DataFrame:
+    """Crop-/region-duplicate image pairs: two images match when at
+    least ``min_tile_matches`` DISTINCT regions of each (full image or
+    grid tile) hash within ``max_hamming`` bits — catching the
+    tile-aligned crop (image B is a quadrant/half of image A) that
+    whole-image pHash (image_near_dup_pairs) structurally misses,
+    because cropping rewrites every DCT coefficient of the full hash.
+
+    Output: (id_a, id_b, n_tile_matches, min_hamming), id_a < id_b.
+
+    Scale shape: the video-dedup pattern applied to space instead of
+    time — region hashes ride the composite-id band join
+    (phash_near_dup_pairs: pigeonhole-exact, never all-pairs), then
+    ONE (id_a, id_b) groupBy counts DISTINCT matched regions per side
+    (the multiplicity lesson from video: a flat region matching many
+    tiles can't inflate the count). Cost: (grid^2 + 1) hash rows per
+    image, decode still once per image."""
+    tiles = image_tile_phash(media, grid=grid, method=method)
+    tm = tiles.filter(F.col("phash").isNotNull()).select(
+        F.concat_ws("\x1f", "media_id", "tile").alias("media_id"),
+        "phash",
+    )
+    tpairs = phash_near_dup_pairs(tm, max_hamming, band_bits)
+    pa, pb = F.split(F.col("id_a"), "\x1f"), F.split(F.col("id_b"), "\x1f")
+    swap = pa.getItem(0) > pb.getItem(0)
+    cross = tpairs.select(
+        F.when(swap, pb.getItem(0)).otherwise(pa.getItem(0)).alias("id_a"),
+        F.when(swap, pa.getItem(0)).otherwise(pb.getItem(0)).alias("id_b"),
+        F.when(swap, pb.getItem(1)).otherwise(pa.getItem(1)).alias("tile_a"),
+        F.when(swap, pa.getItem(1)).otherwise(pb.getItem(1)).alias("tile_b"),
+        "hamming",
+    ).filter(F.col("id_a") != F.col("id_b"))
+    return (
+        cross.groupBy("id_a", "id_b")
+        .agg(
+            F.least(
+                F.countDistinct("tile_a"), F.countDistinct("tile_b")
+            ).alias("n_tile_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_tile_matches") >= min_tile_matches)
     )
