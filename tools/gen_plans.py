@@ -73,6 +73,9 @@ HEADLINERS = [
     ("q157_salted_join_rollup", "salted join: (key, salt) shuffle keys, dim exploded 8x, hot keys spread over 8 tasks"),
     ("q158_zorder_bucket_stats", "Morton key: unrolled shift/and/or inside one codegen span, single map-side-combined groupBy"),
     ("q159_containment_pairs", "containment join: ONE-SIDED prefix candidates, array_intersect verify on candidate pairs only"),
+    ("q160_interval_overlap_join", "interval overlap: grid cells give the range predicate a uniform equi-key, exact verify + distinct"),
+    ("q162_last_touch_attribution", "as-of attribution: union both sides, ONE user-keyed window, no range join"),
+    ("q163_segment_balance_divergence", "segment divergence: broadcast 1-row frame, groupBy(bin) + groupBy(seg,bin), totals broadcast onto the grid"),
 ]
 
 
