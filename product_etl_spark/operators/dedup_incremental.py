@@ -531,3 +531,76 @@ def probe_jaccard_index(
             ).alias("jaccard"),
         )
     )
+
+
+def probe_containment_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """New-batch-vs-store CONTAINMENT matches: (batch_id, store_id,
+    n_batch, n_inter, containment) for every pair where the BATCH
+    doc's token set is >= num/den inside the stored doc — the
+    at-ingest near-superset gate ("don't accept a doc that is a
+    boilerplate-wrapped copy of something accepted"), the asymmetric
+    complement to probe_jaccard_index on the SAME persisted index
+    (operators/dedup.containment_pairs is its batch twin).
+
+    Candidate rule: only the CONTAINED (batch) side needs a prefix —
+    its |A| - ceil(t|A|) + 1 rarest tokens under the STORE's frozen
+    frequency order (one-sided prefix filter; pigeonhole: missing all
+    of them caps the overlap below ceil(t|A|)). Candidates join batch
+    prefix rows against ALL index token rows; batch prefix tokens are
+    store-rare by ranking, which bounds the fan-out. Verification is
+    array_intersect on candidate pairs (batch arrays + candidate-sid
+    store arrays via broadcast semi-join), keep by the integer
+    predicate den*inter >= num*|A|. History text is never read."""
+    bpref = _rank_batch_prefix(
+        index, batch, text_col, id_col, threshold_num, threshold_den,
+        shingle_n,
+    )
+    cand = (
+        bpref.filter(F.col("b_prefix"))
+        .select("bid", "tok")
+        .join(index.select("tok", F.col("id").alias("sid")), "tok")
+        .select("bid", "sid")
+        .distinct()
+    )
+    bsets = bpref.groupBy("bid").agg(
+        F.sort_array(F.collect_set("tok")).alias("_set_b"),
+        F.max("bsize").alias("_bs"),
+    )
+    ssets = (
+        index.join(
+            F.broadcast(cand.select("sid").distinct()),
+            index["id"] == F.col("sid"),
+            "leftsemi",
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("_set_s"))
+        .select(F.col("id").alias("sid"), "_set_s")
+    )
+    inter = F.size(F.array_intersect("_set_b", "_set_s"))
+    return (
+        cand.join(bsets, "bid")
+        .join(ssets, "sid")
+        .withColumn("n_inter", inter)
+        .filter(
+            F.lit(threshold_den) * F.col("n_inter")
+            >= F.lit(threshold_num) * F.col("_bs")
+        )
+        .select(
+            F.col("bid").alias("batch_id"),
+            F.col("sid").alias("store_id"),
+            F.col("_bs").alias("n_batch"),
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("_bs").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+    )

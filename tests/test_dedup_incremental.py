@@ -291,3 +291,46 @@ def test_jaccard_probe_stop_token_candidate_shape(spark):
         for r in probe_jaccard_index(idx, batch, "text", "doc_id", 3, 5).collect()
     }
     assert got == {(2000, 0)}  # 5/7 >= 3/5; stop-token-only pairs are 2/10
+
+
+def test_containment_probe_matches_batch_operator(spark):
+    """The containment probe (new batch vs stored index) must find
+    exactly the cross-boundary batch-contained-in-store pairs the
+    batch containment_pairs operator finds on the combined corpus."""
+    from product_etl_spark.operators.dedup import containment_pairs
+    from product_etl_spark.operators.dedup_incremental import (
+        build_jaccard_index,
+        probe_containment_index,
+    )
+
+    store_docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "totally different unrelated words live here now"),
+    ]
+    batch_docs = [
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota"),  # 9/9 in 1
+        (102, "one two three four five"),                             # 5/5 in 2
+        (103, "alpha one totally"),                                   # scattered
+        (104, "brand new tokens nobody has"),
+    ]
+    store = spark.createDataFrame(store_docs, "doc_id int, text string")
+    batch = spark.createDataFrame(batch_docs, "doc_id int, text string")
+
+    idx = build_jaccard_index(store, "text", "doc_id", 9, 10)
+    got = {
+        (r["batch_id"], r["store_id"]): (r["n_batch"], r["n_inter"])
+        for r in probe_containment_index(
+            idx, batch, "text", "doc_id", 9, 10
+        ).collect()
+    }
+
+    combined = store.unionByName(batch)
+    expect = {
+        (r["id_small"], r["id_big"]): (r["n_small"], r["n_inter"])
+        for r in containment_pairs(combined, "text", "doc_id", 9, 10).collect()
+        if r["id_small"] > 100 and r["id_big"] <= 3  # batch-in-store only
+    }
+    assert got == expect
+    assert (101, 1) in got and (102, 2) in got
+    assert not any(b in (103, 104) for b, _ in got)
