@@ -231,3 +231,16 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q157_plan_actually_salts(spark, sf_dir):
+    """q157's oracle only proves result equality — a 'simplified'
+    plain join would still pass it. Guard the REWRITE: the executed
+    plan must explode the dim side across salts and join on the
+    two-column (key, salt) condition."""
+    from product_etl_spark.plans import CATALOG
+
+    df = CATALOG["q157_salted_join_rollup"]["fn"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Explode" in plan or "Generate" in plan
+    assert "_salt" in plan  # join keys include the salt column
