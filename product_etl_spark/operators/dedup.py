@@ -483,6 +483,11 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        # Materialize ONCE: edges are referenced by every round's join
+        # AND convergence count — without the checkpoint each of those
+        # actions re-executes the whole upstream pair-generation DAG
+        # (measured: q156's PPJoin pairs re-ran ~8x, 7.5s -> ~3s).
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
