@@ -44,9 +44,16 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = e.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    # Materialize ONCE: e and out_w feed every power-iteration round
+    # (and the dangling-mass probe); without the checkpoint each of
+    # the n_iters actions re-executes the caller's upstream edge DAG
+    # (q114 derives edges from a window over events — 10 re-runs).
+    e = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .localCheckpoint(eager=True)
     )
+    out_w = out_w.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -101,6 +108,8 @@ def label_propagation(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # one materialization; every round's join re-reads e
+        .localCheckpoint(eager=True)
     )
     labels = (
         e.select(F.col("a").alias("node")).distinct()
