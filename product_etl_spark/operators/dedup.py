@@ -704,6 +704,7 @@ def set_similarity_pairs(
     id_col: str,
     threshold_num: int = 3,
     threshold_den: int = 5,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """EXACT set-similarity join (PPJoin-style prefix filtering,
     Xiao et al. 2008): all pairs whose distinct-token Jaccard >=
@@ -732,13 +733,21 @@ def set_similarity_pairs(
     Never all-pairs: candidates are bounded by prefix-token
     co-occurrence. Hot stop-token risk is structural: a token can
     only generate candidates from docs where it lands in the prefix,
-    i.e. docs with almost no rarer tokens."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
-        ).alias("tok"),
-    )
+    i.e. docs with almost no rarer tokens. ``shingle_n`` switches the
+    set element to word n-gram shingles (dedup_incremental shares the
+    same convention so intra-batch and cross-batch passes compare the
+    same unit)."""
+    if shingle_n > 1:
+        toks = exploded_shingles(df, text_col, id_col, shingle_n).select(
+            F.col(id_col), F.col("sh").alias("tok")
+        )
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+            ).alias("tok"),
+        )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     sized = toks.join(dfreq, "tok")
     wpos = Window.partitionBy(id_col).orderBy("_df", "tok")

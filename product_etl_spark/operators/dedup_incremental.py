@@ -82,13 +82,21 @@ def incremental_dedup(
     jaccard_threshold: float = 0.8,
     bloom_prefilter: bool = False,
     bloom_m_bits: int = 1 << 22,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Dedup ``batch`` internally AND against the signature store at
     ``store_path``, append the survivors' signatures to the store,
     and return the surviving batch rows.
 
     The store schema is per-strategy: ``(sig_id, fp)`` for
-    fingerprint, ``(sig_id, h0..h{k-1})`` for near. One store serves
+    fingerprint, ``(sig_id, h0..h{k-1})`` for near, ``(sig_id, tok)``
+    distinct set-element rows for ``jaccard`` (EXACT set-similarity at
+    threshold_num/threshold_den over unigram tokens or word
+    ``shingle_n``-shingles — the deterministic PPJoin probe,
+    probe_jaccard_index; MinHash-LSH 'near' is its probabilistic
+    sibling and can miss threshold-grazing pairs). One store serves
     one strategy; mixing raises at the join (column mismatch) rather
     than silently passing everything.
 
@@ -122,18 +130,59 @@ def incremental_dedup(
     - A lost/corrupt sidecar heals itself: the next flag-on call
       finds it absent and re-seeds from the full store.
     """
-    if strategy not in ("fingerprint", "near"):
+    if strategy not in ("fingerprint", "near", "jaccard"):
         raise ValueError(f"unknown incremental dedup strategy: {strategy}")
     if bloom_prefilter and strategy != "fingerprint":
         raise ValueError("bloom_prefilter applies to the fingerprint strategy")
 
     # 1) intra-batch dedup (the batch may repeat itself)
-    batch = dedup_corpus(
-        batch, text_col, id_col,
-        strategy=strategy, jaccard_threshold=jaccard_threshold, k=k,
-    )
+    if strategy == "jaccard":
+        from product_etl_spark.operators.dedup import set_similarity_pairs
+
+        losers = (
+            set_similarity_pairs(
+                batch, text_col, id_col, threshold_num, threshold_den,
+                shingle_n,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        batch = batch.join(losers, id_col, "leftanti")
+    else:
+        batch = dedup_corpus(
+            batch, text_col, id_col,
+            strategy=strategy, jaccard_threshold=jaccard_threshold, k=k,
+        )
 
     store = read_signature_store(spark, store_path)
+
+    if strategy == "jaccard":
+        if store is not None:
+            # rerun idempotence: an id already accepted is a duplicate
+            batch = batch.join(
+                store.select(F.col("sig_id").alias(id_col)).distinct(),
+                id_col, "leftanti",
+            )
+            index = index_from_token_rows(
+                store.select(F.col("sig_id").alias("id"), "tok"),
+                threshold_num, threshold_den,
+            )
+            matched = probe_jaccard_index(
+                index, batch, text_col, id_col,
+                threshold_num, threshold_den, shingle_n,
+            )
+            survivors = batch.join(
+                matched.select(F.col("batch_id").alias(id_col)).distinct(),
+                id_col, "leftanti",
+            )
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint(eager=True)
+        new_rows = _doc_token_rows(
+            survivors, text_col, id_col, "sig_id", shingle_n
+        )
+        new_rows.write.mode("append").parquet(store_path)
+        return survivors
 
     if strategy == "fingerprint":
         sigs = _batch_fingerprints(batch, text_col, id_col)

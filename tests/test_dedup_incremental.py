@@ -334,3 +334,36 @@ def test_containment_probe_matches_batch_operator(spark):
     assert got == expect
     assert (101, 1) in got and (102, 2) in got
     assert not any(b in (103, 104) for b, _ in got)
+
+
+def test_incremental_dedup_jaccard_strategy(spark, tmp_path):
+    """Exact set-similarity strategy: intra-batch dedup, cross-batch
+    probe against the persisted token store, rerun idempotence — the
+    deterministic sibling of the MinHash 'near' path."""
+    store = str(tmp_path / "jac_store")
+    b1 = _df(spark, [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),    # 4/6 of 1 -> intra-dup at 3/5? 4/6 >= 3/5 yes
+        (3, "one two three four five"),
+    ])
+    s1 = incremental_dedup(spark, b1, "text", "doc_id", store,
+                           strategy="jaccard",
+                           threshold_num=3, threshold_den=5)
+    assert {r["doc_id"] for r in s1.collect()} == {1, 3}
+
+    # batch 2: near-dup of accepted 1, fresh content, rerun of id 3
+    b2 = _df(spark, [
+        (10, "alpha beta gamma delta eta"),    # 4/6 vs doc 1 -> dup
+        (11, "totally brand new words here"),
+        (3, "one two three four five"),        # resent accepted id
+    ])
+    s2 = incremental_dedup(spark, b2, "text", "doc_id", store,
+                           strategy="jaccard",
+                           threshold_num=3, threshold_den=5)
+    assert {r["doc_id"] for r in s2.collect()} == {11}
+
+    # full rerun of batch 2 appends nothing (idempotent)
+    s3 = incremental_dedup(spark, b2, "text", "doc_id", store,
+                           strategy="jaccard",
+                           threshold_num=3, threshold_den=5)
+    assert s3.count() == 0
