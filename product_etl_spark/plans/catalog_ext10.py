@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from product_etl_spark.operators.dedup import (
     connected_components,
     containment_pairs,
+    merge_components,
     set_similarity_pairs,
 )
 from product_etl_spark.operators.skew import salted_join
@@ -424,3 +425,54 @@ def q163_segment_balance_divergence(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
     return segment_divergence(c, "c_mktsegment", "c_acctbal", 10)
+
+
+@register(
+    "q164_incremental_component_merge",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS s
+      FROM documents WHERE doc_id < 200
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.s, b.s)) > 0
+        AND 5 * LEN(list_intersect(a.s, b.s))
+            >= 3 * (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q164_incremental_component_merge(spark, sf_dir):
+    """Driver proof of the INCREMENTAL clustering rule
+    (dedup.merge_components): the near-dup edge set splits into an
+    'already-processed' half and a 'new-batch' half by edge-id
+    parity; the old half is clustered, star-collapsed to one row per
+    node, and the new edges fold in via one more propagation pass —
+    and the result must hash identically to the oracle's recursive
+    closure over ALL edges. This is the q156 treatment applied to the
+    MAINTENANCE rule rather than the algorithm: at 100 TB you never
+    re-cluster history (one row per historical NODE folds in, edge
+    lists stay per-batch), and this entry pins that fold's
+    losslessness cross-engine — including cluster merges caused by a
+    new bridging edge."""
+    pairs = set_similarity_pairs(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        "text", "doc_id", 3, 5,
+    ).select("id_a", "id_b")
+    parity = (F.col("id_a") + F.col("id_b")) % 2
+    old = pairs.filter(parity == 0)
+    new = pairs.filter(parity == 1)
+    merged = merge_components(connected_components(old), new)
+    return merged.select(F.col("id").alias("doc_id"), "component")
