@@ -35,9 +35,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_cols(col: str, depth: int, width: int, seed: int) -> list:
+def _bucket_cols(
+    col: str, depth: int, width: int, seed: int, portable: bool = False
+) -> list:
     """The depth independent hash rows: bucket_j = xxhash64(value, seed, j)
-    mod width. pmod (not abs%) so Long.MIN_VALUE can't go negative."""
+    mod width. pmod (not abs%) so Long.MIN_VALUE can't go negative.
+
+    ``portable=True`` switches to the md5-based functions.text.hash64
+    over 'value<US>seed<US>j' — ~3x the hash cost of xxhash64, but any
+    md5-capable engine reproduces the sketch cell-for-cell (the q143
+    checksum convention), so a replica can verify or probe a sketch it
+    didn't build. Build and probe must agree on the flag."""
+    if portable:
+        from product_etl_spark.functions.text import hash64
+
+        return [
+            F.pmod(
+                hash64(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col(col).cast("string"),
+                        F.lit(str(seed)),
+                        F.lit(str(j)),
+                    )
+                ),
+                F.lit(width),
+            ).cast("int")
+            for j in range(depth)
+        ]
     return [
         F.pmod(
             F.xxhash64(F.col(col).cast("string"), F.lit(seed), F.lit(j)),
@@ -54,6 +79,7 @@ def cms_partials(
     depth: int = 4,
     width: int = 8192,
     seed: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """One pass over raw data -> per-group CMS partial as rows
     ``(group..., row_idx, bucket, n)``. At most depth*width rows per
@@ -62,9 +88,9 @@ def cms_partials(
     return (
         df.select(
             *group_cols,
-            F.posexplode(F.array(*_bucket_cols(col, depth, width, seed))).alias(
-                "row_idx", "bucket"
-            ),
+            F.posexplode(
+                F.array(*_bucket_cols(col, depth, width, seed, portable))
+            ).alias("row_idx", "bucket"),
         )
         .groupBy(*group_cols, "row_idx", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -88,6 +114,7 @@ def cms_estimate(
     seed: int = 0,
     group_cols: list[str] | None = None,
     out_col: str = "est_count",
+    portable: bool = False,
 ) -> DataFrame:
     """Point-frequency estimates for ``items[col]`` (one output row
     per distinct item x group): min over the depth rows of the
@@ -101,9 +128,9 @@ def cms_estimate(
     probes = items.select(col, *group_cols).distinct().select(
         F.col(col),
         *group_cols,
-        F.posexplode(F.array(*_bucket_cols(col, depth, width, seed))).alias(
-            "row_idx", "bucket"
-        ),
+        F.posexplode(
+            F.array(*_bucket_cols(col, depth, width, seed, portable))
+        ).alias("row_idx", "bucket"),
     )
     joined = probes.join(
         F.broadcast(sketch_df), on=[*group_cols, "row_idx", "bucket"], how="left"

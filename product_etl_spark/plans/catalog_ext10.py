@@ -476,3 +476,69 @@ def q164_incremental_component_merge(spark, sf_dir):
     new = pairs.filter(parity == 1)
     merged = merge_components(connected_components(old), new)
     return merged.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "q165_cms_event_type_freq",
+    """
+    WITH v AS (
+      SELECT event_type AS val FROM events WHERE event_type IS NOT NULL
+    ),
+    rows_j AS (SELECT unnest(range(4)) AS row_idx),
+    cells AS (
+      SELECT j.row_idx,
+             ('0x' || substr(md5(v.val || chr(31) || '7' || chr(31)
+                || CAST(j.row_idx AS VARCHAR)), 1, 15))::BIGINT % 64
+               AS bucket,
+             COUNT(*) AS n
+      FROM v CROSS JOIN rows_j j
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT val FROM v),
+    est AS (
+      SELECT p.val,
+             MIN(COALESCE(c.n, 0)) AS est_count
+      FROM probes p
+      CROSS JOIN rows_j j
+      LEFT JOIN cells c
+        ON c.row_idx = j.row_idx
+       AND c.bucket = ('0x' || substr(md5(p.val || chr(31) || '7'
+             || chr(31) || CAST(j.row_idx AS VARCHAR)), 1, 15))::BIGINT % 64
+      GROUP BY p.val
+    ),
+    exact AS (SELECT val, COUNT(*) AS exact_count FROM v GROUP BY val)
+    SELECT est.val AS event_type, est.est_count, exact.exact_count
+    FROM est JOIN exact ON exact.val = est.val
+    """,
+)
+def q165_cms_event_type_freq(spark, sf_dir):
+    """Count-min sketch point-frequency estimates (operators/cms.py,
+    Cormode & Muthukrishnan 2005) driver-pinned END-TO-END: the
+    portable-hash mode (md5-based hash64 — the q143 checksum
+    convention) lets the oracle rebuild the IDENTICAL depth x width
+    cell table and take the same min-over-rows estimate, so the
+    sketch arithmetic — not just a tolerance band — hashes equal
+    cross-engine. A deliberately tight width (64) forces real bucket
+    collisions; the one-sided overestimate property
+    (est_count >= exact_count, surfaced side by side) must then agree
+    bit-for-bit in both engines. First sketch family with a full
+    driver row (HLL/theta/KLL keep exact twins + pytest bounds).
+
+    Scale shape: build is ONE map-side-combined groupBy on (row,
+    bucket) — key space depth*width, never vocabulary-sized; probes
+    broadcast-join the bounded sketch. The xxhash64 default trades
+    the portability for ~3x cheaper hashing when no cross-engine
+    verification is needed."""
+    from product_etl_spark.operators.cms import cms_estimate, cms_partials
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    ).select("event_type")
+    sk = cms_partials(ev, [], "event_type", depth=4, width=64, seed=7,
+                      portable=True)
+    est = cms_estimate(sk, ev, "event_type", depth=4, width=64, seed=7,
+                       portable=True)
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "event_type")
