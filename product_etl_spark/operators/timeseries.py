@@ -257,6 +257,7 @@ def interval_overlap_pairs(
     start_col: str,
     end_col: str,
     cell: int = 900,
+    max_cells_per_interval: int = 10_000,
 ) -> DataFrame:
     """All overlapping interval pairs per key — the interval-overlap
     join (visit/session alignment, meeting conflicts, downtime
@@ -272,7 +273,13 @@ def interval_overlap_pairs(
     the cell of any point in their overlap — then exact verification
     (s_a < e_b AND s_b < e_a) and a distinct drop the grid artifacts.
     Pick ``cell`` near the typical interval length: smaller cells
-    fan out long intervals, larger cells group unrelated ones.
+    fan out long intervals, larger cells group unrelated ones. A
+    degenerate interval (a years-long span against a minutes-sized
+    cell) would silently explode into millions of grid rows on one
+    task; any interval spanning more than ``max_cells_per_interval``
+    cells therefore FAILS the job loudly (assert_true) — raise the
+    bound or the cell size deliberately, don't discover it as an
+    executor OOM.
 
     Output: key_col, id_a, id_b, ov_start, ov_end.
     """
@@ -282,6 +289,20 @@ def interval_overlap_pairs(
         F.col(start_col).cast("long").alias("_s"),
         F.col(end_col).cast("long").alias("_e"),
     )
+    span_cells = F.floor(F.col("_e") / cell) - F.floor(F.col("_s") / cell)
+    guard = F.assert_true(
+        span_cells <= F.lit(max_cells_per_interval),
+        F.concat(
+            F.lit("interval_overlap_pairs: interval spans > "
+                  f"{max_cells_per_interval} grid cells (id="),
+            F.col("_iid").cast("string"),
+            F.lit(f", cell={cell}); raise max_cells_per_interval or cell"),
+        ),
+    )
+    # assert_true returns NULL on success; folding it into the start
+    # column keeps it in the evaluated plan (a free-standing guard
+    # column would be pruned as unused and never run)
+    iv = iv.withColumn("_s", F.when(guard.isNull(), F.col("_s")))
     cells = iv.select(
         key_col,
         "_iid",

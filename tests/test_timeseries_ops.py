@@ -34,3 +34,24 @@ def test_interval_overlap_matches_bruteforce(spark):
     assert ("u1", 1, 2) in got and ("u1", 1, 4) in got
     assert ("u1", 1, 3) not in got  # half-open touch
     assert not any(k == "u2" or b == 6 for k, _, b in got)
+
+
+def test_interval_overlap_degenerate_span_fails_loudly(spark):
+    """A years-long interval against a minutes cell must fail the job
+    with the guard message, not OOM an executor with millions of
+    exploded grid rows."""
+    import pytest
+
+    from product_etl_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    rows = [("u1", 1, 0, 10**9), ("u1", 2, 5, 10)]
+    df = spark.createDataFrame(rows, "k string, id int, s long, e long")
+    with pytest.raises(Exception, match="grid cells"):
+        interval_overlap_pairs(df, "k", "id", "s", "e", 900).collect()
+    # a deliberate bound raise admits it
+    got = interval_overlap_pairs(
+        df, "k", "id", "s", "e", 900, max_cells_per_interval=2_000_000
+    )
+    assert got.count() == 1
