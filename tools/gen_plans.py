@@ -76,6 +76,7 @@ HEADLINERS = [
     ("q160_interval_overlap_join", "interval overlap: grid cells give the range predicate a uniform equi-key, exact verify + distinct"),
     ("q162_last_touch_attribution", "as-of attribution: union both sides, ONE user-keyed window, no range join"),
     ("q163_segment_balance_divergence", "segment divergence: broadcast 1-row frame, groupBy(bin) + groupBy(seg,bin), totals broadcast onto the grid"),
+    ("q165_cms_event_type_freq", "CMS: (row,bucket)-keyed build agg, broadcast sketch probe, min-over-rows estimate"),
 ]
 
 
