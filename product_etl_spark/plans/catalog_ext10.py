@@ -467,10 +467,16 @@ def q164_incremental_component_merge(spark, sf_dir):
     lists stay per-batch), and this entry pins that fold's
     losslessness cross-engine — including cluster merges caused by a
     new bridging edge."""
-    pairs = set_similarity_pairs(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
-        "text", "doc_id", 3, 5,
-    ).select("id_a", "id_b")
+    pairs = (
+        set_similarity_pairs(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+            "text", "doc_id", 3, 5,
+        )
+        .select("id_a", "id_b")
+        # both the old-half clustering and the merge derive edge
+        # frames from this; materialize the PPJoin once
+        .localCheckpoint(eager=True)
+    )
     parity = (F.col("id_a") + F.col("id_b")) % 2
     old = pairs.filter(parity == 0)
     new = pairs.filter(parity == 1)
