@@ -933,3 +933,111 @@ def merge_components(
     )
     combined = stars.unionByName(new_edges.select(id_a, id_b))
     return connected_components(combined, id_a, id_b, max_iter=max_iter)
+
+
+def weighted_set_similarity_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    tiers: tuple = ((2, 3), (10, 2)),
+    default_weight: int = 1,
+) -> DataFrame:
+    """EXACT weighted-Jaccard join: pairs whose RARITY-WEIGHTED
+    Jaccard >= num/den — the boilerplate-insensitive near-dup:
+    unweighted Jaccard lets shared template/boilerplate tokens carry
+    the same vote as genuinely identifying rare tokens, so templated
+    corpora either flood (low threshold) or hide real dups (high).
+    Each distinct token takes an INTEGER weight by document-frequency
+    tier (``tiers`` = ((df_cap, weight), ...) checked in order, else
+    ``default_weight``) — integer weights keep the whole decision in
+    exact arithmetic (den*w_inter >= num*w_union, no floats).
+
+    Candidate rule (weighted prefix filter — the PPJoin pigeonhole
+    generalized): tokens order globally by (df asc, token); doc A's
+    prefix is every position whose PRECEDING cumulative weight is <=
+    W_A - ceil(t*W_A): if B misses all of A's prefix tokens, the
+    shared weight fits in A's suffix, which is < the required
+    overlap ceil(t*W_A) <= ceil(t*w_union) — and by the first-shared-
+    token-in-global-order argument the match must lie in BOTH
+    prefixes, so candidates come from a prefix-row x prefix-row join
+    only. Verification is a candidate-pair-restricted token join
+    summing shared weights (weights are global per token, so either
+    side's weight works).
+
+    Output: (id_a, id_b, w_inter, w_union, wjaccard ROUND 4),
+    id_a < id_b."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.tokens(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    wt = F.lit(default_weight)
+    for cap, w in reversed(tiers):
+        wt = F.when(F.col("_df") <= cap, F.lit(w)).otherwise(wt)
+    wtoks = toks.join(dfreq, "tok").select(
+        id_col, "tok", "_df", wt.alias("_wt")
+    )
+    wpos = Window.partitionBy(id_col).orderBy("_df", "tok")
+    wsz = Window.partitionBy(id_col)
+    ranked = (
+        wtoks.withColumn("_cum", F.sum("_wt").over(wpos))
+        .withColumn("_W", F.sum("_wt").over(wsz))
+        .withColumn("_cum_before", F.col("_cum") - F.col("_wt"))
+    )
+    required = F.ceil(
+        F.col("_W") * F.lit(threshold_num) / F.lit(threshold_den)
+    )
+    prefix = ranked.filter(
+        F.col("_cum_before") <= F.col("_W") - required
+    ).select(id_col, "tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    wa = wtoks.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("_wt").alias("_w")
+    )
+    wb = wtoks.select(F.col(id_col).alias("id_b"), "tok")
+    winter = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_w").alias("w_inter"))
+    )
+    tot = wtoks.groupBy(id_col).agg(F.sum("_wt").alias("_W"))
+    ta = tot.select(F.col(id_col).alias("id_a"), F.col("_W").alias("_Wa"))
+    tb = tot.select(F.col(id_col).alias("id_b"), F.col("_W").alias("_Wb"))
+    union = F.col("_Wa") + F.col("_Wb") - F.col("w_inter")
+    return (
+        winter.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("w_union", union)
+        .filter(
+            F.lit(threshold_den) * F.col("w_inter")
+            >= F.lit(threshold_num) * F.col("w_union")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "w_inter",
+            "w_union",
+            F.round(
+                F.col("w_inter").cast("double")
+                / F.col("w_union").cast("double"),
+                4,
+            ).alias("wjaccard"),
+        )
+    )

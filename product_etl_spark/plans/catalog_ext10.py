@@ -548,3 +548,82 @@ def q165_cms_event_type_freq(spark, sf_dir):
         F.count(F.lit(1)).alias("exact_count")
     )
     return est.join(exact, "event_type")
+
+
+@register(
+    "q166_weighted_jaccard_pairs",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             COALESCE(text, '') || ' xk' || CAST(doc_id % 40 AS VARCHAR)
+               || ' xu' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id < 120
+    ), toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+               string_split_regex(LOWER(text), '\s+'),
+               x -> x <> ''))) AS tok
+      FROM aug
+    ), dfc AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), w AS (
+      SELECT t.doc_id, t.tok,
+             CASE WHEN d.c <= 2 THEN 3 WHEN d.c <= 10 THEN 2 ELSE 1 END
+               AS wt
+      FROM toks t JOIN dfc d ON d.tok = t.tok
+    ), tot AS (
+      SELECT doc_id, SUM(wt) AS W FROM w GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wt) AS w_inter
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.w_inter,
+           ta.W + tb.W - i.w_inter AS w_union,
+           ROUND(i.w_inter::DOUBLE
+                 / (ta.W + tb.W - i.w_inter)::DOUBLE, 4) AS wjaccard
+    FROM inter i
+    JOIN tot ta ON ta.doc_id = i.id_a
+    JOIN tot tb ON tb.doc_id = i.id_b
+    WHERE 5 * i.w_inter >= 3 * (ta.W + tb.W - i.w_inter)
+    """,
+)
+def q166_weighted_jaccard_pairs(spark, sf_dir):
+    """EXACT rarity-WEIGHTED Jaccard join at >= 3/5 (operators/dedup.
+    weighted_set_similarity_pairs): each distinct token weighs by
+    document-frequency tier (df<=2 -> 3, df<=10 -> 2, else 1; integer
+    weights keep the keep decision in exact cross-multiplied
+    arithmetic), so shared boilerplate counts less than shared rare
+    content — the boilerplate-insensitive variant of q154 that
+    templated corpora need (unweighted Jaccard scores a
+    boilerplate-only pair and a rare-token pair identically; the
+    pytest fixture demonstrates the split). Rarity is synthesized
+    deterministically (per-doc ' xu<id>' df-1 tokens and 40-bucket
+    ' xk<id%40>' mid-tier tokens — the q137 synthesis pattern) since
+    the 30-word synthetic vocabulary is uniformly hot.
+
+    Scale shape: the weighted PREFIX filter generalizes PPJoin's
+    pigeonhole — a doc's prefix is every position whose preceding
+    cumulative weight fits under W - ceil(t*W), so candidates join
+    prefix rows x prefix rows only and hot tokens still suppress
+    structurally; verification is a candidate-pair-restricted token
+    join summing shared weights. The brute all-pairs join exists only
+    in the oracle's bounded block."""
+    from product_etl_spark.operators.dedup import (
+        weighted_set_similarity_pairs,
+    )
+
+    aug = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" xk"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit(" xu"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return weighted_set_similarity_pairs(aug, "text", "doc_id", 3, 5)

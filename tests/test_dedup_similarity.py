@@ -848,3 +848,56 @@ def test_merge_components_equals_full_recompute(spark):
         for r in D.connected_components(df(old + new)).collect()
     }
     assert merged == full
+
+
+def test_weighted_set_similarity_matches_bruteforce(spark):
+    """Weighted prefix filter is lossless: results must equal the
+    brute-force weighted computation over all pairs — and the
+    weighting must split a boilerplate-heavy pair (low weighted
+    Jaccard) from a rare-token-sharing pair (high) that UNWEIGHTED
+    Jaccard scores identically."""
+    docs = [
+        # 1/2 share 4 boilerplate tokens + differ on 2 rare ones
+        (1, "the of and to rare1a rare1b"),
+        (2, "the of and to rare2a rare2b"),
+        # 3/4 share the SAME COUNT of tokens, but the shared ones are rare
+        (3, "zq1 zq2 zq3 zq4 only3a only3b"),
+        (4, "zq1 zq2 zq3 zq4 only4a only4b"),
+        # boilerplate spreader so 'the of and to' are high-df
+        (5, "the of and to filler5a filler5b"),
+        (6, "the of and to filler6a filler6b"),
+        (7, "the of and to filler7a filler7b"),
+        (8, "the of and to filler8a filler8b"),
+        (9, "the of and to filler9a filler9b"),
+        (10, "the of and to filler10a filler10b"),
+        (11, "the of and to filler11a filler11b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["w_inter"], r["w_union"])
+        for r in D.weighted_set_similarity_pairs(
+            df, "text", "doc_id", 1, 2
+        ).collect()
+    }
+
+    # brute force with the same df-tier weights
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    from collections import Counter
+    dfc = Counter(t for s in sets.values() for t in s)
+    def w(t):
+        return 3 if dfc[t] <= 2 else (2 if dfc[t] <= 10 else 1)
+    brute = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            wi = sum(w(t) for t in sets[i] & sets[j])
+            wu = sum(w(t) for t in sets[i] | sets[j])
+            if 2 * wi >= wu:
+                brute[(i, j)] = (wi, wu)
+    assert got == brute
+    # unweighted Jaccard can't tell (1,2) from (3,4): both share 4/8
+    assert len(sets[1] & sets[2]) == len(sets[3] & sets[4]) == 4
+    # weighted: the rare-token pair passes 1/2, the boilerplate pair fails
+    assert (3, 4) in got and (1, 2) not in got
