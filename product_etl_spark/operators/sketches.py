@@ -127,3 +127,95 @@ def kll_quantiles(
         for p in probs
     ]
     return merged.select(*coarser_cols, *cols)
+
+
+#: Standard HLL alpha constants (Flajolet et al. 2007) for small m;
+#: larger m uses 0.7213/(1 + 1.079/m). Shared with the DuckDB oracle
+#: as literals.
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+#: rho ceiling for the 54-bit remainder of the 60-bit portable hash:
+#: bucket takes the low bits, the remaining value is < 2^54, so
+#: rho = 55 - bit_length(rest) lies in [1, 55].
+_HLL_RMAX = 55
+
+
+def hll_portable_partials(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 6
+) -> DataFrame:
+    """Register-ROW HyperLogLog partials with the portable md5 hash
+    (functions.text.hash64 — the q143/q165 convention): one row per
+    (group..., bucket, r) where bucket = hash % 2^p and r = leading-
+    zero rank of the remaining 54 bits. Any md5-capable engine
+    rebuilds the registers cell-for-cell, so a replica can verify or
+    merge a sketch it didn't build — unlike the binary DataSketches
+    form (hll_partials), which stays the fast in-family default.
+
+    Merge = MAX per (group, bucket): plain SQL, commutative,
+    associative — per-batch partials roll up like every other
+    mergeable family here."""
+    from product_etl_spark.functions.text import hash64
+
+    m = 2 ** p
+    h = hash64(F.col(col).cast("string"))
+    rest = F.floor(h / m).cast("long")
+    rho = F.when(rest == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(_HLL_RMAX) - F.length(F.bin(rest))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+                rho.cast("int").alias("r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_portable_merge(
+    parts: DataFrame, coarser_cols: list[str]
+) -> DataFrame:
+    """Union finer partials up a hierarchy: register-wise MAX."""
+    return parts.groupBy(*coarser_cols, "bucket").agg(
+        F.max("r").alias("r")
+    )
+
+
+def hll_portable_estimate(
+    parts: DataFrame,
+    group_cols: list[str],
+    p: int = 6,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Raw HLL estimate alpha_m * m^2 / S per group, computed
+    DETERMINISTICALLY: the harmonic sum S = sum(2^-r) (+1 per absent
+    register) aggregates as the EXACT INTEGER sum(2^(RMAX - r)) —
+    order-free, overflow-safe (<= m * 2^RMAX < 2^61) — and converts
+    to double exactly once, so two engines cannot disagree by
+    summation order (a float sum of 2^-r values loses exactness once
+    the exponent spread passes the 53-bit mantissa). Surfaced without
+    the small/large-range corrections: the correction branch needs
+    ln(), whose cross-libm determinism this repo does not assume —
+    callers gate on n_buckets_hit if they need the small-range form.
+    """
+    m = 2 ** p
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+    num = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)")
+    agg = parts.groupBy(*group_cols).agg(
+        F.sum(num).alias("_s_hit"),
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+    )
+    s_num = (
+        F.col("_s_hit")
+        + (F.lit(m) - F.col("n_buckets_hit"))
+        * F.lit(2 ** _HLL_RMAX).cast("long")
+    )
+    est = (
+        F.lit(float(alpha) * m * m)
+        * F.lit(float(2 ** _HLL_RMAX))
+        / s_num.cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_buckets_hit",
+        F.round(est, 4).alias(out_col),
+    )

@@ -627,3 +627,75 @@ def q166_weighted_jaccard_pairs(spark, sf_dir):
         )
     )
     return weighted_set_similarity_pairs(aug, "text", "doc_id", 3, 5)
+
+
+@register(
+    "q167_hll_portable_distinct",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS val
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, val,
+             ('0x' || substr(md5(val), 1, 15))::BIGINT AS hv
+      FROM v
+    ),
+    regs AS (
+      SELECT event_type,
+             CAST(hv % 64 AS INT) AS bucket,
+             MAX(CASE WHEN CAST(FLOOR(hv / 64) AS BIGINT) = 0 THEN 55
+                 ELSE 55 - LENGTH(bin(CAST(FLOOR(hv / 64) AS BIGINT)))
+                 END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM((1::BIGINT << (55 - r))) AS s_hit,
+             COUNT(*) AS n_buckets_hit
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT val) AS exact_distinct
+      FROM v GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_buckets_hit,
+           ROUND((0.709 * 64 * 64) * CAST((1::BIGINT << 55) AS DOUBLE)
+                 / CAST(a.s_hit
+                        + (64 - a.n_buckets_hit) * (1::BIGINT << 55)
+                        AS DOUBLE), 4) AS est_distinct,
+           e.exact_distinct
+    FROM agg a JOIN exact e ON e.event_type = a.event_type
+    """,
+)
+def q167_hll_portable_distinct(spark, sf_dir):
+    """Register-level HyperLogLog distinct-user estimates per event
+    type (operators/sketches.hll_portable_*) driver-pinned END-TO-END
+    next to the exact counts: the portable md5 hash lets the oracle
+    rebuild every (bucket, max-rho) register identically, and the
+    harmonic sum aggregates as the EXACT INTEGER sum(2^(55-r)) —
+    order-free by construction — so the raw estimate
+    alpha*m^2*2^55/S_num is one deterministic IEEE division in both
+    engines. The second sketch family with a full driver row (q165
+    pinned CMS the same way); the binary DataSketches hll_* path
+    stays the fast default with error-bound pytest coverage.
+
+    Scale shape: one groupBy to at most m=64 register rows per group,
+    register-wise MAX merges per-batch partials, estimation reads
+    registers only — the scan-once/answer-forever sketch contract."""
+    from product_etl_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_partials,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id").cast("string").alias("val"))
+    )
+    parts = hll_portable_partials(ev, ["event_type"], "val", p=6)
+    est = hll_portable_estimate(parts, ["event_type"], p=6)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("val").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")

@@ -85,3 +85,31 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
         assert abs(q50 - e50) <= 0.2 * span
         assert abs(q75 - e75) <= 0.2 * span
         assert q25 <= q50 <= q75
+
+
+def test_hll_portable_merge_equals_full_and_bounded_error(spark):
+    """Portable register-row HLL: per-batch partials MAXed together
+    must equal the single-pass build (register-identical, therefore
+    estimate-identical), and the raw estimate stays within the
+    standard ~1.04/sqrt(m) band (x3) of the truth."""
+    from product_etl_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_merge,
+        hll_portable_partials,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    full = hll_portable_partials(df, ["g"], "v", p=6)
+    halves = hll_portable_partials(df.filter(F.col("id") < n // 2), ["g"], "v", p=6).unionByName(
+        hll_portable_partials(df.filter(F.col("id") >= n // 2), ["g"], "v", p=6)
+    )
+    merged = hll_portable_merge(halves, ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    est = hll_portable_estimate(full, ["g"], p=6).collect()[0]["est_distinct"]
+    rel_err = abs(est - n) / n
+    assert rel_err < 3 * 1.04 / (64 ** 0.5), (est, rel_err)
