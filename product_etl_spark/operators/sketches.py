@@ -219,3 +219,125 @@ def hll_portable_estimate(
         "n_buckets_hit",
         F.round(est, 4).alias(out_col),
     )
+
+
+def kmv_partials(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """K-Minimum-Values sketch rows with the portable md5 hash: the k
+    smallest distinct hash values of each group's value set — the
+    register-row analog of the theta sketch (distinct counts AND set
+    overlaps from bounded state), rebuildable cell-for-cell by any
+    md5-capable engine like the CMS (q165) and HLL (q167) twins.
+    Output: (group..., hv), at most k rows per group."""
+    from pyspark.sql import Window
+
+    from product_etl_spark.functions.text import hash64
+
+    hv = hash64(F.col(col).cast("string"))
+    distinct_hv = (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, hv.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        distinct_hv.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_merge(parts: DataFrame, coarser_cols: list[str], k: int = 64) -> DataFrame:
+    """Union finer partials: merge rows, distinct, keep the k
+    smallest per coarser group — the KMV union, associative and
+    commutative like every mergeable family here."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*coarser_cols).orderBy("hv")
+    return (
+        parts.select(*coarser_cols, "hv")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+#: hash64 values are 60-bit (15 hex chars of md5): the KMV estimate
+#: scales the k-th smallest against this value-space size.
+_KMV_SPACE = float(2 ** 60)
+
+
+def kmv_pair_overlap(
+    parts: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise distinct-set overlap estimates between every two
+    groups' KMV sketches: (g_a, g_b, n_kmv, est_union, est_inter) for
+    g_a < g_b. The pair union's k smallest values give theta (the
+    k-th) and est_union = (k-1) * 2^60 / theta; the fraction of those
+    values present in BOTH sketches scales it to est_inter (Beyer et
+    al. 2007). When the merged sketch holds fewer than k values the
+    union was seen in full and the counts are EXACT — the standard
+    KMV small-set branch, mirrored in the oracle. Everything is
+    integer aggregation plus single IEEE divisions, so two engines
+    cannot disagree.
+
+    Scale shape: sketches are <= k rows per group; the pair join is
+    over sketch rows only — the raw corpus is never rescanned (the
+    scan-once/answer-forever sketch contract)."""
+    from pyspark.sql import Window
+
+    a = parts.select(
+        F.col(group_col).alias("g_a"), F.col("hv").alias("hv")
+    )
+    b = parts.select(
+        F.col(group_col).alias("g_b"), F.col("hv").alias("hv")
+    )
+    pairs = (
+        a.select("g_a").distinct()
+        .join(b.select("g_b").distinct(), F.col("g_a") < F.col("g_b"))
+    )
+    merged = (
+        pairs.join(a, "g_a")
+        .unionByName(pairs.join(b, "g_b").select("g_a", "g_b", "hv"))
+        .select("g_a", "g_b", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("hv")
+    topk = merged.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    in_a = a.withColumn("_ina", F.lit(1))
+    in_b = b.withColumn("_inb", F.lit(1))
+    flagged = (
+        topk.join(in_a, ["g_a", "hv"], "left")
+        .join(in_b, ["g_b", "hv"], "left")
+    )
+    agg = flagged.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("n_kmv"),
+        F.max(F.when(F.col("_rk") == k, F.col("hv"))).alias("_theta"),
+        F.sum(
+            F.when(
+                F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_kmv") < k, F.col("n_kmv").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("_theta").cast("double")
+    )
+    return agg.select(
+        "g_a",
+        "g_b",
+        "n_kmv",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(
+            (F.col("n_both").cast("double") / F.col("n_kmv").cast("double"))
+            * est_union,
+            4,
+        ).alias("est_inter"),
+    )

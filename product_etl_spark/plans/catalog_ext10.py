@@ -699,3 +699,139 @@ def q167_hll_portable_distinct(spark, sf_dir):
         F.countDistinct("val").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+@register(
+    "q168_kmv_event_type_overlap",
+    """
+    WITH v AS (
+      SELECT event_type AS g, CAST(user_id AS VARCHAR) AS val
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    sets AS (SELECT DISTINCT g, val FROM v),
+    hv AS (
+      SELECT DISTINCT g,
+             ('0x' || substr(md5(val), 1, 15))::BIGINT AS hv
+      FROM sets
+    ),
+    sk AS (
+      SELECT g, hv FROM (
+        SELECT g, hv,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rk
+        FROM hv) WHERE rk <= 64
+    ),
+    gs AS (SELECT DISTINCT g FROM sk),
+    pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g
+    ),
+    merged AS (
+      SELECT p.g_a, p.g_b, s.hv FROM pairs p JOIN sk s ON s.g = p.g_a
+      UNION
+      SELECT p.g_a, p.g_b, s.hv FROM pairs p JOIN sk s ON s.g = p.g_b
+    ),
+    topk AS (
+      SELECT g_a, g_b, hv, rk FROM (
+        SELECT g_a, g_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS rk
+        FROM merged) WHERE rk <= 64
+    ),
+    agg AS (
+      SELECT t.g_a, t.g_b, COUNT(*) AS n_kmv,
+             MAX(CASE WHEN t.rk = 64 THEN t.hv END) AS theta,
+             SUM(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+                 THEN 1 ELSE 0 END) AS n_both
+      FROM topk t
+      LEFT JOIN sk sa ON sa.g = t.g_a AND sa.hv = t.hv
+      LEFT JOIN sk sb ON sb.g = t.g_b AND sb.hv = t.hv
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n FROM sets GROUP BY g),
+    einter AS (
+      SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS n_inter
+      FROM sets a JOIN sets b ON a.val = b.val AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT a.g_a AS type_a, a.g_b AS type_b, a.n_kmv,
+           ROUND(CASE WHEN a.n_kmv < 64 THEN a.n_kmv::DOUBLE
+                 ELSE 63.0 * 1152921504606846976.0 / a.theta::DOUBLE
+                 END, 4) AS est_union,
+           ROUND((a.n_both::DOUBLE / a.n_kmv::DOUBLE)
+                 * CASE WHEN a.n_kmv < 64 THEN a.n_kmv::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / a.theta::DOUBLE
+                   END, 4) AS est_inter,
+           sa.n + sb.n - i.n_inter AS exact_union,
+           i.n_inter AS exact_inter
+    FROM agg a
+    JOIN einter i ON i.g_a = a.g_a AND i.g_b = a.g_b
+    JOIN sizes sa ON sa.g = a.g_a
+    JOIN sizes sb ON sb.g = a.g_b
+    """,
+)
+def q168_kmv_event_type_overlap(spark, sf_dir):
+    """K-Minimum-Values set-overlap estimates between every event-type
+    pair's distinct-user sets (operators/sketches.kmv_*, Beyer et al.
+    2007) next to the exact union/intersection — the third portable
+    sketch family driver-pinned end-to-end (CMS q165, HLL q167): the
+    oracle rebuilds the k smallest md5-hash rows per set, merges each
+    pair to its union top-k, and derives est_union from the k-th value
+    and est_inter from the both-members fraction with the identical
+    single-division IEEE expressions, so sketch construction, union
+    AND estimation all hash equal cross-engine. q104 keeps the exact
+    audience-overlap row; the binary theta path (theta_overlap) stays
+    the fast default.
+
+    Scale shape: sketches are <= k rows per group and merge by
+    re-ranking; the pair machinery touches sketch rows only — the
+    corpus is scanned once into bounded state (the
+    scan-once/answer-forever contract the sketch family exists for)."""
+    from product_etl_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_partials,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("user_id").cast("string").alias("val"),
+        )
+    )
+    parts = kmv_partials(ev, ["g"], "val", k=64)
+    est = kmv_pair_overlap(parts, "g", k=64).select(
+        F.col("g_a").alias("type_a"),
+        F.col("g_b").alias("type_b"),
+        "n_kmv",
+        "est_union",
+        "est_inter",
+    )
+    sets = ev.distinct()
+    sizes = sets.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sets.alias("a")
+        .join(
+            sets.alias("b"),
+            (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("type_a"), F.col("b.g").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sa = sizes.select(F.col("g").alias("type_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("g").alias("type_b"), F.col("n").alias("_nb"))
+    return (
+        est.join(inter, ["type_a", "type_b"])
+        .join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_kmv",
+            "est_union",
+            "est_inter",
+            (F.col("_na") + F.col("_nb") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            "exact_inter",
+        )
+    )

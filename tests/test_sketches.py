@@ -113,3 +113,41 @@ def test_hll_portable_merge_equals_full_and_bounded_error(spark):
     est = hll_portable_estimate(full, ["g"], p=6).collect()[0]["est_distinct"]
     rel_err = abs(est - n) / n
     assert rel_err < 3 * 1.04 / (64 ** 0.5), (est, rel_err)
+
+
+def test_kmv_pair_overlap_discriminates_and_merges(spark):
+    """KMV overlap: half-overlapping sets estimate ~half the union as
+    intersection; disjoint sets estimate ~zero; merge == single-pass
+    build (register rows identical)."""
+    from product_etl_spark.operators.sketches import (
+        kmv_merge,
+        kmv_pair_overlap,
+        kmv_partials,
+    )
+
+    rows = (
+        [("A", f"u{i}") for i in range(2000)]
+        + [("B", f"u{i}") for i in range(1000, 3000)]   # half-overlap with A
+        + [("C", f"w{i}") for i in range(2000)]          # disjoint
+    )
+    df = spark.createDataFrame(rows, "g string, val string")
+    parts = kmv_partials(df, ["g"], "val", k=128)
+    est = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_pair_overlap(parts, "g", k=128).collect()
+    }
+    ab = est[("A", "B")]
+    assert abs(ab["est_union"] - 3000) / 3000 < 0.35
+    assert abs(ab["est_inter"] - 1000) / 1000 < 0.5
+    ac = est[("A", "C")]
+    assert ac["est_inter"] < 0.15 * ac["est_union"]
+
+    halves = kmv_partials(
+        df.filter(F.col("val") < "u2"), ["g"], "val", k=128
+    ).unionByName(
+        kmv_partials(df.filter(F.col("val") >= "u2"), ["g"], "val", k=128)
+    )
+    merged = kmv_merge(halves, ["g"], k=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, parts.collect())
+    )
