@@ -1,18 +1,28 @@
-"""Tenth extension catalog (q156+): transitive dedup clustering with
-a RECURSIVE-CTE oracle, skew-salted join equality, Morton (z-order)
-layout keys, and asymmetric set-containment dedup.
+"""Tenth extension catalog (q156-q168): dedup clustering and its
+incremental maintenance with RECURSIVE-CTE oracles, driver-proven
+plan rewrites (salting, Morton keys), asymmetric/weighted set
+similarity, interval-overlap and as-of attribution joins, grouped
+OLS and per-segment divergence, and the portable-sketch trio.
 
-q156 closes the same class of hole q142 closed for k-means: iterative
-transitive closure (dedup.connected_components — the post-dedup step
-every near-dup pipeline ends with, and resolve_entities' clustering
-rule) was pytest-only because it isn't single-pass SQL; DuckDB's
-WITH RECURSIVE reaches the same fixpoint, so the closure itself is now
-driver-hashed. q157 driver-proves the skew.salted_join rewrite is
-RESULT-invariant (the salt is plan-only). q158 pins the bit-exact
-Morton interleave zorder.write_zordered clusters files by. q159 adds
-the asymmetric near-superset detector Jaccard structurally misses
-(a short doc embedded in a long one — boilerplate-wrapped pages,
-quoted posts), with the one-sided prefix filter.
+q156/q164 close the same class of hole q142 closed for k-means:
+iterative transitive closure (dedup.connected_components — the
+post-dedup step every near-dup pipeline ends with) and its
+star-collapse incremental MERGE rule were pytest-only because they
+aren't single-pass SQL; DuckDB's WITH RECURSIVE reaches the same
+fixpoint, so both are now driver-hashed. q157/q158 driver-prove plan
+REWRITES result-invariant (skew salting; the bit-exact Morton
+interleave). q159/q166 extend exact set similarity beyond symmetric
+unweighted Jaccard: one-sided containment (the near-superset case
+Jaccard structurally misses) and rarity-weighted Jaccard (integer
+df-tier weights + the weighted prefix pigeonhole). q160/q162 give
+range-shaped joins equi-key plans (interval grid cells; the as-of
+union-window). q161/q163 extend the engine-exact analytics family
+(closed-form OLS from decimal moments; per-segment PSI-style
+divergence). q165/q167/q168 pin the SKETCH families cross-engine via
+portable md5 hashing — CMS cells, HLL registers (exact-integer
+harmonic sum), and KMV set overlap — so a replica can verify
+sketches it didn't build; the binary DataSketches forms stay the
+fast defaults.
 """
 
 from __future__ import annotations
