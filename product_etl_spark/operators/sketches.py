@@ -134,10 +134,16 @@ def kll_quantiles(
 #: as literals.
 _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
-#: rho ceiling for the 54-bit remainder of the 60-bit portable hash:
-#: bucket takes the low bits, the remaining value is < 2^54, so
-#: rho = 55 - bit_length(rest) lies in [1, 55].
-_HLL_RMAX = 55
+def _hll_rmax(p: int) -> int:
+    """rho ceiling for the (60-p)-bit remainder of the 60-bit portable
+    hash: bucket takes the low p bits, the remaining value is
+    < 2^(60-p), so rho = (61-p) - bit_length(rest) lies in [1, 61-p]
+    (rest == 0 maps to the ceiling itself). Deriving this from p keeps
+    partials and estimate consistent for every m in _HLL_ALPHA — a
+    hardcoded 55 is only correct for p=6 and would bias any other p
+    by ~2^(p-6). m * 2^rmax = 2^61 for every p, so the exact-integer
+    harmonic sum in hll_portable_estimate stays overflow-safe."""
+    return 61 - p
 
 
 def hll_portable_partials(
@@ -146,7 +152,8 @@ def hll_portable_partials(
     """Register-ROW HyperLogLog partials with the portable md5 hash
     (functions.text.hash64 — the q143/q165 convention): one row per
     (group..., bucket, r) where bucket = hash % 2^p and r = leading-
-    zero rank of the remaining 54 bits. Any md5-capable engine
+    zero rank of the remaining (60-p) bits (ceiling 61-p, see
+    _hll_rmax). Any md5-capable engine
     rebuilds the registers cell-for-cell, so a replica can verify or
     merge a sketch it didn't build — unlike the binary DataSketches
     form (hll_partials), which stays the fast in-family default.
@@ -157,10 +164,11 @@ def hll_portable_partials(
     from product_etl_spark.functions.text import hash64
 
     m = 2 ** p
+    rmax = _hll_rmax(p)
     h = hash64(F.col(col).cast("string"))
     rest = F.floor(h / m).cast("long")
-    rho = F.when(rest == 0, F.lit(_HLL_RMAX)).otherwise(
-        F.lit(_HLL_RMAX) - F.length(F.bin(rest))
+    rho = F.when(rest == 0, F.lit(rmax)).otherwise(
+        F.lit(rmax) - F.length(F.bin(rest))
     )
     return (
         df.filter(F.col(col).isNotNull())
@@ -198,8 +206,9 @@ def hll_portable_estimate(
     callers gate on n_buckets_hit if they need the small-range form.
     """
     m = 2 ** p
+    rmax = _hll_rmax(p)
     alpha = _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
-    num = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)")
+    num = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - r)")
     agg = parts.groupBy(*group_cols).agg(
         F.sum(num).alias("_s_hit"),
         F.count(F.lit(1)).alias("n_buckets_hit"),
@@ -207,11 +216,11 @@ def hll_portable_estimate(
     s_num = (
         F.col("_s_hit")
         + (F.lit(m) - F.col("n_buckets_hit"))
-        * F.lit(2 ** _HLL_RMAX).cast("long")
+        * F.lit(2 ** rmax).cast("long")
     )
     est = (
         F.lit(float(alpha) * m * m)
-        * F.lit(float(2 ** _HLL_RMAX))
+        * F.lit(float(2 ** rmax))
         / s_num.cast("double")
     )
     return agg.select(

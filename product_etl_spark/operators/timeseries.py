@@ -281,6 +281,14 @@ def interval_overlap_pairs(
     bound or the cell size deliberately, don't discover it as an
     executor OOM.
 
+    Empty and reversed intervals (end <= start) are DROPPED before the
+    grid explode: a half-open [s, e) with e <= s contains no points,
+    so it overlaps nothing by definition — but the verification
+    predicate (s_a < e_b AND s_b < e_a) alone would still emit a
+    spurious pair (with ov_start >= ov_end) when another interval
+    spans a reversed one, and Spark's sequence() auto-descends on a
+    reversed span, silently exploding its cells.
+
     Output: key_col, id_a, id_b, ov_start, ov_end.
     """
     iv = df.select(
@@ -288,7 +296,7 @@ def interval_overlap_pairs(
         F.col(id_col).alias("_iid"),
         F.col(start_col).cast("long").alias("_s"),
         F.col(end_col).cast("long").alias("_e"),
-    )
+    ).filter(F.col("_e") > F.col("_s"))
     span_cells = F.floor(F.col("_e") / cell) - F.floor(F.col("_s") / cell)
     guard = F.assert_true(
         span_cells <= F.lit(max_cells_per_interval),

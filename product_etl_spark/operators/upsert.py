@@ -72,6 +72,62 @@ def _pid_alive(pid: int) -> bool:
 _ORPHAN_LOCK_SECONDS = 300.0
 
 
+def _break_stale_lock(lock_dir: str, expected: dict | None) -> bool:
+    """Atomically break a lock OBSERVED stale, verifying after the
+    rename that the directory captured is the same stale lock that was
+    observed — not a fresh LIVE lock a faster breaker re-created in
+    between. Winning the rename alone is not enough: breaker A may
+    observe dead owner P, breaker B breaks P's lock and re-acquires,
+    and A's rename would then capture B's live lock (two writers in
+    the critical section — the exact lost update this lock prevents).
+
+    ``expected`` is the owner dict read before deciding to break, or
+    None for the metadata-less-orphan case. After the rename the
+    tombstone's owner.json must match ``expected`` (pid AND ts — ts is
+    the per-acquisition nonce, so a recycled pid cannot alias); for
+    the orphan case the tombstone must still be metadata-less AND
+    still older than the orphan threshold (dir mtime survives rename).
+    On mismatch the directory is renamed back and the lock reported
+    contended. Returns True only when the observed stale lock was
+    removed."""
+    tombstone = f"{lock_dir}.stale.{uuid.uuid4().hex}"
+    try:
+        os.rename(lock_dir, tombstone)
+    except OSError:  # lost the breaker race: lock is contended
+        return False
+    got: dict | None
+    try:
+        with open(os.path.join(tombstone, "owner.json")) as f:
+            got = json.load(f)
+    except (OSError, ValueError):
+        got = None
+    if expected is None:
+        try:
+            age = time.time() - os.stat(tombstone).st_mtime
+        except OSError:
+            age = 0.0
+        same = got is None and age >= _ORPHAN_LOCK_SECONDS
+    else:
+        same = (
+            got is not None
+            and got.get("pid") == expected.get("pid")
+            and got.get("ts") == expected.get("ts")
+        )
+    if not same:
+        # captured someone else's LIVE lock: put it back and report
+        # contention. If an acquirer mkdir'd lock_dir in the gap the
+        # put-back fails; dropping the tombstone then releases the
+        # stolen owner's lock early — the narrowest remaining window,
+        # and strictly better than keeping a lock nobody can release.
+        try:
+            os.rename(tombstone, lock_dir)
+        except OSError:
+            shutil.rmtree(tombstone, ignore_errors=True)
+        return False
+    shutil.rmtree(tombstone, ignore_errors=True)
+    return True
+
+
 @contextmanager
 def _table_write_lock(path: str):
     """Advisory single-writer lock for the read-merge-swap cycle:
@@ -84,13 +140,16 @@ def _table_write_lock(path: str):
     not the publish.
 
     Stale locks are broken ATOMICALLY by renaming the lock dir to a
-    unique tombstone: exactly one of N racing breakers wins the
-    rename, so a loser can never rmtree the fresh lock the winner
-    re-created (the rmtree-then-mkdir race would hand the lock to two
-    writers at once — the exact lost update this lock exists to
-    prevent). Ownership metadata is published at acquisition via
-    temp-write + atomic rename; a crash inside that one-rename window
-    leaves a metadata-less lock, which is treated as held until it is
+    unique tombstone, then VERIFYING the captured directory is the
+    observed stale lock (owner pid+ts match, or still-old orphan) —
+    see _break_stale_lock. The rename alone makes exactly one of N
+    racing breakers win while the dir exists, but a breaker whose
+    observation predates another breaker's break+re-acquire could
+    otherwise capture the winner's fresh LIVE lock; the post-rename
+    owner check renames such a capture back and reports contention.
+    Ownership metadata is published at acquisition via temp-write +
+    atomic rename; a crash inside that one-rename window leaves a
+    metadata-less lock, which is treated as held until it is
     ``_ORPHAN_LOCK_SECONDS`` old (lock-dir mtime) and then breakable."""
     lock_dir = f"{path}__lock"
     meta = os.path.join(lock_dir, "owner.json")
@@ -104,19 +163,10 @@ def _table_write_lock(path: str):
             json.dump({"pid": os.getpid(), "ts": time.time()}, f)
         os.replace(tmp, meta)  # publish ownership atomically
 
-    def _break_stale() -> bool:
-        tombstone = f"{lock_dir}.stale.{uuid.uuid4().hex}"
-        try:
-            os.rename(lock_dir, tombstone)
-        except OSError:  # lost the breaker race: lock is contended
-            return False
-        shutil.rmtree(tombstone, ignore_errors=True)
-        return True
-
     try:
         _acquire()
     except FileExistsError:
-        owner_alive, owner = True, "<unreadable>"
+        owner_alive, owner, info = True, "<unreadable>", None
         try:
             with open(meta) as f:
                 info = json.load(f)
@@ -126,6 +176,7 @@ def _table_write_lock(path: str):
             # no readable owner: ownerless crash artifact, breakable
             # only once old enough that no live acquirer can still be
             # inside the mkdir->rename window
+            info = None
             try:
                 age = time.time() - os.stat(lock_dir).st_mtime
                 owner_alive = age < _ORPHAN_LOCK_SECONDS
@@ -139,7 +190,7 @@ def _table_write_lock(path: str):
                 "updates — serialize the writers or move the table to "
                 "a format with optimistic commits (Delta/Iceberg)"
             )
-        if not _break_stale():
+        if not _break_stale_lock(lock_dir, info):
             raise ConcurrentWriteError(
                 f"table {path!r}: lost the race to break a stale lock "
                 "— another writer is active"

@@ -151,3 +151,32 @@ def test_kmv_pair_overlap_discriminates_and_merges(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, parts.collect())
     )
+
+
+def test_hll_portable_nondefault_p_unbiased(spark):
+    """The rho ceiling must derive from p (rmax = 61 - p): a ceiling
+    hardcoded for p=6 biases every other p by ~2^(p-6) because rho
+    shifts while the absent-register term does not. For each
+    advertised m in _HLL_ALPHA, registers stay in [1, 61-p] and the
+    raw estimate lands inside the standard ~1.04/sqrt(m) band (x3)
+    of the truth — the p=4/p=5 cases fail by ~4x/~2x under the old
+    hardcoded ceiling."""
+    from product_etl_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_partials,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    for p in (4, 5, 6):
+        m = 2 ** p
+        parts = hll_portable_partials(df, ["g"], "v", p=p)
+        rs = [r["r"] for r in parts.collect()]
+        assert all(1 <= r <= 61 - p for r in rs), (p, min(rs), max(rs))
+        est = hll_portable_estimate(parts, ["g"], p=p).collect()[0][
+            "est_distinct"
+        ]
+        rel_err = abs(est - n) / n
+        assert rel_err < 3 * 1.04 / (m ** 0.5), (p, est, rel_err)

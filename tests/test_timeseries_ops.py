@@ -55,3 +55,29 @@ def test_interval_overlap_degenerate_span_fails_loudly(spark):
         df, "k", "id", "s", "e", 900, max_cells_per_interval=2_000_000
     )
     assert got.count() == 1
+
+
+def test_interval_overlap_empty_and_reversed_intervals_dropped(spark):
+    """A half-open [s, e) with e <= s contains no points, so it must
+    pair with NOTHING — but the bare verification predicate
+    (s_a < e_b AND s_b < e_a) emits a spurious (ov_start >= ov_end)
+    pair when a normal interval spans a reversed one, and sequence()
+    auto-descends on the reversed span (so the grid gate does not
+    save us either). The operator drops such rows before the explode."""
+    from product_etl_spark.operators.timeseries import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        ("u1", 1, 2, 8),   # normal, spans the reversed one below
+        ("u1", 2, 5, 3),   # REVERSED: s_b=5 < e_a=8 and s_a=2 < e_b=3
+        ("u1", 3, 4, 4),   # EMPTY point interval inside id 1
+        ("u1", 4, 6, 7),   # normal, overlaps id 1 only
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, s long, e long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["ov_start"], r["ov_end"])
+        for r in interval_overlap_pairs(df, "k", "id", "s", "e", 900).collect()
+    }
+    assert got == {(1, 4): (6, 7)}
+    assert all(s < e for s, e in got.values())

@@ -140,3 +140,63 @@ def test_owner_metadata_published_at_acquisition(tmp_path):
         meta = os.path.join(f"{path}__lock", "owner.json")
         with open(meta) as f:
             assert json.load(f)["pid"] == os.getpid()
+
+
+def test_break_verifies_owner_never_steals_fresh_live_lock(tmp_path):
+    """The ABA race the rename alone cannot stop: breaker A observes
+    dead owner P, breaker B (same observation) breaks P's lock and
+    RE-ACQUIRES — a fresh LIVE lock now stands at lock_dir. A's
+    rename would still succeed against it. The post-rename owner
+    check (pid+ts must match the observed stale owner) must rename
+    the captured live lock BACK and report contention, leaving B's
+    lock intact."""
+    from product_etl_spark.operators import upsert as U
+
+    lock_dir = str(tmp_path / "tbl__lock")
+    dead = {"pid": 2**22 + 12345, "ts": 0.0}
+    # B already broke the dead lock and re-acquired: live lock stands
+    os.mkdir(lock_dir)
+    live = {"pid": os.getpid(), "ts": 123.456}
+    with open(os.path.join(lock_dir, "owner.json"), "w") as f:
+        json.dump(live, f)
+    # A, acting on its STALE observation of `dead`, tries to break
+    assert U._break_stale_lock(lock_dir, dead) is False
+    # B's live lock survived, byte-identical
+    with open(os.path.join(lock_dir, "owner.json")) as f:
+        assert json.load(f) == live
+    # no tombstone litter
+    assert os.listdir(tmp_path) == ["tbl__lock"]
+
+
+def test_break_succeeds_when_observed_owner_still_stands(tmp_path):
+    from product_etl_spark.operators import upsert as U
+
+    lock_dir = str(tmp_path / "tbl__lock")
+    dead = {"pid": 2**22 + 12345, "ts": 0.0}
+    os.mkdir(lock_dir)
+    with open(os.path.join(lock_dir, "owner.json"), "w") as f:
+        json.dump(dead, f)
+    assert U._break_stale_lock(lock_dir, dead) is True
+    assert not os.path.exists(lock_dir)
+
+
+def test_orphan_break_rejects_fresh_metadata_less_lock(tmp_path):
+    """Orphan (metadata-less) break path: after the rename the
+    tombstone must STILL be metadata-less and older than the orphan
+    threshold — a fresh acquirer inside its mkdir->rename window is
+    metadata-less too, and must not be swallowed by a breaker whose
+    'old orphan' observation is outdated."""
+    from product_etl_spark.operators import upsert as U
+
+    # fresh metadata-less dir (a live acquirer mid-window): rejected
+    lock_dir = str(tmp_path / "a__lock")
+    os.mkdir(lock_dir)
+    assert U._break_stale_lock(lock_dir, None) is False
+    assert os.path.exists(lock_dir)
+
+    # genuinely old orphan: broken
+    lock_dir2 = str(tmp_path / "b__lock")
+    os.mkdir(lock_dir2)
+    os.utime(lock_dir2, (1_000_000.0, 1_000_000.0))
+    assert U._break_stale_lock(lock_dir2, None) is True
+    assert not os.path.exists(lock_dir2)
