@@ -87,3 +87,58 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def vocabulary_coverage(
+    docs: DataFrame,
+    text_col: str,
+    thresholds: list[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Vocabulary coverage curve cutpoints: how many distinct terms —
+    taken most-frequent-first — cover num/den of ALL token
+    occurrences. The tokenizer-design statistic (how big must a word
+    vocabulary be before <unk> is rare), the Zipf-tail summary every
+    corpus report carries, and the integer-exact complement of the
+    top-k vocabulary listing (q77).
+
+    One output row: vocab_size, total_tokens, then one
+    ``terms_p<pct>`` column per threshold = the rank of the first
+    term (frequency-descending, term-ascending tie-break) whose
+    cumulative occurrence count reaches num/den of the total —
+    decided by the integer cross-multiplication den*cum >= num*total,
+    so no float can diverge.
+
+    Scale shape: term counts are one map-side-combined groupBy
+    (vocabulary-bounded); the ranking window is global but runs over
+    the VOCABULARY, not the corpus — millions of rows at web scale,
+    fine for one task. If vocabulary itself outgrows a task, the
+    window swaps for a range-partitioned prefix sum (sort by count
+    desc, per-partition partials, broadcast offsets) with identical
+    output; the cutpoint logic is unchanged."""
+    terms = docs.select(
+        F.explode(T.index_terms(F.col(text_col))).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    order = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(order).alias("rank"),
+        F.sum("cnt").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("_tot"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max("_tot").alias("total_tokens"),
+    ]
+    for num, den in thresholds:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(den) * F.col("cum") >= F.lit(num) * F.col("_tot"),
+                    F.col("rank"),
+                )
+            ).alias(f"terms_p{round(100 * num / den)}")
+        )
+    return ranked.agg(*aggs)

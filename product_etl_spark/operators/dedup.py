@@ -466,17 +466,40 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Transitive closure of near-dup pairs -> (id, component) where
-    component is the minimum id reachable — iterative min-label
-    propagation (the GraphFrames-free connected components).
+    component is the minimum id reachable (the GraphFrames-free
+    connected components).
 
-    Each round: every node adopts the smallest label among itself and
-    its neighbors; converges in O(diameter) rounds (near-dup clusters
-    are shallow — chains longer than ~10 hops are pathological).
-    Intermediate frames are localCheckpointed to cut the growing
-    lineage, which otherwise re-executes the whole chain per round.
+    algorithm:
+      'propagation' — min-label propagation: every round each node
+        adopts the smallest label among itself and its neighbors.
+        O(diameter) rounds; near-dup clusters are shallow, so this is
+        the cheap default, but a pathological long chain needs
+        diameter rounds and every round shuffles the FULL label frame.
+      'star' — alternating large-star / small-star contraction
+        (Kiveris et al. 2014, "Connected Components in MapReduce and
+        Beyond"): each round rewires every node's strictly-larger
+        neighbors to its neighborhood minimum (large-star), then
+        collapses the remaining edges onto that minimum (small-star).
+        Converges in O(log n) rounds REGARDLESS of diameter, and hub
+        fan-out is bounded because every rewrite goes through per-node
+        minima — the hub-safe choice for long chains or celebrity
+        nodes. Shuffles the edge frame (not a label frame) per round.
+
+    Both return identical (id, component) labelings (asserted in
+    tests on chain/hub/fixture graphs). Intermediate frames are
+    localCheckpointed to cut the growing lineage, which otherwise
+    re-executes the whole chain per round.
     """
+    if algorithm == "star":
+        return _star_components(pairs, id_a, id_b, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"unknown connected-components algorithm: {algorithm!r} "
+            "(use 'propagation' or 'star')"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -521,6 +544,69 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _star_components(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014). The
+    edge frame is kept in (u > v) canonical orientation; at the
+    fixpoint every component is a star — each node points directly at
+    the component minimum — so the labels fall out of the edge list.
+
+    large-star: for each node u with neighborhood Γ(u) (symmetric
+    view) and m = min(Γ(u) ∪ {u}), emit (v, m) for v ∈ Γ(u), v > u.
+    small-star: for each node u (canonical view, all neighbors < u)
+    and m = min(Γ(u)), emit (u, m) and (v, m) for v ∈ Γ(u) \\ {m}.
+    Both steps only ever connect nodes to a per-neighborhood MINIMUM,
+    which is what bounds hub fan-out and gives O(log n) convergence.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        large = (
+            both.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(edges)
+            .unionByName(edges.exceptAll(small))
+            .limit(1)
+            .count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    return edges.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
+        edges.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    )
 
 
 def dedup_corpus(

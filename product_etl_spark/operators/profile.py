@@ -602,3 +602,91 @@ def segment_divergence_from_counts(s: DataFrame, n_bins: int) -> DataFrame:
             ),
         )
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact WEIGHTED lower median per group: the smallest value v
+    whose cumulative weight reaches half the group's total
+    (2 * cumw(<= v) >= total) — the volume-weighted robust center
+    ("the price at which half the QUANTITY trades"), which the plain
+    median (one vote per row) misstates whenever weights are skewed.
+
+    INTEGER-DECIDED like mad_outliers: weights cast to BIGINT, the
+    picking predicate is the integer cross-multiplication — no
+    interpolation, no float comparisons, so engines cannot diverge.
+    Output: group cols + (w_median DOUBLE, total_weight BIGINT).
+
+    Scale shape: one (group, value) pre-aggregation (map-side
+    combine collapses ties before any window), then one
+    group-partitioned window cumsum over DISTINCT values — per-group
+    frames only, no global sort."""
+    from pyspark.sql import Window
+
+    gw = (
+        df.groupBy(*group_cols, F.col(value_col).alias("_v"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+    )
+    wc = Window.partitionBy(*group_cols).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = gw.withColumn("_cw", F.sum("_w").over(wc)).withColumn(
+        "_tw", F.sum("_w").over(wt)
+    )
+    hit = cum.filter(2 * F.col("_cw") >= F.col("_tw"))
+    return hit.groupBy(*group_cols).agg(
+        F.min("_v").cast("double").alias("w_median"),
+        F.max("_tw").alias("total_weight"),
+    )
+
+
+def grouped_trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Exact per-group TRIMMED mean: drop the floor(n*num/den)
+    smallest and largest rows, average the middle — the robust
+    location estimate between the mean (trim 0) and the median (trim
+    ~1/2), standard for quality-score aggregation where a few
+    garbage documents would drag a plain mean.
+
+    The trim count is pure integer arithmetic (n*num div den); ties
+    are cut by row_number, which is value-stable (tied rows are
+    interchangeable in the kept multiset, so the SUM is
+    order-independent). Kept values sum as decimals (reorderable-sum
+    contract); the mean is ONE IEEE division at the surface.
+    Output: group cols + (trimmed_mean DOUBLE, n_kept BIGINT).
+
+    Scale shape: one group-partitioned window rank + one
+    map-side-combined groupBy — per-group frames, no global sort."""
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("decimal(18,2)")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_x").asc())
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, x.alias("_x"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "_cut", F.expr(f"CAST(_n * {trim_num} AS BIGINT) div {trim_den}")
+        )
+    )
+    kept = ranked.filter(
+        (F.col("_rn") > F.col("_cut")) & (F.col("_rn") <= F.col("_n") - F.col("_cut"))
+    )
+    return kept.groupBy(*group_cols).agg(
+        (
+            F.sum("_x").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("trimmed_mean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

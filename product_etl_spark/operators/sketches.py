@@ -350,3 +350,99 @@ def kmv_pair_overlap(
             4,
         ).alias("est_inter"),
     )
+
+
+def quantile_sample_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Portable deterministic QUANTILE sketch: the bottom-k hash
+    sample with values — the k rows whose portable md5 hash
+    (functions.text.hash64, the q165/q167/q168 convention) of the
+    UNIQUE row key is smallest per group, carrying ``val_col``.
+    Output: (group..., hv, val), at most k rows per group.
+
+    This is the quantile member of the portable-sketch family: KLL
+    (kll_partials) stays the fast binary default, but its compaction
+    coin-flips make it engine-private; this sample is a pure hash
+    predicate, so any md5-capable engine rebuilds it cell-for-cell
+    and a replica can VERIFY a sketch it didn't build. Hashing the
+    unique key (not the value) keeps the sample uniform over ROWS —
+    duplicated values occupy independent slots — which is what makes
+    rank estimates unbiased. Mergeable exactly like KMV: union of
+    bottom-k samples re-cut to k IS the bottom-k sample of the union
+    (quantile_sample_merge), so per-batch partials fold across ingest
+    without rescanning. Standard bottom-k error: quantile ranks are
+    within O(1/sqrt(k)) of truth with high probability (Cohen &
+    Kaplan 2007 summarize the bottom-k estimator family)."""
+    from pyspark.sql import Window
+
+    from product_etl_spark.functions.text import hash64
+
+    hv = hash64(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        df.filter(F.col(val_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(*group_cols, hv.alias("hv"), F.col(val_col).alias("val"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def quantile_sample_merge(
+    parts: DataFrame, coarser_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Union finer partials up a hierarchy: merge rows, dedup on the
+    (group, hv) cell (a key seen by two batches carries the same
+    val), keep the k smallest hashes per coarser group — associative
+    and commutative, identical to a single-pass build over the
+    concatenated input (asserted in tests)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*coarser_cols).orderBy("hv")
+    return (
+        parts.select(*coarser_cols, "hv", "val")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def quantile_sample_estimate(
+    parts: DataFrame, group_cols: list[str], probs: list[float]
+) -> DataFrame:
+    """Quantile estimates from the sample by EXACT RANK — no float
+    interpolation: for each prob q the value of the sample's
+    ceil(q*n)-th smallest element (lower quantile, ties broken by hv
+    for a deterministic row but an order-independent VALUE). One
+    window sort over <= k rows per group plus one groupBy; every
+    comparison is integer, so two engines cannot disagree on which
+    value is surfaced. Output column names follow the kll_quantiles
+    convention (0.5 -> p50)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("val", "hv")
+    wsz = Window.partitionBy(*group_cols)
+    ranked = parts.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wsz)
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rk")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(p) * F.col("_n"))
+                ),
+                F.col("val"),
+            )
+        ).alias(f"p{int(round(p * 100)):02d}")
+        for p in probs
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        F.max("_n").alias("n_sample"), *aggs
+    )

@@ -56,6 +56,18 @@ into these r5-refresh slots as they land, so after r8 no catalog
 entry's newest green row is older than r5 and nothing new waits a
 round. Every demoted query keeps a green row <= r7 old. Per-query
 round stamps live in COVERAGE.md.
+
+Round-9 ROTATION (per the r8 verdict's items 1, 4 and 5): the five
+entries registered after the r8 freeze lead (q164 incremental
+component merge, q165/q167/q168 portable CMS/HLL/KMV, q166 weighted
+Jaccard), then the five new-in-r9 entries (q169 portable quantile
+sample sketch — the KLL pin the verdict asked for, q170 star-
+contraction components, q171 weighted median, q172 vocabulary
+coverage, q173 trimmed mean). Next ALL 27 r5-last-green entries
+(verdict item 4's list, incl. q93 rows-only), the 6 anchors, and 7
+r6 refreshes — past-failure entries first (q68/q105/q44/q46 each
+carry a rN! stamp), then q43/q34/q13 family reps. After r9 no
+catalog entry's newest green row is older than r6.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -69,6 +81,7 @@ from product_etl_spark.plans import catalog_ext7  # noqa: F401  (registers q132+
 from product_etl_spark.plans import catalog_ext8  # noqa: F401  (registers q137+)
 from product_etl_spark.plans import catalog_ext9  # noqa: F401  (registers q142+)
 from product_etl_spark.plans import catalog_ext10  # noqa: F401  (registers q156+)
+from product_etl_spark.plans import catalog_ext11  # noqa: F401  (registers q169+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -76,29 +89,46 @@ from product_etl_spark.plans import catalog_ext10  # noqa: F401  (registers q156
 _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 
 _DRIVER_WINDOW = [
-    # -- registered late in r7, never driver-checked --
-    "q149_fd_violations",
-    "q150_benford_first_digit",
-    "q151_user_event_entropy",
-    "q152_segment_balance_gini",
-    "q153_mad_balance_outliers",
-    "q154_exact_jaccard_join",
-    "q155_trigram_substring_search",
-    # -- stale refresh: the 14 slots the r7 verdict names (all r4) --
-    "q35_knn_bruteforce",
-    "q36_lsh_bucket_histogram",
-    "q54_above_nation_average",
-    "q59_master_variant_split",
-    "q60_deterministic_sample",
-    "q66_context_packing",
-    "q70_null_safe_join",
-    "q71_tpch_q6_forecast_revenue",
-    "q73_tpch_q5_local_supplier_volume",
-    "q75_having_filter",
-    "q91_segment_dedup",
-    "q96_daily_gapfill_locf",
-    "q97_event_funnel",
-    "q102_lineitem_moment_stats",
+    # -- registered late in r8, never driver-checked (r8 verdict item 1) --
+    "q164_incremental_component_merge",
+    "q165_cms_event_type_freq",
+    "q166_weighted_jaccard_pairs",
+    "q167_hll_portable_distinct",
+    "q168_kmv_event_type_overlap",
+    # -- new in r9 --
+    "q169_quantile_sample_sketch",
+    "q170_star_components",
+    "q171_weighted_median_price",
+    "q172_vocabulary_coverage",
+    "q173_trimmed_mean_price",
+    # -- stale refresh: every r5-last-green entry (r8 verdict item 4) --
+    "q53_order_rank_in_customer",
+    "q55_events_per_day_of_week",
+    "q65_line_repetition",
+    "q67_nations_intersect",
+    "q76_ntile_quartiles",
+    "q77_vocabulary_topk",
+    "q78_array_higher_order",
+    "q80_running_distinct_types",
+    "q82_tpch_q8_market_share",
+    "q83_tpch_q9_product_profit",
+    "q84_tpch_q13_order_count_distribution",
+    "q85_tpch_q14_promo_revenue",
+    "q86_tpch_q15_top_supplier",
+    "q88_tpch_q18_large_volume_customers",
+    "q89_tpch_q19_bracketed_revenue",
+    "q90_tpch_q22_idle_balances",
+    "q93_kmeans_ivf_lists",
+    "q100_trailing_7d_spend",
+    "q101_weighted_doc_sample",
+    "q103_event_transitions",
+    "q104_event_type_overlap",
+    "q106_tpch_q4_order_priority",
+    "q107_tpch_q11_value_concentration",
+    "q108_tpch_q12_late_shipment_priority",
+    "q109_tpch_q16_supplier_count",
+    "q110_tpch_q20_potential_promotion",
+    "q111_tpch_q21_waiting_suppliers",
     # -- 6 anchors: flagship family reps, green every round --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -106,32 +136,17 @@ _DRIVER_WINDOW = [
     "q94_corpus_curation",
     "q112_benchmark_decontam",
     "q114_transition_pagerank",
-    # -- refresh: r5-last-green family reps (new-in-r8 entries swap
-    #    into these slots as they are registered) --
-    "q52_value_delta_lag",
-    "q61_train_test_split",
-    "q62_stratified_cap",
-    "q63_source_mixing",
-    "q72_tpch_q3_shipping_priority",
-    "q74_tpch_q10_returned_items",
-    "q79_json_schema_on_read",
-    "q81_tpch_q7_volume_shipping",
-    "q87_tpch_q17_small_quantity_revenue",
-    "q95_scd2_customer_history",
-    "q98_cohort_retention",
-    "q113_bigram_lm_perplexity",
-    "q115_pq_codes",
-    "q116_pq_adc_topk",
-    "q117_bm25_search",
-    # -- new in r8 --
-    "q156_dedup_cluster_components",
-    "q157_salted_join_rollup",
-    "q158_zorder_bucket_stats",
-    "q159_containment_pairs",
-    "q160_interval_overlap_join",
-    "q161_brand_size_price_ols",
-    "q162_last_touch_attribution",
-    "q163_segment_balance_divergence",
+    # -- r6 refresh: past-failure entries first (q68/q105/q44/q46 all
+    #    carry a rN! stamp), then family reps pairing with new r9 work
+    #    (q43 percentiles next to q169's sketch; q34 simhash; q13 set
+    #    difference) --
+    "q68_user_event_type_sets",
+    "q105_tpch_q2_min_cost_supplier",
+    "q44_acctbal_stats",
+    "q46_asof_purchase_signup",
+    "q43_price_percentiles",
+    "q34_simhash",
+    "q13_customer_only_nations",
 ]
 
 

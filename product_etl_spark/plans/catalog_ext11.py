@@ -1,0 +1,279 @@
+"""Eleventh extension catalog (q169-q173): the portable QUANTILE
+sketch that completes the cross-engine-verifiable sketch family
+(CMS q165 / HLL q167 / KMV q168), the hub-safe star-contraction
+connected components (the O(log n) twin of q156's propagation
+closure), and three integer-decided robust/corpus statistics —
+weighted median, vocabulary coverage cutpoints, trimmed mean.
+
+All five follow the engine-exact surface contract: picking and
+trimming decisions are integer cross-multiplications, sums are
+decimal, every float on the surface is a single IEEE operation both
+engines perform identically (SCALING.md float policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.collocations import vocabulary_coverage
+from product_etl_spark.operators.dedup import (
+    connected_components,
+    set_similarity_pairs,
+)
+from product_etl_spark.operators.profile import (
+    grouped_trimmed_mean,
+    grouped_weighted_median,
+)
+from product_etl_spark.operators.sketches import (
+    quantile_sample_estimate,
+    quantile_sample_partials,
+)
+from product_etl_spark.plans.catalog import _t, register
+
+
+@register(
+    "q169_quantile_sample_sketch",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             l_extendedprice AS val,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS key
+      FROM lineitem
+    ), h AS (
+      SELECT flag, val,
+             ('0x' || substr(md5(key), 1, 15))::BIGINT AS hv
+      FROM v
+    ), samp AS (
+      SELECT flag, hv, val
+      FROM h
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) <= 256
+    ), ranked AS (
+      SELECT flag, val,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY val, hv) AS vr,
+             COUNT(*) OVER (PARTITION BY flag) AS n
+      FROM samp
+    )
+    SELECT flag AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_sample,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(CAST(0.25 AS DOUBLE) * n) AS BIGINT)) THEN val END) AS p25,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN val END) AS p50,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(CAST(0.75 AS DOUBLE) * n) AS BIGINT)) THEN val END) AS p75,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(CAST(0.95 AS DOUBLE) * n) AS BIGINT)) THEN val END) AS p95
+    FROM ranked GROUP BY flag
+    """,
+)
+def q169_quantile_sample_sketch(spark, sf_dir):
+    """Portable deterministic QUANTILE sketch (operators/sketches.
+    quantile_sample_partials/-estimate): per returnflag, the bottom-
+    256 md5-hash sample of lineitem rows (hash over the unique
+    orderkey-linenumber row key — uniform over rows) carrying
+    l_extendedprice, read out at p25/p50/p75/p95 by EXACT RANK over
+    the sample. Completes the cross-engine-verifiable sketch family
+    the r8 trio started (CMS q165 / HLL q167 / KMV q168): KLL's
+    compaction coin-flips are engine-private, but a bottom-k hash
+    sample is a pure predicate any md5-capable engine rebuilds
+    cell-for-cell — so a replica can VERIFY quantile partials it
+    didn't build. Mergeable like KMV (union re-cut to k); standard
+    bottom-k O(1/sqrt(k)) rank error, pytest-bounded.
+
+    Scale shape: one window top-k per group over the scan (map-side
+    rank pruning), then ranking 256 rows per group. The sketch rows
+    — not the corpus — persist; later quantile reads never rescan.
+    Reference anchor: the percentile family (q43's exact NTILE
+    percentiles) the reference computes with pandas describe()
+    (utils/analyze_db.py)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+    )
+    parts = quantile_sample_partials(
+        li, ["l_returnflag"], "price", "rk", k=256
+    )
+    return quantile_sample_estimate(
+        parts, ["l_returnflag"], [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+@register(
+    "q170_star_components",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS s
+      FROM documents WHERE doc_id >= 150
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.s, b.s)) > 0
+        AND 5 * LEN(list_intersect(a.s, b.s))
+            >= 3 * (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q170_star_components(spark, sf_dir):
+    """Connected components via LARGE-STAR/SMALL-STAR contraction
+    (dedup.connected_components(algorithm='star'), Kiveris et al.
+    2014) on the exact-Jaccard edge set — the same closure contract
+    as q156's min-label propagation, driver-hashed against the same
+    recursive-CTE fixpoint on a disjoint document slice. Star
+    contraction converges in O(log n) rounds REGARDLESS of graph
+    diameter and bounds hub fan-out (every rewrite goes through
+    per-neighborhood minima), so it is the shape that survives the
+    pathological graphs propagation cannot: long chains (diameter
+    rounds) and celebrity nodes (full label frame reshuffled per
+    round). Equality to propagation is additionally pytest-pinned on
+    planted chain/hub graphs (test_dedup_similarity).
+
+    Scale shape: each round shuffles the EDGE frame twice (two
+    groupBy-min + two joins), never a per-node label frame; edges
+    only ever point at neighborhood minima, so frame size is
+    non-increasing. localCheckpoint per round cuts lineage."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 150)
+    pairs = set_similarity_pairs(d, "text", "doc_id", 3, 5)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), algorithm="star", max_iter=12
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "q171_weighted_median_price",
+    """
+    WITH gw AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM gw
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS DOUBLE) AS w_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def q171_weighted_median_price(spark, sf_dir):
+    """Exact QUANTITY-WEIGHTED median price per returnflag
+    (profile.grouped_weighted_median): the smallest price at which
+    half the total quantity has traded — the volume-weighted robust
+    center a plain per-row median misstates whenever weights skew
+    (one 50-unit line outvotes fifty 1-unit lines). Integer-decided:
+    weights are BIGINT, the pick is the 2*cum >= total cross-
+    multiplication, the surfaced median is a SELECTED value (single
+    cast, no interpolation arithmetic).
+
+    Scale shape: ties collapse in a map-side-combined (group, value)
+    pre-aggregation BEFORE any window; the cumulative pass is a
+    group-partitioned window over distinct values — no global
+    sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+
+
+@register(
+    "q172_vocabulary_coverage",
+    """
+    WITH terms AS (
+      SELECT unnest(regexp_extract_all(
+               LOWER(COALESCE(text, '')), '[a-z0-9]+')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term
+    ), ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS tot
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens,
+           CAST(MIN(CASE WHEN 2 * cum >= 1 * tot THEN rank END) AS BIGINT) AS terms_p50,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN rank END) AS BIGINT) AS terms_p90,
+           CAST(MIN(CASE WHEN 100 * cum >= 99 * tot THEN rank END) AS BIGINT) AS terms_p99
+    FROM ranked
+    """,
+)
+def q172_vocabulary_coverage(spark, sf_dir):
+    """Vocabulary coverage cutpoints over the documents corpus
+    (collocations.vocabulary_coverage): how many distinct terms —
+    most-frequent-first, term-ascending tie-break — cover 50/90/99%
+    of all token occurrences. The tokenizer-design statistic (vocab
+    size before <unk> is rare) and the Zipf-tail summary of a corpus
+    report; the integer-exact complement of q77's top-k vocabulary
+    listing. Cutpoints are decided by den*cum >= num*total cross-
+    multiplication — no float anywhere. Terms use the shared
+    retrieval alphabet (functions/text.TERM_RE), so this cannot
+    desynchronize from TF-IDF/BM25.
+
+    Scale shape: term counts are one map-side-combined groupBy
+    bounded by VOCABULARY; the ranking window is global but runs
+    over vocabulary rows, not corpus rows (swap for a range-
+    partitioned prefix sum if vocabulary outgrows one task)."""
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_coverage(
+        d, "text", [(1, 2), (9, 10), (99, 100)]
+    )
+
+
+@register(
+    "q173_trimmed_mean_price",
+    """
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag, x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    ), kept AS (
+      SELECT l_returnflag, x FROM ranked
+      WHERE rn > (n * 1) // 10 AND rn <= n - (n * 1) // 10
+    )
+    SELECT l_returnflag,
+           CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY l_returnflag
+    """,
+)
+def q173_trimmed_mean_price(spark, sf_dir):
+    """Exact 10%-TRIMMED mean price per returnflag
+    (profile.grouped_trimmed_mean): drop the floor(n/10) smallest and
+    largest rows, average the middle — the robust location estimate
+    between mean and median, standard for quality-score aggregation
+    where a few garbage rows drag a plain mean. Trim counts are pure
+    integer arithmetic; kept values SUM as decimals (reorderable-sum
+    contract); the mean is ONE IEEE division at the surface — the
+    q01/q102 exactness recipe applied to a rank-windowed subset.
+
+    Scale shape: one group-partitioned window rank + one map-side-
+    combined groupBy; per-group frames only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_trimmed_mean(
+        li, ["l_returnflag"], "l_extendedprice", 1, 10
+    )

@@ -901,3 +901,78 @@ def test_weighted_set_similarity_matches_bruteforce(spark):
     assert len(sets[1] & sets[2]) == len(sets[3] & sets[4]) == 4
     # weighted: the rare-token pair passes 1/2, the boilerplate pair fails
     assert (3, 4) in got and (1, 2) not in got
+
+
+def test_star_components_equal_propagation_on_fixtures(spark):
+    """algorithm='star' (large-star/small-star contraction) must
+    produce the identical (id, component) labeling as min-label
+    propagation on the standard fixtures."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    prop = sorted(
+        map(tuple, D.connected_components(pairs).collect())
+    )
+    star = sorted(
+        map(tuple, D.connected_components(pairs, algorithm="star").collect())
+    )
+    assert star == prop
+
+    docs = _docs(spark)
+    sig = D.minhash_signatures(docs, "text", "doc_id", k=8)
+    lsh_pairs = D.lsh_candidate_pairs(sig, "doc_id")
+    prop2 = sorted(map(tuple, D.connected_components(lsh_pairs).collect()))
+    star2 = sorted(
+        map(
+            tuple,
+            D.connected_components(lsh_pairs, algorithm="star").collect(),
+        )
+    )
+    assert star2 == prop2
+
+
+def test_star_components_long_chain_and_hub(spark):
+    """The shapes star contraction exists for: a 60-node path (the
+    propagation default would need 60 rounds — diameter — while star
+    converges in O(log n)) and a hub-heavy graph (one celebrity node
+    touching everything plus a pendant chain). Expected labels are
+    known in closed form."""
+    n = 60
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in D.connected_components(
+            chain, algorithm="star", max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+    # hub 100 wired to 101..140, plus chain 140-141-142, island (7,8)
+    hub_edges = [(100, i) for i in range(101, 141)] + [
+        (140, 141),
+        (141, 142),
+        (7, 8),
+    ]
+    hub = spark.createDataFrame(hub_edges, "id_a long, id_b long")
+    got_h = {
+        r["id"]: r["component"]
+        for r in D.connected_components(hub, algorithm="star").collect()
+    }
+    assert got_h[7] == got_h[8] == 7
+    assert all(got_h[i] == 100 for i in range(100, 143))
+    # and star == propagation on the same graph
+    prop = {
+        r["id"]: r["component"]
+        for r in D.connected_components(hub).collect()
+    }
+    assert got_h == prop
+
+
+def test_connected_components_unknown_algorithm_rejected(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown connected-components"):
+        D.connected_components(pairs, algorithm="bogus")

@@ -180,3 +180,60 @@ def test_hll_portable_nondefault_p_unbiased(spark):
         ]
         rel_err = abs(est - n) / n
         assert rel_err < 3 * 1.04 / (m ** 0.5), (p, est, rel_err)
+
+
+def test_quantile_sample_merge_equals_full_and_rank_accuracy(spark):
+    """Portable bottom-k quantile sample: per-batch partials re-cut to
+    k must equal the single-pass build cell-for-cell (hash predicate,
+    no randomness); exact-rank estimates over the sample land within
+    the standard O(1/sqrt(k)) rank band of the true quantiles on a
+    smooth distribution."""
+    from product_etl_spark.operators.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_merge,
+        quantile_sample_partials,
+    )
+
+    n, k = 20000, 256
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("k"), F.col("id")).alias("rk"),
+    )
+    full = quantile_sample_partials(df, ["g"], "x", "rk", k=k)
+    halves = quantile_sample_partials(
+        df.filter(F.col("id") < n // 2), ["g"], "x", "rk", k=k
+    ).unionByName(
+        quantile_sample_partials(
+            df.filter(F.col("id") >= n // 2), ["g"], "x", "rk", k=k
+        )
+    )
+    merged = quantile_sample_merge(halves, ["g"], k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    est = quantile_sample_estimate(full, ["g"], [0.25, 0.5, 0.9]).collect()[0]
+    assert est["n_sample"] == k
+    # rank error band: 4/sqrt(k) of the value range (values == ranks)
+    band = 4.0 / (k ** 0.5) * n
+    for p, col in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
+        assert abs(est[col] - p * n) < band, (col, est[col], p * n, band)
+
+
+def test_quantile_sample_exhaustive_below_k_is_exact(spark):
+    """A group smaller than k is carried in full, so the rank
+    estimate IS the exact lower quantile."""
+    from product_etl_spark.operators.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_partials,
+    )
+
+    rows = [("g", float(v), f"key{v}") for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, x double, rk string")
+    parts = quantile_sample_partials(df, ["g"], "x", "rk", k=256)
+    est = quantile_sample_estimate(parts, ["g"], [0.5, 0.99, 1.0]).collect()[0]
+    assert est["n_sample"] == 100
+    assert est["p50"] == 50.0   # ceil(0.5*100) = 50th smallest
+    assert est["p99"] == 99.0
+    assert est["p100"] == 100.0
