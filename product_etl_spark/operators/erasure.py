@@ -35,6 +35,53 @@ from pyspark.sql import functions as F
 from product_etl_spark.operators.upsert import _table_write_lock
 
 
+def _checkpointed_keys(subject_keys: DataFrame) -> DataFrame:
+    [key_in] = subject_keys.columns
+    keys = subject_keys.select(F.col(key_in).alias("_subject")).distinct()
+    return keys.localCheckpoint(eager=True)  # small; reused per table
+
+
+def _erase_keyed_table(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """One table's erase cycle under the single-writer lock: semi-join
+    probe (untouched tables are never rewritten), anti-join rewrite to
+    staging — PRESERVING ``partition_by`` layout, so a bucket-
+    partitioned index store keeps its partition pruning through the
+    swap — then atomic rename swap. Returns rows deleted."""
+    import os
+    import shutil
+    import uuid
+
+    from product_etl_spark.fs import require_local, table_exists
+
+    require_local(path, "erase_subjects")
+    with _table_write_lock(path):
+        if not table_exists(spark, path):
+            return 0
+        current = spark.read.parquet(path)
+        cond = current[key_col] == keys["_subject"]
+        n_hit = current.join(F.broadcast(keys), cond, "left_semi").count()
+        if n_hit == 0:
+            return 0  # no rewrite for untouched tables
+        kept = current.join(F.broadcast(keys), cond, "left_anti")
+        staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+        writer = kept.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        os.rename(staging, path)
+        shutil.rmtree(backup, ignore_errors=True)
+        spark.catalog.refreshByPath(path)
+        return n_hit
+
+
 def erase_subjects(
     spark: SparkSession,
     subject_keys: DataFrame,
@@ -42,43 +89,27 @@ def erase_subjects(
     suppression_path: str | None = None,
 ) -> dict[str, int]:
     """Delete all rows matching ``subject_keys`` (a 1-column frame)
-    from each table in ``tables`` (``[{"path": ..., "key_col": ...},
-    ...]``); returns {path: n_deleted}. Idempotent: a rerun deletes 0
-    rows. If ``suppression_path`` is given, the erased keys are
-    appended there (deduplicated on read) for ``apply_suppression``.
+    from each table in ``tables`` (``[{"path": ..., "key_col": ...,
+    "partition_by": [...]?}, ...]``); returns {path: n_deleted}.
+    Idempotent: a rerun deletes 0 rows. If ``suppression_path`` is
+    given, the erased keys are appended there (deduplicated on read)
+    for ``apply_suppression``.
+
+    RAW tables only erase half the lake: persisted DERIVED stores
+    (token indexes, postings, code stores, fold state) still carry
+    the subjects' doc-derived rows — use ``erase_from_stores`` /
+    ``erase_from_inverted_index`` for those, in the same pass.
     """
-    import os
-    import shutil
-    import uuid
-
-    from product_etl_spark.fs import require_local, table_exists
-
-    [key_in] = subject_keys.columns
-    keys = subject_keys.select(F.col(key_in).alias("_subject")).distinct()
-    keys = keys.localCheckpoint(eager=True)  # small; reused per table
-
+    keys = _checkpointed_keys(subject_keys)
     report: dict[str, int] = {}
     for spec in tables:
-        path, key_col = spec["path"], spec["key_col"]
-        require_local(path, "erase_subjects")
-        with _table_write_lock(path):
-            if not table_exists(spark, path):
-                report[path] = 0
-                continue
-            current = spark.read.parquet(path)
-            cond = current[key_col] == keys["_subject"]
-            n_hit = current.join(F.broadcast(keys), cond, "left_semi").count()
-            report[path] = n_hit
-            if n_hit == 0:
-                continue  # no rewrite for untouched tables
-            kept = current.join(F.broadcast(keys), cond, "left_anti")
-            staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-            kept.write.mode("overwrite").parquet(staging)
-            backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(path, backup)
-            os.rename(staging, path)
-            shutil.rmtree(backup, ignore_errors=True)
-            spark.catalog.refreshByPath(path)
+        report[spec["path"]] = _erase_keyed_table(
+            spark,
+            spec["path"],
+            keys,
+            spec["key_col"],
+            spec.get("partition_by"),
+        )
 
     if suppression_path is not None:
         keys.select(
@@ -107,3 +138,136 @@ def apply_suppression(
     return batch.join(
         F.broadcast(keys), batch[key_col] == keys["_subject"], "left_anti"
     )
+
+
+def erase_from_stores(
+    spark: SparkSession,
+    subject_doc_ids: DataFrame,
+    stores: list[dict],
+) -> dict[str, int]:
+    """Propagate subject erasure into persisted DERIVED stores — the
+    half of right-to-be-forgotten ``erase_subjects`` alone does not
+    reach: a doc-id-keyed index REMEMBERS an erased document (its
+    tokens, shingles, signatures, codes) even after the raw table
+    rewrite, and a probe against it can resurface the subject.
+
+    Each spec is ``{"path": ..., "id_col": ..., "partition_by":
+    [...]?}``; any id-keyed parquet store qualifies — the jaccard
+    token fold state (``partition_by=["batch"]``), trigram postings
+    (``["gram_bucket"]``), BM25 postings (``["term_bucket"]`` — but
+    prefer ``erase_from_inverted_index``, which also re-freezes the
+    corpus stats), signature stores, PQ/IVF code stores. The rewrite
+    preserves each store's partition layout through the staged swap,
+    so partition pruning (the reason the store is bucketed) survives
+    erasure. Returns {path: rows_deleted}; idempotent.
+
+    Derived quantities that are CORPUS-relative (token document
+    frequencies, prefix flags, idf, avgdl) must be recomputed over
+    the remaining rows — stores here follow the repo convention of
+    persisting RAW per-doc rows and deriving corpus-relative state
+    at read time (read_jaccard_index recomputes df/prefix ranks;
+    bm25_topk_indexed recounts df from postings), so dropping the
+    subject's rows IS the full fix; the exceptions (the inverted
+    index's frozen stats/) get their own function below. Pytest pins
+    probe-after-erasure == index-rebuilt-from-erased-corpus for the
+    jaccard, trigram, and BM25 stores (tests/test_erasure.py).
+
+    Streaming caveat: fold-state dirs are replay-safe per batch — a
+    Structured Streaming RESTART that replays an old batch from its
+    checkpoint re-derives that batch's rows from the original source
+    and would resurrect the subject. Erase fold state with the
+    stream stopped and the checkpoint at-or-past the erased batches,
+    and gate the stream's SOURCE with apply_suppression so a future
+    replay cannot re-ingest the subjects.
+    """
+    keys = _checkpointed_keys(subject_doc_ids)
+    return {
+        spec["path"]: _erase_keyed_table(
+            spark,
+            spec["path"],
+            keys,
+            spec["id_col"],
+            spec.get("partition_by"),
+        )
+        for spec in stores
+    }
+
+
+def erase_from_inverted_index(
+    spark: SparkSession,
+    subject_doc_ids: DataFrame,
+    index_path: str,
+    n_docs_removed: int | None = None,
+) -> dict[str, int]:
+    """Subject erasure for the persisted BM25 inverted index
+    (retrieval.build_inverted_index): anti-join the erased doc ids
+    out of ``postings/`` (term_bucket partitioning preserved) and
+    ``doclens/``, then RE-FREEZE ``stats/`` — n_docs and avgdl are
+    corpus constants baked at build time, and serving them stale
+    would mis-score every remaining document (idf and length
+    normalization both shift when the corpus shrinks). After this,
+    ``bm25_topk_indexed`` is bit-identical to ``bm25_topk`` over the
+    erased corpus (pytest contract).
+
+    ``n_docs_removed`` overrides the erased-doc count used for the
+    new n_docs when erased subjects include EMPTY documents (zero
+    index terms): those have no doclens row, so the store alone
+    cannot count them (the Okapi contract counts all docs, empty
+    included). Default: the number of erased ids found in doclens.
+    """
+    import os
+
+    keys = _checkpointed_keys(subject_doc_ids)
+    doclens_path = f"{index_path}/doclens"
+    if n_docs_removed is None:
+        dl = spark.read.parquet(doclens_path)
+        n_docs_removed = (
+            dl.join(
+                F.broadcast(keys),
+                dl["doc_id"] == keys["_subject"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+    report = {
+        f"{index_path}/postings": _erase_keyed_table(
+            spark,
+            f"{index_path}/postings",
+            keys,
+            "doc_id",
+            ["term_bucket"],
+        ),
+        doclens_path: _erase_keyed_table(
+            spark, doclens_path, keys, "doc_id", None
+        ),
+    }
+    if n_docs_removed:
+        stats_path = f"{index_path}/stats"
+        with _table_write_lock(stats_path):
+            old = spark.read.parquet(stats_path).collect()[0]
+            dl = spark.read.parquet(doclens_path)
+            new_n = int(old["n_docs"]) - int(n_docs_removed)
+            sum_dl = dl.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+            stats = spark.createDataFrame(
+                [(new_n, float(sum_dl) / new_n if new_n else 0.0)],
+                "n_docs long, avgdl double",
+            )
+            _swap_in(spark, stats, stats_path)
+    return report
+
+
+def _swap_in(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Staged write + atomic rename swap (caller holds the lock)."""
+    import os
+    import shutil
+    import uuid
+
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    spark.catalog.refreshByPath(path)

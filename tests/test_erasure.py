@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from product_etl_spark.operators.erasure import apply_suppression, erase_subjects
 from product_etl_spark.operators.upsert import ConcurrentWriteError, _table_write_lock
@@ -53,3 +54,153 @@ def test_erasure_respects_single_writer_lock(spark, tmp_path):
             erase_subjects(spark, subjects, [{"path": t1, "key_col": "custkey"}])
     # table untouched by the failed erasure
     assert spark.read.parquet(t1).count() == 1
+
+
+def _doc_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_CORPUS = [
+    (1, "alpha beta gamma delta common"),
+    (2, "alpha beta gamma epsilon common"),
+    (3, "zeta eta theta iota common"),
+    (4, "alpha beta gamma delta common"),   # near-dup of 1
+    (5, "kappa lambda mu nu xi common"),
+]
+
+
+def test_erase_jaccard_fold_state_probe_equals_rebuild(spark, tmp_path):
+    """The verdict contract: after erasing a subject from the
+    PERSISTED jaccard token state, a probe against the read-back
+    index must equal a probe against an index REBUILT from the
+    erased corpus — including the corpus-relative parts (token df
+    and prefix ranks recompute over the remaining rows, so another
+    doc's prefix set may legitimately change)."""
+    from product_etl_spark.operators.dedup_incremental import (
+        _doc_token_rows,
+        build_jaccard_index,
+        probe_jaccard_index,
+    )
+    from product_etl_spark.operators.erasure import erase_from_stores
+    from product_etl_spark.streaming.pipeline import read_jaccard_index
+
+    docs = _doc_frame(spark, _CORPUS)
+    state = str(tmp_path / "jaccard_state")
+    # fold-state layout: per-batch partition dirs of (id, tok) rows
+    toks = _doc_token_rows(docs, "text", "doc_id", "id", 1).withColumn(
+        "batch", (F.col("id") % 2).cast("long")
+    )
+    toks.write.partitionBy("batch").parquet(state)
+
+    report = erase_from_stores(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        [{"path": state, "id_col": "id", "partition_by": ["batch"]}],
+    )
+    assert report[state] > 0
+    # partition layout preserved through the swap
+    assert any(
+        p.name.startswith("batch=") for p in (tmp_path / "jaccard_state").iterdir()
+    )
+    # doc 1's rows are gone from the store
+    left = spark.read.parquet(state)
+    assert left.filter(F.col("id") == 1).count() == 0
+
+    batch = _doc_frame(
+        spark, [(100, "alpha beta gamma delta common zz")]
+    )
+    probed = probe_jaccard_index(
+        read_jaccard_index(spark, state), batch, "text", "doc_id"
+    )
+    rebuilt_index = build_jaccard_index(
+        docs.filter(F.col("doc_id") != 1), "text", "doc_id"
+    )
+    expected = probe_jaccard_index(rebuilt_index, batch, "text", "doc_id")
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # and the erased doc can never match
+    assert probed.filter(F.col("store_id") == 1).count() == 0
+    # idempotent: rerun deletes nothing
+    assert erase_from_stores(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        [{"path": state, "id_col": "id", "partition_by": ["batch"]}],
+    )[state] == 0
+
+
+def test_erase_trigram_index_search_equals_rebuild(spark, tmp_path):
+    """Post-erasure indexed substring search must equal the inline
+    scan over the erased corpus, and the gram_bucket partition dirs
+    must survive the swap (pruning intact)."""
+    from product_etl_spark.operators.erasure import erase_from_stores
+    from product_etl_spark.operators.retrieval import (
+        build_trigram_index,
+        trigram_contains_search,
+        trigram_search_indexed,
+    )
+
+    docs = _doc_frame(spark, _CORPUS)
+    idx = str(tmp_path / "tri")
+    build_trigram_index(docs, "text", "doc_id", idx)
+
+    erase_from_stores(
+        spark,
+        spark.createDataFrame([(1,), (4,)], "doc_id long"),
+        [
+            {
+                "path": f"{idx}/postings",
+                "id_col": "doc_id",
+                "partition_by": ["gram_bucket"],
+            }
+        ],
+    )
+    kept_docs = docs.filter(~F.col("doc_id").isin(1, 4))
+    got = trigram_search_indexed(
+        spark, idx, kept_docs, "text", "doc_id", "delta"
+    )
+    want = trigram_contains_search(kept_docs, "text", "doc_id", "delta")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter(F.col("doc_id").isin(1, 4)).count() == 0
+    assert any(
+        p.name.startswith("gram_bucket=")
+        for p in (tmp_path / "tri" / "postings").iterdir()
+    )
+
+
+def test_erase_inverted_index_bm25_equals_rebuild(spark, tmp_path):
+    """BM25 served from the erased index must be bit-identical to
+    bm25_topk over the erased corpus — which requires the frozen
+    stats/ (n_docs, avgdl) to be re-frozen, since idf and length
+    normalization shift for every REMAINING doc when the corpus
+    shrinks."""
+    from product_etl_spark.operators.erasure import (
+        erase_from_inverted_index,
+    )
+    from product_etl_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+
+    docs = _doc_frame(spark, _CORPUS)
+    idx = str(tmp_path / "inv")
+    build_inverted_index(docs, idx, "doc_id", "text")
+
+    erase_from_inverted_index(
+        spark, spark.createDataFrame([(2,)], "doc_id long"), idx
+    )
+    stats = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert stats["n_docs"] == 4
+
+    terms = ["alpha", "common"]
+    got = bm25_topk_indexed(spark, idx, terms, top_n=5)
+    want = bm25_topk(
+        docs.filter(F.col("doc_id") != 2), terms, top_n=5
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter(F.col("doc_id") == 2).count() == 0
