@@ -77,6 +77,10 @@ HEADLINERS = [
     ("q162_last_touch_attribution", "as-of attribution: union both sides, ONE user-keyed window, no range join"),
     ("q163_segment_balance_divergence", "segment divergence: broadcast 1-row frame, groupBy(bin) + groupBy(seg,bin), totals broadcast onto the grid"),
     ("q165_cms_event_type_freq", "CMS: (row,bucket)-keyed build agg, broadcast sketch probe, min-over-rows estimate"),
+    ("q169_quantile_sample_sketch", "portable quantile sample: per-group hash-rank top-k (WindowGroupLimit), exact rank over k rows"),
+    ("q171_weighted_median_price", "weighted median: (group,value) pre-agg collapses ties BEFORE the cumulative window"),
+    ("q172_vocabulary_coverage", "vocab coverage: corpus-bounded term count shuffle; global window over VOCAB rows only"),
+    ("q173_trimmed_mean_price", "trimmed mean: group-partitioned rank window + map-side-combined decimal agg"),
 ]
 
 
