@@ -690,3 +690,79 @@ def grouped_trimmed_mean(
         ).alias("trimmed_mean"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+def grouped_mode(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Exact MODE per group with a deterministic tie-break (highest
+    count, then smallest value) — categorical imputation and
+    dominant-category audits. One map-side-combined (group, value)
+    count, then one min-struct aggregate per group: no window, no
+    sort, two bounded shuffles. The pick is a struct ordering over
+    (-count, value) — integers and the raw value, nothing an engine
+    can round differently.
+    Output: group cols + (mode_value, mode_count BIGINT)."""
+    counted = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *group_cols, F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    best = counted.groupBy(*group_cols).agg(
+        F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("_v"))).alias("_b")
+    )
+    return best.select(
+        *group_cols,
+        F.col("_b._v").alias("mode_value"),
+        (-F.col("_b._nc")).alias("mode_count"),
+    )
+
+
+def grouped_weight_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    thresholds: list[tuple[int, int]] = ((1, 2), (9, 10)),
+) -> DataFrame:
+    """Per-group weight CONCENTRATION cutpoints: how many members —
+    heaviest-first, id-ascending tie-break — carry num/den of the
+    group's total weight. The source-concentration audit for training
+    mixtures ("3 domains supply 90% of tokens"), the grouped twin of
+    vocabulary_coverage (q172), and a Zipf/Gini-adjacent summary that
+    stays INTEGER-DECIDED: weights aggregate as exact decimals and
+    every cutpoint is the den*cum >= num*total cross-multiplication.
+
+    Output: group cols + n_members, then one ``members_p<pct>``
+    column per threshold.
+
+    Scale shape: one map-side-combined (group, id) pre-aggregation,
+    then GROUP-PARTITIONED rank/cumsum windows (member-bounded per
+    group — never a global sort) and one final groupBy."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("decimal(18,2)")
+    per = df.groupBy(*group_cols, F.col(id_col).alias("_id")).agg(
+        F.sum(w).alias("_w")
+    )
+    order = Window.partitionBy(*group_cols).orderBy(
+        F.col("_w").desc(), F.col("_id").asc()
+    )
+    wtot = Window.partitionBy(*group_cols)
+    ranked = per.select(
+        *group_cols,
+        F.row_number().over(order).cast("long").alias("_rank"),
+        F.sum("_w").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.sum("_w").over(wtot).alias("_tot"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for num, den in thresholds:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(den) * F.col("_cum") >= F.lit(num) * F.col("_tot"),
+                    F.col("_rank"),
+                )
+            ).alias(f"members_p{round(100 * num / den)}")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

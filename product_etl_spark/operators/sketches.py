@@ -377,7 +377,14 @@ def quantile_sample_partials(
     (quantile_sample_merge), so per-batch partials fold across ingest
     without rescanning. Standard bottom-k error: quantile ranks are
     within O(1/sqrt(k)) of truth with high probability (Cohen &
-    Kaplan 2007 summarize the bottom-k estimator family)."""
+    Kaplan 2007 summarize the bottom-k estimator family).
+
+    Subject erasure: rows are (group, hv, val) — anti-join on
+    hv = hash64(erased key) via erasure.erase_from_stores. Dropping
+    sampled rows is SAFE but lossy (the survivors are still a
+    uniform hash sample of the remaining corpus, just possibly
+    fewer than k — erased slots are not backfilled without a
+    rebuild); estimates stay unbiased at slightly wider error."""
     from pyspark.sql import Window
 
     from product_etl_spark.functions.text import hash64

@@ -587,8 +587,9 @@ def q165_cms_event_type_freq(spark, sf_dir):
       FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT i.id_a, i.id_b, i.w_inter,
-           ta.W + tb.W - i.w_inter AS w_union,
+    SELECT i.id_a, i.id_b,
+           CAST(i.w_inter AS BIGINT) AS w_inter,
+           CAST(ta.W + tb.W - i.w_inter AS BIGINT) AS w_union,
            ROUND(i.w_inter::DOUBLE
                  / (ta.W + tb.W - i.w_inter)::DOUBLE, 4) AS wjaccard
     FROM inter i

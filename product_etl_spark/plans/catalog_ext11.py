@@ -1,14 +1,16 @@
-"""Eleventh extension catalog (q169-q173): the portable QUANTILE
+"""Eleventh extension catalog (q169-q175): the portable QUANTILE
 sketch that completes the cross-engine-verifiable sketch family
 (CMS q165 / HLL q167 / KMV q168), the hub-safe star-contraction
 connected components (the O(log n) twin of q156's propagation
-closure), and three integer-decided robust/corpus statistics —
-weighted median, vocabulary coverage cutpoints, trimmed mean.
+closure), and the integer-decided robust/corpus statistics family —
+weighted median, vocabulary coverage cutpoints, trimmed mean, and
+(registered after the r9 window froze, leading the r10 queue) exact
+grouped mode and weight-concentration cutpoints.
 
-All five follow the engine-exact surface contract: picking and
-trimming decisions are integer cross-multiplications, sums are
-decimal, every float on the surface is a single IEEE operation both
-engines perform identically (SCALING.md float policy).
+All follow the engine-exact surface contract: picking and trimming
+decisions are integer cross-multiplications, sums are decimal, every
+float on the surface is a single IEEE operation both engines perform
+identically (SCALING.md float policy).
 """
 
 from __future__ import annotations
@@ -276,4 +278,74 @@ def q173_trimmed_mean_price(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return grouped_trimmed_mean(
         li, ["l_returnflag"], "l_extendedprice", 1, 10
+    )
+
+
+@register(
+    "q174_brand_mode_type",
+    """
+    WITH counted AS (
+      SELECT p_brand, p_type AS v, COUNT(*) AS c
+      FROM part WHERE p_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, v AS mode_value, CAST(c AS BIGINT) AS mode_count
+    FROM counted
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
+                               ORDER BY c DESC, v ASC) = 1
+    """,
+)
+def q174_brand_mode_type(spark, sf_dir):
+    """Exact MODE per brand (profile.grouped_mode): the most frequent
+    part type with a deterministic tie-break (highest count, then
+    smallest value) — categorical imputation / dominant-category
+    audit. Spark realizes the pick as ONE min-struct aggregate over
+    (-count, value) — no window, no sort, two bounded map-side-
+    combined shuffles; the oracle's ordered-MIN is the same total
+    order. Registered after the r9 window froze; leads the r10
+    queue."""
+    from product_etl_spark.operators.profile import grouped_mode
+
+    p = _t(spark, sf_dir, "part")
+    return grouped_mode(p, ["p_brand"], "p_type")
+
+
+@register(
+    "q175_customer_revenue_concentration",
+    """
+    WITH per AS (
+      SELECT o_custkey AS id,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS w
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY w DESC, id ASC) AS rank,
+             SUM(w) OVER (ORDER BY w DESC, id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER () AS tot
+      FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(CASE WHEN 2 * cum >= 1 * tot THEN rank END) AS BIGINT) AS members_p50,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN rank END) AS BIGINT) AS members_p90
+    FROM ranked
+    """,
+)
+def q175_customer_revenue_concentration(spark, sf_dir):
+    """Weight-concentration cutpoints
+    (profile.grouped_weight_concentration, the grouped twin of q172's
+    vocabulary coverage): how many customers — heaviest spenders
+    first — carry 50% / 90% of total order revenue. The source-
+    concentration audit a training-mixture pipeline runs per domain
+    ("how few sources dominate the tokens"); integer-decided
+    cutpoints over exact decimal revenue sums. Here the group is
+    global (one row), so the window is member-bounded; per-segment
+    calls partition the same windows by the group keys. Registered
+    after the r9 window froze; leads the r10 queue."""
+    from product_etl_spark.operators.profile import (
+        grouped_weight_concentration,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return grouped_weight_concentration(
+        o, [], "o_custkey", "o_totalprice", [(1, 2), (9, 10)]
     )

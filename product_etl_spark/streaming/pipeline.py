@@ -1015,3 +1015,55 @@ def read_segment_divergence(
         .agg(F.sum("n_seg").alias("n_seg"))
     )
     return segment_divergence_from_counts(s, n_bins)
+
+
+def stream_quantile_sample(
+    values: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    key_col: str,
+    state_dir: str,
+    checkpoint: str,
+    k: int = 256,
+):
+    """Streaming half of the portable QUANTILE sample sketch (q169,
+    operators/sketches.quantile_sample_*): each micro-batch's
+    bottom-k hash sample rows land as an immutable
+    ``state_dir/batch=<id>`` partial — the replay-safe
+    _fold_to_batch_dirs contract (a redelivered batch rewrites the
+    same directory with the same content, because the sample is a
+    pure hash predicate, not a random draw). State per batch: at
+    most k rows per group — kilobytes — so the corpus is never
+    rescanned for a quantile question.
+
+    Assumes ``key_col`` values are unique across batches (append-only
+    stream — the signature-store contract); a key replayed in two
+    batches dedups in the read-side merge on its (group, hv) cell."""
+    from product_etl_spark.operators.sketches import (
+        quantile_sample_partials,
+    )
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return quantile_sample_partials(
+            batch_df, group_cols, val_col, key_col, k
+        )
+
+    return _fold_to_batch_dirs(values, state_dir, checkpoint, partial)
+
+
+def read_quantile_sample(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Current whole-history sample from the streamed partials —
+    cell-identical to quantile_sample_partials over every row ever
+    ingested (bottom-k of a union == union of bottom-ks re-cut to k:
+    the KMV merge property). Feed into quantile_sample_estimate."""
+    from product_etl_spark.operators.sketches import (
+        quantile_sample_merge,
+    )
+
+    parts = spark.read.parquet(state_dir).select(*group_cols, "hv", "val")
+    return quantile_sample_merge(parts, group_cols, k)

@@ -34,30 +34,35 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-8 rotation invariant: every query with no GREEN driver
-    row through r7 (the seven registered after the r7 window froze
-    and the eight new-in-r8 entries; per COVERAGE.md) is in this
-    round's window."""
+    """Round-9 rotation invariant: every query with no GREEN driver
+    row through r8 (the five registered after the r8 window froze and
+    the five new-in-r9 entries; per COVERAGE.md) is in this round's
+    window, plus every r5-stale entry the r8 verdict's item 4 names."""
     never_green_prefixes = {
-        # registered after the r7 window froze
-        "q149", "q150", "q151", "q152", "q153", "q154", "q155",
-        # new in r8 (q164 registered after the r8 window filled; it
-        # is exact-local checked this round and leads the r9 queue)
-        "q156", "q157", "q158", "q159", "q160", "q161", "q162", "q163",
+        # registered after the r8 window froze
+        "q164", "q165", "q166", "q167", "q168",
+        # new in r9
+        "q169", "q170", "q171", "q172", "q173",
+    }
+    r5_stale_prefixes = {
+        "q53", "q55", "q65", "q67", "q76", "q77", "q78", "q80",
+        "q82", "q83", "q84", "q85", "q86", "q88", "q89", "q90",
+        "q93", "q100", "q101", "q103", "q104", "q106", "q107",
+        "q108", "q109", "q110", "q111",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    missing = never_green_prefixes - window_prefixes
+    missing = (never_green_prefixes | r5_stale_prefixes) - window_prefixes
     assert not missing, f"never-driver-green queries left out: {missing}"
 
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 168
+    assert len(names) == len(set(names)) == 175
 
 
 def test_coverage_doc_matches_window():
     """COVERAGE.md is the rotation ledger: exactly the queries stamped
-    `r8*` must be in _DRIVER_WINDOW, and every catalog query must have
+    `r9*` must be in _DRIVER_WINDOW, and every catalog query must have
     a ledger row — a drifted doc would misreport driver coverage to
     the next round."""
     import os
@@ -75,5 +80,5 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r8*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r9*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)

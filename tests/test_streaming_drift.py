@@ -279,3 +279,65 @@ def test_stream_segment_divergence_matches_batch_operator(spark, tmp_path):
     for (seg, _), (_, _, t) in stream_terms.items():
         tot[seg] = tot.get(seg, 0.0) + t
     assert tot["B"] > 0.25 and tot["B"] > tot["A"]
+
+
+def _write_qs_vals(spark, path, rows):
+    spark.createDataFrame(rows, "g string, x double, rk string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_stream_quantile_sample_matches_batch_and_replays(spark, tmp_path):
+    """Folded per-micro-batch bottom-k samples must reconstruct
+    EXACTLY the single-pass quantile_sample_partials over the
+    concatenated stream (the KMV merge property: bottom-k of a union
+    == union of bottom-ks re-cut to k), estimates included; replay
+    from a fresh checkpoint is a no-op (pure hash predicate, no
+    randomness)."""
+    from product_etl_spark.operators.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_partials,
+    )
+    from product_etl_spark.streaming.pipeline import (
+        read_quantile_sample,
+        stream_quantile_sample,
+    )
+
+    wave1 = [("g", float(v), f"a{v}") for v in range(100)]
+    wave2 = [("g", float(v), f"b{v}") for v in range(100, 300)]
+    src, st = str(tmp_path / "in"), str(tmp_path / "state")
+
+    def run(ck):
+        stream_quantile_sample(
+            spark.readStream.schema("g string, x double, rk string").parquet(src),
+            ["g"], "x", "rk", st, ck, k=64,
+        )
+
+    _write_qs_vals(spark, src, wave1)
+    run(str(tmp_path / "ck1"))
+    _write_qs_vals(spark, src, wave2)
+    run(str(tmp_path / "ck1"))
+
+    combined = spark.createDataFrame(
+        wave1 + wave2, "g string, x double, rk string"
+    )
+    want = sorted(map(tuple, quantile_sample_partials(
+        combined, ["g"], "x", "rk", k=64).collect()))
+    got = sorted(map(tuple, read_quantile_sample(
+        spark, st, ["g"], k=64).collect()))
+    assert got == want
+
+    est_s = quantile_sample_estimate(
+        read_quantile_sample(spark, st, ["g"], k=64), ["g"], [0.5]
+    ).collect()
+    est_b = quantile_sample_estimate(
+        quantile_sample_partials(combined, ["g"], "x", "rk", k=64),
+        ["g"], [0.5],
+    ).collect()
+    assert sorted(map(tuple, est_s)) == sorted(map(tuple, est_b))
+
+    # replay: fresh checkpoint over the same source, state unchanged
+    run(str(tmp_path / "ck2"))
+    again = sorted(map(tuple, read_quantile_sample(
+        spark, st, ["g"], k=64).collect()))
+    assert again == want
