@@ -88,6 +88,18 @@ from product_etl_spark.plans import catalog_ext11  # noqa: F401  (registers q169
 # rows-only check for them (documented in __spark_entry__ contract).
 _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 
+# Entries registered AFTER this round's window froze: they lead the
+# next round's window. Listed here so tests/test_driver_window_parity
+# runs the EXACT driver-faithful compare on them every pytest run —
+# q166 carried a HUGEINT-surface oracle bug for a full round because
+# nothing exact-checked it until it entered a window; queue entries
+# now get the same harness as window entries from the day they are
+# registered.
+_NEXT_WINDOW_QUEUE = [
+    "q174_brand_mode_type",
+    "q175_customer_revenue_concentration",
+]
+
 _DRIVER_WINDOW = [
     # -- registered late in r8, never driver-checked (r8 verdict item 1) --
     "q164_incremental_component_merge",

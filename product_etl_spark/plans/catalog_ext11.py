@@ -109,7 +109,7 @@ def q169_quantile_sample_sketch(spark, sf_dir):
       SELECT doc_id, list_distinct(list_filter(
                string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
                x -> x <> '')) AS s
-      FROM documents WHERE doc_id >= 150
+      FROM documents WHERE doc_id >= 150 AND doc_id < 500
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM t a JOIN t b ON a.doc_id < b.doc_id
@@ -134,7 +134,12 @@ def q170_star_components(spark, sf_dir):
     (dedup.connected_components(algorithm='star'), Kiveris et al.
     2014) on the exact-Jaccard edge set — the same closure contract
     as q156's min-label propagation, driver-hashed against the same
-    recursive-CTE fixpoint on a disjoint document slice. Star
+    recursive-CTE fixpoint on a disjoint document slice (bounded on
+    BOTH sides — a lower-bound-only slice is 350 docs at the driver's
+    sf0.01 but 4850 at sf0.1, which made the all-pairs-shaped oracle
+    block and the closure balloon to ~129 s in the r9 bench; the
+    operator itself is corpus-scale, the BLOCK the oracle brute-forces
+    must stay block-sized). Star
     contraction converges in O(log n) rounds REGARDLESS of graph
     diameter and bounds hub fan-out (every rewrite goes through
     per-neighborhood minima), so it is the shape that survives the
@@ -147,7 +152,9 @@ def q170_star_components(spark, sf_dir):
     groupBy-min + two joins), never a per-node label frame; edges
     only ever point at neighborhood minima, so frame size is
     non-increasing. localCheckpoint per round cuts lineage."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 150)
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 500)
+    )
     pairs = set_similarity_pairs(d, "text", "doc_id", 3, 5)
     comp = connected_components(
         pairs.select("id_a", "id_b"), algorithm="star", max_iter=12

@@ -82,3 +82,13 @@ def test_coverage_doc_matches_window():
     )
     scheduled = {n for n, stamps in rows.items() if "r9*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
+
+
+def test_next_window_queue_valid():
+    """Queue entries must exist, carry oracles, and not already be in
+    the window (they lead the NEXT round's rotation)."""
+    oracles = plans.oracle_sql()
+    for n in plans._NEXT_WINDOW_QUEUE:
+        assert n in plans.CATALOG, n
+        assert n in oracles or n in plans._ROWS_ONLY, n
+        assert n not in plans._DRIVER_WINDOW, n

@@ -24,8 +24,14 @@ DRIVER_SF_DIR = os.environ.get(
 )
 
 
-@pytest.mark.parametrize("name", plans._DRIVER_WINDOW)
+@pytest.mark.parametrize(
+    "name", [*plans._DRIVER_WINDOW, *plans._NEXT_WINDOW_QUEUE]
+)
 def test_window_query_exact_at_driver_sf(spark, name):
+    """Window entries AND registered-after-freeze queue entries: the
+    queue leads the next round's window, so it must clear the exact
+    harness from registration day (q166 hid a HUGEINT-surface oracle
+    bug for a round because only the tolerant leg covered it)."""
     spec = plans.CATALOG[name]
     df = spec["fn"](spark, DRIVER_SF_DIR)
     assert df is not None

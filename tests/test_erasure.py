@@ -204,3 +204,40 @@ def test_erase_inverted_index_bm25_equals_rebuild(spark, tmp_path):
         map(tuple, want.collect())
     )
     assert got.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_erase_inverted_index_empty_doc_override(spark, tmp_path):
+    """An erased EMPTY document has no doclens row, so the store
+    alone cannot count it toward n_docs (the Okapi contract counts
+    all docs, empty included) — the caller passes n_docs_removed.
+    The re-frozen stats must then equal a clean rebuild's."""
+    from product_etl_spark.operators.erasure import (
+        erase_from_inverted_index,
+    )
+    from product_etl_spark.operators.retrieval import (
+        build_inverted_index,
+    )
+
+    docs = _doc_frame(
+        spark, _CORPUS + [(9, "")]  # empty doc: counted in n_docs only
+    )
+    idx = str(tmp_path / "inv")
+    build_inverted_index(docs, idx, "doc_id", "text")
+    assert spark.read.parquet(f"{idx}/stats").collect()[0]["n_docs"] == 6
+
+    # erase doc 9 (empty) and doc 3 (real): default counting would
+    # find only doc 3 in doclens — the override states both
+    erase_from_inverted_index(
+        spark,
+        spark.createDataFrame([(3,), (9,)], "doc_id long"),
+        idx,
+        n_docs_removed=2,
+    )
+    got = spark.read.parquet(f"{idx}/stats").collect()[0]
+    rebuilt_dir = str(tmp_path / "inv2")
+    build_inverted_index(
+        docs.filter(~F.col("doc_id").isin(3, 9)), rebuilt_dir,
+        "doc_id", "text",
+    )
+    want = spark.read.parquet(f"{rebuilt_dir}/stats").collect()[0]
+    assert (got["n_docs"], got["avgdl"]) == (want["n_docs"], want["avgdl"])
