@@ -624,13 +624,30 @@ def grouped_weighted_median(
     Scale shape: one (group, value) pre-aggregation (map-side
     combine collapses ties before any window), then one
     group-partitioned window cumsum over DISTINCT values — per-group
-    frames only, no global sort."""
-    from pyspark.sql import Window
+    frames only, no global sort.
 
+    The (group, value) -> weight table is ADDITIVE mergeable state:
+    per-batch partials fold by summing weights, so the streaming
+    scaffold (streaming.pipeline.stream_continuous_rollup with
+    keys=[*group_cols, value] and a SUM measure) maintains it
+    continuously and ``weighted_median_from_counts`` reads the exact
+    batch answer back out — asserted equal in tests."""
     gw = (
         df.groupBy(*group_cols, F.col(value_col).alias("_v"))
         .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
     )
+    return weighted_median_from_counts(gw, group_cols)
+
+
+def weighted_median_from_counts(
+    gw: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """The pick tail shared by the batch operator and the streaming
+    fold: (group..., _v, _w) weight-per-distinct-value rows -> the
+    weighted lower median. Input rows must be unique per (group, _v)
+    (both producers aggregate, so they are)."""
+    from pyspark.sql import Window
+
     wc = Window.partitionBy(*group_cols).orderBy("_v").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -341,3 +341,52 @@ def test_stream_quantile_sample_matches_batch_and_replays(spark, tmp_path):
     again = sorted(map(tuple, read_quantile_sample(
         spark, st, ["g"], k=64).collect()))
     assert again == want
+
+
+def test_stream_weighted_median_matches_batch(spark, tmp_path):
+    """The (group, value)->weight table is additive mergeable state:
+    folding per-micro-batch SUM partials through the continuous
+    rollup scaffold and reading them out with
+    weighted_median_from_counts must equal grouped_weighted_median
+    over the concatenated stream."""
+    from product_etl_spark.operators.profile import (
+        grouped_weighted_median,
+        weighted_median_from_counts,
+    )
+    from product_etl_spark.streaming.pipeline import (
+        read_rollup_state,
+        stream_continuous_rollup,
+    )
+
+    wave1 = [("a", 10.0, 3), ("a", 20.0, 1), ("b", 5.0, 2)]
+    wave2 = [("a", 10.0, 2), ("a", 30.0, 1), ("b", 7.0, 5)]
+    src, st, ck = (str(tmp_path / d) for d in ("in", "state", "ck"))
+
+    def write(rows):
+        spark.createDataFrame(rows, "g string, v double, w long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream_continuous_rollup(
+            spark.readStream.schema("g string, v double, w long").parquet(src),
+            st, ["g", "v"], {"_w": F.col("w").cast("long")}, ck,
+        )
+
+    write(wave1); run()
+    write(wave2); run()
+
+    folded = read_rollup_state(spark, st, ["g", "v"], ["_w"]).select(
+        "g", F.col("v").alias("_v"), "_w"
+    )
+    got = sorted(map(tuple, weighted_median_from_counts(
+        folded, ["g"]).collect()))
+    combined = spark.createDataFrame(
+        wave1 + wave2, "g string, v double, w long"
+    )
+    want = sorted(map(tuple, grouped_weighted_median(
+        combined, ["g"], "v", "w").collect()))
+    assert got == want
+    # and the "a" median moved by the second wave's weight: 10.0
+    # carries 5 of 7 total weight
+    assert dict((g, (m, t)) for g, m, t in got)["a"] == (10.0, 7)
