@@ -203,3 +203,70 @@ def triangle_count(
         F.least("v", "w").alias("v"), F.greatest("v", "w").alias("w")
     ).join(closing, ["v", "w"], "inner")
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-CORE: the maximal subgraph where every node has
+    degree >= k, computed by iterative peeling (drop all nodes with
+    degree < k, recompute degrees on the induced subgraph, repeat to
+    the fixpoint). The standard graph-curation gate: in a link or
+    co-occurrence graph, low-core nodes are leaves/spam tendrils and
+    the dense core is the reusable backbone (2-core drops all trees
+    hanging off the graph; higher k isolates communities worth
+    keeping). Deterministic — the k-core is unique, so peeling order
+    cannot matter (pytest pins this against a brute-force peel).
+
+    Not expressible as a monotone recursive CTE (peeling DELETES
+    non-monotonically), so this ships pytest-pinned like the other
+    iterative operators pre-q156.
+
+    Output: (id, degree) — the node's degree WITHIN the k-core.
+
+    Scale shape: edges are canonicalized undirected once; each round
+    is one symmetric degree groupBy + two semi-joins to induce the
+    surviving subgraph — shuffles bounded by the (shrinking) edge
+    frame, localCheckpoint per round cuts lineage. Rounds are
+    bounded by the peeling depth (degeneracy ordering length /
+    batch peel: all sub-k nodes drop together each round, so depth
+    is the number of 'onion layers', typically << n)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sym = und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        pruned = (
+            und.join(keep, "u", "left_semi")
+            .join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        dropped = und.count() - pruned.count()
+        und = pruned
+        if dropped == 0:
+            break
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("id"), "degree")
+    )

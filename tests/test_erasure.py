@@ -241,3 +241,37 @@ def test_erase_inverted_index_empty_doc_override(spark, tmp_path):
     )
     want = spark.read.parquet(f"{rebuilt_dir}/stats").collect()[0]
     assert (got["n_docs"], got["avgdl"]) == (want["n_docs"], want["avgdl"])
+
+
+def test_erase_quantile_sample_state_by_hashed_key(spark, tmp_path):
+    """The quantile sample stores (group, hv, val) — no raw key — so
+    subject erasure anti-joins on hv = hash64(erased key). Lossy but
+    safe: the survivors are exactly the original sample minus the
+    subject's rows (never a replacement row that could leak), and a
+    probe can no longer surface the erased subject's value."""
+    from product_etl_spark.functions.text import hash64
+    from product_etl_spark.operators.erasure import erase_from_stores
+    from product_etl_spark.operators.sketches import (
+        quantile_sample_estimate,
+        quantile_sample_partials,
+    )
+
+    rows = [("g", float(v), f"user{v}") for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double, rk string")
+    parts = quantile_sample_partials(df, ["g"], "x", "rk", k=256)
+    st = str(tmp_path / "qs_state")
+    parts.write.parquet(st)
+
+    erased = spark.createDataFrame(
+        [("user7",), ("user42",)], "rk string"
+    ).select(hash64(F.col("rk").cast("string")).alias("hv"))
+    report = erase_from_stores(
+        spark, erased, [{"path": st, "id_col": "hv"}]
+    )
+    assert report[st] == 2
+    left = spark.read.parquet(st)
+    assert left.count() == 98
+    assert left.filter(F.col("val").isin(7.0, 42.0)).count() == 0
+    # estimates still work over the shrunken sample
+    est = quantile_sample_estimate(left, ["g"], [0.5]).collect()[0]
+    assert est["n_sample"] == 98 and 40 <= est["p50"] <= 60

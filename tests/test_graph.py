@@ -54,3 +54,47 @@ def test_label_propagation_two_planted_communities(spark):
     assert labels[1] == labels[2] == labels[3]
     assert labels[10] == labels[11] == labels[12]
     assert labels[1] != labels[10]
+
+
+def _brute_k_core(edge_list, k):
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        weak = [n for n, nb in adj.items() if len(nb) < k]
+        if not weak:
+            break
+        for n in weak:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_k_core_matches_bruteforce_peel(spark):
+    """k-core via iterative batch peeling == the one-at-a-time
+    brute-force peel (the k-core is unique, so peel order cannot
+    matter): a 5-clique survives k=3; the attached triangle survives
+    k=2 but not k=3; chains and the clique-triangle bridge peel off
+    at k=2."""
+    from itertools import combinations
+
+    from product_etl_spark.operators.graph import k_core
+
+    edge_list = (
+        list(combinations([1, 2, 3, 4, 5], 2))      # 5-clique
+        + [(10, 11), (11, 12), (10, 12)]            # triangle
+        + [(5, 20), (20, 21), (21, 22)]             # pendant chain
+        + [(5, 10)]                                 # bridge
+    )
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    for k in (2, 3, 4, 5):
+        got = {
+            r["id"]: r["degree"] for r in k_core(edges, k).collect()
+        }
+        assert got == _brute_k_core(edge_list, k), k
+    # spot-check the semantics the docstring claims
+    assert set(_brute_k_core(edge_list, 3)) == {1, 2, 3, 4, 5}
+    assert set(_brute_k_core(edge_list, 2)) == {1, 2, 3, 4, 5, 10, 11, 12}
+    assert _brute_k_core(edge_list, 5) == {}
