@@ -22,6 +22,8 @@ point of declaring everything in the DataFrame API.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1067,3 +1069,85 @@ def read_quantile_sample(
 
     parts = spark.read.parquet(state_dir).select(*group_cols, "hv", "val")
     return quantile_sample_merge(parts, group_cols, k)
+
+
+def stream_gated_ingest(
+    values: DataFrame,
+    out_dir: str,
+    quarantine_dir: str,
+    checkpoint: str,
+    checks: dict,
+    metrics_path: str | None = None,
+):
+    """Continuous ingest with the ONE-PASS observe quality gate per
+    micro-batch (operators/observed.py semantics, streaming posture):
+    each batch's metric aggregates ride its own write job; a PASSING
+    batch lands under ``out_dir/batch=<id>``, a FAILING batch is
+    routed WHOLE to ``quarantine_dir/batch=<id>`` — the stream keeps
+    running (a continuous pipeline must not die because one feed
+    delivery was bad; the quarantined batch is inspectable and
+    re-playable after the upstream fix). Every batch's observed
+    metrics (plus its verdict) append to ``metrics_path`` when given
+    — the audit trail data contracts want.
+
+    Replay-safe WITHIN a checkpoint lineage (the contract of every
+    fold here): the file-source log pins each batch's file set, so a
+    redelivered batch has identical content, an identical verdict,
+    and rewrites the same directory. A batch id is additionally
+    cleared from BOTH destinations before landing, so no batch can
+    ever be double-counted across out/ and quarantine/. Starting a
+    FRESH checkpoint over the same source is a NEW stream with new
+    batch boundaries — not a replay; point it at empty destinations.
+
+    ``checks``: {name: (aggregate Column, predicate)} — the
+    write_with_quality_gate contract."""
+    from pyspark.sql import Observation
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        obs = Observation(f"gate_b{batch_id}")
+        observed = batch_df.observe(
+            obs, *[agg.alias(name) for name, (agg, _) in checks.items()]
+        )
+        staging = f"{out_dir}/.staging_batch_{batch_id}"
+        observed.write.mode("overwrite").parquet(staging)
+        metrics = dict(obs.get)
+        failures = {
+            n: metrics[n]
+            for n, (_, pred) in checks.items()
+            if not pred(metrics[n])
+        }
+        import os
+        import shutil
+
+        dest = (
+            f"{quarantine_dir}/batch={batch_id}"
+            if failures
+            else f"{out_dir}/batch={batch_id}"
+        )
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        # replay convergence: this batch id owns exactly one dir
+        # across BOTH destinations, whatever the verdict
+        for twin in (
+            f"{out_dir}/batch={batch_id}",
+            f"{quarantine_dir}/batch={batch_id}",
+        ):
+            if os.path.exists(twin):
+                shutil.rmtree(twin)
+        os.rename(staging, dest)
+        if metrics_path is not None:
+            spark.createDataFrame(
+                [(batch_id, not failures, json.dumps(metrics, default=str))],
+                "batch_id long, passed boolean, metrics string",
+            ).coalesce(1).write.mode("append").parquet(metrics_path)
+
+    q = (
+        values.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
