@@ -783,3 +783,52 @@ def grouped_weight_concentration(
             ).alias(f"members_p{round(100 * num / den)}")
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def grouped_winsorized_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Exact per-group WINSORIZED mean: the floor(n*num/den) smallest
+    and largest rows are CLAMPED to the nearest kept value (not
+    dropped — the trimmed mean's sibling that preserves sample size
+    and weights tails at the fence instead of discarding them;
+    standard for heavy-tailed spend/score aggregation). Fences are
+    rank-decided integers (value at rank cut+1 / rank n-cut), clamped
+    values sum as decimals, the mean is ONE IEEE division.
+    Output: group cols + (winsorized_mean DOUBLE, n_rows BIGINT).
+
+    Scale shape: one group-partitioned rank window, fence values via
+    two windowed conditional MAXes over the same partition (no extra
+    shuffle), one map-side-combined final agg."""
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("decimal(18,2)")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_x").asc())
+    wg = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, x.alias("_x"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "_cut", F.expr(f"CAST(_n * {trim_num} AS BIGINT) div {trim_den}")
+        )
+    )
+    lo = F.max(
+        F.when(F.col("_rn") == F.col("_cut") + 1, F.col("_x"))
+    ).over(wg)
+    hi = F.max(
+        F.when(F.col("_rn") == F.col("_n") - F.col("_cut"), F.col("_x"))
+    ).over(wg)
+    clamped = ranked.withColumn(
+        "_cx", F.greatest(F.least(F.col("_x"), hi), lo)
+    )
+    return clamped.groupBy(*group_cols).agg(
+        (
+            F.sum("_cx").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("winsorized_mean"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -98,6 +98,7 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 _NEXT_WINDOW_QUEUE = [
     "q174_brand_mode_type",
     "q175_customer_revenue_concentration",
+    "q176_winsorized_mean_price",
 ]
 
 _DRIVER_WINDOW = [

@@ -356,3 +356,47 @@ def q175_customer_revenue_concentration(spark, sf_dir):
     return grouped_weight_concentration(
         o, [], "o_custkey", "o_totalprice", [(1, 2), (9, 10)]
     )
+
+
+@register(
+    "q176_winsorized_mean_price",
+    """
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag, x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    ), fenced AS (
+      SELECT l_returnflag, x, rn, n, (n * 1) // 10 AS cut,
+             MAX(CASE WHEN rn = (n * 1) // 10 + 1 THEN x END)
+               OVER (PARTITION BY l_returnflag) AS lo,
+             MAX(CASE WHEN rn = n - (n * 1) // 10 THEN x END)
+               OVER (PARTITION BY l_returnflag) AS hi
+      FROM ranked
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CAST(GREATEST(LEAST(x, hi), lo) AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean,
+           COUNT(*) AS n_rows
+    FROM fenced GROUP BY l_returnflag
+    """,
+)
+def q176_winsorized_mean_price(spark, sf_dir):
+    """Exact 10%-WINSORIZED mean price per returnflag
+    (profile.grouped_winsorized_mean): tail rows are CLAMPED to the
+    rank-decided fences instead of dropped — q173's trimmed-mean
+    sibling that keeps sample size (the robust pair every curation
+    scorecard wants side by side). Fences are integer rank picks;
+    clamped decimals sum exactly; one IEEE division at the surface.
+    Registered after the r9 window froze; leads the r10 queue."""
+    from product_etl_spark.operators.profile import (
+        grouped_winsorized_mean,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_winsorized_mean(
+        li, ["l_returnflag"], "l_extendedprice", 1, 10
+    )
