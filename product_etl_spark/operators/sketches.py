@@ -375,7 +375,9 @@ def quantile_sample_partials(
     rank estimates unbiased. Mergeable exactly like KMV: union of
     bottom-k samples re-cut to k IS the bottom-k sample of the union
     (quantile_sample_merge), so per-batch partials fold across ingest
-    without rescanning. Standard bottom-k error: quantile ranks are
+    without rescanning; the sample cut is ordered (hv, val), so even
+    non-unique keys cannot make two engines cut different rows.
+    Standard bottom-k error: quantile ranks are
     within O(1/sqrt(k)) of truth with high probability (Cohen &
     Kaplan 2007 summarize the bottom-k estimator family).
 
@@ -390,7 +392,14 @@ def quantile_sample_partials(
     from product_etl_spark.functions.text import hash64
 
     hv = hash64(F.col(key_col).cast("string"))
-    w = Window.partitionBy(*group_cols).orderBy("hv")
+    # tie-break by val: hv ties are impossible for truly-unique keys
+    # (60-bit space), but a key that is NOT unique in the data (two
+    # rows, same key, different values) must still cut the SAME k
+    # rows on every engine and every run — ordering by hv alone left
+    # that to scheduler whim (caught live: driver-exact q169 flaked
+    # under load until this). Uniformity degrades gracefully: the
+    # duplicate key holds its extra slots deterministically.
+    w = Window.partitionBy(*group_cols).orderBy("hv", "val")
     return (
         df.filter(F.col(val_col).isNotNull() & F.col(key_col).isNotNull())
         .select(*group_cols, hv.alias("hv"), F.col(val_col).alias("val"))
@@ -404,13 +413,13 @@ def quantile_sample_merge(
     parts: DataFrame, coarser_cols: list[str], k: int = 256
 ) -> DataFrame:
     """Union finer partials up a hierarchy: merge rows, dedup on the
-    (group, hv) cell (a key seen by two batches carries the same
-    val), keep the k smallest hashes per coarser group — associative
-    and commutative, identical to a single-pass build over the
-    concatenated input (asserted in tests)."""
+    (group, hv, val) cell (a key seen by two batches carries the
+    same val), keep the k smallest by (hv, val) per coarser group —
+    associative and commutative, identical to a single-pass build
+    over the concatenated input (asserted in tests)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*coarser_cols).orderBy("hv")
+    w = Window.partitionBy(*coarser_cols).orderBy("hv", "val")
     return (
         parts.select(*coarser_cols, "hv", "val")
         .distinct()

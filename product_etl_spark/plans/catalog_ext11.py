@@ -1,11 +1,12 @@
-"""Eleventh extension catalog (q169-q175): the portable QUANTILE
+"""Eleventh extension catalog (q169-q176): the portable QUANTILE
 sketch that completes the cross-engine-verifiable sketch family
 (CMS q165 / HLL q167 / KMV q168), the hub-safe star-contraction
 connected components (the O(log n) twin of q156's propagation
 closure), and the integer-decided robust/corpus statistics family —
 weighted median, vocabulary coverage cutpoints, trimmed mean, and
 (registered after the r9 window froze, leading the r10 queue) exact
-grouped mode and weight-concentration cutpoints.
+grouped mode, weight-concentration cutpoints, and the
+winsorized mean.
 
 All follow the engine-exact surface contract: picking and trimming
 decisions are integer cross-multiplications, sums are decimal, every
@@ -49,7 +50,7 @@ from product_etl_spark.plans.catalog import _t, register
     ), samp AS (
       SELECT flag, hv, val
       FROM h
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) <= 256
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv, val) <= 256
     ), ranked AS (
       SELECT flag, val,
              ROW_NUMBER() OVER (PARTITION BY flag ORDER BY val, hv) AS vr,
@@ -68,8 +69,10 @@ from product_etl_spark.plans.catalog import _t, register
 def q169_quantile_sample_sketch(spark, sf_dir):
     """Portable deterministic QUANTILE sketch (operators/sketches.
     quantile_sample_partials/-estimate): per returnflag, the bottom-
-    256 md5-hash sample of lineitem rows (hash over the unique
-    orderkey-linenumber row key — uniform over rows) carrying
+    256 md5-hash sample of lineitem rows (hash over the
+    orderkey-linenumber row key; the synthetic data has DUPLICATE
+    keys with different prices, so the cut orders by (hv, val) —
+    deterministic on every engine and run) carrying
     l_extendedprice, read out at p25/p50/p75/p95 by EXACT RANK over
     the sample. Completes the cross-engine-verifiable sketch family
     the r8 trio started (CMS q165 / HLL q167 / KMV q168): KLL's
