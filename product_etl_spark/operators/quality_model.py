@@ -68,8 +68,20 @@ def train_quality_classifier(
 ):
     """Fit a logistic-regression quality model on labeled documents
     (label 1 = keep-quality, 0 = reject). Returns the fitted
-    PipelineModel (assembler + scaler + LR)."""
-    from pyspark.ml import Pipeline
+    PipelineModel (assembler + scaler + LR), round-tripped through a
+    save/load so it carries NO training lineage: a freshly-fit
+    LogisticRegressionModel keeps its training summary, whose
+    DataFrame pins the training plan and session state in any task
+    closure that serializes the model — measured live as
+    ``NotSerializableException: ObservationManager`` on transform
+    once any ``df.observe`` had run in the session (the observe
+    quality gate), and at scale it silently keeps the training
+    frame's whole lineage reachable. The loaded model is coefficients
+    only (kilobytes), which is what scoring needs."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
@@ -83,7 +95,13 @@ def train_quality_classifier(
                                maxIter=max_iter),
         ]
     )
-    return pipe.fit(feats)
+    fitted = pipe.fit(feats)
+    tmp = tempfile.mkdtemp(prefix="quality_model_")
+    try:
+        fitted.write().overwrite().save(tmp)
+        return PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality(model, df: DataFrame, text_col: str) -> DataFrame:

@@ -88,3 +88,31 @@ def test_column_conflict_raises(spark):
                                 ["doc_id", "text", "probability"])
     with pytest.raises(ValueError, match="collide"):
         QM.score_quality(model, bad, "text")
+
+
+def test_model_scores_after_df_observe_in_same_session(spark, tmp_path):
+    """Regression: a freshly-fit PipelineModel used to carry its
+    training summary, whose DataFrame pinned session state into the
+    transform's task closure — once ANY df.observe had run in the
+    session (the observe quality gate), scoring died with
+    NotSerializableException: ObservationManager. The trainer now
+    returns a save/load round-tripped model (coefficients only), so
+    gate-then-train-then-score in one session must work."""
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.observed import (
+        write_with_quality_gate,
+    )
+
+    write_with_quality_gate(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        str(tmp_path / "gated"),
+        {"n": (F.count(F.lit(1)), lambda v: v == 1)},
+    )
+    model = QM.train_quality_classifier(_labeled(spark), "text", "label")
+    out = QM.score_quality(
+        model,
+        spark.createDataFrame([(1, "some plain words here")], ["doc_id", "text"]),
+        "text",
+    ).collect()
+    assert len(out) == 1 and 0.0 <= out[0]["quality_prob"] <= 1.0
