@@ -129,10 +129,13 @@ def _split_sections(text: str) -> dict[str, str]:
 
 
 def _scan_lines(section: str) -> list[str]:
-    return [
+    # SORTED: within racy sections AQE re-orders subtrees, permuting
+    # the order scan details print in — the set of scans is the
+    # contract, their print order is the race (q141, r9)
+    return sorted(
         line for line in section.splitlines()
         if line.startswith(("PushedFilters", "ReadSchema"))
-    ]
+    )
 
 
 def test_plans_md_matches_generator(tmp_path):
