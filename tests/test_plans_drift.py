@@ -138,11 +138,9 @@ def _scan_lines(section: str) -> list[str]:
     )
 
 
-def test_plans_md_matches_generator(tmp_path):
-    committed = open(os.path.join(ROOT, "PLANS.md")).read()
-
+def _regenerate(tmp_path, tag: str) -> dict[str, str]:
     env = dict(os.environ)
-    env["SPARK_GRAFT_PLANS_OUT"] = str(tmp_path / "PLANS.md")
+    env["SPARK_GRAFT_PLANS_OUT"] = str(tmp_path / f"PLANS_{tag}.md")
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "gen_plans.py")],
         env=env,
@@ -152,14 +150,12 @@ def test_plans_md_matches_generator(tmp_path):
         cwd=ROOT,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    regenerated = open(env["SPARK_GRAFT_PLANS_OUT"]).read()
-
-    lsec = _split_sections(_normalize(committed))
-    rsec = _split_sections(_normalize(regenerated))
-    assert set(lsec) == set(rsec), (
-        f"headliner set changed: committed-only={sorted(set(lsec)-set(rsec))} "
-        f"regenerated-only={sorted(set(rsec)-set(lsec))} — rerun gen_plans.py"
+    return _split_sections(
+        _normalize(open(env["SPARK_GRAFT_PLANS_OUT"]).read())
     )
+
+
+def _stale_sections(lsec, rsec) -> list[str]:
     stale = []
     for name in rsec:
         if name in AQE_RACY_SECTIONS:
@@ -169,6 +165,27 @@ def test_plans_md_matches_generator(tmp_path):
                 stale.append(name)
         elif lsec[name] != rsec[name]:
             stale.append(name)
+    return stale
+
+
+def test_plans_md_matches_generator(tmp_path):
+    committed = open(os.path.join(ROOT, "PLANS.md")).read()
+    lsec = _split_sections(_normalize(committed))
+    rsec = _regenerate(tmp_path, "a")
+    assert set(lsec) == set(rsec), (
+        f"headliner set changed: committed-only={sorted(set(lsec)-set(rsec))} "
+        f"regenerated-only={sorted(set(rsec)-set(lsec))} — rerun gen_plans.py"
+    )
+    stale = _stale_sections(lsec, rsec)
+    if stale:
+        # A REAL plan change reproduces; an AQE stage-completion race
+        # (under full-suite CPU contention) does not — regenerate once
+        # more and fail only on sections stale BOTH times. This is a
+        # race filter, not a tolerance: deterministic drift still
+        # fails every run.
+        rsec2 = _regenerate(tmp_path, "b")
+        stale2 = set(_stale_sections(lsec, rsec2))
+        stale = [n for n in stale if n in stale2]
     if stale:
         import difflib
 
