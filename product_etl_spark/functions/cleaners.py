@@ -153,7 +153,7 @@ def strip_sku_dot_zero(col: Column | str) -> Column:
     """Remove a single trailing ``.0`` from a float-coerced SKU.
 
     The reference's ``old_sku.rstrip('.0')``
-    (utils/importer/fix_sku_dot_zero.py:128) strips *any* trailing
+    (utils/fix_sku_dot_zero.py:128) strips *any* trailing
     dots and zeros (``"100.0" -> "1"``) — a real bug its own README
     warns about (SKU_DOT_ZERO_FIX_README.md). We implement the
     intended anchor-exact form.
@@ -165,7 +165,7 @@ def sanitize_filename(col: Column | str, max_len: int = 100) -> Column:
     r"""Replace filesystem-hostile chars with ``_`` and truncate.
 
     ``re.sub(r'[\\/*?:"<>|]', "_", name)[:100]``
-    (utils/ai-helper/html_to_pdf_printer.py:18-19).
+    (utils/html_to_pdf/html_to_pdf_printer.py:17-18).
     """
     return F.substring(
         F.regexp_replace(_c(col), r'[\\/*?:"<>|]', "_"), 1, max_len

@@ -5,7 +5,7 @@ Every rerunnable stage in the reference selects its driving set by
 excluding rows that already have output — LEFT JOIN ... IS NULL
 (utils/product_attributes_etl.py:89-105), NOT EXISTS
 (utils/universal_translator.py:45-69), NOT IN
-(utils/importer/fix_product_attributes_migration.py:37-44), skip-sets
+(utils/fix_product_attributes_migration.py:37-44), skip-sets
 (utils/product_collection_img_array_processor.py:132-138). All of
 them are one Spark primitive: ``left_anti``.
 """

@@ -4,7 +4,7 @@ columns with typed metadata.
 The reference touches multimodality three ways: image download to
 disk (utils/product_collection_img_array_processor.py:55-68), OCR
 over images (utils/details_translator/2_ocr_from_images.py:38-66),
-and HTML->PDF rendering (utils/ai-helper/pupeeter.py). Generalized
+and HTML->PDF rendering (utils/html_to_pdf/pupeeter.py). Generalized
 here the way a training-data pipeline needs it:
 
 - binary payloads live in a ``content: binary`` column next to typed

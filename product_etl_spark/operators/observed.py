@@ -12,8 +12,9 @@ published table and the staging dir is removed (write-AUDIT-publish,
 literally).
 
 Reference parity: the reference validates after loading with
-separate SELECTs (utils/analyze_db.py count/null audits) — a second
-full read the observe gate removes. Relation to profile_columns:
+separate SELECTs (utils/importer/verify_collections.py:33-66 and
+utils/importer/verify_etl_results.py:34 count/completeness audits) —
+a second full read the observe gate removes. Relation to profile_columns:
 that is the ad-hoc ANALYZE over an existing table; this is the
 ingest-time gate fused into the write.
 

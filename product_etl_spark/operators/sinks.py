@@ -5,7 +5,7 @@
   (3_group...py:41-48 writes one CSV per product_id) — at scale this
   is ``partitionBy``, never a per-entity loop.
 - ``render_pdf_stage``: HTML column -> one PDF file per row
-  (utils/ai-helper/pupeeter.py:25-54 / html_to_pdf_printer.py:29-43).
+  (utils/html_to_pdf/pupeeter.py:25-54 / html_to_pdf_printer.py:29-43).
   No browser/pdfkit in this container, so the renderer is an
   injectable kernel (deterministic stub in tests); the Spark side —
   foreachPartition fan-out, sanitized deterministic filenames,

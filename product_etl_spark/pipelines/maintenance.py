@@ -16,7 +16,7 @@ distributed one-shot jobs (SURVEY.md §7.3 phase 8).
 - ``relink_products_by_master_code``: the UPDATE..FROM repair
   (utils/importer/diagnosis_and_fix.sql:38-45) as an update-join.
 - ``consistency_report``: DB-vs-filesystem style audit
-  (utils/importer/check_sku_status.py:108-141) generalized to
+  (utils/check_sku_status.py:108-141) generalized to
   table-vs-table set comparison.
 - ``backfill_missing_children``: placeholder rows for childless
   parents (utils/importer/insert_missing_data.py:16-60) as one

@@ -85,9 +85,11 @@ def q169_quantile_sample_sketch(spark, sf_dir):
     Scale shape: one window top-k per group over the scan (map-side
     rank pruning), then ranking 256 rows per group. The sketch rows
     — not the corpus — persist; later quantile reads never rescan.
-    Reference anchor: the percentile family (q43's exact NTILE
-    percentiles) the reference computes with pandas describe()
-    (utils/analyze_db.py)."""
+    Reference anchor: extension beyond parity — the reference's only
+    distribution audits are exact COUNT/completeness aggregates
+    (utils/importer/verify_collections.py:33-66); this sketch is the
+    scale path for the same read-the-distribution need (q43 keeps the
+    exact-percentile row)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
