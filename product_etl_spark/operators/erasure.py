@@ -197,7 +197,7 @@ def erase_from_inverted_index(
     spark: SparkSession,
     subject_doc_ids: DataFrame,
     index_path: str,
-    n_docs_removed: int | None = None,
+    n_empty_docs: int | None = None,
 ) -> dict[str, int]:
     """Subject erasure for the persisted BM25 inverted index
     (retrieval.build_inverted_index): anti-join the erased doc ids
@@ -209,28 +209,35 @@ def erase_from_inverted_index(
     ``bm25_topk_indexed`` is bit-identical to ``bm25_topk`` over the
     erased corpus (pytest contract).
 
-    ``n_docs_removed`` overrides the erased-doc count used for the
-    new n_docs when erased subjects include EMPTY documents (zero
-    index terms): those have no doclens row, so the store alone
-    cannot count them (the Okapi contract counts all docs, empty
-    included). Default: the number of erased ids found in doclens.
-    """
-    import os
+    The re-freeze is computed ABSOLUTELY from the post-erasure store
+    — ``n_docs = count(doclens) + n_empty_docs`` — never by
+    decrementing the old stats, so the whole call is idempotent: a
+    retry after a partial failure re-deletes 0 rows and re-freezes
+    the stats to the identical values (erasure jobs are exactly the
+    kind that get retried; a delta-decrement would corrupt n_docs on
+    every rerun).
 
+    ``n_empty_docs`` is the number of EMPTY documents (zero index
+    terms) REMAINING in the corpus after this erasure: empty docs
+    have no doclens row, so the store alone cannot count them toward
+    the Okapi n_docs (which counts all docs, empty included).
+    Default: the count implied by the pre-erasure stats
+    (``old n_docs - count(doclens before erasure)``), i.e. the
+    assumption that the erased set contains no empty docs — pass the
+    explicit remaining-empty count when it does.
+    """
     keys = _checkpointed_keys(subject_doc_ids)
     doclens_path = f"{index_path}/doclens"
-    if n_docs_removed is None:
-        dl = spark.read.parquet(doclens_path)
-        n_docs_removed = (
-            dl.join(
-                F.broadcast(keys),
-                dl["doc_id"] == keys["_subject"],
-                "left_semi",
-            )
+    stats_path = f"{index_path}/stats"
+    if n_empty_docs is None:
+        old_n = int(spark.read.parquet(stats_path).collect()[0]["n_docs"])
+        dl_before = (
+            spark.read.parquet(doclens_path)
             .select("doc_id")
             .distinct()
             .count()
         )
+        n_empty_docs = max(0, old_n - dl_before)
     report = {
         f"{index_path}/postings": _erase_keyed_table(
             spark,
@@ -243,16 +250,19 @@ def erase_from_inverted_index(
             spark, doclens_path, keys, "doc_id", None
         ),
     }
-    if n_docs_removed:
-        stats_path = f"{index_path}/stats"
-        with _table_write_lock(stats_path):
-            old = spark.read.parquet(stats_path).collect()[0]
-            dl = spark.read.parquet(doclens_path)
-            new_n = int(old["n_docs"]) - int(n_docs_removed)
-            sum_dl = dl.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+    with _table_write_lock(stats_path):
+        dl = spark.read.parquet(doclens_path)
+        agg = dl.agg(
+            F.count_distinct("doc_id").alias("n"),
+            F.sum("dl").alias("s"),
+        ).collect()[0]
+        new_n = int(agg["n"]) + int(n_empty_docs)
+        sum_dl = agg["s"] or 0
+        old = spark.read.parquet(stats_path).collect()[0]
+        new_avgdl = float(sum_dl) / new_n if new_n else 0.0
+        if (int(old["n_docs"]), float(old["avgdl"])) != (new_n, new_avgdl):
             stats = spark.createDataFrame(
-                [(new_n, float(sum_dl) / new_n if new_n else 0.0)],
-                "n_docs long, avgdl double",
+                [(new_n, new_avgdl)], "n_docs long, avgdl double"
             )
             _swap_in(spark, stats, stats_path)
     return report

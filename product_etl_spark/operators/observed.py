@@ -96,27 +96,36 @@ def write_with_quality_gate(
     )
     with _table_write_lock(path):
         staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-        writer = observed.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
-        metrics = dict(obs.get)
-        failures = {
-            name: metrics[name]
-            for name, (_, pred) in checks.items()
-            if not pred(metrics[name])
-        }
-        if failures:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise QualityGateError(failures, metrics)
-        if os.path.exists(path):
-            backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(path, backup)
-            os.rename(staging, path)
-            shutil.rmtree(backup, ignore_errors=True)
-        else:
-            os.rename(staging, path)
-        spark.catalog.refreshByPath(path)
+        published = False
+        try:
+            writer = observed.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staging)
+            metrics = dict(obs.get)
+            failures = {
+                name: metrics[name]
+                for name, (_, pred) in checks.items()
+                if not pred(metrics[name])
+            }
+            if failures:
+                raise QualityGateError(failures, metrics)
+            if os.path.exists(path):
+                backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+                os.rename(path, backup)
+                os.rename(staging, path)
+                published = True
+                shutil.rmtree(backup, ignore_errors=True)
+            else:
+                os.rename(staging, path)
+                published = True
+            spark.catalog.refreshByPath(path)
+        finally:
+            # ANY non-publish exit (gate failure, a user predicate
+            # that raises, a write error) must not leave staging
+            # litter beside the table
+            if not published:
+                shutil.rmtree(staging, ignore_errors=True)
     return metrics
 
 

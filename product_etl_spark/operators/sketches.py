@@ -415,8 +415,16 @@ def quantile_sample_merge(
     """Union finer partials up a hierarchy: merge rows, dedup on the
     (group, hv, val) cell (a key seen by two batches carries the
     same val), keep the k smallest by (hv, val) per coarser group —
-    associative and commutative, identical to a single-pass build
-    over the concatenated input (asserted in tests)."""
+    associative and commutative.
+
+    PRECONDITION (same as quantile_sample_partials's row-key
+    contract): ``rk`` values are unique per logical row. Under it the
+    merge is identical to a single-pass build over the concatenated
+    input (asserted in tests). If one input batch carries two
+    IDENTICAL (key, val) rows, the ``.distinct()`` here collapses
+    them while a single-pass build keeps both slots — so equivalence
+    holds only for unique row keys; duplicate-row inputs degrade
+    gracefully (fewer slots, never wrong values)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*coarser_cols).orderBy("hv", "val")

@@ -1071,6 +1071,65 @@ def read_quantile_sample(
     return quantile_sample_merge(parts, group_cols, k)
 
 
+def _gated_land(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    quarantine_dir: str,
+    checks: dict,
+    metrics_path: str | None,
+) -> None:
+    """One micro-batch's observe-gate-land cycle (module-level so the
+    redelivery contract is directly testable): stage with metrics on
+    the write job, route to out/ or quarantine/ by verdict, rewrite
+    the batch's own audit row. Every write is keyed by batch_id and
+    idempotent — a redelivered batch converges to the same state."""
+    from pyspark.sql import Observation
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    obs = Observation(f"gate_b{batch_id}")
+    observed = batch_df.observe(
+        obs, *[agg.alias(name) for name, (agg, _) in checks.items()]
+    )
+    staging = f"{out_dir}/.staging_batch_{batch_id}"
+    observed.write.mode("overwrite").parquet(staging)
+    metrics = dict(obs.get)
+    failures = {
+        n: metrics[n]
+        for n, (_, pred) in checks.items()
+        if not pred(metrics[n])
+    }
+    import os
+    import shutil
+
+    dest = (
+        f"{quarantine_dir}/batch={batch_id}"
+        if failures
+        else f"{out_dir}/batch={batch_id}"
+    )
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    # replay convergence: this batch id owns exactly one dir
+    # across BOTH destinations, whatever the verdict
+    for twin in (
+        f"{out_dir}/batch={batch_id}",
+        f"{quarantine_dir}/batch={batch_id}",
+    ):
+        if os.path.exists(twin):
+            shutil.rmtree(twin)
+    os.rename(staging, dest)
+    if metrics_path is not None:
+        # per-batch dir overwrite, NOT append: a replayed batch
+        # re-lands its own audit row (no double count on retry)
+        spark.createDataFrame(
+            [(batch_id, not failures, json.dumps(metrics, default=str))],
+            "batch_id long, passed boolean, metrics string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{metrics_path}/batch={batch_id}"
+        )
+
+
 def stream_gated_ingest(
     values: DataFrame,
     out_dir: str,
@@ -1087,61 +1146,30 @@ def stream_gated_ingest(
     running (a continuous pipeline must not die because one feed
     delivery was bad; the quarantined batch is inspectable and
     re-playable after the upstream fix). Every batch's observed
-    metrics (plus its verdict) append to ``metrics_path`` when given
-    — the audit trail data contracts want.
+    metrics (plus its verdict) land under
+    ``metrics_path/batch=<id>`` when given — the audit trail data
+    contracts want.
 
     Replay-safe WITHIN a checkpoint lineage (the contract of every
     fold here): the file-source log pins each batch's file set, so a
     redelivered batch has identical content, an identical verdict,
     and rewrites the same directory. A batch id is additionally
     cleared from BOTH destinations before landing, so no batch can
-    ever be double-counted across out/ and quarantine/. Starting a
+    ever be double-counted across out/ and quarantine/ — and the
+    metrics write follows the same per-batch-dir overwrite shape
+    (``batch=<id>`` swap, not a bare append), so a batch replayed
+    after a crash-between-commit-points rewrites its OWN audit row
+    instead of appending a duplicate. Starting a
     FRESH checkpoint over the same source is a NEW stream with new
     batch boundaries — not a replay; point it at empty destinations.
 
     ``checks``: {name: (aggregate Column, predicate)} — the
     write_with_quality_gate contract."""
-    from pyspark.sql import Observation
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        obs = Observation(f"gate_b{batch_id}")
-        observed = batch_df.observe(
-            obs, *[agg.alias(name) for name, (agg, _) in checks.items()]
+        _gated_land(
+            batch_df, batch_id, out_dir, quarantine_dir, checks, metrics_path
         )
-        staging = f"{out_dir}/.staging_batch_{batch_id}"
-        observed.write.mode("overwrite").parquet(staging)
-        metrics = dict(obs.get)
-        failures = {
-            n: metrics[n]
-            for n, (_, pred) in checks.items()
-            if not pred(metrics[n])
-        }
-        import os
-        import shutil
-
-        dest = (
-            f"{quarantine_dir}/batch={batch_id}"
-            if failures
-            else f"{out_dir}/batch={batch_id}"
-        )
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        # replay convergence: this batch id owns exactly one dir
-        # across BOTH destinations, whatever the verdict
-        for twin in (
-            f"{out_dir}/batch={batch_id}",
-            f"{quarantine_dir}/batch={batch_id}",
-        ):
-            if os.path.exists(twin):
-                shutil.rmtree(twin)
-        os.rename(staging, dest)
-        if metrics_path is not None:
-            spark.createDataFrame(
-                [(batch_id, not failures, json.dumps(metrics, default=str))],
-                "batch_id long, passed boolean, metrics string",
-            ).coalesce(1).write.mode("append").parquet(metrics_path)
 
     q = (
         values.writeStream.foreachBatch(gate)

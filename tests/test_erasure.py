@@ -209,8 +209,11 @@ def test_erase_inverted_index_bm25_equals_rebuild(spark, tmp_path):
 def test_erase_inverted_index_empty_doc_override(spark, tmp_path):
     """An erased EMPTY document has no doclens row, so the store
     alone cannot count it toward n_docs (the Okapi contract counts
-    all docs, empty included) — the caller passes n_docs_removed.
-    The re-frozen stats must then equal a clean rebuild's."""
+    all docs, empty included) — the caller passes the ABSOLUTE count
+    of empty docs remaining after erasure. The re-frozen stats must
+    then equal a clean rebuild's, and a RETRY of the same erasure
+    (the idempotency contract — erasure jobs get retried) must leave
+    the stats bit-identical instead of decrementing them again."""
     from product_etl_spark.operators.erasure import (
         erase_from_inverted_index,
     )
@@ -225,14 +228,10 @@ def test_erase_inverted_index_empty_doc_override(spark, tmp_path):
     build_inverted_index(docs, idx, "doc_id", "text")
     assert spark.read.parquet(f"{idx}/stats").collect()[0]["n_docs"] == 6
 
-    # erase doc 9 (empty) and doc 3 (real): default counting would
-    # find only doc 3 in doclens — the override states both
-    erase_from_inverted_index(
-        spark,
-        spark.createDataFrame([(3,), (9,)], "doc_id long"),
-        idx,
-        n_docs_removed=2,
-    )
+    # erase doc 9 (empty) and doc 3 (real): default accounting would
+    # assume one empty doc remains — the override states none do
+    erased = spark.createDataFrame([(3,), (9,)], "doc_id long")
+    erase_from_inverted_index(spark, erased, idx, n_empty_docs=0)
     got = spark.read.parquet(f"{idx}/stats").collect()[0]
     rebuilt_dir = str(tmp_path / "inv2")
     build_inverted_index(
@@ -241,6 +240,39 @@ def test_erase_inverted_index_empty_doc_override(spark, tmp_path):
     )
     want = spark.read.parquet(f"{rebuilt_dir}/stats").collect()[0]
     assert (got["n_docs"], got["avgdl"]) == (want["n_docs"], want["avgdl"])
+
+    # rerun (retry-after-partial-failure): 0 rows to delete, stats
+    # must NOT shift — with the old delta-decrement they would
+    report = erase_from_inverted_index(spark, erased, idx, n_empty_docs=0)
+    assert set(report.values()) == {0}
+    again = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert (again["n_docs"], again["avgdl"]) == (got["n_docs"], got["avgdl"])
+
+
+def test_erase_inverted_index_default_path_idempotent(spark, tmp_path):
+    """Default accounting (no override): the implied remaining-empty
+    count survives a rerun — stats identical after erase, re-erase."""
+    from product_etl_spark.operators.erasure import (
+        erase_from_inverted_index,
+    )
+    from product_etl_spark.operators.retrieval import (
+        build_inverted_index,
+    )
+
+    docs = _doc_frame(spark, _CORPUS + [(9, "")])
+    idx = str(tmp_path / "inv")
+    build_inverted_index(docs, idx, "doc_id", "text")
+
+    erased = spark.createDataFrame([(2,)], "doc_id long")  # non-empty
+    erase_from_inverted_index(spark, erased, idx)
+    first = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert first["n_docs"] == 5  # 6 - doc 2; empty doc 9 still counted
+    erase_from_inverted_index(spark, erased, idx)
+    second = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert (first["n_docs"], first["avgdl"]) == (
+        second["n_docs"],
+        second["avgdl"],
+    )
 
 
 def test_erase_quantile_sample_state_by_hashed_key(spark, tmp_path):

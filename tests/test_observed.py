@@ -115,3 +115,22 @@ def test_append_mode_rejected_loudly(spark, tmp_path):
         write_with_quality_gate(
             _df(spark, [(1, "a")]), str(tmp_path / "tbl"), {}
         )
+
+
+def test_raising_predicate_cleans_staging(spark, tmp_path):
+    """A user predicate that RAISES (not just fails) must not leave
+    {path}__staging_* litter beside the table — any non-publish exit
+    rmtrees staging before the exception propagates."""
+    path = str(tmp_path / "tbl")
+
+    def bad_pred(v):
+        raise RuntimeError("predicate blew up")
+
+    with pytest.raises(RuntimeError, match="predicate blew up"):
+        write_with_quality_gate(
+            _df(spark, [(1, "a")]),
+            path,
+            {"n_rows": (F.count(F.lit(1)), bad_pred)},
+        )
+    assert not os.path.exists(path)
+    assert not [p for p in tmp_path.iterdir()]  # staging cleaned

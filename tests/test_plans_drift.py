@@ -185,6 +185,18 @@ def test_plans_md_matches_generator(tmp_path):
         # fails every run.
         rsec2 = _regenerate(tmp_path, "b")
         stale2 = set(_stale_sections(lsec, rsec2))
+        cleared = [n for n in stale if n not in stale2]
+        if cleared:
+            # visible trace: a real-but-flaky regression that the
+            # retry happens to clear should not vanish silently
+            import warnings
+
+            warnings.warn(
+                "plans-drift retry cleared first-pass stale sections "
+                f"{cleared} — AQE stage race assumed; if a section "
+                "recurs here across runs, treat it as real drift",
+                stacklevel=1,
+            )
         stale = [n for n in stale if n in stale2]
     if stale:
         import difflib

@@ -231,3 +231,25 @@ def test_stream_gated_ingest_quarantines_bad_batches(spark, tmp_path):
     run(str(tmp_path / "ck"))
     assert spark.read.parquet(out).count() == 2
     assert spark.read.parquet(qdir).count() == 2
+
+    # crash window: batch 1 processed but its commit lost -> the
+    # engine REDELIVERS batch 1 with identical content. Data re-lands
+    # its own dir (clear-before-land) and the audit row must be
+    # REWRITTEN, not appended twice — the metrics write is a
+    # per-batch overwrite, not append. (Simulated by invoking the
+    # per-batch land directly; Spark 4's commit-log guard forbids
+    # checkpoint surgery in-session.)
+    from product_etl_spark.streaming.pipeline import _gated_land
+
+    redelivered = spark.createDataFrame(
+        [(None, "x"), (3, "c")], "k int, v string"
+    )
+    _gated_land(redelivered, 1, out, qdir, checks, mp)
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(qdir).count() == 2
+    audit_rows = spark.read.parquet(mp).collect()
+    assert len(audit_rows) == 2  # one row per batch, replay included
+    assert {r["batch_id"]: r["passed"] for r in audit_rows} == {
+        0: True,
+        1: False,
+    }
