@@ -21,6 +21,13 @@ executes 155 queries x 4 runs — accumulated listener state, codegen
 cache, and broadcast cleanup crowd later queries), and isolation
 bounds that session-age effect so real plan regressions stay
 measurable. The measured crowding coefficient lives in SCALING.md.
+
+The artifact is SELF-EXPLAINING (r9 verdict item 1): BENCH_DETAIL.json
+carries every query's per-rep times and its Spark job count, and the
+stdout line carries a ``spread`` dict for any query whose rep spread
+is anomalous (max > 1.5x min and > 0.5s apart). A 6x outlier with a
+clean min and a fat max is box contention, not a plan regression —
+now attributable from the artifact alone, no rerun needed.
 """
 
 from __future__ import annotations
@@ -61,6 +68,8 @@ def main() -> None:
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     isolate = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "0")))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
+    job_counts: dict[str, int] = {}
     for i, (name, spec) in enumerate(plans.CATALOG.items()):
         if isolate and i and i % isolate == 0:
             spark.stop()
@@ -70,12 +79,25 @@ def main() -> None:
         # cluster pays per run — the measured reps see only execution.
         for _ in range(warmup):
             spec["fn"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sc = spark.sparkContext
+        group = f"bench:{name}"
+        sc.setJobGroup(group, name)
         runs = []
-        for _ in range(reps):
-            t0 = time.monotonic()
-            df = spec["fn"](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.monotonic() - t0)
+        try:
+            for _ in range(reps):
+                t0 = time.monotonic()
+                df = spec["fn"](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.monotonic() - t0)
+        finally:
+            sc.setJobGroup("", "")
+        # jobs submitted by the measured reps (read immediately, while
+        # the UI's retained-job window still holds them)
+        try:
+            job_counts[name] = len(sc.statusTracker().getJobIdsForGroup(group))
+        except Exception:
+            job_counts[name] = -1
+        rep_times[name] = [round(r, 3) for r in runs]
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
@@ -99,7 +121,30 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**meta, "queries": timings}, f, indent=1)
+        json.dump(
+            {
+                **meta,
+                "queries": timings,
+                "rep_times": rep_times,
+                "job_counts": job_counts,
+            },
+            f,
+            indent=1,
+        )
+    # Anomaly attribution in the tail line itself: [min, max] per-rep
+    # spread for queries where the reps disagree badly. A clean min
+    # with a fat max = external contention (the plan ran fast at least
+    # once); uniformly slow reps = a real regression.
+    spread = {
+        n.split("_")[0]: [min(r), max(r)]
+        for n, r in rep_times.items()
+        if len(r) > 1 and max(r) > 1.5 * min(r) and max(r) - min(r) > 0.5
+    }
+    if spread:
+        meta["spread"] = dict(
+            sorted(spread.items(), key=lambda kv: -(kv[1][1] - kv[1][0]))[:10]
+        )
+    meta["jobs_total"] = sum(v for v in job_counts.values() if v > 0)
     compact = {n.split("_")[0]: round(t, 2) for n, t in timings.items()}
     line = json.dumps(
         {**meta, "queries": compact}, separators=(",", ":")
