@@ -68,6 +68,16 @@ coverage, q173 trimmed mean). Next ALL 27 r5-last-green entries
 r6 refreshes — past-failure entries first (q68/q105/q44/q46 each
 carry a rN! stamp), then q43/q34/q13 family reps. After r9 no
 catalog entry's newest green row is older than r6.
+
+Round-10 ROTATION (per the r9 verdict's items 2 and 5): the three
+entries registered after the r9 freeze lead (q174 grouped mode,
+q175 revenue concentration, q176 winsorized mean — completing the
+robust-statistics lattice), then ALL 35 r6-last-green entries
+(verdict item 5's cohort: q03/q04/q07/q08/q10/q11/q14/q15/q17/q19/
+q22/q25/q28/q37/q39/q42/q48/q50 + the r6-registered q118-q136 tier
+minus the r7-refreshed q120/q134), the 6 anchors, and the new-in-
+r10 registrations / oldest-r7 reps in the tail slots. After r10 no
+catalog entry's newest green row is older than r7.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -95,53 +105,50 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # nothing exact-checked it until it entered a window; queue entries
 # now get the same harness as window entries from the day they are
 # registered.
-_NEXT_WINDOW_QUEUE = [
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+_DRIVER_WINDOW = [
+    # -- registered after the r9 freeze, exact-checked every pytest
+    #    run since registration (r9 verdict item 2) --
     "q174_brand_mode_type",
     "q175_customer_revenue_concentration",
     "q176_winsorized_mean_price",
-]
-
-_DRIVER_WINDOW = [
-    # -- registered late in r8, never driver-checked (r8 verdict item 1) --
-    "q164_incremental_component_merge",
-    "q165_cms_event_type_freq",
-    "q166_weighted_jaccard_pairs",
-    "q167_hll_portable_distinct",
-    "q168_kmv_event_type_overlap",
-    # -- new in r9 --
-    "q169_quantile_sample_sketch",
-    "q170_star_components",
-    "q171_weighted_median_price",
-    "q172_vocabulary_coverage",
-    "q173_trimmed_mean_price",
-    # -- stale refresh: every r5-last-green entry (r8 verdict item 4) --
-    "q53_order_rank_in_customer",
-    "q55_events_per_day_of_week",
-    "q65_line_repetition",
-    "q67_nations_intersect",
-    "q76_ntile_quartiles",
-    "q77_vocabulary_topk",
-    "q78_array_higher_order",
-    "q80_running_distinct_types",
-    "q82_tpch_q8_market_share",
-    "q83_tpch_q9_product_profit",
-    "q84_tpch_q13_order_count_distribution",
-    "q85_tpch_q14_promo_revenue",
-    "q86_tpch_q15_top_supplier",
-    "q88_tpch_q18_large_volume_customers",
-    "q89_tpch_q19_bracketed_revenue",
-    "q90_tpch_q22_idle_balances",
-    "q93_kmeans_ivf_lists",
-    "q100_trailing_7d_spend",
-    "q101_weighted_doc_sample",
-    "q103_event_transitions",
-    "q104_event_type_overlap",
-    "q106_tpch_q4_order_priority",
-    "q107_tpch_q11_value_concentration",
-    "q108_tpch_q12_late_shipment_priority",
-    "q109_tpch_q16_supplier_count",
-    "q110_tpch_q20_potential_promotion",
-    "q111_tpch_q21_waiting_suppliers",
+    # -- stale refresh: every r6-last-green entry (r9 verdict item 5) --
+    "q03_region_nation_rollup",
+    "q04_customers_without_orders",
+    "q07_order_date_range",
+    "q08_segment_distinct_nations",
+    "q10_topk_brands",
+    "q11_distinct_flag_status",
+    "q14_first_order_per_customer",
+    "q15_running_customer_revenue",
+    "q17_null_empty_guards",
+    "q19_orders_by_year",
+    "q22_url_extraction",
+    "q25_event_type_share",
+    "q28_doc_quality",
+    "q37_label_centroid_norms",
+    "q39_completeness_report",
+    "q42_cube_flag_status",
+    "q48_lineitem_unpivot",
+    "q50_bpe_token_count",
+    "q118_doc_chunking",
+    "q119_sq8_codes",
+    "q121_hybrid_rrf_search",
+    "q122_quality_canonical_dedup",
+    "q123_fuzzy_decontam",
+    "q124_grouping_sets",
+    "q125_price_histogram",
+    "q126_balance_outliers",
+    "q127_trained_langid_confusion",
+    "q128_percentile_rank_windows",
+    "q129_column_profile",
+    "q130_snapshot_diff",
+    "q131_daily_gapfill_interpolate",
+    "q132_url_canonicalization",
+    "q133_bigram_pmi",
+    "q135_unicode_clean",
+    "q136_within_doc_paragraph_dedup",
     # -- 6 anchors: flagship family reps, green every round --
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -149,17 +156,14 @@ _DRIVER_WINDOW = [
     "q94_corpus_curation",
     "q112_benchmark_decontam",
     "q114_transition_pagerank",
-    # -- r6 refresh: past-failure entries first (q68/q105/q44/q46 all
-    #    carry a rN! stamp), then family reps pairing with new r9 work
-    #    (q43 percentiles next to q169's sketch; q34 simhash; q13 set
-    #    difference) --
-    "q68_user_event_type_sets",
-    "q105_tpch_q2_min_cost_supplier",
-    "q44_acctbal_stats",
-    "q46_asof_purchase_signup",
-    "q43_price_percentiles",
-    "q34_simhash",
-    "q13_customer_only_nations",
+    # -- tail slots: new-in-r10 registrations swap in here as they
+    #    land; until then the oldest r7-last-green family reps --
+    "q05_customers_with_urgent_orders",
+    "q06_order_counts_left",
+    "q09_priority_status_matrix",
+    "q12_active_nations_union",
+    "q16_like_filter",
+    "q18_price_buckets",
 ]
 
 
