@@ -307,3 +307,153 @@ def test_erase_quantile_sample_state_by_hashed_key(spark, tmp_path):
     # estimates still work over the shrunken sample
     est = quantile_sample_estimate(left, ["g"], [0.5]).collect()[0]
     assert est["n_sample"] == 98 and 40 <= est["p50"] <= 60
+
+
+def _planted_vecs(spark, n_clusters=4, per_cluster=30, dim=64, spread=0.05):
+    """Deterministic planted clusters (the test_pq recipe)."""
+    import hashlib
+
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        anchor = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"anchor{c},{j}".encode()).hexdigest()[:8], 16)
+            anchor.append((h % 2001) / 1000.0 - 1.0)
+        for i in range(per_cluster):
+            vec = []
+            for j in range(dim):
+                h = int(
+                    hashlib.md5(f"jit{c},{i},{j}".encode()).hexdigest()[:8], 16
+                )
+                vec.append(float(anchor[j] + spread * ((h % 201) / 100.0 - 1.0)))
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_erase_ivf_pq_index_probe_equals_rebuild(spark, tmp_path):
+    """RTBF through the persisted IVF-PQ code store: after
+    erase_from_stores on codes/ (id_col=neighbor_id, list_id layout
+    preserved), (a) a probe NEVER surfaces the erased vectors, (b)
+    the probe result is bit-identical to an index REBUILT from the
+    erased corpus (same lowest-id centroids, same md5 codebooks), and
+    (c) the partition-pruning layout survives the staged swap."""
+    from product_etl_spark.operators import pq as PQ
+    from product_etl_spark.operators.erasure import erase_from_stores
+
+    corpus = _planted_vecs(spark)
+    idx = str(tmp_path / "pq_index")
+    PQ.write_ivf_pq_index(corpus, "embedding", "vec_id", idx, n_lists=4)
+
+    # high ids only: the lowest-id coarse centroids stay identical,
+    # so the rebuild comparison is exact, not merely recall-level
+    erased_ids = [97, 103, 117]
+    erased = spark.createDataFrame([(i,) for i in erased_ids], "id int")
+    report = erase_from_stores(
+        spark,
+        erased,
+        [{"path": f"{idx}/codes", "id_col": "neighbor_id",
+          "partition_by": ["list_id"]}],
+    )
+    assert report[f"{idx}/codes"] == 3
+
+    kept = corpus.filter(~F.col("vec_id").isin(erased_ids))
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    PQ.write_ivf_pq_index(kept, "embedding", "vec_id", rebuilt, n_lists=4)
+
+    queries = corpus.filter(F.col("vec_id").isin(7, 45, 99))
+    got = PQ.knn_ivf_pq_index(spark, idx, queries, k_neighbors=5, nprobe=2)
+    want = PQ.knn_ivf_pq_index(
+        spark, rebuilt, queries, k_neighbors=5, nprobe=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter(F.col("neighbor_id").isin(erased_ids)).count() == 0
+
+    # bucket layout preserved -> probes still partition-prune
+    assert any(
+        p.name.startswith("list_id=")
+        for p in (tmp_path / "pq_index" / "codes").iterdir()
+        if p.is_dir()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan
+
+    # idempotent rerun
+    again = erase_from_stores(
+        spark,
+        erased,
+        [{"path": f"{idx}/codes", "id_col": "neighbor_id",
+          "partition_by": ["list_id"]}],
+    )
+    assert again[f"{idx}/codes"] == 0
+
+
+def test_erase_embedding_signature_store_probe_equals_rebuild(spark, tmp_path):
+    """RTBF through the Hamming-banding signature store: after
+    erase_from_stores on sig_id, a probe batch near an ERASED vector
+    is ACCEPTED (the store has genuinely forgotten it), and the
+    accept/reject split equals a store REBUILT from the erased
+    corpus."""
+    from product_etl_spark.operators.embdedup import (
+        incremental_embedding_dedup,
+    )
+    from product_etl_spark.operators.erasure import erase_from_stores
+
+    DIM = 64
+    THR = [0.0] * DIM
+
+    def vec(*on):
+        return [1.0 if j in on else -1.0 for j in range(DIM)]
+
+    store = str(tmp_path / "sigstore")
+    base = spark.createDataFrame(
+        [
+            (0, vec(1, 5, 9, 40)),
+            (1, vec(2, 6, 10, 30, 50)),
+            (2, vec(12, 22, 32, 42, 52, 62)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    acc, _ = incremental_embedding_dedup(spark, base, store, THR)
+    assert acc.count() == 3
+
+    report = erase_from_stores(
+        spark,
+        spark.createDataFrame([(0,)], "id long"),
+        [{"path": store, "id_col": "sig_id"}],
+    )
+    assert report[store] == 1
+
+    rebuilt = str(tmp_path / "sig_rebuilt")
+    incremental_embedding_dedup(
+        spark, base.filter(F.col("vec_id") != 0), rebuilt, THR
+    )
+
+    # probe: near-dup of ERASED vec 0 (must now be accepted), near-dup
+    # of surviving vec 1 (must still be rejected)
+    probe = spark.createDataFrame(
+        [(100, vec(1, 5, 9, 40, 63)), (101, vec(2, 6, 10, 30, 50, 63))],
+        "vec_id long, embedding array<double>",
+    )
+    got_acc, got_rej = incremental_embedding_dedup(spark, probe, store, THR)
+    want_acc, want_rej = incremental_embedding_dedup(
+        spark, probe, rebuilt, THR
+    )
+    got = (
+        sorted(r["vec_id"] for r in got_acc.collect()),
+        sorted(
+            (r["vec_id"], r["matched_id"], r["hamming"])
+            for r in got_rej.collect()
+        ),
+    )
+    want = (
+        sorted(r["vec_id"] for r in want_acc.collect()),
+        sorted(
+            (r["vec_id"], r["matched_id"], r["hamming"])
+            for r in want_rej.collect()
+        ),
+    )
+    assert got == want == ([100], [(101, 1, 1)])
