@@ -90,7 +90,19 @@ def kll_partials(
     """Per-group KLL quantile sketches over a double column
     (column ``sketch``): mergeable percentiles — the pre-aggregated
     form of approx_percentile whose partials can be stored and
-    combined across ingest batches."""
+    combined across ingest batches.
+
+    EVIDENCE SCOPE — local-only, NON-PORTABLE twin: KLL's compaction
+    coin-flips are engine-private (Spark's Datasketches build), so no
+    other engine can reproduce a sketch byte-for-byte and no ANSI
+    oracle can verify one — correctness is pinned by pytest rank-error
+    bounds only (tests/test_sketches.py). The CROSS-ENGINE quantile
+    path of record is the bottom-k sample
+    (``quantile_sample_partials`` / q169): a pure md5 predicate any
+    engine rebuilds cell-for-cell, driver-hash-verified. Prefer KLL
+    only when both writer and every reader are Spark and the tighter
+    space/error tradeoff matters; prefer q169's sample whenever a
+    replica, another engine, or an auditor must verify the state."""
     return df.groupBy(*group_cols).agg(
         F.kll_sketch_agg_double(F.col(col).cast("double"), F.lit(k)).alias("sketch")
     )
@@ -100,7 +112,10 @@ def kll_quantiles(
     sketch_df: DataFrame, coarser_cols: list[str], probs: list[float]
 ) -> DataFrame:
     """Merge KLL partials to ``coarser_cols`` granularity and read
-    quantiles at ``probs`` (one output column per prob)."""
+    quantiles at ``probs`` (one output column per prob). Same
+    evidence scope as ``kll_partials``: Spark-only state, pytest
+    rank-error bounds; the portable/verifiable path is
+    ``quantile_sample_merge`` + ``quantile_sample_estimate``."""
     # kll_sketch_merge_double is a binary scalar (left, right), not an
     # aggregate: fold the group's partials with a JVM-side aggregate()
     # HOF. The folded list is sketch-count-sized (days/batches), never
