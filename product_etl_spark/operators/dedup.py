@@ -784,6 +784,161 @@ def crossdoc_dup_span_coverage(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup END-TO-END (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    EXCISE every maximal cross-document duplicated span, keeping ONE
+    canonical copy corpus-wide. Completes the verbatim-repetition
+    ladder whose measurement rung is ``crossdoc_dup_span_coverage``
+    (q147 flags; this removes).
+
+    Contract (deterministic, engine-reproducible):
+
+    - a word ``n``-gram is DUPLICATED when it occurs in >= ``min_df``
+      distinct documents (lowercased match, same as q147);
+    - its KEEPER is the lowest-id document containing it; every
+      occurrence in any other document marks tokens
+      ``[pos, pos+n-1]`` for removal (the keeper doc keeps all its
+      occurrences, so one canonical copy of every duplicated span
+      survives — within-keeper repetition is q136's job, not this
+      operator's);
+    - overlapping marked grams merge implicitly: a token survives
+      iff NO duplicated non-keeper gram covers it;
+    - ``text_clean`` is the surviving original-case tokens joined by
+      single spaces (whitespace normalizes; token COUNT is exact).
+
+    Output: (id, text_clean, n_tokens, n_removed).
+
+    Scale shape: one gram-keyed groupBy (map-side combine — the gram
+    frame is vocab-shaped after the combine, carrying (keeper, df)
+    per gram), an equi-join back on the gram string that only the
+    DUPLICATED occurrences survive, a bounded sequence-explode (n
+    rows per duplicated occurrence, never corpus-shaped), one
+    (id,pos)-keyed anti-join, and one per-doc groupBy whose
+    collect_list is doc-sized (a document's own tokens). No
+    self-join, no window over the full corpus. At larger n, swap the
+    gram string for text.hash64(sh) at the count and join.
+    """
+    grams = positional_shingles(df, text_col, id_col, n)
+    dup = (
+        grams.groupBy("sh")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("_df"),
+            F.min(F.col(id_col)).alias("_keep"),
+        )
+        .filter(F.col("_df") >= min_df)
+        .select("sh", "_keep")
+    )
+    removal = (
+        grams.join(dup, "sh")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _excise_positions(df, text_col, id_col, removal)
+
+
+def _excise_positions(
+    df: DataFrame, text_col: str, id_col: str, removal: DataFrame
+) -> DataFrame:
+    """Shared excision/reconstruction tail of the span-removal
+    operators: drop the (id, pos) token positions in ``removal``,
+    rebuild ``text_clean`` from the surviving ORIGINAL-CASE tokens
+    (single-space joined), and report exact removed-token counts.
+
+    Scale shape: one (id,pos)-keyed anti-join plus one per-doc
+    groupBy whose collect_list is doc-sized (a document's own
+    tokens — bounded by the row that carried them in)."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = tok.join(removal, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(
+        F.col(id_col), T.token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        "n_tokens",
+        (
+            F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+        ).cast("bigint").alias("n_removed"),
+    )
+
+
+def remove_repeated_spans_within_doc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """WITHIN-document gram-level repetition removal — the removal
+    rung for the ``dup_ngram_fraction`` flag (q144): a document that
+    repeats its own boilerplate (headers, navigation, chorus lines)
+    keeps ONE copy. Complements ``remove_duplicate_spans`` (cross-doc,
+    q177) and ``dedup_paragraphs_within_doc`` (whole-paragraph, q136):
+    this catches sub-paragraph self-repetition.
+
+    Contract: for every n-gram occurring >= 2 times in a doc
+    (lowercased match), its FIRST occurrence's tokens survive; a
+    token is excised iff it is covered by some repeated gram's
+    occurrence and NOT covered by any repeated gram's first
+    occurrence. On a run like ``a a a a a a`` (n=3) this keeps
+    exactly the first ``a a a`` — overlap collapses to one canonical
+    copy, never to less.
+
+    Output: (id, text_clean, n_tokens, n_removed) — same surface as
+    remove_duplicate_spans.
+
+    Scale shape: one (id, gram)-keyed groupBy (map-side combine,
+    per-doc-vocab-shaped), join back on (id, gram), two n-bounded
+    sequence explodes, one (id,pos) anti-join between them, then the
+    shared doc-sized reconstruction. Everything is keyed by doc id —
+    no cross-doc shuffle at all, so the operator scales with the
+    corpus embarrassingly."""
+    grams = positional_shingles(df, text_col, id_col, n)
+    rep = (
+        grams.groupBy(id_col, "sh")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("pos").alias("_first"))
+        .filter(F.col("_c") >= 2)
+        .select(id_col, "sh", "_first")
+    )
+    occ = grams.join(rep, [id_col, "sh"])
+    cov = F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+    ).alias("pos")
+    covered_any = occ.select(F.col(id_col), cov).distinct()
+    covered_first = (
+        occ.filter(F.col("pos") == F.col("_first"))
+        .select(F.col(id_col), cov)
+        .distinct()
+    )
+    removal = covered_any.join(covered_first, [id_col, "pos"], "left_anti")
+    return _excise_positions(df, text_col, id_col, removal)
+
+
 def set_similarity_pairs(
     df: DataFrame,
     text_col: str,

@@ -92,6 +92,7 @@ from product_etl_spark.plans import catalog_ext8  # noqa: F401  (registers q137+
 from product_etl_spark.plans import catalog_ext9  # noqa: F401  (registers q142+)
 from product_etl_spark.plans import catalog_ext10  # noqa: F401  (registers q156+)
 from product_etl_spark.plans import catalog_ext11  # noqa: F401  (registers q169+)
+from product_etl_spark.plans import catalog_ext12  # noqa: F401  (registers q177+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -157,13 +158,13 @@ _DRIVER_WINDOW = [
     "q112_benchmark_decontam",
     "q114_transition_pagerank",
     # -- tail slots: new-in-r10 registrations swap in here as they
-    #    land; until then the oldest r7-last-green family reps --
+    #    land; remaining slots hold the oldest r7-last-green reps --
+    "q177_duplicate_span_excision",
+    "q178_selfrep_span_excision",
+    "q179_l_diversity_audit",
     "q05_customers_with_urgent_orders",
     "q06_order_counts_left",
     "q09_priority_status_matrix",
-    "q12_active_nations_union",
-    "q16_like_filter",
-    "q18_price_buckets",
 ]
 
 
