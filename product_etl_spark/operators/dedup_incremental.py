@@ -653,3 +653,119 @@ def probe_containment_index(
             ).alias("containment"),
         )
     )
+
+
+def incremental_span_excision(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Continuous-ingest twin of ``dedup.remove_duplicate_spans``
+    (q177): excise from a NEW batch every n-gram span already owned
+    by an earlier document — without ever re-reading accepted text.
+    The persisted state is a gram->keeper store (``sh``, ``keep``,
+    hash-bucketed by ``gram_bucket`` for compaction and bucket-
+    preserving erasure), kilobytes per million docs of history.
+
+    Contract:
+
+    - a batch gram's KEEPER is the stored keeper if the gram is in
+      the store (first-seen wins across batches), else the lowest
+      batch doc id when >= 2 distinct batch docs share it;
+    - tokens of non-keeper occurrences are excised (the
+      remove_duplicate_spans cover rule, via the shared
+      ``_excise_positions`` tail); keeper docs keep all their
+      occurrences;
+    - grams NEW to the store append with keeper = lowest batch doc
+      id carrying them (so future batches dedup against THIS batch's
+      canonical copies); grams already stored append nothing.
+
+    Ingesting batches in ascending doc-id order reproduces the batch
+    operator exactly: for every doc, the incremental output equals
+    ``remove_duplicate_spans`` over the union of all batches
+    (pytest-pinned). Out-of-order ingest changes only WHO keeps a
+    span (first-seen, the store's arrival order) — never whether one
+    canonical copy survives.
+
+    Rerun safety: replaying an ingested batch finds every gram
+    stored with the keeper decided in the first run, so the cleaned
+    output is identical and the store gains nothing (idempotent).
+    RTBF: the store rows are keyed by keeper doc id —
+    ``erase_from_stores(..., id_col="keep", partition_by=
+    ["gram_bucket"])`` forgets an erased subject's ownership (the
+    gram re-enters as new on next sighting, claimed by a surviving
+    doc).
+
+    Scale shape: one gram groupBy over the BATCH (map-side combine),
+    one equi-join batch-grams x store on the gram key (the store is
+    never rescanned as text), the n-bounded explode + (id,pos)
+    anti-join of the batch operator, and an append of only-new gram
+    rows. History cost per batch = one join against a
+    vocab-of-history-sized store, not a corpus scan.
+    """
+    from product_etl_spark.operators.dedup import (
+        _excise_positions,
+        positional_shingles,
+    )
+
+    grams = positional_shingles(batch, text_col, id_col, n)
+    batch_first = grams.groupBy("sh").agg(
+        F.countDistinct(F.col(id_col)).alias("_df"),
+        F.min(F.col(id_col)).alias("_bkeep"),
+    )
+    store = read_signature_store(spark, store_path)
+    if store is not None:
+        with_store = batch_first.join(
+            store.select("sh", F.col("keep").alias("_skeep")), "sh", "left"
+        )
+        keepers = with_store.select(
+            "sh",
+            "_bkeep",
+            F.coalesce(
+                F.col("_skeep"),
+                F.when(F.col("_df") >= 2, F.col("_bkeep")),
+            ).alias("_keep"),
+            F.col("_skeep").isNotNull().alias("_stored"),
+        )
+    else:
+        keepers = batch_first.select(
+            "sh",
+            "_bkeep",
+            F.when(F.col("_df") >= 2, F.col("_bkeep")).alias("_keep"),
+            F.lit(False).alias("_stored"),
+        )
+    keepers = keepers.localCheckpoint(eager=True)  # one store read; the
+    # append below must not re-trigger the join against a store this
+    # call is itself appending to
+
+    dup = keepers.filter(F.col("_keep").isNotNull()).select("sh", "_keep")
+    removal = (
+        grams.join(dup, "sh")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    cleaned = _excise_positions(batch, text_col, id_col, removal)
+
+    new_grams = (
+        keepers.filter(~F.col("_stored"))
+        .select(
+            "sh",
+            F.col("_bkeep").alias("keep"),
+            F.pmod(F.xxhash64("sh"), F.lit(n_buckets)).alias("gram_bucket"),
+        )
+    )
+    if new_grams.limit(1).count():
+        new_grams.write.mode("append").partitionBy("gram_bucket").parquet(
+            store_path
+        )
+    return cleaned

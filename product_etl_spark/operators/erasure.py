@@ -52,7 +52,11 @@ def _erase_keyed_table(
     probe (untouched tables are never rewritten), anti-join rewrite to
     staging — PRESERVING ``partition_by`` layout, so a bucket-
     partitioned index store keeps its partition pruning through the
-    swap — then atomic rename swap. Returns rows deleted."""
+    swap — then atomic rename swap. Returns rows deleted. A table
+    erased to ZERO rows is removed entirely (absent == empty: stores
+    probe existence first, and a schema-stub file would poison later
+    partitioned appends with a mixed layout); the rerun is still
+    idempotent (absent table -> 0)."""
     import os
     import shutil
     import uuid
@@ -74,9 +78,22 @@ def _erase_keyed_table(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
+        # A FULLY-erased table writes no data files at all (just
+        # _SUCCESS); swapping that in would leave an unreadable dir
+        # (UNABLE_TO_INFER_SCHEMA on read, and a later partitioned
+        # append would conflict with any schema-stub file). Erased to
+        # nothing == table ABSENT: stores probe existence first
+        # (read_signature_store -> None == fresh), so absence is the
+        # faithful empty state.
+        has_rows = any(
+            not e.startswith(("_", ".")) for e in os.listdir(staging)
+        )
         backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(path, backup)
-        os.rename(staging, path)
+        if has_rows:
+            os.rename(staging, path)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(backup, ignore_errors=True)
         spark.catalog.refreshByPath(path)
         return n_hit
@@ -251,13 +268,18 @@ def erase_from_inverted_index(
         ),
     }
     with _table_write_lock(stats_path):
-        dl = spark.read.parquet(doclens_path)
-        agg = dl.agg(
-            F.count_distinct("doc_id").alias("n"),
-            F.sum("dl").alias("s"),
-        ).collect()[0]
-        new_n = int(agg["n"]) + int(n_empty_docs)
-        sum_dl = agg["s"] or 0
+        from product_etl_spark.fs import table_exists
+
+        if table_exists(spark, doclens_path):
+            dl = spark.read.parquet(doclens_path)
+            agg = dl.agg(
+                F.count_distinct("doc_id").alias("n"),
+                F.sum("dl").alias("s"),
+            ).collect()[0]
+            n_dl, sum_dl = int(agg["n"]), agg["s"] or 0
+        else:  # every indexed doc erased -> doclens removed entirely
+            n_dl, sum_dl = 0, 0
+        new_n = n_dl + int(n_empty_docs)
         old = spark.read.parquet(stats_path).collect()[0]
         new_avgdl = float(sum_dl) / new_n if new_n else 0.0
         if (int(old["n_docs"]), float(old["avgdl"])) != (new_n, new_avgdl):

@@ -34,30 +34,31 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-9 rotation invariant: every query with no GREEN driver
-    row through r8 (the five registered after the r8 window froze and
-    the five new-in-r9 entries; per COVERAGE.md) is in this round's
-    window, plus every r5-stale entry the r8 verdict's item 4 names."""
+    """Round-10 rotation invariant: every query with no GREEN driver
+    row through r9 (the three registered after the r9 window froze
+    and the new-in-r10 entries; per COVERAGE.md) is in this round's
+    window, plus every r6-stale entry the r9 verdict's item 5 names."""
     never_green_prefixes = {
-        # registered after the r8 window froze
-        "q164", "q165", "q166", "q167", "q168",
-        # new in r9
-        "q169", "q170", "q171", "q172", "q173",
+        # registered after the r9 window froze
+        "q174", "q175", "q176",
+        # new in r10
+        "q177", "q178", "q179",
     }
-    r5_stale_prefixes = {
-        "q53", "q55", "q65", "q67", "q76", "q77", "q78", "q80",
-        "q82", "q83", "q84", "q85", "q86", "q88", "q89", "q90",
-        "q93", "q100", "q101", "q103", "q104", "q106", "q107",
-        "q108", "q109", "q110", "q111",
+    r6_stale_prefixes = {
+        "q03", "q04", "q07", "q08", "q10", "q11", "q14", "q15",
+        "q17", "q19", "q22", "q25", "q28", "q37", "q39", "q42",
+        "q48", "q50", "q118", "q119", "q121", "q122", "q123",
+        "q124", "q125", "q126", "q127", "q128", "q129", "q130",
+        "q131", "q132", "q133", "q135", "q136",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    missing = (never_green_prefixes | r5_stale_prefixes) - window_prefixes
+    missing = (never_green_prefixes | r6_stale_prefixes) - window_prefixes
     assert not missing, f"never-driver-green queries left out: {missing}"
 
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 176
+    assert len(names) == len(set(names)) == 179
 
 
 def test_coverage_doc_matches_window():
@@ -80,7 +81,7 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r9*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r10*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
 
 

@@ -173,3 +173,119 @@ def test_within_equals_brute_force_on_seeded_random_corpus(spark):
         assert _run_within(spark, docs, n=n) == _brute_within(docs, n=n), (
             f"mismatch at n={n}"
         )
+
+
+def test_incremental_equals_batch_over_union(spark, tmp_path):
+    """Ingesting batches in ascending doc-id order must reproduce the
+    batch operator exactly: every doc's incremental output equals
+    remove_duplicate_spans over the union of all batches."""
+    from product_etl_spark.operators.dedup_incremental import (
+        incremental_span_excision,
+    )
+
+    rng = random.Random(733)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 35))))
+        for d in range(15)
+    ]
+    store = str(tmp_path / "gramstore")
+    got = {}
+    for lo, hi in ((0, 5), (5, 10), (10, 15)):
+        bdf = spark.createDataFrame(docs[lo:hi], "doc_id long, text string")
+        out = incremental_span_excision(
+            spark, bdf, store, "text", "doc_id", n=4
+        )
+        got.update(
+            {
+                r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+                for r in out.collect()
+            }
+        )
+    want = _brute(docs, n=4, min_df=2)
+    # the batch contract: every dup gram's keeper is its lowest-id doc
+    # == first-seen under ascending ingest; the incremental result for
+    # each doc must match the batch result over the full union --
+    # except that an incremental batch cannot excise text from docs
+    # ALREADY ingested when a later batch introduces the second
+    # occurrence (history is immutable; the later copy is excised
+    # instead). Under keeper=lowest-id that asymmetry never fires:
+    # the keeper is always in the earlier batch.
+    assert got == want
+
+
+def test_incremental_replay_is_idempotent(spark, tmp_path):
+    from product_etl_spark.operators.dedup_incremental import (
+        incremental_span_excision,
+    )
+
+    store = str(tmp_path / "gramstore")
+    span = "alpha beta gamma delta epsilon"
+    b1 = spark.createDataFrame(
+        [(1, f"{span} one two three")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"intro words here {span} outro")], "doc_id long, text string"
+    )
+    incremental_span_excision(spark, b1, store, "text", "doc_id", n=5)
+    first = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in incremental_span_excision(
+            spark, b2, store, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert first[2] == ("intro words here outro", 5)
+    n_rows = spark.read.parquet(store).count()
+
+    # replay batch 2: same cleaned output, store unchanged
+    again = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in incremental_span_excision(
+            spark, b2, store, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert again == first
+    assert spark.read.parquet(store).count() == n_rows
+    # bucket layout for compaction/erasure
+    assert any(
+        p.name.startswith("gram_bucket=")
+        for p in (tmp_path / "gramstore").iterdir()
+        if p.is_dir()
+    )
+
+
+def test_incremental_store_erasure_forgets_keeper(spark, tmp_path):
+    """RTBF: erasing a subject's doc id from the gram store removes
+    its ownership rows; a later batch re-introducing the span gets to
+    keep it (the store has genuinely forgotten)."""
+    from product_etl_spark.operators.dedup_incremental import (
+        incremental_span_excision,
+    )
+    from product_etl_spark.operators.erasure import erase_from_stores
+
+    store = str(tmp_path / "gramstore")
+    span = "one two three four five"
+    b1 = spark.createDataFrame(
+        [(1, f"{span} unique tail a")], "doc_id long, text string"
+    )
+    incremental_span_excision(spark, b1, store, "text", "doc_id", n=5)
+    report = erase_from_stores(
+        spark,
+        spark.createDataFrame([(1,)], "id long"),
+        [{"path": store, "id_col": "keep", "partition_by": ["gram_bucket"]}],
+    )
+    assert report[store] > 0
+
+    b2 = spark.createDataFrame(
+        [(9, f"fresh head {span} fresh tail")], "doc_id long, text string"
+    )
+    out = incremental_span_excision(
+        spark, b2, store, "text", "doc_id", n=5
+    ).collect()
+    assert out[0]["n_removed"] == 0  # doc 9 now keeps the span
+    # and doc 9 is the new keeper on record
+    keeps = {
+        r["keep"]
+        for r in spark.read.parquet(store).select("keep").distinct().collect()
+    }
+    assert 1 not in keeps and 9 in keeps
