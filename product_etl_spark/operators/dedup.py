@@ -1282,3 +1282,97 @@ def weighted_set_similarity_pairs(
             ).alias("wjaccard"),
         )
     )
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_jaccard_num: int = 3,
+    max_jaccard_den: int = 10,
+    per_doc: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Contrastive HARD-NEGATIVE mining over the corpus: pairs that
+    LSH banding proposes as candidates (textually adjacent enough to
+    collide on a full minhash band) but whose EXACT shingle Jaccard
+    verifies BELOW ``max_jaccard_num/max_jaccard_den`` — the
+    near-miss pairs contrastive training wants as negatives, far more
+    informative than random pairs (which are trivially dissimilar)
+    and guaranteed not to be latent positives (the exact verify
+    bounds their true similarity).
+
+    Per anchor doc, the ``per_doc`` HARDEST negatives are kept —
+    lowest exact Jaccard first (a candidate that banded together yet
+    shares almost nothing is the most adversarial negative), ties by
+    neighbor id. Output: (id_a, id_b, jaccard, rank), id_a < id_b.
+
+    Determinism: the banding is the md5 minhash (engine-portable),
+    the below-ceiling filter is integer cross-multiplied
+    (den*inter < num*union — no float compare), and jaccard is ONE
+    IEEE division rounded to 4dp, so two engines cannot disagree on
+    membership, value, or rank order.
+
+    Scale shape: q32's skew-free (band, band-hash) candidate join,
+    then the exact verify touches ONLY candidate pairs (q33's
+    discipline): candidates equi-join the shingle frame on the
+    anchor id, then on (shingle, neighbor id) — work is
+    candidate-bounded, never corpus^2. Zero-intersection candidates
+    (pure band collisions) survive via the left join — they are the
+    hardest negatives of all. One per-anchor window over <=
+    candidate rows ranks the survivors.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    scored = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("_ni"), F.lit(0)).alias("_ni"),
+            (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_ni"), F.lit(0)))
+            .alias("_union"),
+        )
+        .filter(
+            F.lit(max_jaccard_den) * F.col("_ni")
+            < F.lit(max_jaccard_num) * F.col("_union")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_ni").cast("double") / F.col("_union").cast("double"),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("jaccard").asc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_doc)
+        .select("id_a", "id_b", "jaccard", "rank")
+    )

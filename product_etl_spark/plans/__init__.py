@@ -106,7 +106,9 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # nothing exact-checked it until it entered a window; queue entries
 # now get the same harness as window entries from the day they are
 # registered.
-_NEXT_WINDOW_QUEUE: list[str] = []
+_NEXT_WINDOW_QUEUE: list[str] = [
+    "q180_hard_negative_pairs",
+]
 
 _DRIVER_WINDOW = [
     # -- registered after the r9 freeze, exact-checked every pytest

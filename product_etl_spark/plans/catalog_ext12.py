@@ -1,7 +1,8 @@
 """Twelfth extension catalog (q177+): round-10 additions — the
-exact-substring dedup REMOVAL rung (q177, completing the q29 whole-doc
-/ q136 within-doc / q147 cross-doc-flag ladder with actual excision),
-plus the edit-distance and sorted-neighborhood blocking families.
+exact-substring dedup REMOVAL rungs (q177 cross-doc / q178 within-doc,
+completing the q29 whole-doc / q136 paragraph / q147 coverage-flag
+ladder with actual excision), the l-diversity release gate (q179),
+and contrastive hard-negative mining (q180, post-freeze r11 queue).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -13,7 +14,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from product_etl_spark.plans.catalog import _t, register
+from product_etl_spark.plans.catalog import (
+    _MINHASH_ORACLE_COLS,
+    _SHINGLE_CTE,
+    _t,
+    register,
+)
 
 
 @register(
@@ -194,3 +200,78 @@ def q179_l_diversity_audit(spark, sf_dir):
     return l_diversity_report(
         cu, ["c_nationkey", "c_mktsegment"], "acctbal_band", l=8
     )
+
+
+@register(
+    "q180_hard_negative_pairs",
+    _SHINGLE_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id,
+             {_MINHASH_ORACLE_COLS}
+      FROM s GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR || '|' || h3::VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR || '|' || h5::VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sh_arr),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b, COALESCE(i.ni, 0) AS ni,
+             sa.n + sb.n - COALESCE(i.ni, 0) AS un
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE 10 * COALESCE(i.ni, 0) < 3 * (sa.n + sb.n - COALESCE(i.ni, 0))
+    ),
+    ranked AS (
+      SELECT id_a, id_b, ROUND(ni::DOUBLE / un::DOUBLE, 4) AS jaccard,
+             ROW_NUMBER() OVER (
+               PARTITION BY id_a
+               ORDER BY ROUND(ni::DOUBLE / un::DOUBLE, 4), id_b
+             ) AS rank
+      FROM scored
+    )
+    SELECT id_a, id_b, jaccard, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q180_hard_negative_pairs(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/dedup.
+    hard_negative_pairs): pairs LSH banding proposes as candidates
+    (q32's machinery — textually adjacent enough to collide on a
+    full minhash band) whose EXACT shingle Jaccard verifies below
+    3/10 — near-miss pairs a contrastive retrieval/embedding trainer
+    wants as negatives (informative, yet provably not latent
+    positives). Per anchor, the 3 hardest (lowest exact Jaccard,
+    ties by neighbor id).
+
+    Determinism: md5 minhash banding, integer cross-multiplied
+    ceiling (10*inter < 3*union), ONE IEEE division rounded to 4dp,
+    rank ordered by the ROUNDED value in both engines.
+
+    Scale shape: skew-free (band, band-hash) candidate join; exact
+    verify touches ONLY candidates (cand equi-joins the shingle frame
+    on anchor id, then (shingle, neighbor)); zero-intersection
+    band-collisions survive via left join (the hardest negatives);
+    one per-anchor window over candidate rows. Registered after the
+    r10 window froze; leads the r11 queue."""
+    from product_etl_spark.operators.dedup import hard_negative_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return hard_negative_pairs(d, "text", "doc_id")

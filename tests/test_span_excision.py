@@ -289,3 +289,52 @@ def test_incremental_store_erasure_forgets_keeper(spark, tmp_path):
         for r in spark.read.parquet(store).select("keep").distinct().collect()
     }
     assert 1 not in keeps and 9 in keeps
+
+
+def test_hard_negative_pairs_contract(spark):
+    """Hard negatives: (a) every pair IS an LSH candidate, (b) exact
+    jaccard recomputed in python is below the ceiling and matches the
+    surfaced value, (c) per-anchor cap and rank ordering hold."""
+    from product_etl_spark.operators.dedup import (
+        hard_negative_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 28))))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = hard_negative_pairs(df, "text", "doc_id").collect()
+    assert got, "seeded corpus should produce hard negatives"
+
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(df, "text", "doc_id", k=8), "doc_id"
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sh = {d: shingles(t) for d, t in docs}
+    per_anchor: dict[int, list] = {}
+    for r in got:
+        a, b = r["id_a"], r["id_b"]
+        assert (a, b) in cand, f"({a},{b}) not an LSH candidate"
+        ni = len(sh[a] & sh[b])
+        un = len(sh[a] | sh[b])
+        assert 10 * ni < 3 * un, f"({a},{b}) jaccard above ceiling"
+        assert abs(r["jaccard"] - round(ni / un, 4)) < 1e-9
+        per_anchor.setdefault(a, []).append((r["rank"], r["jaccard"], b))
+    for a, rows in per_anchor.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        # rank order == (jaccard asc, id_b asc)
+        assert rows == sorted(rows, key=lambda x: (x[1], x[2]))
