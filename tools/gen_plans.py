@@ -81,6 +81,8 @@ HEADLINERS = [
     ("q171_weighted_median_price", "weighted median: (group,value) pre-agg collapses ties BEFORE the cumulative window"),
     ("q172_vocabulary_coverage", "vocab coverage: corpus-bounded term count shuffle; global window over VOCAB rows only"),
     ("q173_trimmed_mean_price", "trimmed mean: group-partitioned rank window + map-side-combined decimal agg"),
+    ("q177_duplicate_span_excision", "span excision: vocab-shaped gram count, n-bounded explode, (id,pos) anti-join, doc-sized rebuild"),
+    ("q180_hard_negative_pairs", "hard negatives: band-collision candidates only, exact verify candidate-bounded, per-anchor window"),
 ]
 
 
