@@ -86,3 +86,42 @@ def anonymity_summary(
             4,
         ).alias("risky_row_pct"),
     )
+
+
+def suppress_risky_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """k-anonymize BY SUPPRESSION — the fix to ``k_anonymity_report``'s
+    flag: rows whose quasi-identifier combination is shared by fewer
+    than ``k`` records get every quasi column NULLed (suppressed into
+    the 'withheld' group); all other rows pass through untouched. The
+    released frame has the same row count and is k-anonymous over the
+    quasi columns by construction (every surviving combination had
+    >= k rows; the NULL group is its own crowd).
+
+    Output: all original columns (quasi cols possibly NULLed) plus a
+    ``suppressed`` flag for release-audit joins.
+
+    Scale shape: one groupBy over the quasi columns (map-side combine,
+    quasi-space-bounded result) broadcast-joined back onto the frame —
+    no window over the release, no second scan.
+    """
+    risky = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") < k)
+        .select(*quasi_cols)
+        .withColumn("_risky", F.lit(True))
+    )
+    joined = df.join(F.broadcast(risky), quasi_cols, "left")
+    keep = [c for c in df.columns if c not in quasi_cols]
+    return joined.select(
+        *keep,
+        *[
+            F.when(F.col("_risky").isNull(), F.col(c)).alias(c)
+            for c in quasi_cols
+        ],
+        F.coalesce(F.col("_risky"), F.lit(False)).alias("suppressed"),
+    )

@@ -108,6 +108,9 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # registered.
 _NEXT_WINDOW_QUEUE: list[str] = [
     "q180_hard_negative_pairs",
+    "q181_sorted_neighborhood_pairs",
+    "q182_k_anonymity_suppression",
+    "q183_kfold_assignment",
 ]
 
 _DRIVER_WINDOW = [

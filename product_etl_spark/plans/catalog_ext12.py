@@ -275,3 +275,155 @@ def q180_hard_negative_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return hard_negative_pairs(d, "text", "doc_id")
+
+
+@register(
+    "q181_sorted_neighborhood_pairs",
+    """
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+             ROW_NUMBER() OVER (ORDER BY LOWER(p_name), p_partkey) AS rnk
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.rnk AS rank_a, b.rnk AS rank_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM ranked a JOIN ranked b
+      ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+    """,
+)
+def q181_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/linkage.
+    sorted_neighborhood_pairs; Hernández–Stolfo SNM): rank parts by
+    the fuzzy sort key lower(p_name) and pair each record with its 3
+    rank-successors — the entity-resolution complement to equality
+    blocking (q137): a typo that breaks every exact block key usually
+    moves a record only a few rank positions. Levenshtein on each
+    pair (exact integer, engine-portable) is the match score.
+
+    Scale shape: global ranks WITHOUT the single-task global window —
+    `global_sort_ranks` range-partitions on the sort key, runs
+    per-partition row_number windows in parallel, and adds
+    partition-count offsets (a num-partitions-sized collect broadcast
+    back as a literal map). The neighbor join is rank against an
+    exploded rank+1..rank+3 — window-bounded fan-out, skew-free
+    integer keys, O(n*w) work. The oracle's ROW_NUMBER() OVER (ORDER
+    BY ...) is the single-task shape this operator exists to avoid."""
+    from product_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        p,
+        "p_partkey",
+        F.lower(F.col("p_name")),
+        window=3,
+        carry_cols=["p_name"],
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "rank_a",
+        "rank_b",
+        F.levenshtein(F.col("p_name_a"), F.col("p_name_b")).alias("dist"),
+    )
+
+
+@register(
+    "q182_k_anonymity_suppression",
+    """
+    WITH banded AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS INT)
+               AS acctbal_band
+      FROM customer
+    ), counted AS (
+      SELECT *, COUNT(*) OVER (
+        PARTITION BY c_nationkey, c_mktsegment, acctbal_band
+      ) AS n FROM banded
+    )
+    SELECT c_custkey,
+           CASE WHEN n >= 3 THEN c_nationkey END AS c_nationkey,
+           CASE WHEN n >= 3 THEN c_mktsegment END AS c_mktsegment,
+           CASE WHEN n >= 3 THEN acctbal_band END AS acctbal_band,
+           n < 3 AS suppressed
+    FROM counted
+    """,
+)
+def q182_k_anonymity_suppression(spark, sf_dir):
+    """k-anonymization BY SUPPRESSION (operators/privacy.
+    suppress_risky_groups) — the FIX to q140's flag: rows whose
+    (nation, segment, balance-band) combination has fewer than k=3
+    members get all three quasi columns NULLed; everything else
+    passes through. Same row count, k-anonymous by construction,
+    `suppressed` flag for the release audit.
+
+    Scale shape: ONE quasi-keyed groupBy (map-side combine,
+    quasi-space-bounded) broadcast back onto the frame — the release
+    is never windowed or double-scanned (the oracle's COUNT() OVER
+    is the shape avoided)."""
+    from product_etl_spark.operators.privacy import suppress_risky_groups
+
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+        .cast("int")
+        .alias("acctbal_band"),
+    )
+    return suppress_risky_groups(
+        cu, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=3
+    )
+
+
+@register(
+    "q183_kfold_assignment",
+    """
+    WITH folds AS (
+      SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 5 AS fold,
+             c_mktsegment, c_acctbal
+      FROM customer
+    )
+    SELECT fold,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_acctbal
+    FROM folds GROUP BY fold
+    """,
+)
+def q183_kfold_assignment(spark, sf_dir):
+    """Deterministic k-fold assignment + balance audit (completing
+    the split family: q61 train/test, q62 stratified cap, q63 source
+    mixing): fold = md5-hash(key) mod 5 — reproducible on any engine,
+    stable under re-runs and appends (a row's fold never changes), so
+    cross-validation folds computed today match folds computed on a
+    replica tomorrow. The audit row per fold (count, segment
+    diversity, exact decimal mass) is what a training job checks
+    before trusting the split.
+
+    Scale shape: pure map (hash mod) + ONE groupBy(fold) with
+    map-side combine; 5 result rows."""
+    from product_etl_spark.functions.text import hash64
+
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu.select(
+            F.pmod(hash64(F.col("c_custkey").cast("string")), F.lit(5)).alias(
+                "fold"
+            ),
+            "c_mktsegment",
+            "c_acctbal",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )

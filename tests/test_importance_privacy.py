@@ -179,3 +179,31 @@ def test_triangle_count_hub_graph(spark):
     # star (hub 0 with 6 leaves) + one leaf-leaf edge -> exactly 1
     star = [(0, i) for i in range(1, 7)] + [(1, 2)]
     assert _tri(spark, star) == 1
+
+
+def test_suppress_risky_groups_is_k_anonymous(spark):
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.privacy import suppress_risky_groups
+
+    rows = (
+        [(i, "US", "AUTO") for i in range(5)]       # big group: kept
+        + [(10, "FR", "AUTO"), (11, "FR", "AUTO")]  # size 2 < 3: nulled
+        + [(20, "DE", "BIKE")]                      # singleton: nulled
+    )
+    df = spark.createDataFrame(rows, "ck int, nation string, seg string")
+    out = suppress_risky_groups(df, ["nation", "seg"], k=3)
+    got = {r["ck"]: (r["nation"], r["seg"], r["suppressed"]) for r in out.collect()}
+    assert out.count() == len(rows)  # suppression, not deletion
+    for i in range(5):
+        assert got[i] == ("US", "AUTO", False)
+    for i in (10, 11, 20):
+        assert got[i] == (None, None, True)
+    # released quasi groups are all >= k (NULL group is its own crowd)
+    sizes = (
+        out.filter(~F.col("suppressed"))
+        .groupBy("nation", "seg")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] >= 3 for r in sizes)

@@ -86,3 +86,54 @@ def test_blocked_pairs_block_expression(spark):
         df, "rid", [F.substring("name", 1, 6)], ["name"]
     )
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_global_sort_ranks_match_enumeration(spark):
+    """Ranks == enumerate(sorted(...)) — and a frame referenced twice
+    downstream sees ONE consistent rank assignment (the range
+    boundaries are sampled, so the frame is pinned)."""
+    import random
+
+    from product_etl_spark.operators.linkage import global_sort_ranks
+
+    rng = random.Random(5)
+    rows = [(i, f"k{rng.randint(0, 50):03d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "rid int, sk string")
+    r = global_sort_ranks(df, ["sk", "rid"], rank_col="rank")
+    got = {(x["sk"], x["rid"]): x["rank"] for x in r.collect()}
+    want = {
+        key: i + 1
+        for i, key in enumerate(sorted((sk, rid) for rid, sk in rows))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_window_complete(spark):
+    """Every record pairs with exactly its w rank-successors (n*w - 
+    w*(w+1)/2 pairs total), ranks consistent across the self-join, and
+    a typo'd name lands next to its original (the SNM promise where
+    equality blocking fails)."""
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = [
+        (1, "acme widget deluxe"),
+        (2, "acme widget deluxo"),   # typo of 1 -- no exact block key
+        (3, "bravo gadget"),
+        (4, "bravo gadget mk2"),
+        (5, "charlie tool"),
+        (6, "delta part"),
+    ]
+    df = spark.createDataFrame(names, "pid int, name string")
+    got = sorted_neighborhood_pairs(
+        df, "pid", F.lower(F.col("name")), window=2
+    ).collect()
+    n, w = len(names), 2
+    assert len(got) == n * w - w * (w + 1) // 2
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs  # the typo pair is adjacent in rank order
+    for r in got:
+        assert 1 <= r["rank_b"] - r["rank_a"] <= w
