@@ -112,10 +112,19 @@ def suppress_risky_groups(
         df.groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") < k)
-        .select(*quasi_cols)
-        .withColumn("_risky", F.lit(True))
+        .select(
+            *[F.col(c).alias(f"_r_{c}") for c in quasi_cols],
+            F.lit(True).alias("_risky"),
+        )
     )
-    joined = df.join(F.broadcast(risky), quasi_cols, "left")
+    # null-SAFE join: groupBy puts NULL quasi values in one group, so
+    # the join back must match them too (a plain equality join would
+    # leave a small all-NULL group unsuppressed)
+    cond = None
+    for c in quasi_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    joined = df.join(F.broadcast(risky), cond, "left")
     keep = [c for c in df.columns if c not in quasi_cols]
     return joined.select(
         *keep,

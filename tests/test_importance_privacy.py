@@ -207,3 +207,21 @@ def test_suppress_risky_groups_is_k_anonymous(spark):
         .collect()
     )
     assert all(r["count"] >= 3 for r in sizes)
+
+
+def test_suppress_risky_groups_null_quasi_group(spark):
+    """NULL quasi values form one group in the count; the join back is
+    null-safe, so a small all-NULL group is suppressed like any other
+    (a plain equality join would silently keep it)."""
+    from product_etl_spark.operators.privacy import suppress_risky_groups
+
+    rows = [(i, "US", "AUTO") for i in range(4)] + [
+        (30, None, "AUTO"),  # singleton (NULL, AUTO) group: risky
+    ]
+    df = spark.createDataFrame(rows, "ck int, nation string, seg string")
+    got = {
+        r["ck"]: (r["nation"], r["seg"], r["suppressed"])
+        for r in suppress_risky_groups(df, ["nation", "seg"], k=3).collect()
+    }
+    assert got[30] == (None, None, True)
+    assert got[0] == ("US", "AUTO", False)
