@@ -136,3 +136,78 @@ def select_top_fraction(
     return scored.crossJoin(F.broadcast(cut)).filter(
         F.col("score") >= F.col("cut")
     ).drop("cut")
+
+
+def woe_binning(
+    df,
+    value_col: str,
+    label_col,
+    tiebreak_col: str,
+    n_bins: int = 10,
+) -> "DataFrame":
+    """Weight-of-evidence feature binning — the classic supervised
+    scorecard transform (per quantile bin of ``value_col``:
+    ``WOE = ln((pos_i/pos_tot)/(neg_i/neg_tot))`` with +0.5 Laplace
+    smoothing, plus the bin's information-value term
+    ``IV_i = (pos_i/pos_tot - neg_i/neg_tot) * WOE``). A training
+    pipeline uses the WOE table to encode a continuous column and the
+    IV sum to rank features.
+
+    Bins are exact NTILE semantics computed WITHOUT the single-task
+    global window NTILE(n) OVER (ORDER BY …) plans:
+    ``linkage.global_sort_ranks`` assigns dense global ranks (range
+    partition + parallel local windows + offset map) and
+    ``bin = (rank-1)*n_bins // N + 1`` reproduces NTILE's
+    remainder-to-the-front bucket sizes exactly — integer-decided, so
+    two engines cannot disagree on membership. The only floats are
+    the WOE/IV surface (IEEE ops in a fixed order, ROUND(.,6) at the
+    boundary — the q113/q133/q138 log policy).
+
+    ``label_col``: boolean Column or column name (the positive class).
+    ``tiebreak_col`` must make (value, tiebreak) a total order.
+
+    Scale shape: one global-rank pass (no global window), one
+    groupBy(bin) with map-side combine (n_bins result rows), totals
+    as a broadcast 1-row frame joined onto the bins.
+    """
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.linkage import global_sort_ranks
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        F.col(value_col).alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+        lab.cast("int").alias("_pos"),
+    ).filter(F.col("_v").isNotNull())
+    ranked = global_sort_ranks(base, ["_v", "_tb"], rank_col="_rank")
+    n_total = ranked.count()
+    # integer division, never float: (r-1)*k/N computed in floating
+    # point can land at 3.9999999... and misbin one row per boundary
+    binned = ranked.withColumn(
+        "bin",
+        F.expr(f"((_rank - 1) * {n_bins}) div {n_total}") + F.lit(1),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_pos").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("_pos")).alias("n_neg"),
+    )
+    totals = bins.agg(
+        F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
+    )
+    pos_rate = (F.col("n_pos") + F.lit(0.5)) / (F.col("_tp") + F.lit(0.5))
+    neg_rate = (F.col("n_neg") + F.lit(0.5)) / (F.col("_tn") + F.lit(0.5))
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            "n_neg",
+            F.round(F.log(pos_rate / neg_rate), 6).alias("woe"),
+            F.round(
+                (pos_rate - neg_rate) * F.log(pos_rate / neg_rate), 6
+            ).alias("iv_term"),
+        )
+    )

@@ -111,6 +111,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q181_sorted_neighborhood_pairs",
     "q182_k_anonymity_suppression",
     "q183_kfold_assignment",
+    "q184_woe_price_bins",
 ]
 
 _DRIVER_WINDOW = [

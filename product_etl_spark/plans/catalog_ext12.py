@@ -427,3 +427,58 @@ def q183_kfold_assignment(spark, sf_dir):
             .alias("sum_acctbal"),
         )
     )
+
+
+@register(
+    "q184_woe_price_bins",
+    """
+    WITH base AS (
+      SELECT o_totalprice AS v, o_orderkey AS tb,
+             CAST(o_orderstatus = 'F' AS INT) AS pos
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), binned AS (
+      SELECT pos, NTILE(10) OVER (ORDER BY v, tb) AS bin FROM base
+    ), bins AS (
+      SELECT bin, COUNT(*) AS n_rows, SUM(pos) AS n_pos,
+             COUNT(*) - SUM(pos) AS n_neg
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM bins
+    )
+    SELECT bin,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(LN(((n_pos + 0.5) / (tp + 0.5))
+                    / ((n_neg + 0.5) / (tn + 0.5))), 6) AS woe,
+           ROUND(((n_pos + 0.5) / (tp + 0.5) - (n_neg + 0.5) / (tn + 0.5))
+                 * LN(((n_pos + 0.5) / (tp + 0.5))
+                      / ((n_neg + 0.5) / (tn + 0.5))), 6) AS iv_term
+    FROM bins, tot
+    """,
+)
+def q184_woe_price_bins(spark, sf_dir):
+    """Weight-of-evidence binning (operators/importance.woe_binning):
+    decile bins over order price, positive class = finished orders;
+    per bin the Laplace-smoothed WOE and information-value term — the
+    classic supervised scorecard transform a feature pipeline uses to
+    encode continuous columns and rank features by IV.
+
+    Scale shape: exact NTILE semantics WITHOUT NTILE's single-task
+    global window — `global_sort_ranks` (range partition + parallel
+    local windows + offset map) plus the integer remainder-to-front
+    formula (rank-1)*k div N + 1, which reproduces NTILE bucket sizes
+    bit-for-bit (the oracle runs real NTILE to prove it). One
+    groupBy(bin) with map-side combine; totals broadcast as a 1-row
+    frame; floats only at the ROUND(.,6) WOE surface (the
+    q113/q133/q138 log policy)."""
+    from product_etl_spark.operators.importance import woe_binning
+
+    o = _t(spark, sf_dir, "orders")
+    return woe_binning(
+        o,
+        "o_totalprice",
+        F.col("o_orderstatus") == F.lit("F"),
+        "o_orderkey",
+        n_bins=10,
+    )

@@ -137,3 +137,28 @@ def test_sorted_neighborhood_pairs_window_complete(spark):
     assert (1, 2) in pairs  # the typo pair is adjacent in rank order
     for r in got:
         assert 1 <= r["rank_b"] - r["rank_a"] <= w
+
+
+def test_woe_binning_ntile_semantics_and_totals(spark):
+    """Bin sizes reproduce NTILE's remainder-to-the-front rule; pos/neg
+    totals are conserved; WOE sign tracks the bin's class balance."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.importance import woe_binning
+
+    # 23 rows, 4 bins -> NTILE sizes [6, 6, 6, 5]; positives cluster
+    # in the high-value tail
+    rows = [(float(v), v, 1 if v > 15 else 0) for v in range(1, 24)]
+    df = spark.createDataFrame(rows, "v double, tb int, pos int")
+    out = woe_binning(df, "v", F.col("pos") == 1, "tb", n_bins=4)
+    got = {r["bin"]: r for r in out.collect()}
+    assert [got[b]["n_rows"] for b in (1, 2, 3, 4)] == [6, 6, 6, 5]
+    assert sum(r["n_pos"] for r in got.values()) == 8
+    assert sum(r["n_neg"] for r in got.values()) == 15
+    assert got[1]["woe"] < 0 < got[4]["woe"]
+    # spot-check the smoothed formula on bin 4 (5 rows, all positive)
+    tp, tn = 8, 15
+    want = math.log(((5 + 0.5) / (tp + 0.5)) / ((0 + 0.5) / (tn + 0.5)))
+    assert abs(got[4]["woe"] - round(want, 6)) < 1e-9
