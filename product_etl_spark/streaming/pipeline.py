@@ -1179,3 +1179,70 @@ def stream_gated_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def stream_span_excision(
+    spark: SparkSession,
+    input_dir: str,
+    cleaned_dir: str,
+    gram_store: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+):
+    """Continuous exact-substring dedup (the q177 operator's streaming
+    posture): documents land as json-lines files in ``input_dir``;
+    each micro-batch is excised against the persisted gram->keeper
+    store (operators/dedup_incremental.incremental_span_excision) and
+    the CLEANED batch lands under ``cleaned_dir/batch=<id>`` — spans
+    already owned by history are removed, this batch's new spans are
+    claimed for future batches.
+
+    Same foreachBatch idempotence argument as stream_dedup_corpus: the
+    gram append is keyed (only grams NEW to the store land), the
+    cleaned output is a per-batch-dir overwrite, and a replayed batch
+    finds its grams stored with the keepers decided in the first run —
+    so the replayed cleaned output is byte-identical and the store
+    gains nothing. Failure mid-batch (grams appended, cleaned dir not
+    landed) re-runs to the same cleaned rows: the batch's own docs ARE
+    the keepers of the grams they introduced, so self-collision never
+    excises the keeper copy.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from product_etl_spark.operators.dedup_incremental import (
+        incremental_span_excision,
+    )
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(text_col, StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = incremental_span_excision(
+            batch_df.sparkSession,
+            batch_df,
+            gram_store,
+            text_col,
+            id_col,
+            n=n,
+        )
+        cleaned.write.mode("overwrite").parquet(
+            f"{cleaned_dir}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

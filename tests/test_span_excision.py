@@ -338,3 +338,44 @@ def test_hard_negative_pairs_contract(spark):
         assert len(rows) <= 3
         # rank order == (jaccard asc, id_b asc)
         assert rows == sorted(rows, key=lambda x: (x[1], x[2]))
+
+
+def test_stream_span_excision_end_to_end(spark, tmp_path):
+    """Streaming twin: batches of json-lines docs are cleaned against
+    the gram store; a later drop loses spans the first drop owns, and
+    replay (same checkpoint, no new files) changes nothing."""
+    import json as _json
+
+    from product_etl_spark.streaming.pipeline import stream_span_excision
+
+    src, out, store, ck = (
+        str(tmp_path / d) for d in ("in", "cleaned", "grams", "ck")
+    )
+    import os
+
+    os.makedirs(src)
+    span = "alpha beta gamma delta epsilon"
+
+    def drop(fname, rows):
+        with open(f"{src}/{fname}", "w") as f:
+            for rid, text in rows:
+                f.write(_json.dumps({"doc_id": rid, "text": text}) + "\n")
+
+    drop("b1.jsonl", [(1, f"{span} unique one two")])
+    q = stream_span_excision(spark, src, out, store, ck)
+    q.awaitTermination()
+    drop("b2.jsonl", [(2, f"prefix words here {span} suffix")])
+    q = stream_span_excision(spark, src, out, store, ck)
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] == (f"{span} unique one two", 0)   # keeper batch
+    assert got[2] == ("prefix words here suffix", 5)  # span excised
+
+    # replay: no new files -> no new batches -> outputs unchanged
+    q = stream_span_excision(spark, src, out, store, ck)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 2
