@@ -193,3 +193,52 @@ def chunk_documents_oracle_sql(max_tokens: int = 64, overlap: int = 0) -> str:
              AS chunk_text
     FROM s
     """
+
+
+def next_event_training_pairs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    context: int = 3,
+) -> DataFrame:
+    """Supervised next-event training examples from event logs — the
+    (context window -> label) extraction every sequence-model data
+    pipeline runs: for each event, the space-joined sequence of up to
+    ``context`` PRECEDING event types of the same user is the input
+    and the event itself is the label. Rows whose context is empty
+    (each user's first event) are dropped — no label-only examples.
+
+    Output: (user, ctx, label, n_ctx) where ``ctx`` is the
+    space-joined context string (oldest first) and ``n_ctx`` its
+    length — filter n_ctx = context for fixed-length examples.
+
+    Scale shape: ONE user-partitioned window with a bounded
+    ROWS BETWEEN context PRECEDING AND 1 PRECEDING frame (state is
+    per-row k-bounded; never a global window), order totalised by
+    (ts, event_id) so two engines emit identical context strings.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .rowsBetween(-context, -1)
+    )
+    ctx = F.array_join(
+        F.collect_list(F.col(event_col)).over(w), " "
+    )
+    return (
+        events.select(
+            F.col(user_col),
+            F.col("event_id"),
+            ctx.alias("ctx"),
+            F.col(event_col).alias("label"),
+        )
+        .withColumn(
+            "n_ctx",
+            F.when(F.col("ctx") == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col("ctx"), " "))
+            ),
+        )
+        .filter(F.col("n_ctx") > 0)
+        .select(user_col, "event_id", "ctx", "label", "n_ctx")
+    )

@@ -355,3 +355,71 @@ def interval_overlap_pairs(
         )
         .distinct()
     )
+
+
+def user_burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 3,
+) -> DataFrame:
+    """Inter-arrival burstiness per user — the bot/spam signal a
+    training-data curation pass uses to down-weight machine-generated
+    activity: a human's event gaps are irregular (CV ~ 1, bursty > 1),
+    a scripted poller's are metronomic (CV ~ 0). Computed EXACTLY from
+    integer microsecond gaps via moment sums (count / sum / sum-of-
+    squares are whole numbers; the only floats are the two divisions
+    and one sqrt at the ROUND(.,6) surface, evaluated in a fixed
+    order both engines share).
+
+    Output: (user, n_events, mean_gap_s, cv_gap) for users with at
+    least ``min_events`` events (>= 2 gaps, so variance is defined).
+    cv_gap = population-stddev(gaps) / mean(gaps). Gaps are measured
+    in whole SECONDS (integer-floored from microseconds): second
+    granularity keeps the exact integer moment sums inside bigint —
+    a single 50-minute gap SQUARED in microseconds already overflows
+    int64, and ANSI Spark would throw, not wrap.
+
+    Scale shape: ONE user-partitioned LAG window (the q24/q52 shape —
+    never global), then one map-side-combined groupBy(user) carrying
+    three integer aggregates. The variance uses the fixed-order IEEE
+    form s2/n - mean^2 (each operand an exact integer), so two
+    engines compute bit-identical doubles.
+    """
+    # order by full microsecond precision (ties by event_id); gaps
+    # floor to seconds only for the moment sums
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        events.select(
+            F.col(user_col),
+            F.col("event_id"),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+        )
+        .withColumn("_s_ts", F.expr("_us div 1000000"))
+        .withColumn("_gap", F.col("_s_ts") - F.lag("_s_ts").over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_gap").alias("_s"),
+        F.sum(F.col("_gap") * F.col("_gap")).alias("_s2"),
+    )
+    n, s, s2 = F.col("_n"), F.col("_s"), F.col("_s2")
+    mean = s.cast("double") / n.cast("double")
+    var = s2.cast("double") / n.cast("double") - mean * mean
+    return (
+        agg.filter(n >= F.lit(min_events - 1))
+        .select(
+            F.col(user_col),
+            (n + F.lit(1)).alias("n_events"),
+            F.round(mean, 6).alias("mean_gap_s"),
+            F.round(
+                F.when(s == 0, F.lit(0.0)).otherwise(
+                    F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+                ),
+                6,
+            ).alias("cv_gap"),
+        )
+    )

@@ -112,6 +112,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q182_k_anonymity_suppression",
     "q183_kfold_assignment",
     "q184_woe_price_bins",
+    "q185_user_burstiness",
+    "q186_next_event_pairs",
 ]
 
 _DRIVER_WINDOW = [

@@ -482,3 +482,84 @@ def q184_woe_price_bins(spark, sf_dir):
         "o_orderkey",
         n_bins=10,
     )
+
+
+@register(
+    "q185_user_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000
+               - LAG(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap
+      FROM events
+    ), a AS (
+      SELECT user_id, COUNT(*) AS n, SUM(gap) AS s,
+             SUM(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n + 1 AS BIGINT) AS n_events,
+           ROUND(s::DOUBLE / n::DOUBLE, 6) AS mean_gap_s,
+           ROUND(CASE WHEN s = 0 THEN 0.0
+                 ELSE SQRT(GREATEST(s2::DOUBLE / n::DOUBLE
+                           - (s::DOUBLE / n::DOUBLE)
+                             * (s::DOUBLE / n::DOUBLE), 0.0))
+                      / (s::DOUBLE / n::DOUBLE) END, 6) AS cv_gap
+    FROM a WHERE n >= 2
+    """,
+)
+def q185_user_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user (operators/timeseries.
+    user_burstiness): coefficient of variation of a user's event
+    gaps — the bot/spam curation signal (metronomic pollers have
+    CV ~ 0, humans ~ 1, bursty sessions > 1). Gaps are whole seconds
+    so the moment sums stay exact integers inside bigint; the only
+    floats are fixed-order divisions/sqrt at the ROUND(.,6) surface.
+
+    Scale shape: one user-partitioned LAG window (never global) +
+    one map-side-combined groupBy(user) of three integer sums."""
+    from product_etl_spark.operators.timeseries import user_burstiness
+
+    e = _t(spark, sf_dir, "events")
+    return user_burstiness(e, "user_id", "ts", min_events=3)
+
+
+@register(
+    "q186_next_event_pairs",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type,
+             COALESCE(STRING_AGG(event_type, ' ') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+             ), '') AS ctx
+      FROM events
+    )
+    SELECT user_id, event_id, ctx, event_type AS label,
+           LEN(string_split(ctx, ' ')) AS n_ctx
+    FROM w WHERE ctx <> ''
+    """,
+)
+def q186_next_event_pairs(spark, sf_dir):
+    """Next-event training-pair extraction (operators/packing.
+    next_event_training_pairs): for every event, the space-joined
+    window of up to 3 preceding same-user event types is the model
+    input and the event itself the label — the (context -> next)
+    example construction every sequence-model data pipeline runs
+    before tokenization/packing (q66 packs what this emits). Order
+    totalised by (ts, event_id) so both engines emit identical
+    context strings.
+
+    Scale shape: ONE user-partitioned window with a bounded
+    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING frame — per-row state is
+    k-bounded, no global window, no self-join."""
+    from product_etl_spark.operators.packing import (
+        next_event_training_pairs,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return next_event_training_pairs(
+        e, "user_id", "ts", "event_type", context=3
+    )

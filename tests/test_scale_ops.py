@@ -244,3 +244,67 @@ def test_q157_plan_actually_salts(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan or "Explode" in plan or "Generate" in plan
     assert "_salt" in plan  # join keys include the salt column
+
+
+def test_user_burstiness_exact_moments(spark):
+    """CV from integer moment sums: a metronomic user scores 0, an
+    irregular one matches the hand-computed population CV; users under
+    min_events drop."""
+    import math
+
+    from product_etl_spark.operators.timeseries import user_burstiness
+
+    def ts(s):
+        return f"2024-01-01 00:00:{s:02d}"
+
+    rows = (
+        # user 1: gaps 10, 10, 10 -> CV 0
+        [(i, ts(i * 10), 1, "x", None, None) for i in range(4)]
+        # user 2: gaps 5, 15 -> mean 10, var ((5-10)^2+(15-10)^2)/2 = 25
+        + [(10, ts(0), 2, "x", None, None), (11, ts(5), 2, "x", None, None),
+           (12, ts(20), 2, "x", None, None)]
+        # user 3: one event -> dropped
+        + [(20, ts(1), 3, "x", None, None)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["user_id"]: (r["n_events"], r["mean_gap_s"], r["cv_gap"])
+        for r in user_burstiness(df, min_events=3).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (4, 10.0, 0.0)
+    assert got[2][0] == 3 and got[2][1] == 10.0
+    assert abs(got[2][2] - round(math.sqrt(25.0) / 10.0, 6)) < 1e-9
+
+
+def test_next_event_training_pairs_contexts(spark):
+    from product_etl_spark.operators.packing import (
+        next_event_training_pairs,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 7, "a", None, None),
+        (2, "2024-01-01 00:00:02", 7, "b", None, None),
+        (3, "2024-01-01 00:00:03", 7, "c", None, None),
+        (4, "2024-01-01 00:00:04", 7, "d", None, None),
+        (5, "2024-01-01 00:00:05", 7, "e", None, None),
+        (9, "2024-01-01 00:00:09", 8, "z", None, None),  # first event: no pair
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: (r["ctx"], r["label"], r["n_ctx"])
+        for r in next_event_training_pairs(df, context=3).collect()
+    }
+    assert 9 not in got and 1 not in got  # first events drop
+    assert got[2] == ("a", "b", 1)
+    assert got[3] == ("a b", "c", 2)
+    assert got[4] == ("a b c", "d", 3)
+    assert got[5] == ("b c d", "e", 3)  # window slides, oldest first
