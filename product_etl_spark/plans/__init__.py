@@ -114,6 +114,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q184_woe_price_bins",
     "q185_user_burstiness",
     "q186_next_event_pairs",
+    "q187_dedup_cluster_histogram",
 ]
 
 _DRIVER_WINDOW = [

@@ -563,3 +563,79 @@ def q186_next_event_pairs(spark, sf_dir):
     return next_event_training_pairs(
         e, "user_id", "ts", "event_type", context=3
     )
+
+
+@register(
+    "q187_dedup_cluster_histogram",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS s
+      FROM documents WHERE doc_id >= 150 AND doc_id < 350
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.s, b.s)) > 0
+        AND 5 * LEN(list_intersect(a.s, b.s))
+            >= 3 * (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT component, COUNT(*) AS size FROM comp GROUP BY component
+    ), allsz AS (
+      SELECT size FROM sizes
+      UNION ALL
+      SELECT 1 AS size FROM t
+      WHERE doc_id NOT IN (SELECT node FROM comp)
+    )
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM allsz GROUP BY size
+    """,
+)
+def q187_dedup_cluster_histogram(spark, sf_dir):
+    """Duplicate-cluster SIZE HISTOGRAM — the report a curation run
+    reads before committing a dedup pass: how many size-2 pairs,
+    how many big boilerplate families, how much of the corpus is
+    singleton (size-1 rows count docs with NO near-duplicate — the
+    left-anti complement of the component frame, so the histogram's
+    weighted total equals the slice size and removal impact is
+    sum((size-1)*n_clusters)). Components via star contraction on
+    the exact-Jaccard edge set (q170's closure, disjoint smaller
+    slice, bounded both ends); driver-hashed against the
+    recursive-CTE fixpoint.
+
+    Scale shape: q170's edge-frame contraction, then two
+    vocab-tiny groupBys (component -> size -> histogram) and one
+    anti-join for singletons. The oracle's all-pairs block stays
+    block-sized by the two-sided slice."""
+    from product_etl_spark.operators.dedup import (
+        connected_components,
+        set_similarity_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 350)
+    )
+    pairs = set_similarity_pairs(d, "text", "doc_id", 3, 5)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), algorithm="star", max_iter=12
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    singles = d.join(
+        comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    ).select(F.lit(1).cast("bigint").alias("size"))
+    return (
+        sizes.select("size")
+        .unionByName(singles)
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
