@@ -70,6 +70,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     job_counts: dict[str, int] = {}
+    job_count_floors: list[str] = []  # hit the retainedJobs ceiling
+    retained_jobs = int(spark.conf.get("spark.ui.retainedJobs", "1000"))
     for i, (name, spec) in enumerate(plans.CATALOG.items()):
         if isolate and i and i % isolate == 0:
             spark.stop()
@@ -92,9 +94,15 @@ def main() -> None:
         finally:
             sc.setJobGroup("", "")
         # jobs submitted by the measured reps (read immediately, while
-        # the UI's retained-job window still holds them)
+        # the UI's retained-job window still holds them). The UI store
+        # is bounded by spark.ui.retainedJobs (default 1000): a query
+        # whose reps submit more jobs than the window silently
+        # under-counts, so counts at/near the ceiling are flagged as
+        # floors, not totals.
         try:
             job_counts[name] = len(sc.statusTracker().getJobIdsForGroup(group))
+            if job_counts[name] >= retained_jobs - 10:
+                job_count_floors.append(name)
         except Exception:
             job_counts[name] = -1
         rep_times[name] = [round(r, 3) for r in runs]
@@ -144,7 +152,15 @@ def main() -> None:
         meta["spread"] = dict(
             sorted(spread.items(), key=lambda kv: -(kv[1][1] - kv[1][0]))[:10]
         )
+    # jobs_total excludes failed reads (-1); say HOW MANY were excluded
+    # and which counts are retained-window floors, so the artifact
+    # never silently under-reports (ADVICE r10).
     meta["jobs_total"] = sum(v for v in job_counts.values() if v > 0)
+    n_unread = sum(1 for v in job_counts.values() if v < 0)
+    if n_unread:
+        meta["job_count_read_failures"] = n_unread
+    if job_count_floors:
+        meta["job_count_floors"] = job_count_floors
     compact = {n.split("_")[0]: round(t, 2) for n, t in timings.items()}
     line = json.dumps(
         {**meta, "queries": compact}, separators=(",", ":")

@@ -793,10 +793,16 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """Exact-substring dedup END-TO-END (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"):
-    EXCISE every maximal cross-document duplicated span, keeping ONE
-    canonical copy corpus-wide. Completes the verbatim-repetition
-    ladder whose measurement rung is ``crossdoc_dup_span_coverage``
-    (q147 flags; this removes).
+    EXCISE every maximal cross-document duplicated span. At most the
+    keeper's occurrences of each duplicated gram survive; when two
+    duplicated grams OVERLAP with different keepers, the keeper's
+    copy of one span can be partially excised by the other gram
+    (doc0 owns "x a b c d", doc1 owns "a b c d e": doc1 loses a..d,
+    so no full copy of "a b c d e" survives) — the per-token cover
+    rule below, matching Lee et al.'s behavior, is the contract, not
+    span-level canonical-copy preservation. Completes the
+    verbatim-repetition ladder whose measurement rung is
+    ``crossdoc_dup_span_coverage`` (q147 flags; this removes).
 
     Contract (deterministic, engine-reproducible):
 
@@ -805,9 +811,8 @@ def remove_duplicate_spans(
     - its KEEPER is the lowest-id document containing it; every
       occurrence in any other document marks tokens
       ``[pos, pos+n-1]`` for removal (the keeper doc keeps all its
-      occurrences, so one canonical copy of every duplicated span
-      survives — within-keeper repetition is q136's job, not this
-      operator's);
+      occurrences of THAT gram — within-keeper repetition is q136's
+      job, not this operator's);
     - overlapping marked grams merge implicitly: a token survives
       iff NO duplicated non-keeper gram covers it;
     - ``text_clean`` is the surviving original-case tokens joined by

@@ -669,7 +669,13 @@ def incremental_span_excision(
     by an earlier document — without ever re-reading accepted text.
     The persisted state is a gram->keeper store (``sh``, ``keep``,
     hash-bucketed by ``gram_bucket`` for compaction and bucket-
-    preserving erasure), kilobytes per million docs of history.
+    preserving erasure): roughly one row per DISTINCT n-gram of the
+    ingested history (singletons included), i.e. corpus-VOCABULARY-
+    sized — the same order as the corpus text for natural-language n,
+    though history text is never re-READ (per-batch cost stays one
+    join vs the store). To shrink rows at larger n, store
+    ``hash64(sh)`` instead of the gram text, as the batch operator's
+    docstring suggests.
 
     Contract:
 

@@ -200,6 +200,7 @@ def next_event_training_pairs(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    event_id_col: str = "event_id",
     context: int = 3,
 ) -> DataFrame:
     """Supervised next-event training examples from event logs — the
@@ -216,11 +217,11 @@ def next_event_training_pairs(
     Scale shape: ONE user-partitioned window with a bounded
     ROWS BETWEEN context PRECEDING AND 1 PRECEDING frame (state is
     per-row k-bounded; never a global window), order totalised by
-    (ts, event_id) so two engines emit identical context strings.
+    (ts, event_id_col) so two engines emit identical context strings.
     """
     w = (
         Window.partitionBy(user_col)
-        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .orderBy(F.col(ts_col).asc(), F.col(event_id_col).asc())
         .rowsBetween(-context, -1)
     )
     ctx = F.array_join(
@@ -229,7 +230,7 @@ def next_event_training_pairs(
     return (
         events.select(
             F.col(user_col),
-            F.col("event_id"),
+            F.col(event_id_col),
             ctx.alias("ctx"),
             F.col(event_col).alias("label"),
         )
@@ -240,5 +241,5 @@ def next_event_training_pairs(
             ),
         )
         .filter(F.col("n_ctx") > 0)
-        .select(user_col, "event_id", "ctx", "label", "n_ctx")
+        .select(user_col, event_id_col, "ctx", "label", "n_ctx")
     )

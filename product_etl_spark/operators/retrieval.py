@@ -591,6 +591,7 @@ def bm25_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     n_buckets: int = 64,
+    doc_id_type: str = "bigint",
 ) -> DataFrame:
     """BM25 top-k served FROM the persisted index: reads only the
     postings buckets of the query terms (PartitionFilters — asserted
@@ -599,8 +600,24 @@ def bm25_topk_indexed(
     the contribution expression is shared, df is counted from the
     pruned postings (equal to the batch df by construction), and the
     decimal-sum contract makes aggregation order irrelevant.
+
+    A FULLY-ERASED index (``erase_from_stores`` deletes a partitioned
+    table outright when every row is erased) is a documented state,
+    not an error: when the postings or doclens table is absent this
+    returns an empty top-k frame (``doc_id_type`` names the erased
+    store's id type, since an absent table carries no schema).
     """
+    from product_etl_spark.fs import table_exists
+
     qterms = _normalize_terms(terms)
+    if not (
+        table_exists(spark, f"{index_path}/postings")
+        and table_exists(spark, f"{index_path}/doclens")
+    ):
+        return spark.createDataFrame(
+            [],
+            f"doc_id {doc_id_type}, score double, n_hit_terms bigint",
+        )
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in qterms})
     tf = (
         spark.read.parquet(f"{index_path}/postings")

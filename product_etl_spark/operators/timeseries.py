@@ -361,6 +361,7 @@ def user_burstiness(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    event_id_col: str = "event_id",
     min_events: int = 3,
 ) -> DataFrame:
     """Inter-arrival burstiness per user — the bot/spam signal a
@@ -386,15 +387,15 @@ def user_burstiness(
     form s2/n - mean^2 (each operand an exact integer), so two
     engines compute bit-identical doubles.
     """
-    # order by full microsecond precision (ties by event_id); gaps
-    # floor to seconds only for the moment sums
+    # order by full microsecond precision (ties by event_id_col);
+    # gaps floor to seconds only for the moment sums
     w = Window.partitionBy(user_col).orderBy(
-        F.col("_us").asc(), F.col("event_id").asc()
+        F.col("_us").asc(), F.col(event_id_col).asc()
     )
     gaps = (
         events.select(
             F.col(user_col),
-            F.col("event_id"),
+            F.col(event_id_col),
             F.unix_micros(F.col(ts_col)).alias("_us"),
         )
         .withColumn("_s_ts", F.expr("_us div 1000000"))

@@ -457,3 +457,33 @@ def test_erase_embedding_signature_store_probe_equals_rebuild(spark, tmp_path):
         ),
     )
     assert got == want == ([100], [(101, 1, 1)])
+
+
+def test_bm25_indexed_survives_total_erasure(spark, tmp_path):
+    """Total erasure DELETES a partitioned store outright (absence ==
+    the faithful empty state), so the direct reader must probe
+    existence and return an EMPTY top-k frame instead of raising
+    PATH_NOT_FOUND (ADVICE r10)."""
+    from product_etl_spark.operators.erasure import (
+        erase_from_inverted_index,
+    )
+    from product_etl_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+
+    docs = _doc_frame(spark, _CORPUS)
+    idx = str(tmp_path / "inv")
+    build_inverted_index(docs, idx, "doc_id", "text")
+
+    all_ids = docs.select("doc_id")
+    erase_from_inverted_index(spark, all_ids, idx)
+
+    got = bm25_topk_indexed(spark, idx, ["alpha", "common"], top_n=5)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id",
+        "score",
+        "n_hit_terms",
+    ]
+    assert got.schema["doc_id"].dataType.simpleString() == "bigint"
