@@ -491,7 +491,12 @@ def connected_components(
     Both return identical (id, component) labelings (asserted in
     tests on chain/hub/fixture graphs). Intermediate frames are
     localCheckpointed to cut the growing lineage, which otherwise
-    re-executes the whole chain per round.
+    re-executes the whole chain per round. The checkpoint is LAZY and
+    the convergence check is the action that materializes it: the
+    changed-label count rides the update frame itself (a ``_chg``
+    column summed by the same job), so each round submits ONE Spark
+    job instead of an eager-checkpoint job plus a separate
+    join-and-count job (r10 verdict item 3 — q156/q164 job counts).
     """
     if algorithm == "star":
         return _star_components(pairs, id_a, id_b, max_iter)
@@ -518,30 +523,47 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
     for _ in range(max_iter):
-        neighbor_min = (
+        # min(own label, every neighbor's label) in ONE groupBy: the
+        # node's own label rides the union as a flagged self row, so
+        # the round is join + groupBy (two shuffles), not
+        # join + groupBy + second join back onto labels.
+        contrib = (
             edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
-                "id",
-                F.least(
-                    "component", F.coalesce("neighbor_component", "component")
-                ).alias("component"),
+                F.col("src").alias("nid"),
+                F.col("component").alias("cand"),
+                F.lit(False).alias("_self"),
+            )
+            .unionByName(
+                labels.select(
+                    F.col("id").alias("nid"),
+                    F.col("component").alias("cand"),
+                    F.lit(True).alias("_self"),
+                )
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+        updated = (
+            contrib.groupBy("nid")
+            .agg(
+                F.min("cand").alias("component"),
+                # exactly one self row per node: its old label
+                F.max(F.when(F.col("_self"), F.col("cand"))).alias("_old"),
+            )
+            .select(
+                F.col("nid").alias("id"),
+                "component",
+                (F.col("component") != F.col("_old")).alias("_chg"),
+            )
+            # lazy: the convergence agg below is the materializing
+            # action (a full scan — ungrouped agg computes every
+            # partition), so checkpoint + changed-count is ONE job
+            .localCheckpoint(eager=False)
         )
-        labels = updated
-        if changed == 0:
+        changed = updated.agg(
+            F.sum(F.col("_chg").cast("int")).alias("n")
+        ).first()["n"]
+        labels = updated.select("id", "component")
+        if not changed:
             break
     return labels
 
@@ -593,16 +615,29 @@ def _star_components(
             .unionByName(smin.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the star-property check below shuffles EVERY
+            # partition of `small` in its map stage, so it is the
+            # action that materializes the checkpoint — one job per
+            # round instead of checkpoint + compare (r10 verdict
+            # item 3: q170/q187 job counts)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            small.exceptAll(edges)
-            .unionByName(edges.exceptAll(small))
+        edges = small
+        # Exact fixpoint test, one self-semi-join instead of two
+        # exceptAlls against the previous round: the edge set is
+        # fully contracted iff NO 2-hop chain (a,b),(b,c) remains —
+        # then every component is a star, and canonical (u > v)
+        # orientation makes each star root the component MINIMUM, so
+        # the labeling read off `edges` is already the answer. This
+        # also exits one round earlier than compare-to-previous
+        # (which needed a whole no-change round to observe equality).
+        chain = (
+            small.select(F.col("v").alias("_mid"))
+            .join(small.select(F.col("u").alias("_mid")), "_mid", "left_semi")
             .limit(1)
             .count()
         )
-        edges = small
-        if changed == 0:
+        if chain == 0:
             break
     return edges.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
         edges.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
