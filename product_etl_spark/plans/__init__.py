@@ -93,6 +93,7 @@ from product_etl_spark.plans import catalog_ext9  # noqa: F401  (registers q142+
 from product_etl_spark.plans import catalog_ext10  # noqa: F401  (registers q156+)
 from product_etl_spark.plans import catalog_ext11  # noqa: F401  (registers q169+)
 from product_etl_spark.plans import catalog_ext12  # noqa: F401  (registers q177+)
+from product_etl_spark.plans import catalog_ext13  # noqa: F401  (registers q188+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
