@@ -1104,3 +1104,64 @@ def kmeans_one_iter_exact(
     return _assign_exact(corpus, cents1, emb_col, id_col).select(
         id_col, "list_id"
     )
+
+
+def semdedup_exact(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"):
+    embedding-level semantic dedup as a composition of two
+    driver-green operators — IVF cell assignment (exact-decimal L2
+    argmin against the ``n_cells`` lowest-id seed vectors, the q142
+    seeding rule) then WITHIN-CELL exact cosine
+    (``cosine_near_dup_pairs`` blocked on the cell id). A vector is
+    pruned when any LOWER-id vector in ITS OWN cell clears
+    ``threshold``; cross-cell pairs are never compared — that is the
+    algorithm's entire scale contract (pytest-asserted on a planted
+    fixture where a cross-cell near-duplicate exists and must
+    survive).
+
+    Returns (id, list_id, kept 0/1) — one row per corpus vector.
+
+    Scale shape: the assignment is a PURE MAP (k seed centroids fold
+    into one broadcast row); the cosine self-join is keyed on the
+    cell id, so work is O(sum cell_size^2), never corpus^2 — at
+    100 TB, cells come from a trained ``ivf_centroids_kmeans`` (q93)
+    instead of the engine-exact seed rule, and giant cells pre-split
+    via operators/skew.py. One shuffle for the pair join, one
+    distinct on the pruned side, one left join back.
+    """
+    w = Window.orderBy(F.col(id_col))
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("list_id"),
+            F.col(emb_col).alias("_cent"),
+        )
+    )
+    assigned = _assign_exact_map(corpus, seeds, emb_col, id_col, keep_emb=True)
+    pairs = cosine_near_dup_pairs(
+        assigned, emb_col, id_col, "list_id", threshold=threshold
+    )
+    removed = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, "list_id")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.when(F.col("_rm").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )

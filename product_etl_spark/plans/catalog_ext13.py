@@ -119,3 +119,73 @@ def q188_unigram_min_pieces(spark, sf_dir):
             ).alias("n_tokens")
         )
     )
+
+
+@register(
+    "q189_semdedup_prune",
+    """
+    WITH dims AS (
+      SELECT e.vec_id, d.pos, CAST(d.val AS DOUBLE) AS val
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) d
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, vec_id
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), sdims AS (
+      SELECT s.list_id, d.pos, d.val AS c
+      FROM seeds s JOIN dims d ON d.vec_id = s.vec_id
+    ), d0 AS (
+      SELECT d.vec_id, s.list_id,
+             SUM(CAST(ROUND((d.val - s.c) * (d.val - s.c), 9)
+                      AS DECIMAL(18,9))) AS dist
+      FROM dims d JOIN sdims s ON s.pos = d.pos
+      GROUP BY d.vec_id, s.list_id
+    ), a0 AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM d0) WHERE rn = 1
+    ), pairs AS (
+      SELECT aa.vec_id AS id_a, ab.vec_id AS id_b
+      FROM a0 aa
+      JOIN a0 ab ON aa.list_id = ab.list_id AND aa.vec_id < ab.vec_id
+      JOIN embeddings ea ON ea.vec_id = aa.vec_id
+      JOIN embeddings eb ON eb.vec_id = ab.vec_id
+      WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                     ea.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[])))
+            >= 0.3
+    ), removed AS (
+      SELECT DISTINCT id_b FROM pairs
+    )
+    SELECT a0.vec_id, a0.list_id,
+           CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END AS kept
+    FROM a0 LEFT JOIN removed r ON r.id_b = a0.vec_id
+    """,
+)
+def q189_semdedup_prune(spark, sf_dir):
+    """SemDeDup (similarity.semdedup_exact): IVF cell assignment by
+    exact-decimal L2 to the 8 lowest-id seeds (the q142 seeding
+    rule), then within-cell exact cosine at threshold 0.3; a vector
+    is pruned when a lower-id cellmate clears the threshold. Surface
+    is one (vec_id, list_id, kept) row per vector — the pruning
+    decision the curation pass commits. Cross-cell pairs are NEVER
+    compared (the algorithm's scale contract — pytest-asserted on a
+    planted fixture with a cross-cell near-duplicate); the oracle
+    replays the same integer-decided assignment and the same
+    fixed-order IEEE cosine (the q92 recipe), so the decision frame
+    hashes exactly.
+
+    Scale shape: map-only assignment (seed centroids fold into one
+    broadcast row), one cell-keyed self-join bounded by
+    O(sum cell_size^2), one distinct + one left join back. At 100 TB
+    the cells come from trained k-means (q93) with skew pre-split;
+    the composition and decision rule are identical."""
+    from product_etl_spark.operators.similarity import semdedup_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup_exact(e, "embedding", "vec_id", n_cells=8, threshold=0.3)
