@@ -78,6 +78,17 @@ q22/q25/q28/q37/q39/q42/q48/q50 + the r6-registered q118-q136 tier
 minus the r7-refreshed q120/q134), the 6 anchors, and the new-in-
 r10 registrations / oldest-r7 reps in the tail slots. After r10 no
 catalog entry's newest green row is older than r7.
+
+Round-11 ROTATION (per the r10 verdict's items 1 and 2): the eight
+entries registered after the r10 freeze lead (q180 hard-negative
+mining, q181 SNM blocking, q182 k-anonymity suppression, q183
+k-fold, q184 WOE bins, q185 burstiness, q186 next-event pairs,
+q187 cluster histogram), then the new-in-r11 tokenizer row (q188
+unigram min-pieces), then ALL 41 r7-last-green entries (verdict
+item 2's cohort). That fills exactly 50 slots; the 6 anchors sit
+out one round (last green r10, within the freshness bound) and
+q189 SemDeDup waits in the queue with the exact harness. After r11
+no catalog entry's newest green row is older than r8.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -108,6 +119,12 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # now get the same harness as window entries from the day they are
 # registered.
 _NEXT_WINDOW_QUEUE: list[str] = [
+    "q189_semdedup_prune",
+]
+
+_DRIVER_WINDOW = [
+    # -- registered after the r10 freeze, exact-checked every pytest
+    #    run since registration (r10 verdict item 1) --
     "q180_hard_negative_pairs",
     "q181_sorted_neighborhood_pairs",
     "q182_k_anonymity_suppression",
@@ -116,65 +133,52 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q185_user_burstiness",
     "q186_next_event_pairs",
     "q187_dedup_cluster_histogram",
-]
-
-_DRIVER_WINDOW = [
-    # -- registered after the r9 freeze, exact-checked every pytest
-    #    run since registration (r9 verdict item 2) --
-    "q174_brand_mode_type",
-    "q175_customer_revenue_concentration",
-    "q176_winsorized_mean_price",
-    # -- stale refresh: every r6-last-green entry (r9 verdict item 5) --
-    "q03_region_nation_rollup",
-    "q04_customers_without_orders",
-    "q07_order_date_range",
-    "q08_segment_distinct_nations",
-    "q10_topk_brands",
-    "q11_distinct_flag_status",
-    "q14_first_order_per_customer",
-    "q15_running_customer_revenue",
-    "q17_null_empty_guards",
-    "q19_orders_by_year",
-    "q22_url_extraction",
-    "q25_event_type_share",
-    "q28_doc_quality",
-    "q37_label_centroid_norms",
-    "q39_completeness_report",
-    "q42_cube_flag_status",
-    "q48_lineitem_unpivot",
-    "q50_bpe_token_count",
-    "q118_doc_chunking",
-    "q119_sq8_codes",
-    "q121_hybrid_rrf_search",
-    "q122_quality_canonical_dedup",
-    "q123_fuzzy_decontam",
-    "q124_grouping_sets",
-    "q125_price_histogram",
-    "q126_balance_outliers",
-    "q127_trained_langid_confusion",
-    "q128_percentile_rank_windows",
-    "q129_column_profile",
-    "q130_snapshot_diff",
-    "q131_daily_gapfill_interpolate",
-    "q132_url_canonicalization",
-    "q133_bigram_pmi",
-    "q135_unicode_clean",
-    "q136_within_doc_paragraph_dedup",
-    # -- 6 anchors: flagship family reps, green every round --
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q32_lsh_near_dup_pairs",
-    "q94_corpus_curation",
-    "q112_benchmark_decontam",
-    "q114_transition_pagerank",
-    # -- tail slots: new-in-r10 registrations swap in here as they
-    #    land; remaining slots hold the oldest r7-last-green reps --
-    "q177_duplicate_span_excision",
-    "q178_selfrep_span_excision",
-    "q179_l_diversity_audit",
-    "q05_customers_with_urgent_orders",
-    "q06_order_counts_left",
-    "q09_priority_status_matrix",
+    # -- new-in-r11 registration (tokenizer-family driver row) --
+    "q188_unigram_min_pieces",
+    # -- stale refresh: EVERY r7-last-green entry (r10 verdict
+    #    item 2's cohort) — after r11 no catalog entry's newest green
+    #    row is older than r8 --
+    "q12_active_nations_union",
+    "q16_like_filter",
+    "q18_price_buckets",
+    "q20_string_projection",
+    "q21_attribute_parse_explode",
+    "q23_hourly_event_rollup",
+    "q24_sessionization",
+    "q26_user_event_timeline",
+    "q27_doc_token_stats",
+    "q29_doc_fingerprint_dedup",
+    "q30_doc_script_langid",
+    "q31_minhash_signatures",
+    "q33_ngram_jaccard_pairs",
+    "q38_referential_integrity",
+    "q40_brand_dictionary",
+    "q41_rollup_region_nation",
+    "q45_price_band_range_join",
+    "q47_event_pivot",
+    "q49_distinct_users_by_type",
+    "q51_props_json_extract",
+    "q56_ivf_assignment",
+    "q57_winnowing_fingerprints",
+    "q58_gopher_quality_filters",
+    "q64_pii_redaction",
+    "q69_null_aware_not_in",
+    "q92_cosine_near_dup_pairs",
+    "q99_tfidf_top_terms",
+    "q120_binary_hash_hamming",
+    "q134_changelog_snapshot",
+    "q137_entity_resolution_pairs",
+    "q138_dsir_importance",
+    "q139_price_psi_drift",
+    "q140_k_anonymity_audit",
+    "q141_copurchase_triangles",
+    "q142_kmeans_one_iter_lists",
+    "q143_order_partition_checksums",
+    "q144_dup_ngram_fraction",
+    "q145_flesch_readability",
+    "q146_part_price_size_skyline",
+    "q147_crossdoc_dup_span_coverage",
+    "q148_price_ks_drift",
 ]
 
 
