@@ -402,3 +402,58 @@ def encode_unigram(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).mapInPandas(run, schema=out_schema)
     return out.select(F.col("_id").alias(id_col), "tokens", "n_tokens")
+
+
+def em_expected_counts(
+    words: DataFrame,
+    vocab: list[tuple[str, float]],
+    word_col: str = "word",
+    count_col: str = "n",
+) -> DataFrame:
+    """(piece, exp_n) — ONE distributed E-step: per-word
+    forward-backward posteriors (map-only, vocab broadcast, memoized
+    per batch) weighted by the word-frequency column, partial-summed
+    into a single groupBy(piece) shuffle bounded by the VOCAB size.
+    This is the 100 TB EM shape for when even the distinct-word dict
+    exceeds driver memory: ``train_unigram`` collects the dict and
+    loops driver-side (SentencePiece's own regime — megabytes for
+    real corpora); this twin keeps the dict distributed and moves
+    only (piece, partial) rows, so the M-step collect is
+    vocab-bounded regardless of corpus or dict size.
+    pytest-pinned equal to the driver E-step on fixture corpora.
+    """
+    import pandas as pd
+
+    logp = dict(vocab)
+    max_len = max((len(p) for p in logp), default=1)
+    spark = words.sparkSession
+    b = spark.sparkContext.broadcast((logp, max_len))
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        lp, ml = b.value
+        cache: dict[str, dict[str, float]] = {}
+        for pdf in it:
+            partial: dict[str, float] = defaultdict(float)
+            for w, n in zip(pdf["_w"], pdf["_n"]):
+                exp = cache.get(w)
+                if exp is None:
+                    _, exp = _forward_backward(w, lp, ml)
+                    cache[w] = exp
+                for p, c in exp.items():
+                    partial[p] += float(n) * c
+            items = sorted(partial.items())
+            yield pd.DataFrame(
+                {
+                    "piece": [p for p, _ in items],
+                    "exp_n": [c for _, c in items],
+                }
+            )
+
+    return (
+        words.select(
+            F.col(word_col).alias("_w"), F.col(count_col).alias("_n")
+        )
+        .mapInPandas(run, schema="piece string, exp_n double")
+        .groupBy("piece")
+        .agg(F.sum("exp_n").alias("exp_n"))
+    )

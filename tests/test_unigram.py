@@ -171,3 +171,37 @@ def test_candidate_pieces_deterministic_and_char_complete(spark):
         r["piece"] for r in candidate_pieces(docs, "text", top_n=5).collect()
     }
     assert got == again
+
+
+def test_distributed_estep_matches_driver(spark):
+    """em_expected_counts (distributed E-step: map-only posteriors +
+    one vocab-bounded groupBy-sum) must equal the driver-side
+    forward-backward loop train_unigram runs, word for word."""
+    from collections import defaultdict
+
+    from product_etl_spark.operators.unigram import (
+        _forward_backward,
+        em_expected_counts,
+    )
+
+    docs = _docs(spark, ["abcab cabc ab abc", "ab ab cab"])
+    vocab = train_unigram(docs, "text", vocab_size=10, max_piece_len=3)
+    logp = dict(vocab)
+
+    from product_etl_spark.operators.unigram import word_counts
+
+    wc = word_counts(docs, "text")
+    wdict = {r["word"]: r["n"] for r in wc.collect()}
+    want: dict[str, float] = defaultdict(float)
+    for w, n in wdict.items():
+        _, exp = _forward_backward(w, logp, 3)
+        for p, c in exp.items():
+            want[p] += n * c
+
+    got = {
+        r["piece"]: r["exp_n"]
+        for r in em_expected_counts(wc.repartition(4), vocab).collect()
+    }
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-12), p
