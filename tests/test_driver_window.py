@@ -34,38 +34,41 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-10 rotation invariant: every query with no GREEN driver
-    row through r9 (the three registered after the r9 window froze
-    and the new-in-r10 entries; per COVERAGE.md) is in this round's
-    window, plus every r6-stale entry the r9 verdict's item 5 names."""
+    """Round-11 rotation invariant (r10 verdict items 1 and 2): every
+    query with no GREEN driver row through r10 (the eight registered
+    after the r10 window froze, plus the new-in-r11 q188; per
+    COVERAGE.md) is in this round's window, plus every r7-stale entry
+    the r10 verdict's item 2 names. q189 registered after the r11
+    window filled and waits in the queue instead."""
     never_green_prefixes = {
-        # registered after the r9 window froze
-        "q174", "q175", "q176",
-        # new in r10
-        "q177", "q178", "q179",
+        # registered after the r10 window froze
+        "q180", "q181", "q182", "q183", "q184", "q185", "q186", "q187",
+        # new in r11, scheduled same round
+        "q188",
     }
-    r6_stale_prefixes = {
-        "q03", "q04", "q07", "q08", "q10", "q11", "q14", "q15",
-        "q17", "q19", "q22", "q25", "q28", "q37", "q39", "q42",
-        "q48", "q50", "q118", "q119", "q121", "q122", "q123",
-        "q124", "q125", "q126", "q127", "q128", "q129", "q130",
-        "q131", "q132", "q133", "q135", "q136",
+    r7_stale_prefixes = {
+        "q12", "q16", "q18", "q20", "q21", "q23", "q24", "q26",
+        "q27", "q29", "q30", "q31", "q33", "q38", "q40", "q41",
+        "q45", "q47", "q49", "q51", "q56", "q57", "q58", "q64",
+        "q69", "q92", "q99", "q120", "q134", "q137", "q138",
+        "q139", "q140", "q141", "q142", "q143", "q144", "q145",
+        "q146", "q147", "q148",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    missing = (never_green_prefixes | r6_stale_prefixes) - window_prefixes
+    missing = (never_green_prefixes | r7_stale_prefixes) - window_prefixes
     assert not missing, f"never-driver-green queries left out: {missing}"
 
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 187
+    assert len(names) == len(set(names)) == 189
 
 
 def test_coverage_doc_matches_window():
     """COVERAGE.md is the rotation ledger: exactly the queries stamped
-    `r9*` must be in _DRIVER_WINDOW, and every catalog query must have
-    a ledger row — a drifted doc would misreport driver coverage to
-    the next round."""
+    with THIS round's `rN*` must be in _DRIVER_WINDOW, and every
+    catalog query must have a ledger row — a drifted doc would
+    misreport driver coverage to the next round."""
     import os
     import re
 
@@ -81,7 +84,7 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r10*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r11*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
 
 
