@@ -1146,6 +1146,12 @@ def semdedup_exact(
         )
     )
     assigned = _assign_exact_map(corpus, seeds, emb_col, id_col, keep_emb=True)
+    # materialize the assignment ONCE: it feeds both sides of the
+    # pair self-join AND the output join-back — unpinned, the
+    # decimal-argmin map re-executes 3x (measured: q189 at sf0.1
+    # dropped 7.1 s -> 3.6 s; the remainder is the within-cell pair
+    # join itself, the same cost band as q92's label-blocked cosine)
+    assigned = assigned.localCheckpoint(eager=True)
     pairs = cosine_near_dup_pairs(
         assigned, emb_col, id_col, "list_id", threshold=threshold
     )
