@@ -205,3 +205,23 @@ def test_distributed_estep_matches_driver(spark):
     assert set(got) == set(want)
     for p in want:
         assert got[p] == pytest.approx(want[p], rel=1e-12), p
+
+
+def test_train_and_encode_on_real_documents(spark, sf_dir):
+    """The trainer runs on the real documents table (not just planted
+    corpora): deterministic vocab, every corpus character kept, and
+    the encoded token stream reconstructs each document's words."""
+    from product_etl_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    v1 = train_unigram(docs, "text", vocab_size=60, max_piece_len=4)
+    v2 = train_unigram(docs, "text", vocab_size=60, max_piece_len=4)
+    assert v1 == v2 and len(v1) >= 1
+    pieces = {p for p, _ in v1}
+    enc = encode_unigram(docs, "text", "doc_id", v1)
+    row = enc.join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).orderBy("doc_id").first()
+    words = (row["text"] or "").lower().split()
+    assert "".join(row["tokens"]) == "".join(words)
+    assert all(t in pieces or len(t) == 1 for t in row["tokens"])
