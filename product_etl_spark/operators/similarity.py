@@ -1171,3 +1171,131 @@ def semdedup_exact(
             .alias("kept"),
         )
     )
+
+
+def incremental_semdedup(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest twin of ``semdedup_exact``: split ``batch``
+    into (accepted, rejected) against the accepted-vector store at
+    ``store_path`` AND within itself — comparing ONLY within IVF
+    cells — then append the accepted rows (idempotently: ids already
+    stored are never re-appended). The vector-space sibling of
+    ``dedup_incremental.incremental_span_excision``'s gram store and
+    ``embdedup``'s signature store, for the exact-cosine regime.
+
+    ``centroids`` (list_id, _cent) must be the SAME frame every batch
+    — the cell geometry is the store's partition contract (train once
+    on a bootstrap sample via ``ivf_centroids_kmeans``, or use the
+    ``semdedup_exact`` seed rule on the first batch). A batch row is
+    REJECTED when some stored vector, or an accepted batch vector
+    with a smaller id, in ITS OWN cell clears ``threshold``; rejected
+    rows carry (id, list_id, matched_id, cos_sim) of their nearest
+    offender (highest similarity, ties -> lowest id). Cross-cell
+    near-duplicates are never compared — the SemDeDup contract.
+
+    Ingesting batches in ascending id order reproduces the batch
+    operator exactly: accepted ids == semdedup_exact(union).kept
+    (pytest-pinned; same centroid frame, same IEEE cosine order).
+    Replay-safe: a re-ingested row collides with its OWN stored copy
+    (cos = 1.0 >= any threshold) and appends nothing. RTBF:
+    ``erase_from_stores(..., id_col, partition_by=["list_id"])``
+    forgets a subject while preserving the cell layout; a later
+    near-dup of the erased vector is accepted again (pytest).
+
+    Scale shape: the store holds one (id, cell, embedding, norm) row
+    per ACCEPTED vector, partitioned by list_id — each batch reads
+    only the cells the batch touches (partition pruning); candidates
+    join on the cell id (never all-pairs, never cross-cell); history
+    embeddings are touched only for same-cell candidates. Norms are
+    stored, not recomputed per comparison."""
+    from product_etl_spark.fs import table_exists
+
+    assigned = _assign_exact_map(
+        batch, centroids, emb_col, id_col, keep_emb=True
+    ).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col(id_col),
+        "list_id",
+        F.col(emb_col).alias("_emb"),
+        V.norm(emb_col).alias("_nrm"),
+    ).localCheckpoint(eager=True)
+
+    cells = [r["list_id"] for r in a.select("list_id").distinct().collect()]
+    cand = None
+    if table_exists(spark, store_path):
+        stored = (
+            spark.read.parquet(store_path)
+            # touch only the cells this batch occupies
+            .filter(F.col("list_id").isin(cells))
+            .select(
+                F.col(id_col).alias("_mid"),
+                "list_id",
+                F.col(emb_col).alias("_memb"),
+                F.col("norm").alias("_mnrm"),
+            )
+        )
+        cand = a.join(stored, "list_id")
+    peers = a.select(
+        F.col(id_col).alias("_mid"),
+        "list_id",
+        F.col("_emb").alias("_memb"),
+        F.col("_nrm").alias("_mnrm"),
+    )
+    c2 = a.join(peers, "list_id").filter(F.col("_mid") < F.col(id_col))
+    cand = c2 if cand is None else cand.unionByName(c2)
+    scored = cand.select(
+        F.col(id_col),
+        "list_id",
+        F.col("_mid"),
+        V.safe_cosine(
+            V.dot("_emb", "_memb"), F.col("_nrm"), F.col("_mnrm")
+        ).alias("_sim"),
+    ).filter(F.col("_sim") >= threshold)
+    nearest = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_sim")).alias("ns"),
+                    F.col("_mid").alias("m"),
+                )
+            ).alias("_n"),
+            F.first("list_id").alias("list_id"),
+        )
+        .select(
+            id_col,
+            "list_id",
+            F.col("_n.m").alias("matched_id"),
+            F.round(-F.col("_n.ns"), 4).alias("cos_sim"),
+        )
+    )
+    rejected = batch.drop("list_id").join(nearest, id_col)
+    keep_ids = a.select(id_col).join(
+        nearest.select(id_col), id_col, "left_anti"
+    )
+    accepted = batch.join(keep_ids, id_col, "left_semi")
+
+    to_append = (
+        a.join(keep_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.col("_emb").alias(emb_col),
+            F.col("_nrm").alias("norm"),
+        )
+    )
+    if table_exists(spark, store_path):
+        existing = spark.read.parquet(store_path).select(F.col(id_col))
+        to_append = to_append.join(existing, id_col, "left_anti")
+    if to_append.limit(1).count():
+        to_append.write.mode("append").partitionBy("list_id").parquet(
+            store_path
+        )
+    return accepted, rejected
