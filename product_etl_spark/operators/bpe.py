@@ -213,3 +213,164 @@ def encode_bpe(
     return out.select(
         F.col("_id").alias(id_col), "tokens", "n_tokens"
     )
+
+
+def train_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 200,
+    min_pair_count: int = 2,
+    min_count: int = 1,
+    max_words: int | None = 1_000_000,
+) -> list[tuple[str, str]]:
+    """WordPiece-scored merges (Schuster & Nakajima 2012; the BERT
+    trainer): identical loop to ``train_bpe`` but the winning pair
+    maximizes the LIKELIHOOD RATIO count(ab) / (count(a)·count(b))
+    instead of the raw pair count — merging symbols that co-occur
+    more than their individual frequencies predict, which resists the
+    BPE failure mode of gluing ubiquitous symbols first. Completes
+    the tokenizer-trainer triad (BPE q50 / unigram-LM q188 /
+    WordPiece).
+
+    Engine-exact determinism without floats: scores are compared by
+    integer CROSS-MULTIPLICATION — s1 > s2 iff
+    c_ab1·c_a2·c_b2 > c_ab2·c_a1·c_b1 (Python ints, no overflow, no
+    division) — ties break to the lexicographically smallest pair.
+    Same scale shape as train_bpe: one corpus word-count shuffle,
+    then a driver loop over the Zipf-bounded dict. The returned merge
+    list feeds ``encode_bpe`` (greedy lowest-rank) or
+    ``merges_to_pieces`` + ``encode_maxmunch`` (the WordPiece
+    longest-match-first runtime)."""
+    vocab = {
+        r["word"]: r["n"]
+        for r in word_counts(
+            df, text_col, min_count=min_count, max_words=max_words
+        ).collect()
+    }
+    seqs = {w: tuple(w) + (_EOW,) for w in vocab}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        sym_counts: Counter = Counter()
+        for w, seq in seqs.items():
+            n = vocab[w]
+            for s in seq:
+                sym_counts[s] += n
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] += n
+        if not pair_counts:
+            break
+        best = None
+        best_c = 0
+        for p, c in pair_counts.items():
+            if c < min_pair_count:
+                continue
+            if best is None:
+                best, best_c = p, c
+                continue
+            lhs = c * sym_counts[best[0]] * sym_counts[best[1]]
+            rhs = best_c * sym_counts[p[0]] * sym_counts[p[1]]
+            if lhs > rhs or (lhs == rhs and p < best):
+                best, best_c = p, c
+        if best is None:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges
+
+
+def merges_to_pieces(merges: list[tuple[str, str]]) -> set[str]:
+    """The piece inventory a merge list induces: every merged symbol
+    (single characters always segment as themselves in
+    ``encode_maxmunch``, so they need no explicit entry). The
+    ``_EOW`` sentinel is stripped — max-munch operates on raw words."""
+    return {
+        (a + b).replace(_EOW, "") for a, b in merges if (a + b) != _EOW
+    } - {""}
+
+
+def encode_maxmunch(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pieces: set[str],
+) -> DataFrame:
+    """(id, tokens, n_tokens) — greedy LONGEST-MATCH-FIRST
+    segmentation (the WordPiece/BERT runtime, minus the ``##``
+    rendering so that ``''.join(tokens)`` reconstructs each word):
+    at every position take the longest piece in the inventory,
+    falling back to the single character (characters are implicit
+    pieces, so no [UNK] and no unsegmentable words). Broadcast
+    inventory + Arrow-batched mapInPandas with per-batch memoization
+    — the ``encode_bpe`` shape."""
+    import re
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    max_len = max((len(p) for p in pieces), default=1)
+    b = spark.sparkContext.broadcast((frozenset(pieces), max_len))
+    _ws = re.compile(r"\s+", re.ASCII)
+
+    def _munch(word: str, voc, ml: int) -> list[str]:
+        out, i, n = [], 0, len(word)
+        while i < n:
+            step = 1
+            for ln in range(min(ml, n - i), 1, -1):
+                if word[i : i + ln] in voc:
+                    step = ln
+                    break
+            out.append(word[i : i + step])
+            i += step
+        return out
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        voc, ml = b.value
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            toks_col, counts = [], []
+            for text in pdf["_text"]:
+                toks: list[str] = []
+                for word in filter(None, _ws.split((text or "").lower())):
+                    got = cache.get(word)
+                    if got is None:
+                        got = cache[word] = _munch(word, voc, ml)
+                    toks.extend(got)
+                toks_col.append(toks)
+                counts.append(len(toks))
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "tokens": toks_col, "n_tokens": counts}
+            )
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("_id", df.schema[id_col].dataType),
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(run, schema=out_schema)
+    return out.select(F.col("_id").alias(id_col), "tokens", "n_tokens")

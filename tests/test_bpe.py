@@ -129,3 +129,56 @@ def test_encode_string_id_column(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows["doc-a"]["tokens"] == ["low</w>"] * 2
     assert rows["doc-b"]["tokens"] == ["newest</w>"]
+
+
+def test_wordpiece_prefers_likelihood_over_raw_count(spark):
+    """The planted corpus makes raw-count BPE and likelihood-ratio
+    WordPiece disagree on the FIRST merge: (b,</w>) dominates by
+    count (every 'b'/'ab' word ends that way) but 'x' and 'y'
+    co-occur exclusively — count(xy)/(c(x)c(y)) = 1/3 dwarfs
+    count(b</w>)/(c(b)c(</w>))."""
+    from product_etl_spark.operators.bpe import train_bpe, train_wordpiece
+
+    texts = ["a"] * 100 + ["b"] * 100 + ["ab"] * 10 + ["xy"] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bpe = train_bpe(docs, "text", n_merges=1)
+    wp = train_wordpiece(docs, "text", n_merges=1)
+    assert bpe[0] != wp[0]
+    assert wp[0] == ("x", "y")
+
+
+def test_wordpiece_deterministic(spark):
+    from product_etl_spark.operators.bpe import train_wordpiece
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["spark scan hash"] * 4 + ["scan ok"])],
+        "doc_id long, text string",
+    )
+    assert train_wordpiece(docs, "text", n_merges=8) == train_wordpiece(
+        docs, "text", n_merges=8
+    )
+
+
+def test_maxmunch_longest_first_and_roundtrip(spark):
+    from product_etl_spark.operators.bpe import encode_maxmunch
+
+    docs = spark.createDataFrame(
+        [(0, "abcde zq AB")], "doc_id long, text string"
+    )
+    pieces = {"abc", "ab", "de", "cd"}
+    rows = encode_maxmunch(docs, "text", "doc_id", pieces).collect()
+    toks = rows[0]["tokens"]
+    # greedy longest at pos 0 takes 'abc' (not 'ab' — so 'cd' never
+    # matches), then 'de' aligns; unknown word 'zq' falls back to
+    # chars; 'AB' lowercases like the trainers and matches 'ab'
+    assert toks == ["abc", "de", "z", "q", "ab"]
+    assert rows[0]["n_tokens"] == len(toks)
+
+
+def test_merges_to_pieces_strips_eow(spark):
+    from product_etl_spark.operators.bpe import merges_to_pieces
+
+    pieces = merges_to_pieces([("a", "b"), ("ab", "</w>"), ("c", "d</w>")])
+    assert pieces == {"ab", "cd"}
