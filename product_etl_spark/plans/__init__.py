@@ -120,6 +120,7 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # registered.
 _NEXT_WINDOW_QUEUE: list[str] = [
     "q189_semdedup_prune",
+    "q190_wordpiece_first_merge",
 ]
 
 _DRIVER_WINDOW = [

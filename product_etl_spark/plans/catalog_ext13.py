@@ -189,3 +189,125 @@ def q189_semdedup_prune(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return semdedup_exact(e, "embedding", "vec_id", n_cells=8, threshold=0.3)
+
+
+@register(
+    "q190_wordpiece_first_merge",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(list_filter(
+               string_split_regex(lower(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT word, COUNT(*) AS wn FROM toks GROUP BY word
+    ), syms AS (
+      SELECT sym, CAST(SUM(wn) AS BIGINT) AS sn FROM (
+        SELECT wn, UNNEST(list_append(
+                 [substr(word, i, 1)
+                  FOR i IN RANGE(1, LENGTH(word) + 1)], '</w>')) AS sym
+        FROM wc
+      ) GROUP BY sym
+    ), prs AS (
+      SELECT sym_a, sym_b, CAST(SUM(wn) AS BIGINT) AS pn FROM (
+        SELECT wn,
+               substr(word, i, 1) AS sym_a,
+               CASE WHEN i <= LENGTH(word) - 1
+                    THEN substr(word, i + 1, 1) ELSE '</w>' END AS sym_b
+        FROM wc, LATERAL (SELECT UNNEST(RANGE(1, LENGTH(word) + 1)) AS i) r
+      ) GROUP BY sym_a, sym_b
+    ), scored AS (
+      SELECT p.sym_a, p.sym_b, p.pn,
+             ROUND(CAST(p.pn AS DOUBLE)
+                   / CAST(a.sn * b.sn AS DOUBLE), 9) AS score
+      FROM prs p
+      JOIN syms a ON a.sym = p.sym_a
+      JOIN syms b ON b.sym = p.sym_b
+    )
+    SELECT sym_a, sym_b, pn, score FROM (
+      SELECT sym_a, sym_b, pn, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, sym_a ASC, sym_b ASC)
+               AS r
+      FROM scored
+    ) WHERE r <= 20
+    """,
+)
+def q190_wordpiece_first_merge(spark, sf_dir):
+    """WordPiece scoring rule pinned cross-engine (the q142<->q93
+    treatment, applied to bpe.train_wordpiece): the FIRST merge
+    iteration's full candidate table — char-level pair counts,
+    per-symbol counts (each word's characters plus one </w>), and
+    the likelihood-ratio score count(ab)/(count(a)·count(b)) — top 20
+    by (score desc, pair asc). The counts are exact integers that
+    stay under 2^53, so the one double division is the same IEEE op
+    in both engines and the ranking is bit-decided; the trainer's own
+    loop compares scores by integer cross-multiplication
+    (train_wordpiece) and its multi-merge sequence is pytest-pinned
+    (test_bpe), exactly like BPE whose regex proxy is q50.
+
+    Scale shape: one corpus word-count shuffle; symbol and pair
+    counts explode over the DISTINCT-word dict weighted by count
+    (vocab-sized, never corpus-sized); two broadcast joins onto the
+    symbol counts; top-20 is one TakeOrdered. No driver loop — the
+    iteration's candidate table is computed distributed."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    syms = (
+        wc.select(
+            "wn",
+            F.explode(
+                F.concat(chars, F.array(F.lit("</w>")))
+            ).alias("sym"),
+        )
+        .groupBy("sym")
+        .agg(F.sum("wn").alias("sn"))
+    )
+    pair_structs = F.expr(
+        "transform(sequence(1, length(word)), i -> struct("
+        "substring(word, i, 1) AS sym_a, "
+        "IF(i < length(word), substring(word, i + 1, 1), '</w>') AS sym_b))"
+    )
+    prs = (
+        wc.select("wn", F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .agg(F.sum("wn").alias("pn"))
+    )
+    a = syms.select(F.col("sym").alias("sym_a"), F.col("sn").alias("_sa"))
+    b = syms.select(F.col("sym").alias("sym_b"), F.col("sn").alias("_sb"))
+    scored = (
+        prs.join(F.broadcast(a), "sym_a")
+        .join(F.broadcast(b), "sym_b")
+        .select(
+            "sym_a",
+            "sym_b",
+            "pn",
+            F.round(
+                F.col("pn").cast("double")
+                / (F.col("_sa") * F.col("_sb")).cast("double"),
+                9,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("score").desc(), F.col("sym_a").asc(), F.col("sym_b").asc()
+        )
+        .limit(20)
+        .select("sym_a", "sym_b", "pn", "score")
+    )
