@@ -1246,3 +1246,82 @@ def stream_span_excision(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_semdedup(
+    spark: SparkSession,
+    input_dir: str,
+    accepted_dir: str,
+    rejected_dir: str,
+    store_path: str,
+    centroids_path: str,
+    checkpoint: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+):
+    """Continuous semantic dedup (the q189 operator's streaming
+    posture): vectors land as json-lines files in ``input_dir``; each
+    micro-batch splits against the cell-partitioned accepted-vector
+    store (operators/similarity.incremental_semdedup) and lands under
+    ``accepted_dir/batch=<id>`` / ``rejected_dir/batch=<id>``
+    (overwrite-mode per-batch dirs — the replay-safe audit-metrics
+    convention). ``centroids_path`` holds the FIXED cell geometry
+    (train once, e.g. ivf_centroids_kmeans on a bootstrap sample,
+    write once): the store's cross-batch contract.
+
+    foreachBatch retry idempotence: the store append is id-keyed
+    (already-stored ids never re-append), and a retried batch row
+    collides with its OWN stored copy (cos 1.0, matched_id == id) —
+    such self-matches are classified back to ACCEPTED (it IS the
+    stored copy), so the rewritten per-batch dirs carry the same rows
+    as the first attempt. Genuine rejections always name a DIFFERENT
+    id and stay rejected on retry.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from product_etl_spark.operators.similarity import incremental_semdedup
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(emb_col, ArrayType(DoubleType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        cents = s.read.parquet(centroids_path)
+        batch = batch_df.select(
+            F.col(id_col),
+            F.col(emb_col).cast("array<float>").alias(emb_col),
+        )
+        acc, rej = incremental_semdedup(
+            s, batch, store_path, cents,
+            emb_col=emb_col, id_col=id_col, threshold=threshold,
+        )
+        replayed = rej.filter(F.col("matched_id") == F.col(id_col))
+        acc_out = acc.unionByName(replayed.select(id_col, emb_col))
+        rej_out = rej.filter(F.col("matched_id") != F.col(id_col))
+        acc_out.write.mode("overwrite").parquet(
+            f"{accepted_dir}/batch={batch_id}"
+        )
+        rej_out.write.mode("overwrite").parquet(
+            f"{rejected_dir}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
