@@ -243,3 +243,65 @@ def next_event_training_pairs(
         .filter(F.col("n_ctx") > 0)
         .select(user_col, event_id_col, "ctx", "label", "n_ctx")
     )
+
+
+def temperature_mixture_budgets(
+    df: DataFrame,
+    domain_col: str,
+    total_budget: int,
+    temperature: int = 2,
+) -> DataFrame:
+    """Temperature-scaled domain sampling budgets — the mixing step a
+    multi-source training pipeline runs before drawing its corpus
+    (mT5/XLM-R recipe): domain i gets share ∝ n_i^(1/T), flattening
+    the head so low-resource domains are not drowned by raw
+    proportions. T=1 is proportional; T→∞ is uniform.
+
+    Output: (domain, n_docs, weight, share, sample_budget) — weight is
+    n^(1/T) rounded 1e-9, share is weight over the decimal sum of all
+    weights rounded 1e-6, sample_budget = floor(total_budget * share).
+    Floor never over-allocates; the remainder (total - Σbudgets, at
+    most n_domains rows) is the caller's to assign (largest-remainder
+    or drop).
+
+    Engine-exactness: T=2 uses sqrt — a CORRECTLY-ROUNDED IEEE op any
+    engine reproduces bit-for-bit — and the cross-domain sum of
+    weights is an order-free DECIMAL sum of the 1e-9-rounded terms
+    (the q142 mean recipe), so shares and budgets are driver-hashable
+    (q191). Other temperatures go through pow(), which is NOT
+    correctly rounded across math libraries — fine inside one engine,
+    not cross-engine; the docstring is the contract boundary.
+
+    Scale shape: one groupBy(domain) with map-side combine, one
+    broadcast 1-row total, pure map after — domains are the only
+    cardinality anywhere.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    if temperature == 2:
+        w = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        w = F.pow(
+            F.col("n_docs").cast("double"), F.lit(1.0 / float(temperature))
+        )
+    weighted = counts.withColumn("weight", F.round(w, 9))
+    total = weighted.agg(
+        F.sum(F.col("weight").cast("decimal(28,9)")).alias("_tw")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.round(F.col("weight") / F.col("_tw").cast("double"), 6),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "weight",
+            "share",
+            F.floor(F.lit(int(total_budget)) * F.col("share"))
+            .cast("bigint")
+            .alias("sample_budget"),
+        )
+    )

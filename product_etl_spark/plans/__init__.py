@@ -121,6 +121,7 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 _NEXT_WINDOW_QUEUE: list[str] = [
     "q189_semdedup_prune",
     "q190_wordpiece_first_merge",
+    "q191_domain_mixture_budgets",
 ]
 
 _DRIVER_WINDOW = [

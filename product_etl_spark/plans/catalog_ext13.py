@@ -1,8 +1,11 @@
 """Thirteenth extension catalog (q188+): round-11 additions — the
 unigram-tokenizer engine-exact twin (q188, the tokenizer-family
 driver row the r10 verdict asked for alongside operators/unigram.py's
-float EM trainer) and SemDeDup (q189, embedding-level semantic dedup
-as an IVF-cell + intra-cell exact-cosine composition).
+float EM trainer), SemDeDup (q189, embedding-level semantic dedup as
+an IVF-cell + intra-cell exact-cosine composition), the WordPiece
+first-merge scoring table (q190, the one-step engine-exact twin of
+bpe.train_wordpiece), and temperature-scaled domain mixing budgets
+(q191, packing.temperature_mixture_budgets at T=2).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -311,3 +314,45 @@ def q190_wordpiece_first_merge(spark, sf_dir):
         .limit(20)
         .select("sym_a", "sym_b", "pn", "score")
     )
+
+
+@register(
+    "q191_domain_mixture_budgets",
+    """
+    WITH counts AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT domain, n_docs,
+             ROUND(sqrt(CAST(n_docs AS DOUBLE)), 9) AS weight
+      FROM counts
+    ), tot AS (
+      SELECT SUM(CAST(weight AS DECIMAL(28,9))) AS tw FROM weighted
+    )
+    SELECT w.domain, w.n_docs, w.weight,
+           ROUND(w.weight / CAST(t.tw AS DOUBLE), 6) AS share,
+           CAST(FLOOR(10000 * ROUND(w.weight / CAST(t.tw AS DOUBLE), 6))
+                AS BIGINT) AS sample_budget
+    FROM weighted w CROSS JOIN tot t
+    """,
+)
+def q191_domain_mixture_budgets(spark, sf_dir):
+    """Temperature-scaled domain mixing (operators/packing.
+    temperature_mixture_budgets, T=2 — the mT5/XLM-R recipe): each
+    source domain's sampling budget out of 10,000 draws is
+    proportional to sqrt(n_docs), flattening the head so low-resource
+    domains survive the draw. Engine-exact floats by the repo's
+    single-IEEE-op rule: sqrt is correctly rounded everywhere, the
+    cross-domain total is an order-free DECIMAL sum of 1e-9-rounded
+    weights (the q142 mean recipe), and share/budget are one division
+    + one multiply-floor on identical doubles.
+
+    Scale shape: one groupBy(domain) with map-side combine, one
+    broadcast 1-row total, pure map after — domain cardinality is the
+    only row count anywhere past the scan."""
+    from product_etl_spark.operators.packing import (
+        temperature_mixture_budgets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture_budgets(d, "source", 10_000, temperature=2)

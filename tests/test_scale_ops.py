@@ -308,3 +308,35 @@ def test_next_event_training_pairs_contexts(spark):
     assert got[3] == ("a b", "c", 2)
     assert got[4] == ("a b c", "d", 3)
     assert got[5] == ("b c d", "e", 3)  # window slides, oldest first
+
+
+def test_temperature_mixture_budgets_flattens_head(spark):
+    """T=2 mixing: a 100:1 domain imbalance becomes a 10:1 budget
+    imbalance (sqrt), never over-allocating the total; T=1 stays
+    proportional (pow path)."""
+    from product_etl_spark.operators.packing import (
+        temperature_mixture_budgets,
+    )
+
+    rows = [("big", i) for i in range(400)] + [("small", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "source string, i long")
+    out = {
+        r["domain"]: r
+        for r in temperature_mixture_budgets(
+            df, "source", 1000, temperature=2
+        ).collect()
+    }
+    assert out["big"]["n_docs"] == 400 and out["small"]["n_docs"] == 4
+    # sqrt(400)/sqrt(4) = 10:1, vs the raw 100:1
+    assert out["big"]["weight"] == 20.0 and out["small"]["weight"] == 2.0
+    assert abs(out["big"]["share"] / out["small"]["share"] - 10.0) < 0.02
+    total = sum(r["sample_budget"] for r in out.values())
+    assert total <= 1000  # floor never over-allocates
+
+    prop = {
+        r["domain"]: r["share"]
+        for r in temperature_mixture_budgets(
+            df, "source", 1000, temperature=1
+        ).collect()
+    }
+    assert abs(prop["big"] / prop["small"] - 100.0) < 0.5
