@@ -326,3 +326,43 @@ def test_pq_codes_in_range_and_stable_under_repartition(spark, vecs):
         for r in PQ.pq_encode_fast(df, "embedding", books, dim=16).collect()
     }
     assert fast == base
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sets(
+        st.text(alphabet="abc", min_size=2, max_size=3), max_size=6
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_min_pieces_bounds_and_maxmunch_roundtrip(spark, words, extra):
+    """Model properties over random words/vocabs: (1) min-piece cost
+    is always defined when chars are in the inventory and bounded by
+    1..len(word); (2) greedy max-munch always reconstructs the word
+    and never beats the OPTIMAL min-piece count."""
+    from product_etl_spark.operators.bpe import encode_maxmunch
+    from product_etl_spark.operators.unigram import min_pieces_costs
+
+    words = sorted(set(words))
+    pieces = set("abc") | extra
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    pdf = spark.createDataFrame([(p,) for p in pieces], "piece string")
+    costs = {
+        r["word"]: r["n_pieces"] for r in min_pieces_costs(wdf, pdf).collect()
+    }
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    munched = {
+        r["doc_id"]: r["tokens"]
+        for r in encode_maxmunch(docs, "text", "doc_id", pieces).collect()
+    }
+    for i, w in enumerate(words):
+        assert 1 <= costs[w] <= len(w)
+        toks = munched[i]
+        assert "".join(toks) == w            # lossless
+        assert len(toks) >= costs[w]         # greedy never beats optimal
