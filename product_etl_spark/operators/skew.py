@@ -145,3 +145,59 @@ def salted_self_pairs(
             *[F.col(f"{c}_b") for c in others],
         )
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Pre-shuffle skew diagnostic — the report to read BEFORE
+    choosing between a plain join, ``salted_join``, or
+    ``two_phase_agg``: the ``top_n`` heaviest join/agg keys with
+    their row counts, share of the table, multiple of the mean key
+    load, and a deterministic recommended salt factor
+    ``ceil(n_rows / target_rows_per_task)`` (1 = no salting needed —
+    the key fits one task at the target batch size).
+
+    All integer/decimal arithmetic (shares are one double division of
+    exact bigints, rounded 1e-6), so the report is driver-hashable
+    (q192). Ties rank lexicographically by key for determinism.
+
+    Scale shape: ONE groupBy over the key (map-side combined — the
+    same shuffle the join/agg under diagnosis would pay, so running
+    the profile costs what one aggregation costs), one broadcast
+    1-row total, one TakeOrdered(top_n). No collect; the report is
+    top_n rows.
+    """
+    key = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *key,
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("_total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.col("_n_keys").cast("double")
+                / F.col("_total").cast("double"),
+                4,
+            ).alias("x_mean"),
+            F.ceil(
+                F.col("n_rows").cast("double") / F.lit(float(target_rows_per_task))
+            )
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key)
+        .limit(top_n)
+    )

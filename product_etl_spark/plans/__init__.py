@@ -122,6 +122,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q189_semdedup_prune",
     "q190_wordpiece_first_merge",
     "q191_domain_mixture_budgets",
+    "q192_event_key_skew_profile",
 ]
 
 _DRIVER_WINDOW = [

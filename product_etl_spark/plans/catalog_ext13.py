@@ -5,7 +5,8 @@ float EM trainer), SemDeDup (q189, embedding-level semantic dedup as
 an IVF-cell + intra-cell exact-cosine composition), the WordPiece
 first-merge scoring table (q190, the one-step engine-exact twin of
 bpe.train_wordpiece), and temperature-scaled domain mixing budgets
-(q191, packing.temperature_mixture_budgets at T=2).
+(q191, packing.temperature_mixture_budgets at T=2), and the
+join/agg key-skew diagnostic (q192, skew.key_skew_profile).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -356,3 +357,48 @@ def q191_domain_mixture_budgets(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return temperature_mixture_budgets(d, "source", 10_000, temperature=2)
+
+
+@register(
+    "q192_event_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT SUM(n_rows) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT c.event_type, c.n_rows,
+           ROUND(CAST(c.n_rows AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+             AS share,
+           ROUND(CAST(c.n_rows AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 4) AS x_mean,
+           CAST(CEIL(CAST(c.n_rows AS DOUBLE) / 1000.0) AS BIGINT)
+             AS salt_factor
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.n_rows DESC, c.event_type
+    LIMIT 10
+    """,
+)
+def q192_event_key_skew_profile(spark, sf_dir):
+    """Join/agg key-skew diagnostic (operators/skew.key_skew_profile)
+    on the events stream's type key: the top-10 heaviest keys with
+    row count, table share, multiple-of-mean load, and the
+    deterministic recommended salt factor ceil(n / target) — the
+    report a pipeline reads BEFORE choosing plain vs salted_join vs
+    two_phase_agg (q157 proves the salted rewrite's equality; this
+    pins the decision input). Engine-exact: counts are bigints,
+    share/x_mean are single IEEE ops on exact-integer doubles,
+    salt_factor is one division + ceil.
+
+    Scale shape: one map-side-combined groupBy over the key — the
+    same shuffle the operation under diagnosis would pay — one
+    broadcast 1-row total, one TakeOrdered. The report is top-N
+    rows; nothing collects."""
+    from product_etl_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(
+        ev, ["event_type"], top_n=10, target_rows_per_task=1000
+    )

@@ -340,3 +340,25 @@ def test_temperature_mixture_budgets_flattens_head(spark):
         ).collect()
     }
     assert abs(prop["big"] / prop["small"] - 100.0) < 0.5
+
+
+def test_key_skew_profile_planted_hot_key(spark):
+    """A planted 90/5/5 key split: the hot key tops the report with
+    the right share, x_mean and salt factor; ties rank by key."""
+    from product_etl_spark.operators.skew import key_skew_profile
+
+    rows = (
+        [("hot", i) for i in range(90)]
+        + [("a", i) for i in range(5)]
+        + [("b", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "k string, i long")
+    out = [
+        (r["k"], r["n_rows"], r["share"], r["x_mean"], r["salt_factor"])
+        for r in key_skew_profile(
+            df, ["k"], top_n=3, target_rows_per_task=30
+        ).collect()
+    ]
+    assert out[0] == ("hot", 90, 0.9, 2.7, 3)
+    assert out[1] == ("a", 5, 0.05, 0.15, 1)  # tie with 'b' -> key asc
+    assert out[2] == ("b", 5, 0.05, 0.15, 1)
