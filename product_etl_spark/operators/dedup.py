@@ -1416,3 +1416,56 @@ def hard_negative_pairs(
         .filter(F.col("rank") <= per_doc)
         .select("id_a", "id_b", "jaccard", "rank")
     )
+
+
+def cluster_safe_folds(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    n_folds: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "star",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Leakage-safe split assignment: every near-duplicate CLUSTER —
+    not every document — lands in one fold, so train and held-out
+    splits can never share near-duplicates (the evaluation-leakage
+    fix Lee et al. 2022 motivate: plain per-row folds like q183's put
+    a duplicated document on both sides of the split). fold =
+    portable-hash(component) mod n_folds, where component is the
+    connected-components label of the near-dup pair graph (singletons
+    label themselves) — a pure FUNCTION of the cluster id, so "no
+    cluster straddles folds" holds by construction (and is
+    pytest-asserted on a planted graph), and assignments are stable
+    under re-runs and appends that don't bridge clusters.
+
+    Output: (id, component, fold) for every input document.
+
+    Scale shape: the closure is the q156/q170 edge-frame machinery
+    (O(log n) star rounds, never a label frame for hubs); singletons
+    join back with one left join; the fold is a map-side hash. The
+    pair frame comes from any upstream near-dup stage (LSH, PPJoin,
+    SemDeDup) — this operator never touches text or embeddings."""
+    from product_etl_spark.functions.text import hash64
+
+    comp = connected_components(
+        pairs.select(id_a, id_b), id_a, id_b,
+        max_iter=max_iter, algorithm=algorithm,
+    )
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(
+            comp.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return labeled.withColumn(
+        "fold",
+        F.pmod(
+            hash64(F.col("component").cast("string")), F.lit(n_folds)
+        ).cast("int"),
+    )

@@ -123,6 +123,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q190_wordpiece_first_merge",
     "q191_domain_mixture_budgets",
     "q192_event_key_skew_profile",
+    "q193_cluster_safe_folds",
 ]
 
 _DRIVER_WINDOW = [

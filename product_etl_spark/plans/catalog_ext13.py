@@ -6,7 +6,9 @@ an IVF-cell + intra-cell exact-cosine composition), the WordPiece
 first-merge scoring table (q190, the one-step engine-exact twin of
 bpe.train_wordpiece), and temperature-scaled domain mixing budgets
 (q191, packing.temperature_mixture_budgets at T=2), and the
-join/agg key-skew diagnostic (q192, skew.key_skew_profile).
+join/agg key-skew diagnostic (q192, skew.key_skew_profile) and
+cluster-safe leakage-free fold assignment (q193,
+dedup.cluster_safe_folds).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -402,3 +404,64 @@ def q192_event_key_skew_profile(spark, sf_dir):
     return key_skew_profile(
         ev, ["event_type"], top_n=10, target_rows_per_task=1000
     )
+
+
+@register(
+    "q193_cluster_safe_folds",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS s
+      FROM documents WHERE doc_id >= 150 AND doc_id < 350
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.s, b.s)) > 0
+        AND 5 * LEN(list_intersect(a.s, b.s))
+            >= 3 * (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component
+      FROM t LEFT JOIN comp c ON c.node = t.doc_id
+    )
+    SELECT doc_id, component,
+           CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+                  ::BIGINT % 3 AS INT) AS fold
+    FROM labeled
+    """,
+)
+def q193_cluster_safe_folds(spark, sf_dir):
+    """Leakage-safe split assignment (dedup.cluster_safe_folds): every
+    near-duplicate CLUSTER lands in one fold — fold = portable
+    md5-hash(component) mod 3 over the q187 slice's exact-Jaccard
+    components (star contraction; singletons label themselves) — so
+    train and held-out folds can never share near-duplicates. The
+    fold is a pure function of the cluster id, making "no cluster
+    straddles folds" true by construction (pytest-asserted on a
+    planted graph) and assignments stable under re-runs; per-row
+    folds (q183) cannot give that guarantee. The oracle replays the
+    closure with a recursive CTE and the identical portable hash.
+
+    Scale shape: the q170 edge-frame closure plus one left join back
+    for singletons and a map-side hash; the fold step adds zero
+    shuffles beyond the closure it consumes."""
+    from product_etl_spark.operators.dedup import (
+        cluster_safe_folds,
+        set_similarity_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 350)
+    )
+    pairs = set_similarity_pairs(d, "text", "doc_id", 3, 5)
+    return cluster_safe_folds(d, pairs, "doc_id", n_folds=3)

@@ -976,3 +976,45 @@ def test_connected_components_unknown_algorithm_rejected(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="unknown connected-components"):
         D.connected_components(pairs, algorithm="bogus")
+
+
+def test_cluster_safe_folds_never_split_a_cluster(spark):
+    """Planted graph: chain {1,2,3} + pair {10,11} + singletons. Every
+    component lands in exactly ONE fold (by construction AND checked),
+    even where per-row hashing WOULD split it — the q183-style row
+    fold differs inside the chain, the cluster fold never does."""
+    from product_etl_spark.functions.text import hash64
+    from product_etl_spark.operators.dedup import cluster_safe_folds
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = cluster_safe_folds(docs, pairs, "doc_id", n_folds=3)
+    rows = {r["doc_id"]: (r["component"], r["fold"]) for r in out.collect()}
+    # one fold per component
+    by_comp = {}
+    for comp, fold in rows.values():
+        by_comp.setdefault(comp, set()).add(fold)
+    assert all(len(folds) == 1 for folds in by_comp.values())
+    assert rows[1][0] == rows[2][0] == rows[3][0] == 1
+    assert rows[10][0] == rows[11][0] == 10
+    assert rows[20] == (20, rows[20][1]) and rows[21][0] == 21
+    # the guarantee is non-trivial: per-row hashing DOES split the
+    # chain (so a q183-style split would leak near-duplicates)
+    row_folds = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id",
+            F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(3)).alias("f"),
+        ).collect()
+    }
+    assert len({row_folds[i] for i in (1, 2, 3)}) > 1
+    # determinism
+    again = {
+        r["doc_id"]: (r["component"], r["fold"])
+        for r in cluster_safe_folds(docs, pairs, "doc_id", n_folds=3).collect()
+    }
+    assert again == rows
