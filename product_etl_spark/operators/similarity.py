@@ -1299,3 +1299,118 @@ def incremental_semdedup(
             store_path
         )
     return accepted, rejected
+
+
+def signbit_bands(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Sign-bit banded signatures: (id, band, band_val) rows where
+    ``band_val`` packs the sign bits of ``band_bits`` consecutive
+    embedding dimensions into one BIGINT (bit j set iff
+    emb[band*band_bits + j] >= 0). Two vectors are ANN candidates when
+    they share any (band, band_val) — the SimHash banding trick of
+    Charikar 2002 applied to COORDINATE hyperplanes, which makes the
+    signature a pure deterministic function of the vector and hence
+    replayable by any engine (the oracle-portability twin of
+    ``lsh_assign_buckets``'s pseudo-random hyperplanes, which a
+    production index would use for isotropy).
+
+    Requires ``len(emb) >= n_bands * band_bits`` (shorter vectors get
+    NULL band values, which never match a join).
+
+    Scale shape: PURE MAP — the signature is one higher-order
+    expression per row, then a posexplode to n_bands rows/vector; no
+    shuffle, no state. The candidate join downstream is keyed on
+    (band, band_val), the classic LSH-join shape."""
+    weights = ", ".join(f"{1 << j}L" for j in range(band_bits))
+    expr = (
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"aggregate(zip_with(slice({emb_col}, b * {band_bits} + 1, "
+        f"{band_bits}), array({weights}), "
+        f"(v, w) -> IF(v >= 0, w, 0L)), 0L, (acc, x) -> acc + x))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(F.expr(expr)).alias("band", "band_val")
+    )
+
+
+def ann_recall_audit(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_queries: int = 20,
+    k: int = 10,
+    n_bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """ANN quality EVALUATION: recall@k of the sign-bit banded
+    candidate search (``signbit_bands``) against the exact cosine
+    ground truth (``knn_bruteforce``), per query — the audit a
+    pipeline runs before trusting an approximate index for
+    retrieval-based dedup or similarity search (the repo has the
+    searchers — LSH/IVF/PQ/Hamming — but until this operator, no
+    measurement of what they give up).
+
+    Queries are the ``n_queries`` lowest-id vectors (deterministic).
+    Output: (query_id, n_candidates, hits, recall) — candidate-set
+    size, overlap with the exact top-k, and hits/k.
+
+    Scale shape: ground truth is a broadcast of the Q queries against
+    the corpus (Q*N pairs, map-only then per-query top-k — exact
+    ground truth is ALWAYS paid only on a bounded query sample);
+    candidates come from the (band, band_val)-keyed join of the
+    broadcast Q*n_bands query signatures, so the corpus is scanned
+    twice and shuffled never. At 100 TB both legs stay map-side."""
+    queries = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_queries)
+        .select(id_col, emb_col)
+    )
+    exact = knn_bruteforce(
+        corpus, queries, emb_col, id_col, query_id_col="query_id", k=k
+    ).select("query_id", "neighbor_id")
+    qb = signbit_bands(queries, emb_col, id_col, n_bands, band_bits).select(
+        F.col(id_col).alias("query_id"),
+        F.col("band").alias("_qband"),
+        F.col("band_val").alias("_qval"),
+    )
+    cb = signbit_bands(corpus, emb_col, id_col, n_bands, band_bits)
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("_qband"))
+            & (F.col("band_val") == F.col("_qval"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = (
+        cand.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(ncand, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -124,6 +124,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q191_domain_mixture_budgets",
     "q192_event_key_skew_profile",
     "q193_cluster_safe_folds",
+    "q194_ann_recall_audit",
 ]
 
 _DRIVER_WINDOW = [

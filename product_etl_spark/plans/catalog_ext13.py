@@ -6,9 +6,11 @@ an IVF-cell + intra-cell exact-cosine composition), the WordPiece
 first-merge scoring table (q190, the one-step engine-exact twin of
 bpe.train_wordpiece), and temperature-scaled domain mixing budgets
 (q191, packing.temperature_mixture_budgets at T=2), and the
-join/agg key-skew diagnostic (q192, skew.key_skew_profile) and
+join/agg key-skew diagnostic (q192, skew.key_skew_profile),
 cluster-safe leakage-free fold assignment (q193,
-dedup.cluster_safe_folds).
+dedup.cluster_safe_folds), and the ANN recall@k audit (q194,
+similarity.ann_recall_audit — sign-bit banded candidates scored
+against the exact cosine top-k).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -465,3 +467,87 @@ def q193_cluster_safe_folds(spark, sf_dir):
     )
     pairs = set_similarity_pairs(d, "text", "doc_id", 3, 5)
     return cluster_safe_folds(d, pairs, "doc_id", n_folds=3)
+
+
+@register(
+    "q194_ann_recall_audit",
+    """
+    WITH dims AS (
+      SELECT e.vec_id, d.pos, CAST(d.val AS DOUBLE) AS val
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) d
+    ), bands AS (
+      SELECT vec_id, (pos - 1) // 8 AS band,
+             CAST(SUM(CASE WHEN val >= 0
+                      THEN CAST(POWER(2, (pos - 1) % 8) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS band_val
+      FROM dims GROUP BY vec_id, (pos - 1) // 8
+    ), q AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20
+    ), cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bands qb
+      JOIN q ON q.vec_id = qb.vec_id
+      JOIN bands cb ON cb.band = qb.band AND cb.band_val = qb.band_val
+       AND cb.vec_id <> qb.vec_id
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qe.vec_id
+                 ORDER BY CASE WHEN
+                     sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                           qe.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                           ce.embedding::DOUBLE[])) = 0
+                   THEN 0.0
+                   ELSE list_dot_product(qe.embedding::DOUBLE[],
+                                         ce.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                                 qe.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                                 ce.embedding::DOUBLE[])))
+                   END DESC, ce.vec_id) AS rn
+        FROM embeddings qe
+        JOIN q ON q.vec_id = qe.vec_id
+        JOIN embeddings ce ON ce.vec_id <> qe.vec_id
+      ) WHERE rn <= 10
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS hits,
+           ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0, 6) AS recall
+    FROM q
+    LEFT JOIN (SELECT query_id, COUNT(*) AS n FROM cand
+               GROUP BY query_id) c ON c.query_id = q.vec_id
+    LEFT JOIN (SELECT cand.query_id, COUNT(*) AS n FROM cand
+               JOIN exact ON exact.query_id = cand.query_id
+                AND exact.neighbor_id = cand.neighbor_id
+               GROUP BY cand.query_id) h ON h.query_id = q.vec_id
+    """,
+)
+def q194_ann_recall_audit(spark, sf_dir):
+    """ANN quality EVALUATION (similarity.ann_recall_audit): recall@10
+    of the sign-bit banded candidate search (8 bands x 8 sign bits,
+    Charikar-2002 SimHash banding on coordinate hyperplanes) against
+    the exact cosine top-10, for the 20 lowest-id query vectors — the
+    measurement a pipeline runs before trusting an approximate index
+    for retrieval dedup; the repo had the searchers (LSH/IVF/PQ/
+    Hamming) but no recall audit until this row. Engine-exact: the
+    signature is integer bit-packing, candidate/hit counts are
+    bigints, the exact top-k uses the fixed-order IEEE cosine both
+    engines share (the q92/q189 recipe) with id tie-break, and recall
+    is one division.
+
+    Scale shape: ground truth is paid ONLY on the bounded query
+    sample (broadcast Q x N map-only + per-query top-k); candidates
+    come from the (band, band_val)-keyed join against the broadcast
+    Q*8-row query signatures. The corpus is scanned twice, shuffled
+    never."""
+    from product_etl_spark.operators.similarity import ann_recall_audit
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_recall_audit(
+        e, "embedding", "vec_id", n_queries=20, k=10, n_bands=8, band_bits=8
+    )

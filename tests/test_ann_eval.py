@@ -1,0 +1,92 @@
+"""ANN recall audit (similarity.signbit_bands / ann_recall_audit):
+planted-fixture semantics — an identical vector MUST be a candidate
+and a hit; a fully sign-flipped vector can NEVER be a candidate — and
+the bit-packing contract of the signature itself."""
+
+from __future__ import annotations
+
+from product_etl_spark.operators.similarity import (
+    ann_recall_audit,
+    signbit_bands,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_signbit_band_packing(spark):
+    """Hand-checked packing: bit j of band b is set iff
+    emb[b*band_bits + j] >= 0 (zero counts as positive)."""
+    df = _emb(spark, [(7, [1.0, -1.0, 0.0, 1.0, -2.0, -3.0, -4.0, 5.0])])
+    rows = {
+        r["band"]: r["band_val"]
+        for r in signbit_bands(
+            df, "embedding", "vec_id", n_bands=2, band_bits=4
+        ).collect()
+    }
+    # band 0: [+, -, +(zero), +] -> 1 + 4 + 8 = 13
+    # band 1: [-, -, -, +]       -> 8
+    assert rows == {0: 13, 1: 8}
+
+
+def test_recall_audit_planted(spark):
+    """Query 0 has an exact duplicate (id 1: same signs -> candidate in
+    every band; cosine 1.0 -> exact top-1) and a sign-flipped twin
+    (id 2: NO band can match -> never a candidate even though its
+    |cosine| is 1). Fillers 3/4 share no band with the query."""
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0]),
+            (1, [2.0, -2.0, 2.0, 2.0, -2.0, 2.0, -2.0, -2.0]),
+            (2, [-1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0]),
+            (3, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+            (4, [-1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0]),
+        ],
+    )
+    out = ann_recall_audit(
+        df,
+        "embedding",
+        "vec_id",
+        n_queries=1,
+        k=2,
+        n_bands=2,
+        band_bits=4,
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["query_id"] == 0
+    # id 1 is the only sign-identical vector -> the only candidate
+    assert row["n_candidates"] == 1
+    # exact top-2 of query 0 is {1 (cos=1.0), then the best filler};
+    # the candidate set {1} intersects it in exactly one vector
+    assert row["hits"] == 1
+    assert row["recall"] == 0.5
+
+
+def test_recall_audit_zero_candidates_row_survives(spark):
+    """A query whose signature matches nothing still gets its audit
+    row (n_candidates = hits = 0) — silent row loss would overstate
+    average recall."""
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 1.0, 1.0, 1.0]),
+            (1, [-1.0, -1.0, -1.0, -1.0]),
+            (2, [-1.0, -1.0, -1.0, 1.0]),
+        ],
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_recall_audit(
+            df, "embedding", "vec_id",
+            n_queries=2, k=1, n_bands=1, band_bits=4,
+        ).collect()
+    }
+    assert out[0]["n_candidates"] == 0
+    assert out[0]["hits"] == 0
+    assert out[0]["recall"] == 0.0
+    # query 1 shares band [-,-,-,+]=8? no: id1 packs to 0, id2 packs
+    # to 8 -> no match either; both rows must exist regardless
+    assert set(out) == {0, 1}
