@@ -142,3 +142,85 @@ def vocabulary_coverage(
             ).alias(f"terms_p{round(100 * num / den)}")
         )
     return ranked.agg(*aggs)
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    Ney 1995; Chen & Goodman 1998's benchmark winner) — the
+    modern-smoothing sibling of q113's add-one bigram LM:
+
+        P_kn(w2|w1) = (c(w1,w2) - d) / c(w1,.)
+                      + (d * N1+(w1,.) / c(w1,.)) * (N1+(.,w2) / NB)
+
+    where ``N1+(w1,.)`` counts distinct followers of w1, ``N1+(.,w2)``
+    counts distinct CONTEXTS of w2 (the continuation count — "how many
+    ways can w2 start a phrase", the insight that makes KN beat MLE on
+    held-out text), and NB is the number of distinct bigram types.
+    Surfaces the ``top_n`` most frequent bigrams with all four counts
+    and the probability; every observed bigram has c >= 1 > d so the
+    max(c-d, 0) clamp is a no-op here.
+
+    Float policy: counts are exact BIGINTs; p_kn is the fixed
+    expression tree a/b + ((d*x)/b)*(y/z) of single correctly-rounded
+    IEEE ops on exact-integer doubles, so any engine reproduces it
+    bit-for-bit; ROUND(., 9) at the surface.
+
+    Scale shape: tokenize + per-doc LEAD builds bigram ROWS (documents
+    of any length never blow task memory); one (w1,w2) map-side-
+    combined groupBy bounded by bigram-type vocabulary; the context/
+    continuation counts are two vocabulary-bounded window passes over
+    the PAIR TABLE (never the corpus); NB folds from the pair table as
+    a broadcast 1-row aggregate. The corpus is scanned once."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bb = (
+        tok.select(
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    pairs = bb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pn"))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    enriched = pairs.select(
+        "w1",
+        "w2",
+        "pn",
+        F.sum("pn").over(w1w).alias("cw1"),
+        F.count(F.lit(1)).over(w1w).alias("n_follow"),
+        F.count(F.lit(1)).over(w2w).alias("n_cont"),
+    )
+    nb = pairs.agg(F.count(F.lit(1)).alias("nb"))
+    d = float(discount)
+    out = enriched.crossJoin(F.broadcast(nb)).select(
+        "w1",
+        "w2",
+        "pn",
+        "cw1",
+        "n_follow",
+        "n_cont",
+        F.round(
+            (F.col("pn").cast("double") - F.lit(d))
+            / F.col("cw1").cast("double")
+            + (
+                (F.lit(d) * F.col("n_follow").cast("double"))
+                / F.col("cw1").cast("double")
+            )
+            * (
+                F.col("n_cont").cast("double")
+                / F.col("nb").cast("double")
+            ),
+            9,
+        ).alias("pkn"),
+    )
+    return out.orderBy(F.col("pn").desc(), "w1", "w2").limit(top_n)

@@ -125,6 +125,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q192_event_key_skew_profile",
     "q193_cluster_safe_folds",
     "q194_ann_recall_audit",
+    "q195_kneser_ney_bigrams",
 ]
 
 _DRIVER_WINDOW = [

@@ -551,3 +551,67 @@ def q194_ann_recall_audit(spark, sf_dir):
     return ann_recall_audit(
         e, "embedding", "vec_id", n_queries=20, k=10, n_bands=8, band_bits=8
     )
+
+
+@register(
+    "q195_kneser_ney_bigrams",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(toks), 1)))
+                       AS i) r
+    ), pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pn
+      FROM bg GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(pn) AS BIGINT) AS cw1,
+             CAST(COUNT(*) AS BIGINT) AS n_follow
+      FROM pairs GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont
+      FROM pairs GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM pairs
+    )
+    SELECT p.w1, p.w2, p.pn, c.cw1, c.n_follow, o.n_cont,
+           ROUND((CAST(p.pn AS DOUBLE) - 0.75) / CAST(c.cw1 AS DOUBLE)
+                 + ((0.75 * CAST(c.n_follow AS DOUBLE))
+                    / CAST(c.cw1 AS DOUBLE))
+                   * (CAST(o.n_cont AS DOUBLE) / CAST(t.nb AS DOUBLE)),
+                 9) AS pkn
+    FROM pairs p
+    JOIN ctx c ON c.w1 = p.w1
+    JOIN cont o ON o.w2 = p.w2
+    CROSS JOIN tot t
+    ORDER BY p.pn DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+)
+def q195_kneser_ney_bigrams(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (collocations.
+    kneser_ney_bigrams, d=0.75): absolute discounting plus the
+    continuation-count backoff — the smoothing that made n-gram LMs
+    competitive (Chen & Goodman 1998) and the modern-smoothing
+    sibling of q113's add-one CCNet filter. Top-20 bigrams by count
+    with all four KN statistics and the probability. Engine-exact:
+    counts are BIGINTs (DuckDB's SUM->HUGEINT re-cast, the q166
+    lesson), p_kn is the shared fixed tree of single IEEE ops,
+    ordering is integer-decided.
+
+    Scale shape: one corpus tokenize (rows + per-doc LEAD, never
+    per-doc arrays), one (w1,w2) map-side-combined groupBy, two
+    vocabulary-bounded window passes over the PAIR table, a broadcast
+    1-row total, TakeOrdered top-k."""
+    from product_etl_spark.operators.collocations import (
+        kneser_ney_bigrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_bigrams(
+        d, "text", "doc_id", discount=0.75, top_n=20
+    )

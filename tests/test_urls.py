@@ -140,3 +140,43 @@ def test_url_catalog_matches_oracle(spark, sf_dir):
     spec = CATALOG["q132_url_canonicalization"]
     ok, msg = compare(spec["fn"](spark, sf_dir), spec["oracle"], sf_dir)
     assert ok, msg
+
+
+def test_kneser_ney_hand_check(spark):
+    """Planted corpus with hand-computed KN values: docs "a b a b"
+    and "b a" give pairs (a,b):2 and (b,a):2; each context has
+    cw1=2, n_follow=1; each continuation n_cont=1; NB=2, so
+    P_kn = (2-0.75)/2 + (0.75*1/2)*(1/2) = 0.8125 for both."""
+    from product_etl_spark.operators.collocations import kneser_ney_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in kneser_ney_bigrams(docs, top_n=10).collect()
+    }
+    assert set(rows) == {("a", "b"), ("b", "a")}
+    for r in rows.values():
+        assert r["pn"] == 2 and r["cw1"] == 2
+        assert r["n_follow"] == 1 and r["n_cont"] == 1
+        assert r["pkn"] == 0.8125
+
+
+def test_kneser_ney_probabilities_sum_per_context(spark):
+    """For every context w1, sum over OBSERVED w2 of P_kn(w2|w1) must
+    be <= 1 (the discount mass withheld funds unseen continuations);
+    with every bigram type observed it telescopes to exactly 1."""
+    from product_etl_spark.operators.collocations import kneser_ney_bigrams
+
+    # Corpus where both contexts have both continuations observed:
+    # aa ab ba bb all present -> interpolated KN sums to 1 exactly.
+    docs = spark.createDataFrame(
+        [(1, "a a b b a b b a a b")], "doc_id long, text string"
+    )
+    rows = kneser_ney_bigrams(docs, top_n=10).collect()
+    by_ctx: dict[str, float] = {}
+    for r in rows:
+        by_ctx[r["w1"]] = by_ctx.get(r["w1"], 0.0) + r["pkn"]
+    for w1, s in by_ctx.items():
+        assert abs(s - 1.0) < 1e-9, (w1, s)
