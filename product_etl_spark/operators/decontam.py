@@ -152,3 +152,91 @@ def fuzzy_contaminated_ids(
         .groupBy(id_col)
         .agg(F.countDistinct("_bench_id").alias("n_bench_matches"))
     )
+
+
+def fold_contamination_audit(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_folds: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-FOLD contamination audit: after a per-row fold split
+    (q183's portable-hash k-fold), how leaky is each fold really?
+    For every fold reports how many of its documents share at least
+    one exact word n-gram with ANY other fold, and how many of its
+    distinct grams cross fold lines — the measurement that motivates
+    cluster-safe folds (q193) over per-row folds, and the
+    train/held-out twin of benchmark decontamination (q112, which
+    audits train vs an EXTERNAL eval set; this audits the split
+    against itself).
+
+    Output: (fold, n_docs, contaminated_docs, shared_grams,
+    contamination_rate) — one row per fold.
+
+    Scale shape: fold id is a map-side portable hash; grams come from
+    ``exploded_shingles`` (rows, distinct per doc); the cross-fold
+    probe joins doc-grams against the DISTINCT (gram, fold) table on
+    the gram key — gram-vocabulary-bounded, never doc x doc — and
+    both report legs are fold-count-sized aggregates."""
+    from product_etl_spark.functions.text import hash64
+    from product_etl_spark.operators.dedup import exploded_shingles
+
+    folds = docs.select(
+        F.col(id_col),
+        F.pmod(hash64(F.col(id_col).cast("string")), F.lit(n_folds))
+        .cast("int")
+        .alias("fold"),
+    )
+    dgf = (
+        exploded_shingles(docs, text_col, id_col, n)
+        .join(folds, id_col)
+        .select(id_col, "sh", "fold")
+    )
+    gf = dgf.select("sh", "fold").distinct()
+    other = gf.select(
+        F.col("sh").alias("_osh"), F.col("fold").alias("_ofold")
+    )
+    cont = (
+        dgf.join(
+            other,
+            (F.col("sh") == F.col("_osh"))
+            & (F.col("fold") != F.col("_ofold")),
+        )
+        .select(id_col, "fold")
+        .distinct()
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("_cont"))
+    )
+    shared = (
+        gf.join(
+            other,
+            (F.col("sh") == F.col("_osh"))
+            & (F.col("fold") != F.col("_ofold")),
+        )
+        .select("sh", "fold")
+        .distinct()
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    base = folds.groupBy("fold").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(cont, "fold", "left")
+        .join(shared, "fold", "left")
+        .select(
+            "fold",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("_cont"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_docs"),
+            F.coalesce(F.col("_shared"), F.lit(0))
+            .cast("long")
+            .alias("shared_grams"),
+            F.round(
+                F.coalesce(F.col("_cont"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("fold")
+    )

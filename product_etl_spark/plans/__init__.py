@@ -126,6 +126,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q193_cluster_safe_folds",
     "q194_ann_recall_audit",
     "q195_kneser_ney_bigrams",
+    "q196_fold_contamination_audit",
 ]
 
 _DRIVER_WINDOW = [

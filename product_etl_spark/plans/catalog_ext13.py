@@ -615,3 +615,75 @@ def q195_kneser_ney_bigrams(spark, sf_dir):
     return kneser_ney_bigrams(
         d, "text", "doc_id", discount=0.75, top_n=20
     )
+
+
+@register(
+    "q196_fold_contamination_audit",
+    r"""
+    WITH folds AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % 3 AS INT) AS fold
+      FROM documents
+    ), t AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '') AS toks
+      FROM documents
+    ), dg AS (
+      SELECT DISTINCT d.doc_id,
+             array_to_string(d.toks[i:i+4], ' ') AS sh
+      FROM t d, LATERAL (SELECT UNNEST(RANGE(1,
+                           GREATEST(LEN(d.toks) - 3, 1))) AS i) r
+    ), dgf AS (
+      SELECT dg.doc_id, dg.sh, f.fold
+      FROM dg JOIN folds f ON f.doc_id = dg.doc_id
+    ), gf AS (
+      SELECT DISTINCT sh, fold FROM dgf
+    ), cont AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id, a.fold
+        FROM dgf a JOIN gf b ON b.sh = a.sh AND b.fold <> a.fold
+      ) GROUP BY fold
+    ), shared AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.sh, a.fold
+        FROM gf a JOIN gf b ON b.sh = a.sh AND b.fold <> a.fold
+      ) GROUP BY fold
+    ), base AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM folds GROUP BY fold
+    )
+    SELECT base.fold, base.n_docs,
+           CAST(COALESCE(cont.n, 0) AS BIGINT) AS contaminated_docs,
+           CAST(COALESCE(shared.n, 0) AS BIGINT) AS shared_grams,
+           ROUND(CAST(COALESCE(cont.n, 0) AS DOUBLE)
+                 / CAST(base.n_docs AS DOUBLE), 6) AS contamination_rate
+    FROM base
+    LEFT JOIN cont ON cont.fold = base.fold
+    LEFT JOIN shared ON shared.fold = base.fold
+    ORDER BY base.fold
+    """,
+)
+def q196_fold_contamination_audit(spark, sf_dir):
+    """Cross-fold contamination audit (decontam.
+    fold_contamination_audit, word 5-grams — q112's benchmark gram
+    size — 3 folds): for each portable-hash fold (q183's split rule),
+    the count and rate of documents sharing at least one exact
+    5-gram with another fold,
+    plus the distinct grams that cross fold lines — the leakage
+    measurement that motivates cluster-safe folds (q193) over per-row
+    folds, and the split-vs-itself twin of benchmark decontamination
+    (q112). Engine-exact: fold ids and all counts are integers; the
+    rate is one division.
+
+    Scale shape: map-side hash fold ids; grams via exploded_shingles
+    rows; ONE gram-keyed join of doc-grams against the distinct
+    (gram, fold) table — vocabulary-bounded, never doc x doc; the
+    report is fold-count rows."""
+    from product_etl_spark.operators.decontam import (
+        fold_contamination_audit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return fold_contamination_audit(d, "text", "doc_id", n_folds=3, n=5)

@@ -112,3 +112,40 @@ def test_fuzzy_contaminated_ids_planted(spark):
     assert 2 not in rows
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_fold_contamination_audit_planted(spark):
+    """Planted split: doc 0 (fold 0) and doc 7 (fold 1) share a
+    5-gram -> both contaminated, the shared gram counted once per
+    fold it appears in; doc 1 (fold 2) is unique text -> fold 2 is
+    clean. Folds are the portable md5 hash (precomputed: 0->0, 7->1,
+    1->2)."""
+    from product_etl_spark.operators.decontam import (
+        fold_contamination_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (7, "alpha beta gamma delta epsilon eta"),
+            (1, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["fold"]: r
+        for r in fold_contamination_audit(
+            docs, "text", "doc_id", n_folds=3, n=5
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    # 'alpha beta gamma delta epsilon' crosses folds 0 and 1
+    assert rows[0]["contaminated_docs"] == 1
+    assert rows[1]["contaminated_docs"] == 1
+    assert rows[0]["shared_grams"] == 1
+    assert rows[1]["shared_grams"] == 1
+    assert rows[2]["contaminated_docs"] == 0
+    assert rows[2]["shared_grams"] == 0
+    assert rows[0]["contamination_rate"] == 1.0
+    assert rows[2]["contamination_rate"] == 0.0
+    assert rows[2]["n_docs"] == 1
