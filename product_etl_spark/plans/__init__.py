@@ -127,6 +127,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q194_ann_recall_audit",
     "q195_kneser_ney_bigrams",
     "q196_fold_contamination_audit",
+    "q197_linkage_agreement_patterns",
 ]
 
 _DRIVER_WINDOW = [

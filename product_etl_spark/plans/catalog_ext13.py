@@ -8,9 +8,13 @@ bpe.train_wordpiece), and temperature-scaled domain mixing budgets
 (q191, packing.temperature_mixture_budgets at T=2), and the
 join/agg key-skew diagnostic (q192, skew.key_skew_profile),
 cluster-safe leakage-free fold assignment (q193,
-dedup.cluster_safe_folds), and the ANN recall@k audit (q194,
+dedup.cluster_safe_folds), the ANN recall@k audit (q194,
 similarity.ann_recall_audit — sign-bit banded candidates scored
-against the exact cosine top-k).
+against the exact cosine top-k), the interpolated Kneser-Ney bigram
+LM (q195, collocations.kneser_ney_bigrams), the cross-fold
+contamination audit (q196, decontam.fold_contamination_audit), and
+the Fellegi-Sunter agreement-pattern profile (q197,
+linkage.agreement_pattern_profile).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -687,3 +691,87 @@ def q196_fold_contamination_audit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return fold_contamination_audit(d, "text", "doc_id", n_folds=3, n=5)
+
+
+@register(
+    "q197_linkage_agreement_patterns",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS band,
+             CAST(c_acctbal AS DOUBLE) >= 0 AS pos
+      FROM customer
+    ), pc AS (
+      SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+        SELECT (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                     THEN '1' ELSE '0' END)
+            || (CASE WHEN a.band = b.band THEN '1' ELSE '0' END)
+            || (CASE WHEN a.pos = b.pos THEN '1' ELSE '0' END) AS pattern
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+      ) GROUP BY pattern
+    ), m AS (
+      SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot,
+             CAST(SUM(CASE WHEN substr(pattern, 1, 1) = '1'
+                      THEN n_pairs ELSE 0 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN substr(pattern, 2, 1) = '1'
+                      THEN n_pairs ELSE 0 END) AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN substr(pattern, 3, 1) = '1'
+                      THEN n_pairs ELSE 0 END) AS BIGINT) AS a3
+      FROM pc
+    )
+    SELECT pc.pattern, pc.n_pairs,
+           ROUND(((CAST(m.tot AS DOUBLE)
+             * (CASE WHEN substr(pc.pattern, 1, 1) = '1'
+                THEN CAST(m.a1 AS DOUBLE) / CAST(m.tot AS DOUBLE)
+                ELSE 1.0 - CAST(m.a1 AS DOUBLE) / CAST(m.tot AS DOUBLE)
+                END))
+             * (CASE WHEN substr(pc.pattern, 2, 1) = '1'
+                THEN CAST(m.a2 AS DOUBLE) / CAST(m.tot AS DOUBLE)
+                ELSE 1.0 - CAST(m.a2 AS DOUBLE) / CAST(m.tot AS DOUBLE)
+                END))
+             * (CASE WHEN substr(pc.pattern, 3, 1) = '1'
+                THEN CAST(m.a3 AS DOUBLE) / CAST(m.tot AS DOUBLE)
+                ELSE 1.0 - CAST(m.a3 AS DOUBLE) / CAST(m.tot AS DOUBLE)
+                END), 6) AS expected,
+           CASE WHEN expected = 0 THEN 0.0
+                ELSE ROUND(CAST(pc.n_pairs AS DOUBLE) / expected, 6)
+                END AS lift
+    FROM pc CROSS JOIN m
+    ORDER BY pc.pattern
+    """,
+)
+def q197_linkage_agreement_patterns(spark, sf_dir):
+    """Fellegi-Sunter agreement-pattern profile (linkage.
+    agreement_pattern_profile) over nation-blocked customer pairs
+    with three compare fields — market segment, acctbal band
+    (floor/2000), acctbal sign: the frequency of each of the <= 8
+    agreement patterns vs the count expected under field
+    independence, plus the lift. The sufficient statistic a full FS
+    EM fits m/u weights to, and on its own the which-fields-
+    discriminate report a linkage pipeline (q137/q181) reads before
+    scoring. Engine-exact: counts BIGINT, rates single divisions,
+    expected the shared left-fold tree, lift divides by the ROUNDED
+    expected on both sides.
+
+    Scale shape: pairs bounded by the nation block (O(sum block^2),
+    the module contract); the pattern table is <= 8 rows, marginals
+    fold from IT as a broadcast 1-row aggregate — the pair set is
+    scanned once."""
+    from product_etl_spark.operators.linkage import (
+        agreement_pattern_profile,
+    )
+
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0)).alias(
+            "band"
+        ),
+        (F.col("c_acctbal").cast("double") >= F.lit(0.0)).alias("pos"),
+    )
+    return agreement_pattern_profile(
+        cu, "c_nationkey", "c_custkey", ["c_mktsegment", "band", "pos"]
+    )

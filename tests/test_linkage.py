@@ -162,3 +162,52 @@ def test_woe_binning_ntile_semantics_and_totals(spark):
     tp, tn = 8, 15
     want = math.log(((5 + 0.5) / (tp + 0.5)) / ((0 + 0.5) / (tn + 0.5)))
     assert abs(got[4]["woe"] - round(want, 6)) < 1e-9
+
+
+def test_agreement_pattern_profile_planted(spark):
+    """One block, three records with hand-enumerable patterns:
+    (1,2) agree on seg only -> '10'; (1,3) agree on band only ->
+    '01'; (2,3) agree on neither -> '00'. Marginals are 1/3 each;
+    expected replicates the operator's left-fold float tree."""
+    from product_etl_spark.operators.linkage import (
+        agreement_pattern_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, "A", 0), (2, 0, "A", 1), (3, 0, "B", 0)],
+        "id long, blk int, seg string, band int",
+    )
+    rows = {
+        r["pattern"]: r
+        for r in agreement_pattern_profile(
+            df, "blk", "id", ["seg", "band"]
+        ).collect()
+    }
+    assert {p: rows[p]["n_pairs"] for p in rows} == {
+        "10": 1, "01": 1, "00": 1
+    }
+    p = 1 / 3
+    exp = {
+        "10": round((3.0 * p) * (1.0 - p), 6),
+        "01": round((3.0 * (1.0 - p)) * p, 6),
+        "00": round((3.0 * (1.0 - p)) * (1.0 - p), 6),
+    }
+    for pat, r in rows.items():
+        assert r["expected"] == exp[pat], (pat, r["expected"], exp[pat])
+        assert r["lift"] == round(r["n_pairs"] / exp[pat], 6)
+
+
+def test_agreement_pattern_profile_blocks_bound_pairs(spark):
+    """Records in different blocks are never paired — the O(block^2)
+    contract: two identical records in different blocks produce no
+    pattern row at all."""
+    from product_etl_spark.operators.linkage import (
+        agreement_pattern_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, "A"), (2, 1, "A")], "id long, blk int, seg string"
+    )
+    assert (
+        agreement_pattern_profile(df, "blk", "id", ["seg"]).count() == 0
+    )
