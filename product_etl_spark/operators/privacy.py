@@ -134,3 +134,67 @@ def suppress_risky_groups(
         ],
         F.coalesce(F.col("_risky"), F.lit(False)).alias("suppressed"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """t-closeness report (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy ladder after k-anonymity (q140/q182)
+    and l-diversity (q179): a quasi-identifier group leaks when the
+    DISTRIBUTION of the sensitive attribute inside it sits far from
+    the global distribution, even if the group is large (k holds)
+    and varied (l holds). For a categorical sensitive attribute
+    under uniform ground distance the Earth Mover's Distance
+    degenerates to half the L1 distance:
+
+        t(g) = 0.5 * sum_v | P(v | g) - P(v) |
+
+    Reports the ``top_n`` groups by t (ties broken by the quasi
+    values) with their sizes — the groups to suppress or generalize
+    first.
+
+    Float policy: the per-value shares are single divisions of
+    exact-integer doubles; each |q - p| term is ROUND(.,9) ->
+    DECIMAL so the per-group sum is ORDER-FREE and exact (the q142
+    mean recipe); the final 0.5x happens once in double.
+
+    Scale shape: one groupBy over (quasi, sensitive) — the same
+    shuffle the k/l reports pay — then the dense group x value grid
+    is built from the two DISTINCT side tables (quasi-space x
+    sensitive-cardinality rows, both bounded far below the corpus)
+    with the observed counts LEFT-joined on, so absent combinations
+    contribute their full global share without a corpus rescan."""
+    gv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_cgv")
+    )
+    groups = gv.groupBy(*quasi_cols).agg(F.sum("_cgv").alias("_ng"))
+    vals = gv.groupBy(sensitive_col).agg(F.sum("_cgv").alias("_nv"))
+    total = vals.agg(F.sum("_nv").alias("_n"))
+    grid = (
+        groups.crossJoin(F.broadcast(vals))
+        .join(gv, [*quasi_cols, sensitive_col], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    q = F.coalesce(F.col("_cgv"), F.lit(0)).cast("double") / F.col(
+        "_ng"
+    ).cast("double")
+    p = F.col("_nv").cast("double") / F.col("_n").cast("double")
+    term = F.round(F.abs(q - p), 9).cast("decimal(18,9)")
+    per_group = grid.groupBy(*quasi_cols, "_ng").agg(
+        F.sum(term).alias("_l1")
+    )
+    return (
+        per_group.select(
+            *quasi_cols,
+            F.col("_ng").cast("long").alias("n_rows"),
+            F.round(
+                F.lit(0.5) * F.col("_l1").cast("double"), 6
+            ).alias("t"),
+        )
+        .orderBy(F.col("t").desc(), *[F.col(c).asc() for c in quasi_cols])
+        .limit(top_n)
+    )

@@ -128,6 +128,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q195_kneser_ney_bigrams",
     "q196_fold_contamination_audit",
     "q197_linkage_agreement_patterns",
+    "q198_t_closeness_audit",
 ]
 
 _DRIVER_WINDOW = [

@@ -775,3 +775,77 @@ def q197_linkage_agreement_patterns(spark, sf_dir):
     return agreement_pattern_profile(
         cu, "c_nationkey", "c_custkey", ["c_mktsegment", "band", "pos"]
     )
+
+
+@register(
+    "q198_t_closeness_audit",
+    """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS INT) AS band
+      FROM customer
+    ), gv AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(COUNT(*) AS BIGINT) AS cgv
+      FROM c GROUP BY c_nationkey, c_mktsegment, band
+    ), g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(cgv) AS BIGINT) AS ng
+      FROM gv GROUP BY c_nationkey, c_mktsegment
+    ), v AS (
+      SELECT band, CAST(SUM(cgv) AS BIGINT) AS nv FROM gv GROUP BY band
+    ), tot AS (
+      SELECT CAST(SUM(nv) AS BIGINT) AS n FROM v
+    ), grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.ng, v.band, v.nv,
+             COALESCE(gv.cgv, 0) AS cgv
+      FROM g CROSS JOIN v
+      LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey
+                  AND gv.c_mktsegment = g.c_mktsegment
+                  AND gv.band = v.band
+    ), terms AS (
+      SELECT c_nationkey, c_mktsegment, ng,
+             CAST(ROUND(ABS(CAST(cgv AS DOUBLE) / CAST(ng AS DOUBLE)
+                            - CAST(nv AS DOUBLE) / CAST(t.n AS DOUBLE)),
+                        9) AS DECIMAL(18,9)) AS term
+      FROM grid CROSS JOIN tot t
+    ), pg AS (
+      SELECT c_nationkey, c_mktsegment, ng, SUM(term) AS l1
+      FROM terms GROUP BY c_nationkey, c_mktsegment, ng
+    )
+    SELECT c_nationkey, c_mktsegment, ng AS n_rows,
+           ROUND(0.5 * CAST(l1 AS DOUBLE), 6) AS t
+    FROM pg
+    ORDER BY t DESC, c_nationkey, c_mktsegment
+    LIMIT 10
+    """,
+)
+def q198_t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (privacy.t_closeness_audit) — the third rung
+    of the privacy ladder after k-anonymity (q140/q182) and
+    l-diversity (q179): for each (nation, segment) quasi group, the
+    EMD between its acctbal-band distribution and the global one
+    (categorical ground distance -> half the L1 norm); top-10 worst
+    groups. A group can pass k and l and still leak through a skewed
+    sensitive distribution — this is the report that catches it.
+    Engine-exact: shares are single divisions of exact-integer
+    doubles, each |q - p| term is ROUND(.,9)->DECIMAL so the group
+    sum is order-free, the 0.5x is one double op; ordering is by
+    identical doubles with quasi-key tie-break.
+
+    Scale shape: ONE (quasi, sensitive) groupBy (map-side combine);
+    the dense group x value grid builds from the two distinct side
+    tables (quasi-space x band-cardinality rows) with the observed
+    counts left-joined — absent combinations contribute their global
+    share with no corpus rescan; the report is top-N."""
+    from product_etl_spark.operators.privacy import t_closeness_audit
+
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+        .cast("int")
+        .alias("band"),
+    )
+    return t_closeness_audit(
+        cu, ["c_nationkey", "c_mktsegment"], "band", top_n=10
+    )

@@ -225,3 +225,34 @@ def test_suppress_risky_groups_null_quasi_group(spark):
     }
     assert got[30] == (None, None, True)
     assert got[0] == ("US", "AUTO", False)
+
+
+def test_t_closeness_hand_check(spark):
+    """Planted release: global sensitive distribution is 50/50 over
+    {x, y}. Group 'skew' holds only x -> t = 0.5*(|1-0.5|+|0-0.5|)
+    = 0.5; group 'flat' holds one of each -> t = 0. Absent
+    (group, value) combos must contribute the full global share."""
+    from product_etl_spark.operators.privacy import t_closeness_audit
+
+    df = spark.createDataFrame(
+        [
+            ("skew", "x"),
+            ("skew", "x"),
+            ("flat", "x"),
+            ("flat", "y"),
+            ("skew2", "y"),
+            ("skew2", "y"),
+        ],
+        "grp string, sec string",
+    )
+    rows = {
+        r["grp"]: r
+        for r in t_closeness_audit(df, ["grp"], "sec", top_n=10).collect()
+    }
+    assert rows["skew"]["t"] == 0.5
+    assert rows["skew2"]["t"] == 0.5
+    assert rows["flat"]["t"] == 0.0
+    assert rows["flat"]["n_rows"] == 2
+    # worst groups first, ties broken by quasi value ascending
+    ordered = t_closeness_audit(df, ["grp"], "sec", top_n=10).collect()
+    assert [r["grp"] for r in ordered] == ["skew", "skew2", "flat"]
