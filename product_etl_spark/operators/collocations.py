@@ -224,3 +224,87 @@ def kneser_ney_bigrams(
         ).alias("pkn"),
     )
     return out.orderBy(F.col("pn").desc(), "w1", "w2").limit(top_n)
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) over the ``top_n`` most frequent words
+    (ranked by count desc, word asc — integer-decided). A healthy
+    natural-language corpus fits slope ~ -1 with high r^2; templated
+    or machine-generated text bends the curve, so the (slope, r2)
+    pair is a cheap corpus-level quality fingerprint next to the
+    per-document filters (q58 quality, q113 perplexity, q144
+    repetition).
+
+    Output: ONE row (n_pts, vocab, slope, intercept, r2).
+
+    Float policy: ln of exact integers agrees across engines (the
+    q113 precedent); each ln is ROUND(.,9) -> DECIMAL(18,9) so every
+    OLS moment is an ORDER-FREE exact decimal sum (the q161 recipe
+    lifted to log space); slope/intercept/r2 then evaluate once in
+    double on identical operands.
+
+    Scale shape: one tokenize + word groupBy (vocabulary-bounded,
+    map-side combined); the fit runs over top_n rows — rank is a
+    bounded TakeOrdered, the moments are a 1-row aggregate, vocab
+    folds from the word table. The corpus is scanned once."""
+    tok = docs.select(
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    wc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = wc.agg(F.count(F.lit(1)).alias("vocab"))
+    from pyspark.sql import Window as W
+
+    # TakeOrderedAndProject first (scale-safe top-k), THEN the rank
+    # window over the top_n-row frame only — never a SinglePartition
+    # window over the full vocabulary (the global_sort_ranks lesson).
+    ranked = (
+        wc.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(top_n)
+        .select(
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), F.col("tok").asc()))
+            .alias("rank"),
+        )
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(18,9)")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n_pts").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    # Degenerate guards (ANSI mode raises on /0): a single point has
+    # varx = 0 -> flat line through its mean; a constant-frequency
+    # corpus has vary = 0 -> slope 0 (cov is exactly 0 in decimal),
+    # and r2 is defined as 0 when either variance vanishes.
+    slope = F.when(varx == F.lit(0.0), F.lit(0.0)).otherwise(cov / varx)
+    r2 = F.when(
+        (varx * vary) == F.lit(0.0), F.lit(0.0)
+    ).otherwise((cov * cov) / (varx * vary))
+    return m.crossJoin(F.broadcast(vocab)).select(
+        F.col("n_pts").cast("long").alias("n_pts"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -129,6 +129,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q196_fold_contamination_audit",
     "q197_linkage_agreement_patterns",
     "q198_t_closeness_audit",
+    "q199_zipf_fit",
 ]
 
 _DRIVER_WINDOW = [

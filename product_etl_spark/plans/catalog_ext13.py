@@ -849,3 +849,75 @@ def q198_t_closeness_audit(spark, sf_dir):
     return t_closeness_audit(
         cu, ["c_nationkey", "c_mktsegment"], "band", top_n=10
     )
+
+
+@register(
+    "q199_zipf_fit",
+    r"""
+    WITH tok AS (
+      SELECT UNNEST(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ), wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+    ), vocab AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM wc
+    ), ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+      FROM wc ORDER BY n DESC, tok ASC LIMIT 100
+    ), terms AS (
+      SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS x,
+             CAST(ROUND(LN(CAST(n AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS y
+      FROM ranked
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM terms
+    ), d AS (
+      SELECT m.n_pts, v.vocab,
+             CAST(m.n_pts AS DOUBLE) AS nd,
+             CAST(m.sx AS DOUBLE) AS sx, CAST(m.sy AS DOUBLE) AS sy,
+             CAST(m.sxx AS DOUBLE) AS sxx, CAST(m.sxy AS DOUBLE) AS sxy,
+             CAST(m.syy AS DOUBLE) AS syy
+      FROM m CROSS JOIN vocab v
+    ), e AS (
+      SELECT n_pts, vocab, nd, sx, sy,
+             nd * sxy - sx * sy AS cov,
+             nd * sxx - sx * sx AS varx,
+             nd * syy - sy * sy AS vary
+      FROM d
+    )
+    SELECT n_pts, vocab,
+           ROUND(CASE WHEN varx = 0 THEN 0.0 ELSE cov / varx END, 6)
+             AS slope,
+           ROUND((sy - (CASE WHEN varx = 0 THEN 0.0
+                        ELSE cov / varx END) * sx) / nd, 6) AS intercept,
+           ROUND(CASE WHEN (varx * vary) = 0 THEN 0.0
+                 ELSE (cov * cov) / (varx * vary) END, 6) AS r2
+    FROM e
+    """,
+)
+def q199_zipf_fit(spark, sf_dir):
+    """Zipf's-law corpus fingerprint (collocations.zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-100 words — slope ~ -1 and
+    high r^2 for natural language; bent curves flag templated or
+    machine-generated corpora. One-row surface (n_pts, vocab, slope,
+    intercept, r2). Engine-exact: the rank set is integer-decided
+    (count desc, word asc), each ln of an exact integer rounds to 9
+    and sums as DECIMAL (order-free, the q161 moment recipe lifted
+    to log space), and the closed-form expressions evaluate once in
+    double on identical operands.
+
+    Scale shape: one tokenize + vocabulary-bounded word groupBy;
+    TakeOrdered top-100 FIRST, then the rank window runs over those
+    100 rows only (never a SinglePartition window over the
+    vocabulary); moments are a 1-row aggregate; vocab folds from the
+    word table. One corpus scan."""
+    from product_etl_spark.operators.collocations import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, "text", "doc_id", top_n=100)

@@ -180,3 +180,33 @@ def test_kneser_ney_probabilities_sum_per_context(spark):
         by_ctx[r["w1"]] = by_ctx.get(r["w1"], 0.0) + r["pkn"]
     for w1, s in by_ctx.items():
         assert abs(s - 1.0) < 1e-9, (w1, s)
+
+
+def test_zipf_fit_perfect_curve(spark):
+    """freq exactly proportional to 1/rank (6, 3, 2) makes ln-ln OLS
+    a perfect line: slope -1, r2 1 (up to the 1e-9 term rounding)."""
+    from product_etl_spark.operators.collocations import zipf_fit
+
+    text = " ".join(["aa"] * 6 + ["bb"] * 3 + ["cc"] * 2)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(docs, top_n=100).collect()[0]
+    assert row["n_pts"] == 3 and row["vocab"] == 3
+    assert abs(row["slope"] + 1.0) < 1e-6
+    assert row["r2"] > 0.999999
+    # intercept is ln(6): rank-1 frequency
+    import math
+
+    assert abs(row["intercept"] - math.log(6.0)) < 1e-6
+
+
+def test_zipf_fit_flat_corpus_low_r2(spark):
+    """A uniform (templated) vocabulary is NOT Zipfian: slope near 0.
+    This is the quality-fingerprint direction the operator exists
+    for — flat curves flag machine-generated text."""
+    from product_etl_spark.operators.collocations import zipf_fit
+
+    text = " ".join([f"w{i}" for i in range(20)] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(docs, top_n=100).collect()[0]
+    assert row["n_pts"] == 20
+    assert row["slope"] == 0.0  # all counts equal -> zero covariance
