@@ -273,11 +273,35 @@ def zipf_fit(
             .alias("rank"),
         )
     )
-    x = F.round(F.log(F.col("rank").cast("double")), 9).cast(
+    m = lnln_ols(ranked, "rank", "n")
+    return m.crossJoin(F.broadcast(vocab)).select(
+        "n_pts",
+        F.col("vocab").cast("long").alias("vocab"),
+        "slope",
+        "intercept",
+        "r2",
+    )
+
+
+def lnln_ols(points: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """ONE-row OLS of ln(y) on ln(x) over exact-integer points:
+    (n_pts, slope, intercept, r2) — the shared power-law fitter
+    behind zipf_fit (q199) and heaps_fit (q200).
+
+    Float policy: ln of exact integers agrees across engines (the
+    q113 precedent); each ln is ROUND(.,9) -> DECIMAL(18,9) so every
+    OLS moment is an ORDER-FREE exact decimal sum (the q161 recipe
+    lifted to log space); slope/intercept/r2 then evaluate once in
+    double on identical operands. Degenerate guards (ANSI raises on
+    /0): varx = 0 -> slope 0 / flat line through the mean; r2 is 0
+    when either variance vanishes."""
+    x = F.round(F.log(F.col(x_col).cast("double")), 9).cast(
         "decimal(18,9)"
     )
-    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(18,9)")
-    m = ranked.agg(
+    y = F.round(F.log(F.col(y_col).cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    m = points.agg(
         F.count(F.lit(1)).alias("n_pts"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
@@ -293,18 +317,100 @@ def zipf_fit(
     cov = nd * sxy - sx * sy
     varx = nd * sxx - sx * sx
     vary = nd * syy - sy * sy
-    # Degenerate guards (ANSI mode raises on /0): a single point has
-    # varx = 0 -> flat line through its mean; a constant-frequency
-    # corpus has vary = 0 -> slope 0 (cov is exactly 0 in decimal),
-    # and r2 is defined as 0 when either variance vanishes.
     slope = F.when(varx == F.lit(0.0), F.lit(0.0)).otherwise(cov / varx)
     r2 = F.when(
         (varx * vary) == F.lit(0.0), F.lit(0.0)
     ).otherwise((cov * cov) / (varx * vary))
-    return m.crossJoin(F.broadcast(vocab)).select(
+    return m.select(
         F.col("n_pts").cast("long").alias("n_pts"),
-        F.col("vocab").cast("long").alias("vocab"),
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / nd, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
+    )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ~ K * n^beta, fitted
+    as OLS of ln(cumulative vocab) on ln(cumulative tokens) over
+    ``n_buckets`` equal-width prefixes of the corpus in ``id_col``
+    order. Natural text grows beta ~ 0.4-0.6; a closed template
+    vocabulary saturates (beta -> 0), heavy boilerplate dedupe-bait
+    grows slower than its token count — the growth-side sibling of
+    the q199 rank-frequency fingerprint.
+
+    Output: ONE row (n_pts, total_tokens, total_vocab, beta,
+    intercept, r2); intercept is ln(K).
+
+    The prefix curve never re-scans history: each word contributes
+    ONE row at its FIRST bucket (min over the monotone bucket id),
+    each bucket one token-sum row, and the cumulative sums run over
+    the n_buckets-row curve only.
+
+    Scale shape: document ranks come from linkage.global_sort_ranks
+    (repartitionByRange + per-partition offsets — never the
+    single-task global window); the bucket id is integer arithmetic
+    on (rank, corpus count); one tokenize feeding a vocabulary-
+    bounded min-bucket groupBy and a bucket-keyed token sum; the
+    curve window and the OLS moments run over n_buckets rows."""
+    from product_etl_spark.operators.linkage import global_sort_ranks
+    from pyspark.sql import Window as W
+
+    ranked = global_sort_ranks(
+        docs.select(id_col, text_col), [id_col], rank_col="_rank"
+    )
+    dcount = ranked.agg(F.count(F.lit(1)).alias("_d"))
+    withb = ranked.crossJoin(F.broadcast(dcount)).select(
+        F.col(text_col),
+        F.expr(f"CAST(((_rank - 1) * {n_buckets}) DIV _d + 1 AS INT)")
+        .alias("bucket"),
+    )
+    bt = withb.groupBy("bucket").agg(
+        F.sum(T.token_count(text_col).cast("long")).alias("_toks")
+    )
+    nw = (
+        withb.select(
+            "bucket",
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("bucket").alias("_fb"))
+        .groupBy(F.col("_fb").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    cum = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    curve = (
+        bt.join(nw, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.col("_toks")).over(cum).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_new"), F.lit(0)))
+            .over(cum)
+            .alias("vocab_cum"),
+        )
+    )
+    fit = lnln_ols(
+        curve.filter(
+            (F.col("n_tokens") > 0) & (F.col("vocab_cum") > 0)
+        ),
+        "n_tokens",
+        "vocab_cum",
+    )
+    tot = curve.agg(
+        F.max("n_tokens").cast("long").alias("total_tokens"),
+        F.max("vocab_cum").cast("long").alias("total_vocab"),
+    )
+    return fit.crossJoin(F.broadcast(tot)).select(
+        "n_pts",
+        "total_tokens",
+        "total_vocab",
+        F.col("slope").alias("beta"),
+        "intercept",
+        "r2",
     )

@@ -130,6 +130,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q197_linkage_agreement_patterns",
     "q198_t_closeness_audit",
     "q199_zipf_fit",
+    "q200_heaps_fit",
 ]
 
 _DRIVER_WINDOW = [

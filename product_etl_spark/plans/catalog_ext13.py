@@ -921,3 +921,99 @@ def q199_zipf_fit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return zipf_fit(d, "text", "doc_id", top_n=100)
+
+
+@register(
+    "q200_heaps_fit",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '') AS toks
+      FROM documents
+    ), r AS (
+      SELECT doc_id, toks,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rank
+      FROM t
+    ), dd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d FROM t
+    ), b AS (
+      SELECT toks, CAST(((rank - 1) * 10) // dd.d + 1 AS INT) AS bucket
+      FROM r CROSS JOIN dd
+    ), bt AS (
+      SELECT bucket, CAST(SUM(LEN(toks)) AS BIGINT) AS tn
+      FROM b GROUP BY bucket
+    ), nw AS (
+      SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS nv FROM (
+        SELECT w, MIN(bucket) AS fb FROM (
+          SELECT bucket, UNNEST(toks) AS w FROM b
+        ) GROUP BY w
+      ) GROUP BY fb
+    ), curve AS (
+      SELECT bt.bucket,
+             CAST(SUM(bt.tn) OVER (ORDER BY bt.bucket) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(COALESCE(nw.nv, 0)) OVER (ORDER BY bt.bucket)
+                  AS BIGINT) AS vocab_cum
+      FROM bt LEFT JOIN nw ON nw.bucket = bt.bucket
+    ), terms AS (
+      SELECT CAST(ROUND(LN(CAST(n_tokens AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS x,
+             CAST(ROUND(LN(CAST(vocab_cum AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS y
+      FROM curve WHERE n_tokens > 0 AND vocab_cum > 0
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM terms
+    ), md AS (
+      SELECT n_pts, CAST(n_pts AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+             CAST(syy AS DOUBLE) AS syy
+      FROM m
+    ), e AS (
+      SELECT n_pts, nd, sx, sy,
+             nd * sxy - sx * sy AS cov,
+             nd * sxx - sx * sx AS varx,
+             nd * syy - sy * sy AS vary
+      FROM md
+    ), tot AS (
+      SELECT CAST(MAX(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(MAX(vocab_cum) AS BIGINT) AS total_vocab
+      FROM curve
+    )
+    SELECT e.n_pts, tot.total_tokens, tot.total_vocab,
+           ROUND(CASE WHEN varx = 0 THEN 0.0 ELSE cov / varx END, 6)
+             AS beta,
+           ROUND((sy - (CASE WHEN varx = 0 THEN 0.0
+                        ELSE cov / varx END) * sx) / nd, 6) AS intercept,
+           ROUND(CASE WHEN (varx * vary) = 0 THEN 0.0
+                 ELSE (cov * cov) / (varx * vary) END, 6) AS r2
+    FROM e CROSS JOIN tot
+    """,
+)
+def q200_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (collocations.heaps_fit):
+    V(n) ~ K * n^beta over 10 equal-width corpus prefixes in doc_id
+    order — the growth-side sibling of q199's rank-frequency
+    fingerprint (natural text: beta ~ 0.4-0.6; closed template
+    vocabularies saturate toward 0). One-row surface (n_pts,
+    total_tokens, total_vocab, beta, intercept=ln K, r2).
+    Engine-exact: ranks and bucket ids are integer-decided, each
+    word contributes one row at its MIN bucket, the curve is exact
+    integer cumulative sums over 10 rows, and the fit is the shared
+    lnln_ols decimal-moment recipe with the same degenerate guards
+    on both engines.
+
+    Scale shape: document ranks via linkage.global_sort_ranks (range
+    repartition + per-partition offsets, never the single-task
+    global window the oracle's ROW_NUMBER plans); one tokenize
+    feeding a vocabulary-bounded min-bucket groupBy and a
+    bucket-keyed token sum; cumulative window and OLS moments run
+    over 10 rows."""
+    from product_etl_spark.operators.collocations import heaps_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_fit(d, "text", "doc_id", n_buckets=10)

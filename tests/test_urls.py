@@ -210,3 +210,40 @@ def test_zipf_fit_flat_corpus_low_r2(spark):
     row = zipf_fit(docs, top_n=100).collect()[0]
     assert row["n_pts"] == 20
     assert row["slope"] == 0.0  # all counts equal -> zero covariance
+
+
+def test_heaps_fit_perfect_power_law(spark):
+    """Cumulative (tokens, vocab) planted at (2,2),(4,4),(8,8),(16,16)
+    -> V = n^1 exactly: beta 1, intercept 0, r2 1."""
+    from product_etl_spark.operators.collocations import heaps_fit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2"),
+            (2, "b1 b2"),
+            (3, "c1 c2 c3 c4"),
+            (4, "d1 d2 d3 d4 d5 d6 d7 d8"),
+        ],
+        "doc_id long, text string",
+    )
+    row = heaps_fit(docs, n_buckets=4).collect()[0]
+    assert row["n_pts"] == 4
+    assert row["total_tokens"] == 16 and row["total_vocab"] == 16
+    assert abs(row["beta"] - 1.0) < 1e-6
+    assert abs(row["intercept"]) < 1e-6
+    assert row["r2"] > 0.999999
+
+
+def test_heaps_fit_saturated_vocab(spark):
+    """A closed vocabulary (every word already seen in the first
+    prefix) has constant V -> zero variance -> beta 0 by the
+    degenerate guard, the signal the fingerprint exists for."""
+    from product_etl_spark.operators.collocations import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(i, "same words every time") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    row = heaps_fit(docs, n_buckets=4).collect()[0]
+    assert row["total_vocab"] == 4
+    assert row["beta"] == 0.0 and row["r2"] == 0.0
