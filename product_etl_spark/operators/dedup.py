@@ -1469,3 +1469,109 @@ def cluster_safe_folds(
             hash64(F.col("component").cast("string")), F.lit(n_folds)
         ).cast("int"),
     )
+
+
+def minhash_recall_audit(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    t_num: int = 1,
+    t_den: int = 2,
+    max_truth_docs: int = 10_000,
+) -> DataFrame:
+    """MinHash-LSH quality EVALUATION — the text-side sibling of the
+    embedding recall audit (similarity.ann_recall_audit / q194): on a
+    BOUNDED document sample, score the banded-LSH candidate set
+    (minhash_signatures + lsh_candidate_pairs — the exact q31/q32
+    production path) against the exact-Jaccard ground truth at
+    threshold t_num/t_den. Recall says what the bands miss;
+    precision says how much verify work the candidates waste — the
+    two numbers that pick (bands, rows_per_band) before a corpus
+    run.
+
+    Output: ONE row (n_truth, n_candidates, n_hits, recall,
+    precision); recall/precision are 1.0 when their denominator is
+    empty (vacuous success, both engines agree by the same rule).
+
+    Float policy: the truth set is integer-decided
+    (t_den * |intersection| >= t_num * |union| — no float Jaccard
+    anywhere); all counts are BIGINTs; the two ratios are single
+    divisions.
+
+    Scale shape: ground truth is all-pairs BY DESIGN and therefore
+    GUARDED to ``max_truth_docs`` (the jaccard_pairs contract) —
+    the audit runs on a sample, the production path it measures
+    stays banded; the candidate leg is the skew-free (band, hash)
+    join."""
+    n_docs = docs.select(id_col).count()
+    if n_docs > max_truth_docs:
+        raise ValueError(
+            f"minhash_recall_audit on {n_docs} docs (cap "
+            f"{max_truth_docs}): exact ground truth is all-pairs — "
+            "audit a bounded sample, not the corpus."
+        )
+    sh = exploded_shingles(docs, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.lit(t_den) * F.col("n_inter")
+            >= F.lit(t_num)
+            * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select("id_a", "id_b")
+    )
+    sig = minhash_signatures(docs, text_col, id_col, k=k, shingle_n=shingle_n)
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows_per_band=k // bands
+    )
+    hits = truth.join(cand, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_truth").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
+            F.when(F.col("n_candidates") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    6,
+                )
+            )
+            .alias("precision"),
+        )
+    )

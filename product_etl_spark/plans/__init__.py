@@ -131,6 +131,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q198_t_closeness_audit",
     "q199_zipf_fit",
     "q200_heaps_fit",
+    "q201_minhash_recall_audit",
 ]
 
 _DRIVER_WINDOW = [

@@ -1017,3 +1017,101 @@ def q200_heaps_fit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return heaps_fit(d, "text", "doc_id", n_buckets=10)
+
+
+from product_etl_spark.operators import dedup as _D  # noqa: E402
+
+_Q201_MINHASH_COLS = ",\n             ".join(
+    "MIN((%d * hv + %d) %% 2147483647) AS h%d" % (a, b, i)
+    for i, (a, b) in enumerate(_D.minhash_params(8))
+)
+
+_Q201_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')),
+                                            '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id >= 150 AND doc_id < 350
+    ), sh_arr AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN LEN(toks) < 2 THEN []
+                  ELSE [array_to_string(toks[i:i+1], ' ')
+                        FOR i IN RANGE(1, LEN(toks))] END) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(UNNEST(sh)), 1, 15))::BIGINT
+               % 2147483647 AS hv
+      FROM sh_arr
+    ), sig AS (
+      SELECT doc_id,
+             {MINHASH_COLS}
+      FROM s GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band,
+             md5(h0::VARCHAR || '|' || h1::VARCHAR) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1,
+             md5(h2::VARCHAR || '|' || h3::VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2,
+             md5(h4::VARCHAR || '|' || h5::VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3,
+             md5(h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ), truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh_arr a JOIN sh_arr b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.sh, b.sh)) > 0
+        AND 2 * LEN(list_intersect(a.sh, b.sh))
+            >= 1 * (LEN(a.sh) + LEN(b.sh)
+                    - LEN(list_intersect(a.sh, b.sh)))
+    ), hits AS (
+      SELECT t.id_a, t.id_b
+      FROM truth t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ), m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+               AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits
+    )
+    SELECT n_truth, n_candidates, n_hits,
+           CASE WHEN n_truth = 0 THEN 1.0
+                ELSE ROUND(CAST(n_hits AS DOUBLE)
+                           / CAST(n_truth AS DOUBLE), 6) END AS recall,
+           CASE WHEN n_candidates = 0 THEN 1.0
+                ELSE ROUND(CAST(n_hits AS DOUBLE)
+                           / CAST(n_candidates AS DOUBLE), 6)
+                END AS precision
+    FROM m
+""".replace("{MINHASH_COLS}", _Q201_MINHASH_COLS)
+
+
+@register("q201_minhash_recall_audit", _Q201_SQL)
+def q201_minhash_recall_audit(spark, sf_dir):
+    """MinHash-LSH quality evaluation (dedup.minhash_recall_audit) —
+    the text-side sibling of q194's embedding recall audit: on the
+    q193 document slice (doc_id 150-350), the 4x2-band candidate
+    set from the exact q31/q32 production path scored against the
+    exact-Jaccard >= 1/2 ground truth. Recall = what the bands miss;
+    precision = how much verify work candidates waste — the two
+    numbers that pick (bands, rows_per_band) before a corpus run.
+    Engine-exact: truth is integer-decided (2*|inter| >= |union|),
+    signatures/bands replay bit-for-bit (the q31/q32 oracle), counts
+    are BIGINTs, ratios single divisions with a vacuous-1.0 rule on
+    empty denominators.
+
+    Scale shape: ground truth is all-pairs BY DESIGN and guarded to
+    the bounded sample (raises past 10k docs); the candidate leg is
+    the skew-free (band, hash) join; metrics fold as three 1-row
+    aggregates."""
+    from product_etl_spark.operators.dedup import minhash_recall_audit
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 350)
+    )
+    return minhash_recall_audit(
+        d, "text", "doc_id", k=8, bands=4, shingle_n=2, t_num=1, t_den=2
+    )

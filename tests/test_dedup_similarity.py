@@ -1018,3 +1018,43 @@ def test_cluster_safe_folds_never_split_a_cluster(spark):
         for r in cluster_safe_folds(docs, pairs, "doc_id", n_folds=3).collect()
     }
     assert again == rows
+
+
+def test_minhash_recall_audit_planted(spark):
+    """Identical docs are truth AND candidates (identical signatures
+    agree on every band) -> counted in hits; an unrelated doc joins
+    neither set. recall is 1.0 here because exact duplicates can
+    never be missed by banding."""
+    from product_etl_spark.operators.dedup import minhash_recall_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    row = minhash_recall_audit(docs, "text", "doc_id").collect()[0]
+    assert row["n_truth"] == 1
+    assert row["n_hits"] == 1
+    assert row["recall"] == 1.0
+    assert row["n_candidates"] >= 1
+    assert 0.0 < row["precision"] <= 1.0
+
+
+def test_minhash_recall_audit_vacuous_and_guard(spark):
+    """No true pairs -> recall is vacuously 1.0; and the all-pairs
+    ground truth refuses to run past the doc cap."""
+    import pytest
+
+    from product_etl_spark.operators.dedup import minhash_recall_audit
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh")],
+        "doc_id long, text string",
+    )
+    row = minhash_recall_audit(docs, "text", "doc_id").collect()[0]
+    assert row["n_truth"] == 0 and row["recall"] == 1.0
+    with pytest.raises(ValueError, match="all-pairs"):
+        minhash_recall_audit(docs, "text", "doc_id", max_truth_docs=1)
