@@ -1414,3 +1414,90 @@ def ann_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def ivf_recall_audit(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    n_queries: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """IVF (nprobe=1) quality EVALUATION — the cell-probe leg of the
+    ANN audit triple (q194 sign-bit banding, q201 text MinHash-LSH,
+    this): for the ``n_queries`` lowest-id vectors, how much of the
+    exact cosine top-``k`` lives in the query's OWN IVF cell — the
+    recall an index search pays when it probes a single list, the
+    number that picks nprobe before a corpus run.
+
+    Cells are the exact-decimal L2 argmin against the ``n_cells``
+    lowest-id seeds (the q142/q189 engine-exact seeding rule, so any
+    engine replays the assignment bit-for-bit; a production index
+    swaps in trained k-means centroids, same shapes).
+
+    Output: (query_id, list_id, n_candidates, hits, recall) — one
+    row per query; candidates exclude the query itself.
+
+    Scale shape: assignment is a PURE MAP (seeds fold into one
+    broadcast row), checkpointed ONCE because it feeds both the
+    query-side and the candidate-side of the cell join; ground truth
+    is paid only on the bounded query sample (broadcast Q x N,
+    map-only + per-query top-k); the candidate count is one
+    cell-keyed aggregate joined to the Q-row query frame."""
+    w = Window.orderBy(F.col(id_col))
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("list_id"),
+            F.col(emb_col).alias("_cent"),
+        )
+    )
+    assigned = _assign_exact_map(
+        corpus, seeds, emb_col, id_col, keep_emb=False
+    ).localCheckpoint(eager=True)
+    queries = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_queries)
+        .select(id_col, emb_col)
+    )
+    q_assigned = assigned.join(
+        queries.select(id_col), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), "list_id")
+    exact = knn_bruteforce(
+        corpus, queries, emb_col, id_col, query_id_col="query_id", k=k
+    ).select("query_id", "neighbor_id")
+    cell_sizes = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("_csz")
+    )
+    # hits: exact top-k neighbors that share the query's cell
+    nbr = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("list_id").alias("_nlist"),
+    )
+    hits = (
+        exact.join(F.broadcast(q_assigned), "query_id")
+        .join(nbr, "neighbor_id")
+        .filter(F.col("list_id") == F.col("_nlist"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        q_assigned.join(F.broadcast(cell_sizes), "list_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "list_id",
+            # own cell minus the query itself
+            (F.col("_csz") - F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.col("hits"), F.lit(0))
+            .cast("long")
+            .alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+    )

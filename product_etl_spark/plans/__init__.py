@@ -132,6 +132,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q199_zipf_fit",
     "q200_heaps_fit",
     "q201_minhash_recall_audit",
+    "q202_ivf_recall_audit",
 ]
 
 _DRIVER_WINDOW = [

@@ -1115,3 +1115,98 @@ def q201_minhash_recall_audit(spark, sf_dir):
     return minhash_recall_audit(
         d, "text", "doc_id", k=8, bands=4, shingle_n=2, t_num=1, t_den=2
     )
+
+
+@register(
+    "q202_ivf_recall_audit",
+    """
+    WITH dims AS (
+      SELECT e.vec_id, d.pos, CAST(d.val AS DOUBLE) AS val
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS val,
+                           generate_subscripts(e.embedding, 1) AS pos) d
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, vec_id
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), sdims AS (
+      SELECT s.list_id, d.pos, d.val AS c
+      FROM seeds s JOIN dims d ON d.vec_id = s.vec_id
+    ), d0 AS (
+      SELECT d.vec_id, s.list_id,
+             SUM(CAST(ROUND((d.val - s.c) * (d.val - s.c), 9)
+                      AS DECIMAL(18,9))) AS dist
+      FROM dims d JOIN sdims s ON s.pos = d.pos
+      GROUP BY d.vec_id, s.list_id
+    ), a0 AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, list_id) AS rn
+        FROM d0) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20
+    ), qa AS (
+      SELECT a0.vec_id AS query_id, a0.list_id
+      FROM a0 JOIN q ON q.vec_id = a0.vec_id
+    ), csz AS (
+      SELECT list_id, CAST(COUNT(*) AS BIGINT) AS csz
+      FROM a0 GROUP BY list_id
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qe.vec_id
+                 ORDER BY CASE WHEN
+                     sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                           qe.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                           ce.embedding::DOUBLE[])) = 0
+                   THEN 0.0
+                   ELSE list_dot_product(qe.embedding::DOUBLE[],
+                                         ce.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                                 qe.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                                 ce.embedding::DOUBLE[])))
+                   END DESC, ce.vec_id) AS rn
+        FROM embeddings qe
+        JOIN q ON q.vec_id = qe.vec_id
+        JOIN embeddings ce ON ce.vec_id <> qe.vec_id
+      ) WHERE rn <= 10
+    ), hits AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exact e
+      JOIN qa ON qa.query_id = e.query_id
+      JOIN a0 nb ON nb.vec_id = e.neighbor_id
+       AND nb.list_id = qa.list_id
+      GROUP BY e.query_id
+    )
+    SELECT qa.query_id, qa.list_id,
+           CAST(csz.csz - 1 AS BIGINT) AS n_candidates,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS hits,
+           ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0, 6) AS recall
+    FROM qa
+    JOIN csz ON csz.list_id = qa.list_id
+    LEFT JOIN hits h ON h.query_id = qa.query_id
+    """,
+)
+def q202_ivf_recall_audit(spark, sf_dir):
+    """IVF nprobe=1 recall audit (similarity.ivf_recall_audit) — the
+    cell-probe leg of the ANN evaluation triple (q194 sign-bit
+    banding, q201 text MinHash-LSH): for the 20 lowest-id query
+    vectors, the share of the exact cosine top-10 that lives in the
+    query's own IVF cell, plus the cell's candidate count — the
+    recall/fan-out trade a single-probe search pays, measured before
+    trusting the index (q93/q115 build it; nothing measured it).
+    Engine-exact: the cell assignment replays with the q189
+    exact-decimal L2 argmin, the top-k uses the shared fixed-order
+    IEEE cosine, counts are BIGINTs, recall is one division.
+
+    Scale shape: map-only assignment checkpointed once (feeds query
+    and candidate legs), ground truth only on the bounded query
+    sample, candidate counts one vocabulary-bounded aggregate."""
+    from product_etl_spark.operators.similarity import ivf_recall_audit
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_recall_audit(
+        e, "embedding", "vec_id", n_cells=8, n_queries=20, k=10
+    )

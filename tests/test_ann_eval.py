@@ -90,3 +90,30 @@ def test_recall_audit_zero_candidates_row_survives(spark):
     # query 1 shares band [-,-,-,+]=8? no: id1 packs to 0, id2 packs
     # to 8 -> no match either; both rows must exist regardless
     assert set(out) == {0, 1}
+
+
+def test_ivf_recall_audit_cross_cell_miss(spark):
+    """q189's planted geometry: query 0 ([1,0]) sits in cell 0 with
+    vecs 2 and 4; its exact top-2 is {1 (cos=1.0, but in CELL 1 —
+    L2 puts the scaled twin with the far seed), 4}. Single-probe
+    recall is therefore 0.5 with 2 candidates — the exact trade the
+    audit exists to expose."""
+    from product_etl_spark.operators.similarity import ivf_recall_audit
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [10.0, 0.0]),
+            (2, [0.6, 0.8]),
+            (3, [6.0, 8.0]),
+            (4, [1.2, 0.01]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    row = ivf_recall_audit(
+        df, "embedding", "vec_id", n_cells=2, n_queries=1, k=2
+    ).collect()[0]
+    assert row["query_id"] == 0 and row["list_id"] == 0
+    assert row["n_candidates"] == 2  # cell 0 = {0, 2, 4} minus self
+    assert row["hits"] == 1  # vec 4 in-cell; vec 1 (top-1!) missed
+    assert row["recall"] == 0.5
