@@ -1,0 +1,99 @@
+"""Market-basket association-rule mining: support / confidence /
+lift over (basket, item) rows — the Agrawal-Srikant Apriori output
+surface for pair rules, computed as one blocked self-join instead of
+candidate generation (pair support IS the A-priori L2 step; larger
+itemsets grow from it the same way).
+
+The reference pipeline moves order/product rows but computes no
+co-occurrence analytics at all; the collocation twin for text is
+operators/collocations.bigram_pmi (PMI = log lift), and the graph
+view of the same pair frame feeds q141's triangle count.
+
+Scale shape (why this survives 100 TB):
+- The pair join is keyed on the BASKET id, so cost is
+  O(sum basket_size^2) — bounded by real-world basket sizes, never
+  item-vocabulary^2. A pathological mega-basket is the same skew
+  problem as a hot LSH bucket: cap or salt it upstream
+  (operators/skew.py), exactly as the dedup family does.
+- Item and pair counts are map-side-combined groupBys bounded by
+  item vocabulary / observed-pair vocabulary.
+- The basket total folds from the basket frame as a broadcast 1-row
+  aggregate; the report is top-N (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top pair rules (a -> b, a < b) by co-occurrence count:
+    (item_a, item_b, n_ab, n_a, n_b, support, confidence, lift).
+
+    support    = n_ab / N            (N = distinct baskets)
+    confidence = n_ab / n_a          (direction a -> b)
+    lift       = (n_ab * N) / (n_a * n_b)
+
+    Float policy: all counts are exact BIGINTs; the three ratios are
+    single-op trees on exact-integer doubles (the numerator/
+    denominator products evaluate first, one multiply each), so any
+    engine reproduces them bit-for-bit; ROUND(.,6) at the surface.
+    Ordering is integer-decided (n_ab desc, item_a, item_b).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    n_baskets = b.agg(
+        F.count_distinct(F.col("_bk")).alias("_n")
+    )
+    items = b.groupBy("_it").agg(F.count(F.lit(1)).alias("_ni"))
+    left = b.select("_bk", F.col("_it").alias("item_a"))
+    right = b.select(F.col("_bk").alias("_bk2"), F.col("_it").alias("item_b"))
+    pairs = (
+        left.join(
+            right,
+            (F.col("_bk") == F.col("_bk2"))
+            & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    ia = items.select(F.col("_it").alias("item_a"), F.col("_ni").alias("n_a"))
+    ib = items.select(F.col("_it").alias("item_b"), F.col("_ni").alias("n_b"))
+    nd = F.col("_n").cast("double")
+    out = (
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_ab").cast("double") / nd, 6).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab").cast("double") * nd)
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("n_ab").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(top_n)

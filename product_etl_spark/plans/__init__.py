@@ -133,6 +133,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q200_heaps_fit",
     "q201_minhash_recall_audit",
     "q202_ivf_recall_audit",
+    "q203_association_rules",
 ]
 
 _DRIVER_WINDOW = [

@@ -1210,3 +1210,58 @@ def q202_ivf_recall_audit(spark, sf_dir):
     return ivf_recall_audit(
         e, "embedding", "vec_id", n_cells=8, n_queries=20, k=10
     )
+
+
+@register(
+    "q203_association_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b
+    ), items AS (
+      SELECT it, CAST(COUNT(*) AS BIGINT) AS ni FROM b GROUP BY it
+    ), pairs AS (
+      SELECT a.it AS item_a, c.it AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+      GROUP BY a.it, c.it
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           ia.ni AS n_a, ib.ni AS n_b,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(n.nb AS DOUBLE), 6)
+             AS support,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6)
+             AS confidence,
+           ROUND((CAST(p.n_ab AS DOUBLE) * CAST(n.nb AS DOUBLE))
+                 / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6)
+             AS lift
+    FROM pairs p
+    JOIN items ia ON ia.it = p.item_a
+    JOIN items ib ON ib.it = p.item_b
+    CROSS JOIN n
+    ORDER BY p.n_ab DESC, p.item_a, p.item_b
+    LIMIT 20
+    """,
+)
+def q203_association_rules(spark, sf_dir):
+    """Market-basket association rules (basket.association_rules):
+    top-20 co-purchased part pairs across orders with support,
+    confidence and lift — the Apriori L2 surface; PMI's retail twin
+    (q133) and the weighted view of the pair frame q141's triangles
+    consume. Engine-exact: counts BIGINT, the three ratios
+    single-op trees on exact-integer doubles, integer-decided
+    ordering.
+
+    Scale shape: the pair join is keyed on the ORDER id
+    (O(sum basket^2), bounded by real basket sizes, never
+    vocabulary^2); item/pair counts are map-side-combined groupBys;
+    the basket total folds as a broadcast 1-row aggregate; top-N is
+    TakeOrderedAndProject."""
+    from product_etl_spark.operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top_n=20
+    )

@@ -98,3 +98,39 @@ def test_k_core_matches_bruteforce_peel(spark):
     assert set(_brute_k_core(edge_list, 3)) == {1, 2, 3, 4, 5}
     assert set(_brute_k_core(edge_list, 2)) == {1, 2, 3, 4, 5, 10, 11, 12}
     assert _brute_k_core(edge_list, 5) == {}
+
+
+def test_association_rules_hand_check(spark):
+    """Baskets {x,y},{x,y},{x,z},{w}: only (x,y) clears min_pair_count
+    -> support 2/4, confidence 2/3 (x is the antecedent by item
+    order), lift 2*4/(3*2)."""
+    from product_etl_spark.operators.basket import association_rules
+
+    rows = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+         (4, "w")],
+        "bk long, it string",
+    )
+    out = association_rules(rows, "bk", "it", min_pair_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("x", "y")
+    assert r["n_ab"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
+    assert r["support"] == 0.5
+    assert r["confidence"] == round(2 / 3, 6)
+    assert r["lift"] == round(8 / 6, 6)
+
+
+def test_association_rules_dedups_basket_lines(spark):
+    """Duplicate (basket, item) lines (two lineitem rows of the same
+    part in one order) must not inflate counts — the distinct()
+    contract."""
+    from product_etl_spark.operators.basket import association_rules
+
+    rows = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")],
+        "bk long, it string",
+    )
+    out = association_rules(rows, "bk", "it", min_pair_count=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_ab"] == 2 and out[0]["n_a"] == 2
