@@ -134,6 +134,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q201_minhash_recall_audit",
     "q202_ivf_recall_audit",
     "q203_association_rules",
+    "q204_rfm_segments",
 ]
 
 _DRIVER_WINDOW = [

@@ -12,9 +12,15 @@ dedup.cluster_safe_folds), the ANN recall@k audit (q194,
 similarity.ann_recall_audit — sign-bit banded candidates scored
 against the exact cosine top-k), the interpolated Kneser-Ney bigram
 LM (q195, collocations.kneser_ney_bigrams), the cross-fold
-contamination audit (q196, decontam.fold_contamination_audit), and
-the Fellegi-Sunter agreement-pattern profile (q197,
-linkage.agreement_pattern_profile).
+contamination audit (q196, decontam.fold_contamination_audit), the
+Fellegi-Sunter agreement-pattern profile (q197,
+linkage.agreement_pattern_profile), the t-closeness audit (q198,
+privacy.t_closeness_audit — completing the k/l/t privacy ladder),
+the Zipf and Heaps corpus fingerprints (q199/q200,
+collocations.zipf_fit / heaps_fit on the shared lnln_ols decimal-
+moment fitter), the MinHash-LSH and IVF recall audits (q201/q202 —
+with q194 the full ANN evaluation triple), and market-basket
+association rules (q203, basket.association_rules).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -1265,3 +1271,62 @@ def q203_association_rules(spark, sf_dir):
     return association_rules(
         li, "l_orderkey", "l_partkey", min_pair_count=2, top_n=20
     )
+
+
+@register(
+    "q204_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             MAX(o_orderdate) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY o_custkey
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust
+    ), rr AS (
+      SELECT ck, ROW_NUMBER() OVER (ORDER BY last_ts DESC, ck) AS r
+      FROM cust
+    ), rf AS (
+      SELECT ck, ROW_NUMBER() OVER (ORDER BY freq DESC, ck) AS r
+      FROM cust
+    ), rm AS (
+      SELECT ck, ROW_NUMBER() OVER (ORDER BY mon DESC, ck) AS r
+      FROM cust
+    ), scored AS (
+      SELECT c.ck, c.mon,
+             6 - CAST(((rr.r - 1) * 5) // n.n + 1 AS INT) AS r_score,
+             6 - CAST(((rf.r - 1) * 5) // n.n + 1 AS INT) AS f_score,
+             6 - CAST(((rm.r - 1) * 5) // n.n + 1 AS INT) AS m_score
+      FROM cust c
+      JOIN rr ON rr.ck = c.ck
+      JOIN rf ON rf.ck = c.ck
+      JOIN rm ON rm.ck = c.ck
+      CROSS JOIN n
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(mon) AS DOUBLE), 2) AS total_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q204_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (segmentation.rfm_segments): the
+    classic recency/frequency/monetary quintile report — one row per
+    populated (r, f, m) segment with customer count and exact-
+    decimal spend. Engine-exact: every score is an integer-decided
+    rank (ties by customer key) pushed through the shared
+    ((rank-1)*5) DIV n bucket rule; monetary sums as DECIMAL(18,2)
+    (order-free) and surfaces as a rounded double.
+
+    Scale shape: one orders groupBy(customer); each quintile rides
+    linkage.global_sort_ranks (range repartition + offsets — the
+    oracle's ROW_NUMBER OVER (ORDER BY) is exactly the single-task
+    window shape this avoids); the report is bounded by 125
+    segments."""
+    from product_etl_spark.operators.segmentation import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o)

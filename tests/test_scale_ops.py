@@ -362,3 +362,32 @@ def test_key_skew_profile_planted_hot_key(spark):
     assert out[0] == ("hot", 90, 0.9, 2.7, 3)
     assert out[1] == ("a", 5, 0.05, 0.15, 1)  # tie with 'b' -> key asc
     assert out[2] == ("b", 5, 0.05, 0.15, 1)
+
+
+def test_rfm_segments_planted(spark):
+    """Five customers strictly ordered on all three dimensions land
+    in five distinct quintiles: customer 5 (most recent, most
+    orders, highest spend) scores (5,5,5); customer 1 scores
+    (1,1,1); totals are the exact decimal sums."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.segmentation import rfm_segments
+
+    rows = []
+    for c in range(1, 6):
+        for j in range(c):  # customer c places c orders
+            rows.append(
+                (c, datetime(2024, 1, c, 12, 0, j), 100.0 * c)
+            )
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in rfm_segments(orders).collect()
+    }
+    assert (5, 5, 5) in out and (1, 1, 1) in out
+    assert len(out) == 5  # strictly ordered -> diagonal segments
+    assert out[(5, 5, 5)]["n_customers"] == 1
+    assert out[(5, 5, 5)]["total_monetary"] == 2500.0  # 5 * 500
+    assert out[(1, 1, 1)]["total_monetary"] == 100.0
