@@ -424,3 +424,57 @@ def user_burstiness(
             ).alias("cv_gap"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame, ts_col: str = "ts", id_alias: str = "day"
+) -> DataFrame:
+    """CUSUM changepoint localization over the daily event-count
+    series (Page 1954): S_t = sum_{i<=t} (D*n_i - N), the
+    integer-scaled cumulative deviation from the mean daily rate
+    (D = days observed, N = total events — multiplying through by D
+    keeps every statistic an exact BIGINT, no float mean anywhere).
+    |S| peaks at the most likely level-shift point; a drift monitor
+    (PSI q139 / KS q148) says THAT the distribution moved — this
+    says WHEN the rate moved, which is what gets bisected.
+
+    Output: the full daily curve (day, n_events, cusum, is_peak) —
+    is_peak marks the argmax |S| (earliest day on ties,
+    integer-decided).
+
+    Scale shape: ONE day-keyed map-side-combined groupBy (the only
+    corpus-sized work); totals fold as a broadcast 1-row aggregate;
+    the cumulative window and the peak rank run over the
+    #days-bounded curve."""
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias(id_alias)).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("_d"), F.sum("n_events").alias("_n")
+    )
+    w = (
+        Window.orderBy(id_alias)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = daily.crossJoin(F.broadcast(tot)).select(
+        id_alias,
+        F.col("n_events").cast("long").alias("n_events"),
+        F.sum(F.col("_d") * F.col("n_events") - F.col("_n"))
+        .over(w)
+        .cast("long")
+        .alias("cusum"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.abs(F.col("cusum")).desc(), F.col(id_alias).asc())
+    )
+    return (
+        cur.select(
+            id_alias,
+            "n_events",
+            "cusum",
+            F.when(rk == 1, F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_peak"),
+        )
+        .orderBy(id_alias)
+    )

@@ -135,6 +135,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q202_ivf_recall_audit",
     "q203_association_rules",
     "q204_rfm_segments",
+    "q205_cusum_changepoint",
 ]
 
 _DRIVER_WINDOW = [

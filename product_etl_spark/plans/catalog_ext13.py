@@ -1330,3 +1330,46 @@ def q204_rfm_segments(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     return rfm_segments(o)
+
+
+@register(
+    "q205_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(n_events) AS BIGINT) AS n
+      FROM daily
+    ), cur AS (
+      SELECT day, n_events,
+             CAST(SUM(t.d * n_events - t.n) OVER (ORDER BY day)
+                  AS BIGINT) AS cusum
+      FROM daily CROSS JOIN tot t
+    ), r AS (
+      SELECT day, n_events, cusum,
+             ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day) AS rk
+      FROM cur
+    )
+    SELECT day, n_events, cusum,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_peak
+    FROM r ORDER BY day
+    """,
+)
+def q205_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint localization (timeseries.cusum_changepoint,
+    Page 1954) on the daily event-rate series: S_t = sum(D*n_i - N)
+    stays an exact BIGINT (the mean is multiplied through, never a
+    float), |S| peaks at the most likely level shift. The WHEN
+    companion to the drift monitors' THAT (PSI q139, KS q148).
+    Engine-exact: every statistic is an integer; the peak flag is an
+    integer-decided rank.
+
+    Scale shape: one day-keyed map-side-combined groupBy is the only
+    corpus-sized work; totals broadcast as one row; the cumulative
+    window and peak rank run over the #days-bounded curve."""
+    from product_etl_spark.operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "ts")

@@ -391,3 +391,26 @@ def test_rfm_segments_planted(spark):
     assert out[(5, 5, 5)]["n_customers"] == 1
     assert out[(5, 5, 5)]["total_monetary"] == 2500.0  # 5 * 500
     assert out[(1, 1, 1)]["total_monetary"] == 100.0
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """Rate 1/day for days 1-5 then 11/day for days 6-10: the scaled
+    CUSUM S_t = sum(10*n_i - 60) walks to -250 by day 5 and back to
+    0 — the |S| peak lands exactly on the last pre-shift day, every
+    statistic an exact integer."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import cusum_changepoint
+
+    rows = []
+    for d in range(1, 6):
+        rows.append((datetime(2024, 1, d, 12),))
+    for d in range(6, 11):
+        rows.extend([(datetime(2024, 1, d, h),) for h in range(11)])
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = {str(r["day"]): r for r in cusum_changepoint(ev, "ts").collect()}
+    assert len(out) == 10
+    assert out["2024-01-05"]["cusum"] == -250
+    assert out["2024-01-05"]["is_peak"] == 1
+    assert out["2024-01-10"]["cusum"] == 0  # telescopes to zero
+    assert sum(r["is_peak"] for r in out.values()) == 1
