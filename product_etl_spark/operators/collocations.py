@@ -414,3 +414,105 @@ def heaps_fit(
         "intercept",
         "r2",
     )
+
+
+def kneser_ney_score(
+    train_docs: DataFrame,
+    test_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score held-out documents under a Kneser-Ney bigram LM fitted
+    on DISJOINT training documents: per test doc, the average
+    negative log-likelihood of its bigrams — the leakage-safe,
+    modern-smoothing upgrade of q113's add-one filter (which trains
+    on a language slice of the SAME corpus it scores; pair this with
+    a fold split and train never sees test).
+
+    Backoff ladder (every branch the identical expression tree in
+    any engine):
+      bigram seen      -> full interpolated KN (q195's formula)
+      context-only seen-> lambda(w1) * add-one continuation
+                          ((ncont+1)/(NB+1) — the +1 floor keeps an
+                          unseen-w2 probability finite)
+      context unseen   -> add-one continuation alone
+
+    Output: (id, n_bigrams, avg_nll) for every test doc with >= 2
+    tokens (shorter docs have no bigrams and are absent — the q113
+    rule).
+
+    Float policy: each -ln(p) term is ROUND(.,9) -> DECIMAL so the
+    per-doc sum is order-free and exact; the average is ONE division
+    of that exact sum by the exact count; ROUND(.,4) at the surface.
+
+    Scale shape: model tables are vocabulary-bounded groupBy counts
+    over the TRAIN side only; scoring joins test bigram ROWS against
+    them on the bigram/word keys (AQE handles stop-word head skew);
+    NB broadcasts as one row; one per-doc groupBy ends it. Each side
+    is tokenized once."""
+
+    def _bigrams(docs: DataFrame) -> DataFrame:
+        tok = docs.select(
+            F.col(id_col),
+            F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias(
+                "pos", "tok"
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        return (
+            tok.select(
+                F.col(id_col),
+                F.col("tok").alias("w1"),
+                F.lead("tok", 1).over(w).alias("w2"),
+            )
+            .filter(F.col("w2").isNotNull())
+        )
+
+    d = float(discount)
+    train_bb = _bigrams(train_docs)
+    pairs = train_bb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pn"))
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("pn").alias("cw1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_cont"))
+    nb = pairs.agg(F.count(F.lit(1)).alias("nb"))
+    bb = (
+        _bigrams(test_docs)
+        .join(pairs, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(nb))
+    )
+    pcont_smoothed = (
+        F.coalesce(F.col("n_cont"), F.lit(0)) + F.lit(1)
+    ).cast("double") / (F.col("nb") + F.lit(1)).cast("double")
+    lam = (F.lit(d) * F.col("n_follow").cast("double")) / F.col(
+        "cw1"
+    ).cast("double")
+    pkn = (
+        F.when(
+            F.col("pn").isNotNull(),
+            (F.col("pn").cast("double") - F.lit(d))
+            / F.col("cw1").cast("double")
+            + lam
+            * (
+                F.col("n_cont").cast("double")
+                / F.col("nb").cast("double")
+            ),
+        )
+        .when(F.col("cw1").isNotNull(), lam * pcont_smoothed)
+        .otherwise(pcont_smoothed)
+    )
+    term = F.round(-F.log(pkn), 9).cast("decimal(18,9)")
+    return (
+        bb.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_nll"),
+        )
+    )

@@ -136,6 +136,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q203_association_rules",
     "q204_rfm_segments",
     "q205_cusum_changepoint",
+    "q206_crossfold_kn_scores",
 ]
 
 _DRIVER_WINDOW = [

@@ -1373,3 +1373,98 @@ def q205_cusum_changepoint(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return cusum_changepoint(ev, "ts")
+
+
+@register(
+    "q206_crossfold_kn_scores",
+    r"""
+    WITH f AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 3 AS fold
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, fold,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')),
+                                            '\s+'),
+                         x -> x <> '') AS toks
+      FROM f
+    ), bb AS (
+      SELECT doc_id, fold, b.w1 AS w1, b.w2 AS w2
+      FROM (
+        SELECT doc_id, fold,
+               UNNEST(CASE WHEN LEN(toks) < 2 THEN []
+                    ELSE [struct_pack(w1 := toks[i], w2 := toks[i+1])
+                          FOR i IN RANGE(1, LEN(toks))] END) AS b
+        FROM tok
+      )
+    ), pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pn
+      FROM bb WHERE fold <> 0 GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(pn) AS BIGINT) AS cw1,
+             CAST(COUNT(*) AS BIGINT) AS n_follow
+      FROM pairs GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_cont
+      FROM pairs GROUP BY w2
+    ), nbt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM pairs
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(-LN(
+               CASE WHEN p.pn IS NOT NULL THEN
+                 (CAST(p.pn AS DOUBLE) - 0.75) / CAST(c.cw1 AS DOUBLE)
+                 + ((0.75 * CAST(c.n_follow AS DOUBLE))
+                    / CAST(c.cw1 AS DOUBLE))
+                   * (CAST(o.n_cont AS DOUBLE) / CAST(n.nb AS DOUBLE))
+               WHEN c.cw1 IS NOT NULL THEN
+                 ((0.75 * CAST(c.n_follow AS DOUBLE))
+                  / CAST(c.cw1 AS DOUBLE))
+                 * (CAST(COALESCE(o.n_cont, 0) + 1 AS DOUBLE)
+                    / CAST(n.nb + 1 AS DOUBLE))
+               ELSE
+                 CAST(COALESCE(o.n_cont, 0) + 1 AS DOUBLE)
+                 / CAST(n.nb + 1 AS DOUBLE)
+               END), 9) AS DECIMAL(18,9)) AS term
+      FROM bb t
+      LEFT JOIN pairs p ON p.w1 = t.w1 AND p.w2 = t.w2
+      LEFT JOIN ctx c ON c.w1 = t.w1
+      LEFT JOIN cont o ON o.w2 = t.w2
+      CROSS JOIN nbt n
+      WHERE t.fold = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q206_crossfold_kn_scores(spark, sf_dir):
+    """Leakage-safe LM quality scoring (collocations.kneser_ney_score
+    + the q183 portable fold split): a Kneser-Ney bigram LM trained
+    on folds 1-2 scores every fold-0 document by average negative
+    log-likelihood — the cross-validated upgrade of q113's add-one
+    filter, whose model sees the very documents it scores. Backoff:
+    full KN for seen bigrams, lambda(w1) x add-one continuation for
+    seen-context-only, add-one continuation alone for unseen
+    contexts. Engine-exact: each -ln term is ROUND(.,9)->DECIMAL so
+    per-doc sums are order-free, the average is one division, and
+    every CASE branch is the identical expression tree the oracle
+    replays.
+
+    Scale shape: model tables are train-side vocabulary-bounded
+    groupBys; scoring joins test bigram ROWS on the bigram/word keys
+    (AQE skew for stop-word heads); NB broadcasts; one per-doc
+    groupBy ends it."""
+    from product_etl_spark.operators.collocations import kneser_ney_score
+
+    d = _t(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("bigint"),
+        F.lit(3),
+    )
+    train = d.filter(fold != 0)
+    test = d.filter(fold == 0)
+    return kneser_ney_score(train, test, "text", "doc_id", discount=0.75)

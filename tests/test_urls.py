@@ -247,3 +247,35 @@ def test_heaps_fit_saturated_vocab(spark):
     row = heaps_fit(docs, n_buckets=4).collect()[0]
     assert row["total_vocab"] == 4
     assert row["beta"] == 0.0 and row["r2"] == 0.0
+
+
+def test_kneser_ney_score_backoff_ladder(spark):
+    """All three backoff branches hand-checked on a planted split.
+    Train: 'a b' x2 + 'a c' -> pairs (a,b):2,(a,c):1; cw1(a)=3,
+    nf(a)=2; ncont(b)=ncont(c)=1; NB=2."""
+    import math
+
+    from product_etl_spark.operators.collocations import kneser_ney_score
+
+    train = spark.createDataFrame(
+        [(10, "a b"), (11, "a b"), (12, "a c")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, "a b"), (2, "a z"), (3, "z b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in kneser_ney_score(train, test, "text", "doc_id").collect()
+    }
+    # seen bigram: (2-.75)/3 + ((.75*2)/3)*(1/2)
+    p1 = (2 - 0.75) / 3.0 + ((0.75 * 2) / 3.0) * (1 / 2)
+    # seen context only: lambda(a) * add-one continuation of z
+    p2 = ((0.75 * 2) / 3.0) * ((0 + 1) / (2 + 1))
+    # unseen context: add-one continuation of b
+    p3 = (1 + 1) / (2 + 1)
+    assert rows[1]["avg_nll"] == round(round(-math.log(p1), 9), 4)
+    assert rows[2]["avg_nll"] == round(round(-math.log(p2), 9), 4)
+    assert rows[3]["avg_nll"] == round(round(-math.log(p3), 9), 4)
+    assert all(r["n_bigrams"] == 1 for r in rows.values())
