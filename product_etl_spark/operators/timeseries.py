@@ -478,3 +478,103 @@ def cusum_changepoint(
         )
         .orderBy(id_alias)
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str = "ts",
+    censor_last_days: int = 3,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (Kaplan &
+    Meier 1958) — churn analysis with CENSORING, the step q98's
+    cohort-retention grid cannot take: a user whose last activity
+    falls within ``censor_last_days`` of the observation end is not
+    churned, just unobserved, and treating them as dead biases every
+    retention number downward. Lifetime t = days between a user's
+    first and last event; events (churns) at t are uncensored users;
+    the risk set n_t counts every user with lifetime >= t.
+
+        S(t) = prod_{t_i <= t, d_i > 0} (1 - d_i / n_i)
+
+    Output: one row per distinct lifetime (t, n_at_risk, n_events,
+    n_censored, survival), ordered by t.
+
+    Float policy: d/n is one division of exact-integer doubles; each
+    ln(1 - d/n) term is ROUND(.,9) -> DECIMAL so the cumulative sum
+    is ORDER-FREE and exact; survival = exp of that exact sum, once,
+    ROUND(.,6); the d = n extinction row (only possible at max t) is
+    an integer-decided flag forcing survival 0.
+
+    Scale shape: one (user) groupBy over the events is the only
+    corpus-sized work; the lifetime table is bounded by the
+    observation window in DAYS, so the risk-set cumulative windows
+    run over a handful of rows at any corpus size."""
+    days = df.select(
+        F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
+    )
+    per_user = days.groupBy("_u").agg(
+        F.min("_d").alias("_first"), F.max("_d").alias("_last")
+    )
+    end = per_user.agg(F.max("_last").alias("_end"))
+    lf = per_user.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("t"),
+        F.when(
+            F.datediff(F.col("_end"), F.col("_last"))
+            >= F.lit(censor_last_days),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_event"),
+    )
+    g = lf.groupBy("t").agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("_event").alias("_d_evt")
+    )
+    tot = g.agg(F.sum("_m").alias("_tot"))
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "_m",
+        "_d_evt",
+        (F.col("_tot") - F.sum("_m").over(w) + F.col("_m")).alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    dd = F.col("_d_evt").cast("double")
+    term = F.when(
+        F.col("_d_evt") < F.col("_n"),
+        F.round(F.log(F.lit(1.0) - dd / nd), 9).cast("decimal(18,9)"),
+    )
+    cur = cur.select(
+        "t",
+        "_m",
+        "_d_evt",
+        "_n",
+        F.sum(term).over(w).alias("_lnsum"),
+        F.max(
+            F.when(F.col("_d_evt") >= F.col("_n"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .over(w)
+        .alias("_dead"),
+    )
+    return cur.select(
+        F.col("t").cast("long").alias("t"),
+        F.col("_n").cast("long").alias("n_at_risk"),
+        F.col("_d_evt").cast("long").alias("n_events"),
+        (F.col("_m") - F.col("_d_evt")).cast("long").alias("n_censored"),
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.coalesce(
+                        F.col("_lnsum").cast("double"), F.lit(0.0)
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    ).orderBy("t")

@@ -137,6 +137,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q204_rfm_segments",
     "q205_cusum_changepoint",
     "q206_crossfold_kn_scores",
+    "q207_kaplan_meier_churn",
 ]
 
 _DRIVER_WINDOW = [

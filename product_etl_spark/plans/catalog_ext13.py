@@ -1468,3 +1468,70 @@ def q206_crossfold_kn_scores(spark, sf_dir):
     train = d.filter(fold != 0)
     test = d.filter(fold == 0)
     return kneser_ney_score(train, test, "text", "doc_id", discount=0.75)
+
+
+@register(
+    "q207_kaplan_meier_churn",
+    """
+    WITH days AS (
+      SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ), per_user AS (
+      SELECT u, MIN(d) AS firstd, MAX(d) AS lastd FROM days GROUP BY u
+    ), e AS (
+      SELECT MAX(lastd) AS endd FROM per_user
+    ), lf AS (
+      SELECT CAST(lastd - firstd AS BIGINT) AS t,
+             CASE WHEN (e.endd - lastd) >= 1 THEN 1 ELSE 0 END AS evt
+      FROM per_user CROSS JOIN e
+    ), g AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(evt) AS BIGINT) AS d_evt
+      FROM lf GROUP BY t
+    ), tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS tot FROM g
+    ), cur AS (
+      SELECT t, m, d_evt,
+             tot.tot - CAST(SUM(m) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) + m AS n
+      FROM g CROSS JOIN tot
+    ), terms AS (
+      SELECT t, m, d_evt, n,
+             SUM(CASE WHEN d_evt < n THEN
+                   CAST(ROUND(LN(1.0 - CAST(d_evt AS DOUBLE)
+                                 / CAST(n AS DOUBLE)), 9)
+                        AS DECIMAL(18,9))
+                 END) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnsum,
+             MAX(CASE WHEN d_evt >= n THEN 1 ELSE 0 END)
+               OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead
+      FROM cur
+    )
+    SELECT t, n AS n_at_risk, d_evt AS n_events,
+           CAST(m - d_evt AS BIGINT) AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(EXP(CAST(COALESCE(lnsum, 0) AS DOUBLE)), 6)
+                END AS survival
+    FROM terms ORDER BY t
+    """,
+)
+def q207_kaplan_meier_churn(spark, sf_dir):
+    """Kaplan-Meier churn curve (timeseries.kaplan_meier) over user
+    lifetimes in the events stream, censoring users still active on
+    the final observed day — the survival-analysis rung above
+    q98's cohort grid (which silently treats unobserved-as-churned).
+    Engine-exact: risk sets and event counts are integers; each
+    ln(1 - d/n) term rounds to 1e-9 and sums as DECIMAL (order-free);
+    survival is one exp + round; the extinction row is an
+    integer-decided flag.
+
+    Scale shape: one user-keyed groupBy is the only corpus-sized
+    work; the lifetime curve is bounded by the observation window in
+    days, so every window below it is a handful of rows."""
+    from product_etl_spark.operators.timeseries import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    return kaplan_meier(ev, "user_id", "ts", censor_last_days=1)

@@ -414,3 +414,56 @@ def test_cusum_changepoint_planted_shift(spark):
     assert out["2024-01-05"]["is_peak"] == 1
     assert out["2024-01-10"]["cusum"] == 0  # telescopes to zero
     assert sum(r["is_peak"] for r in out.values()) == 1
+
+
+def test_kaplan_meier_hand_check(spark):
+    """Planted cohort (end = day 10, censor window 1 day): events at
+    t=2 (2 of 5 at risk) and t=4 (1 of 2) give S = 1, 0.6, 0.3;
+    same-t censored users count in the risk set but not the deaths."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import kaplan_meier
+
+    spans = {
+        1: (1, 3), 2: (1, 3), 3: (1, 5),   # churned (gap >= 1)
+        4: (8, 10), 5: (6, 10), 6: (10, 10),  # censored (last day)
+    }
+    rows = []
+    for u, (a, b) in spans.items():
+        rows.append((u, datetime(2024, 1, a)))
+        rows.append((u, datetime(2024, 1, b)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["t"]: r
+        for r in kaplan_meier(ev, "user_id", "ts", censor_last_days=1)
+        .collect()
+    }
+    assert out[0]["n_at_risk"] == 6 and out[0]["survival"] == 1.0
+    assert out[2]["n_at_risk"] == 5 and out[2]["n_events"] == 2
+    assert out[2]["n_censored"] == 1
+    assert abs(out[2]["survival"] - 0.6) < 1e-6
+    assert out[4]["n_at_risk"] == 2 and out[4]["n_events"] == 1
+    assert abs(out[4]["survival"] - 0.3) < 1e-6
+
+
+def test_kaplan_meier_extinction_row(spark):
+    """When every user still at risk churns at the max lifetime
+    (d = n), survival is exactly 0 — the integer-decided flag, not a
+    ln(0)."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import kaplan_meier
+
+    rows = []
+    for u, (a, b) in {1: (1, 8), 2: (1, 8), 3: (9, 10)}.items():
+        rows.append((u, datetime(2024, 1, a)))
+        rows.append((u, datetime(2024, 1, b)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["t"]: r
+        for r in kaplan_meier(ev, "user_id", "ts", censor_last_days=1)
+        .collect()
+    }
+    assert out[7]["n_events"] == 2 and out[7]["n_at_risk"] == 2
+    assert out[7]["survival"] == 0.0
+    assert out[1]["survival"] == 1.0  # the censored user's row
