@@ -516,3 +516,66 @@ def kneser_ney_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def unseen_vocabulary_estimate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unseen-vocabulary estimators from the frequency-of-frequencies
+    profile: Chao1 richness (Chao 1984) and the Good-Turing missing
+    mass — "how much vocabulary/probability lives OUTSIDE this
+    sample", the question Heaps' fit (q200) extrapolates and these
+    answer from singleton/doubleton counts alone:
+
+        chao1          = V + f1*(f1-1) / (2*(f2+1))   (bias-corrected)
+        good_turing_p0 = f1 / N
+
+    where V = observed vocabulary, f1/f2 = words seen exactly
+    once/twice, N = total tokens. A corpus whose singletons dominate
+    (high p0) is still growing — dedup thresholds and vocab sizes
+    tuned on it will be wrong on the next shard.
+
+    Output: ONE row (vocab, total_tokens, f1, f2, chao1,
+    good_turing_p0).
+
+    Float policy: everything is exact integers except the two single
+    divisions (the bias-corrected Chao1 denominator f2+1 keeps it
+    finite when f2 = 0), ROUND(.,4).
+
+    Scale shape: one tokenize + vocabulary-bounded word groupBy; the
+    frequency-of-frequencies table is a second groupBy over the WORD
+    table (bounded by max word frequency); the estimators fold from
+    1-row aggregates."""
+    tok = docs.select(
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    wc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    m = wc.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, F.lit(1)).otherwise(F.lit(0))).alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("n") == 2, F.lit(1)).otherwise(F.lit(0))).alias(
+            "f2"
+        ),
+    )
+    return m.select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(
+            F.col("vocab").cast("double")
+            + (F.col("f1") * (F.col("f1") - F.lit(1))).cast("double")
+            / (F.lit(2) * (F.col("f2") + F.lit(1))).cast("double"),
+            4,
+        ).alias("chao1"),
+        F.round(
+            F.col("f1").cast("double")
+            / F.col("total_tokens").cast("double"),
+            4,
+        ).alias("good_turing_p0"),
+    )

@@ -138,6 +138,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q205_cusum_changepoint",
     "q206_crossfold_kn_scores",
     "q207_kaplan_meier_churn",
+    "q208_unseen_vocabulary",
 ]
 
 _DRIVER_WINDOW = [

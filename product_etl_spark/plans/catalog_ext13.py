@@ -1535,3 +1535,49 @@ def q207_kaplan_meier_churn(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return kaplan_meier(ev, "user_id", "ts", censor_last_days=1)
+
+
+@register(
+    "q208_unseen_vocabulary",
+    r"""
+    WITH tok AS (
+      SELECT UNNEST(list_filter(
+               string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ), wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM wc
+    )
+    SELECT vocab, total_tokens, f1, f2,
+           ROUND(CAST(vocab AS DOUBLE)
+                 + CAST(f1 * (f1 - 1) AS DOUBLE)
+                   / CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1,
+           ROUND(CAST(f1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4)
+             AS good_turing_p0
+    FROM m
+    """,
+)
+def q208_unseen_vocabulary(spark, sf_dir):
+    """Unseen-vocabulary estimators (collocations.
+    unseen_vocabulary_estimate): bias-corrected Chao1 richness and
+    the Good-Turing missing mass from the singleton/doubleton
+    profile — "how much vocabulary is still unseen", the estimation
+    companion to Heaps' growth fit (q200) and the statistic that
+    says whether dedup thresholds and vocab sizes tuned on this
+    sample will hold on the next shard. Engine-exact: all counts
+    integers, two single divisions, ROUND(.,4).
+
+    Scale shape: one tokenize + vocabulary-bounded word groupBy,
+    then a 1-row fold; nothing else."""
+    from product_etl_spark.operators.collocations import (
+        unseen_vocabulary_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return unseen_vocabulary_estimate(d, "text", "doc_id")

@@ -279,3 +279,35 @@ def test_kneser_ney_score_backoff_ladder(spark):
     assert rows[2]["avg_nll"] == round(round(-math.log(p2), 9), 4)
     assert rows[3]["avg_nll"] == round(round(-math.log(p3), 9), 4)
     assert all(r["n_bigrams"] == 1 for r in rows.values())
+
+
+def test_unseen_vocabulary_hand_check(spark):
+    """'a a b c': V=3, N=4, f1=2, f2=1 -> chao1 = 3 + 2*1/(2*2) = 3.5,
+    Good-Turing p0 = 2/4."""
+    from product_etl_spark.operators.collocations import (
+        unseen_vocabulary_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c")], "doc_id long, text string"
+    )
+    r = unseen_vocabulary_estimate(docs).collect()[0]
+    assert r["vocab"] == 3 and r["total_tokens"] == 4
+    assert r["f1"] == 2 and r["f2"] == 1
+    assert r["chao1"] == 3.5
+    assert r["good_turing_p0"] == 0.5
+
+
+def test_unseen_vocabulary_closed_corpus(spark):
+    """No singletons -> nothing unseen: chao1 = V exactly and p0 = 0
+    (the f2+1 bias correction keeps the division finite)."""
+    from product_etl_spark.operators.collocations import (
+        unseen_vocabulary_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    r = unseen_vocabulary_estimate(docs).collect()[0]
+    assert r["f1"] == 0 and r["chao1"] == 2.0
+    assert r["good_turing_p0"] == 0.0
