@@ -144,6 +144,33 @@ def vocabulary_coverage(
     return ranked.agg(*aggs)
 
 
+def doc_bigrams(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1, w2) adjacent-word bigram ROWS per document: lowercase
+    tokenize + per-doc LEAD window — the ONE bigram construction
+    every LM operator in this module shares (kneser_ney_bigrams,
+    kneser_ney_score; q113's skeleton is the same shape), so a
+    tokenization or ordering fix lands everywhere at once. Rows, not
+    per-doc arrays: documents of any length never blow task memory.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        tok.select(
+            F.col(id_col),
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+
+
 def kneser_ney_bigrams(
     docs: DataFrame,
     text_col: str = "text",
@@ -177,18 +204,7 @@ def kneser_ney_bigrams(
     continuation counts are two vocabulary-bounded window passes over
     the PAIR TABLE (never the corpus); NB folds from the pair table as
     a broadcast 1-row aggregate. The corpus is scanned once."""
-    tok = docs.select(
-        F.col(id_col),
-        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    bb = (
-        tok.select(
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-    )
+    bb = doc_bigrams(docs, text_col, id_col)
     pairs = bb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pn"))
     w1w = Window.partitionBy("w1")
     w2w = Window.partitionBy("w2")
@@ -229,7 +245,6 @@ def kneser_ney_bigrams(
 def zipf_fit(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_n: int = 100,
 ) -> DataFrame:
     """Zipf's-law fit of the corpus rank-frequency curve: OLS of
@@ -369,15 +384,31 @@ def heaps_fit(
         F.expr(f"CAST(((_rank - 1) * {n_buckets}) DIV _d + 1 AS INT)")
         .alias("bucket"),
     )
-    bt = withb.groupBy("bucket").agg(
-        F.sum(T.token_count(text_col).cast("long")).alias("_toks")
+    # ONE tokenize feeds both legs: per-bucket token totals are a
+    # count over the exploded rows, first-occurrence words a
+    # min-bucket groupBy over the same frame.
+    btoks = withb.select(
+        "bucket",
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    # left-join from the full bucket list so a bucket of only-empty
+    # documents still contributes its zero-token curve row
+    bt = (
+        withb.select("bucket")
+        .distinct()
+        .join(
+            btoks.groupBy("bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("_t")
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket", F.coalesce(F.col("_t"), F.lit(0)).alias("_toks")
+        )
     )
     nw = (
-        withb.select(
-            "bucket",
-            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"),
-        )
-        .groupBy("w")
+        btoks.groupBy("w")
         .agg(F.min("bucket").alias("_fb"))
         .groupBy(F.col("_fb").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("_new"))
@@ -452,25 +483,8 @@ def kneser_ney_score(
     NB broadcasts as one row; one per-doc groupBy ends it. Each side
     is tokenized once."""
 
-    def _bigrams(docs: DataFrame) -> DataFrame:
-        tok = docs.select(
-            F.col(id_col),
-            F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias(
-                "pos", "tok"
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy("pos")
-        return (
-            tok.select(
-                F.col(id_col),
-                F.col("tok").alias("w1"),
-                F.lead("tok", 1).over(w).alias("w2"),
-            )
-            .filter(F.col("w2").isNotNull())
-        )
-
     d = float(discount)
-    train_bb = _bigrams(train_docs)
+    train_bb = doc_bigrams(train_docs, text_col, id_col)
     pairs = train_bb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pn"))
     ctx = pairs.groupBy("w1").agg(
         F.sum("pn").alias("cw1"), F.count(F.lit(1)).alias("n_follow")
@@ -478,7 +492,7 @@ def kneser_ney_score(
     cont = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_cont"))
     nb = pairs.agg(F.count(F.lit(1)).alias("nb"))
     bb = (
-        _bigrams(test_docs)
+        doc_bigrams(test_docs, text_col, id_col)
         .join(pairs, ["w1", "w2"], "left")
         .join(ctx, ["w1"], "left")
         .join(cont, ["w2"], "left")
@@ -521,7 +535,6 @@ def kneser_ney_score(
 def unseen_vocabulary_estimate(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Unseen-vocabulary estimators from the frequency-of-frequencies
     profile: Chao1 richness (Chao 1984) and the Good-Turing missing

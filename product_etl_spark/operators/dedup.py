@@ -1506,6 +1506,15 @@ def minhash_recall_audit(
     the audit runs on a sample, the production path it measures
     stays banded; the candidate leg is the skew-free (band, hash)
     join."""
+    if bands <= 0 or k % bands != 0:
+        # k // bands would silently audit a DIFFERENT banding scheme
+        # than configured (k=10, bands=4 -> only h0..h7 used), and
+        # bands > k gives rows_per_band = 0, where every band hash is
+        # md5('') — identical for all docs, i.e. all-pairs candidates.
+        raise ValueError(
+            f"minhash_recall_audit: k={k} must be a positive multiple "
+            f"of bands={bands} (rows_per_band = k // bands)."
+        )
     n_docs = docs.select(id_col).count()
     if n_docs > max_truth_docs:
         raise ValueError(

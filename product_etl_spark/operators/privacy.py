@@ -174,9 +174,21 @@ def t_closeness_audit(
     groups = gv.groupBy(*quasi_cols).agg(F.sum("_cgv").alias("_ng"))
     vals = gv.groupBy(sensitive_col).agg(F.sum("_cgv").alias("_nv"))
     total = vals.agg(F.sum("_nv").alias("_n"))
+    # NULL-SAFE grid join: groupBy keeps NULL quasi/sensitive keys as
+    # real groups (the suppress_risky_groups convention), but a plain
+    # key-list join never matches NULL = NULL, which would hand every
+    # NULL-keyed group q = 0 for all values and fabricate its t.
+    gvr = gv.select(
+        *[F.col(c).alias(f"_gv_{c}") for c in quasi_cols],
+        F.col(sensitive_col).alias("_gv_s"),
+        "_cgv",
+    )
+    cond = F.col(sensitive_col).eqNullSafe(F.col("_gv_s"))
+    for c in quasi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_gv_{c}"))
     grid = (
         groups.crossJoin(F.broadcast(vals))
-        .join(gv, [*quasi_cols, sensitive_col], "left")
+        .join(gvr, cond, "left")
         .crossJoin(F.broadcast(total))
     )
     q = F.coalesce(F.col("_cgv"), F.lit(0)).cast("double") / F.col(

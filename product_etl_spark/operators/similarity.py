@@ -1327,11 +1327,16 @@ def signbit_bands(
     shuffle, no state. The candidate join downstream is keyed on
     (band, band_val), the classic LSH-join shape."""
     weights = ", ".join(f"{1 << j}L" for j in range(band_bits))
+    # Missing dims (slice past the embedding's end) surface as NULL in
+    # zip_with and must POISON the band to NULL — a bare IF(v >= 0,..)
+    # would treat them as negative and hand an undersized vector a
+    # valid (joinable) signature.
     expr = (
         f"transform(sequence(0, {n_bands - 1}), b -> "
         f"aggregate(zip_with(slice({emb_col}, b * {band_bits} + 1, "
         f"{band_bits}), array({weights}), "
-        f"(v, w) -> IF(v >= 0, w, 0L)), 0L, (acc, x) -> acc + x))"
+        f"(v, w) -> IF(v IS NULL, CAST(NULL AS BIGINT), "
+        f"IF(v >= 0, w, 0L))), 0L, (acc, x) -> acc + x))"
     )
     return df.select(
         F.col(id_col), F.posexplode(F.expr(expr)).alias("band", "band_val")
@@ -1397,21 +1402,32 @@ def ann_recall_audit(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+    # recall@k divides by the ACTUAL ground-truth size min(k, N-1) —
+    # a fixed k would understate recall on corpora smaller than k+1;
+    # a query with no ground truth at all is vacuously 1.0.
+    truthn = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_ntruth")
+    )
     return (
         queries.select(F.col(id_col).alias("query_id"))
         .join(ncand, "query_id", "left")
         .join(hits, "query_id", "left")
+        .join(truthn, "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_candidates"), F.lit(0))
             .cast("long")
             .alias("n_candidates"),
             F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.lit(float(k)),
-                6,
-            ).alias("recall"),
+            F.when(F.coalesce(F.col("_ntruth"), F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                    / F.col("_ntruth").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
         )
     )
 
@@ -1483,9 +1499,13 @@ def ivf_recall_audit(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+    truthn = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_ntruth")
+    )
     return (
         q_assigned.join(F.broadcast(cell_sizes), "list_id")
         .join(hits, "query_id", "left")
+        .join(truthn, "query_id", "left")
         .select(
             "query_id",
             "list_id",
@@ -1494,10 +1514,16 @@ def ivf_recall_audit(
             F.coalesce(F.col("hits"), F.lit(0))
             .cast("long")
             .alias("hits"),
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.lit(float(k)),
-                6,
-            ).alias("recall"),
+            # recall@k over the ACTUAL truth size min(k, N-1), the
+            # same rule as ann_recall_audit; vacuous 1.0 on no truth
+            F.when(F.coalesce(F.col("_ntruth"), F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                    / F.col("_ntruth").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
         )
     )

@@ -443,11 +443,27 @@ def cusum_changepoint(
     integer-decided).
 
     Scale shape: ONE day-keyed map-side-combined groupBy (the only
-    corpus-sized work); totals fold as a broadcast 1-row aggregate;
+    corpus-sized work); the series then DENSIFIES to the full
+    calendar span (zero-event days walk S_t down — an outage must
+    peak, not vanish); totals fold as a broadcast 1-row aggregate;
     the cumulative window and the peak rank run over the
     #days-bounded curve."""
-    daily = df.groupBy(F.to_date(F.col(ts_col)).alias(id_alias)).agg(
-        F.count(F.lit(1)).alias("n_events")
+    observed = df.groupBy(F.to_date(F.col(ts_col)).alias(id_alias)).agg(
+        F.count(F.lit(1)).alias("_obs")
+    )
+    # DENSIFY to the full calendar span: a zero-event day must walk
+    # S_t down like any other below-mean day — building the series
+    # from observed days only would make a total outage invisible to
+    # the statistic (no rows, no deviation).
+    span = observed.agg(
+        F.min(id_alias).alias("_lo"), F.max(id_alias).alias("_hi")
+    )
+    alldays = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(id_alias)
+    )
+    daily = alldays.join(observed, id_alias, "left").select(
+        id_alias,
+        F.coalesce(F.col("_obs"), F.lit(0)).alias("n_events"),
     )
     tot = daily.agg(
         F.count(F.lit(1)).alias("_d"), F.sum("n_events").alias("_n")

@@ -527,7 +527,9 @@ def q193_cluster_safe_folds(spark, sf_dir):
     SELECT q.vec_id AS query_id,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_candidates,
            CAST(COALESCE(h.n, 0) AS BIGINT) AS hits,
-           ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0, 6) AS recall
+           CASE WHEN COALESCE(tn.n, 0) = 0 THEN 1.0
+                ELSE ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE)
+                           / CAST(tn.n AS DOUBLE), 6) END AS recall
     FROM q
     LEFT JOIN (SELECT query_id, COUNT(*) AS n FROM cand
                GROUP BY query_id) c ON c.query_id = q.vec_id
@@ -535,6 +537,8 @@ def q193_cluster_safe_folds(spark, sf_dir):
                JOIN exact ON exact.query_id = cand.query_id
                 AND exact.neighbor_id = cand.neighbor_id
                GROUP BY cand.query_id) h ON h.query_id = q.vec_id
+    LEFT JOIN (SELECT query_id, COUNT(*) AS n FROM exact
+               GROUP BY query_id) tn ON tn.query_id = q.vec_id
     """,
 )
 def q194_ann_recall_audit(spark, sf_dir):
@@ -805,9 +809,9 @@ def q197_linkage_agreement_patterns(spark, sf_dir):
       SELECT g.c_nationkey, g.c_mktsegment, g.ng, v.band, v.nv,
              COALESCE(gv.cgv, 0) AS cgv
       FROM g CROSS JOIN v
-      LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey
-                  AND gv.c_mktsegment = g.c_mktsegment
-                  AND gv.band = v.band
+      LEFT JOIN gv ON gv.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+                  AND gv.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+                  AND gv.band IS NOT DISTINCT FROM v.band
     ), terms AS (
       SELECT c_nationkey, c_mktsegment, ng,
              CAST(ROUND(ABS(CAST(cgv AS DOUBLE) / CAST(ng AS DOUBLE)
@@ -926,7 +930,7 @@ def q199_zipf_fit(spark, sf_dir):
     from product_etl_spark.operators.collocations import zipf_fit
 
     d = _t(spark, sf_dir, "documents")
-    return zipf_fit(d, "text", "doc_id", top_n=100)
+    return zipf_fit(d, "text", top_n=100)
 
 
 @register(
@@ -1189,10 +1193,14 @@ def q201_minhash_recall_audit(spark, sf_dir):
     SELECT qa.query_id, qa.list_id,
            CAST(csz.csz - 1 AS BIGINT) AS n_candidates,
            CAST(COALESCE(h.n, 0) AS BIGINT) AS hits,
-           ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0, 6) AS recall
+           CASE WHEN COALESCE(tn.n, 0) = 0 THEN 1.0
+                ELSE ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE)
+                           / CAST(tn.n AS DOUBLE), 6) END AS recall
     FROM qa
     JOIN csz ON csz.list_id = qa.list_id
     LEFT JOIN hits h ON h.query_id = qa.query_id
+    LEFT JOIN (SELECT query_id, COUNT(*) AS n FROM exact
+               GROUP BY query_id) tn ON tn.query_id = qa.query_id
     """,
 )
 def q202_ivf_recall_audit(spark, sf_dir):
@@ -1335,9 +1343,18 @@ def q204_rfm_segments(spark, sf_dir):
 @register(
     "q205_cusum_changepoint",
     """
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+    WITH observed AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY CAST(ts AS DATE)
+    ), span AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM observed
+    ), alldays AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM span
+    ), daily AS (
+      SELECT a.day, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_events
+      FROM alldays a LEFT JOIN observed o ON o.day = a.day
     ), tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS d,
              CAST(SUM(n_events) AS BIGINT) AS n
@@ -1457,14 +1474,11 @@ def q206_crossfold_kn_scores(spark, sf_dir):
     groupBys; scoring joins test bigram ROWS on the bigram/word keys
     (AQE skew for stop-word heads); NB broadcasts; one per-doc
     groupBy ends it."""
+    from product_etl_spark.functions.text import hash64
     from product_etl_spark.operators.collocations import kneser_ney_score
 
     d = _t(spark, sf_dir, "documents")
-    fold = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("bigint"),
-        F.lit(3),
-    )
+    fold = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(3))
     train = d.filter(fold != 0)
     test = d.filter(fold == 0)
     return kneser_ney_score(train, test, "text", "doc_id", discount=0.75)
@@ -1580,4 +1594,4 @@ def q208_unseen_vocabulary(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    return unseen_vocabulary_estimate(d, "text", "doc_id")
+    return unseen_vocabulary_estimate(d, "text")

@@ -256,3 +256,28 @@ def test_t_closeness_hand_check(spark):
     # worst groups first, ties broken by quasi value ascending
     ordered = t_closeness_audit(df, ["grp"], "sec", top_n=10).collect()
     assert [r["grp"] for r in ordered] == ["skew", "skew2", "flat"]
+
+
+def test_t_closeness_null_quasi_group(spark):
+    """A NULL quasi group (ungeneralized rows) must report its REAL
+    distance — null-safe grid join. Here the NULL group's sensitive
+    distribution matches the global 50/50 exactly, so its t is 0;
+    a null-unsafe join would fabricate t = 0.5."""
+    from product_etl_spark.operators.privacy import t_closeness_audit
+
+    df = spark.createDataFrame(
+        [
+            (None, "x"),
+            (None, "y"),
+            ("g", "x"),
+            ("g", "y"),
+        ],
+        "grp string, sec string",
+    )
+    rows = {
+        r["grp"]: r
+        for r in t_closeness_audit(df, ["grp"], "sec", top_n=10).collect()
+    }
+    assert rows[None]["t"] == 0.0
+    assert rows["g"]["t"] == 0.0
+    assert rows[None]["n_rows"] == 2

@@ -467,3 +467,28 @@ def test_kaplan_meier_extinction_row(spark):
     assert out[7]["n_events"] == 2 and out[7]["n_at_risk"] == 2
     assert out[7]["survival"] == 0.0
     assert out[1]["survival"] == 1.0  # the censored user's row
+
+
+def test_cusum_changepoint_densifies_outage_days(spark):
+    """A calendar day with ZERO events must still walk the CUSUM
+    (2 events day 1, outage day 2, 2 events day 3 -> S = 2, -2, 0,
+    with the zero-event day present in the curve)."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import cusum_changepoint
+
+    ev = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 1),),
+            (datetime(2024, 1, 1, 2),),
+            (datetime(2024, 1, 3, 1),),
+            (datetime(2024, 1, 3, 2),),
+        ],
+        "ts timestamp",
+    )
+    out = {str(r["day"]): r for r in cusum_changepoint(ev, "ts").collect()}
+    assert len(out) == 3  # densified: the outage day exists
+    assert out["2024-01-02"]["n_events"] == 0
+    assert out["2024-01-02"]["cusum"] == -2
+    assert out["2024-01-01"]["cusum"] == 2
+    assert out["2024-01-03"]["cusum"] == 0
