@@ -594,3 +594,159 @@ def kaplan_meier(
         )
         .alias("survival"),
     ).orderBy("t")
+
+
+def mad_anomaly_days(
+    df: DataFrame,
+    ts_col: str = "ts",
+    k: int = 3,
+) -> DataFrame:
+    """Robust POINT-anomaly flags on the daily event-count series:
+    flag days where |n - median| > k * MAD (the median absolute
+    deviation rule, the outlier test that a single crazy day cannot
+    poison, unlike mean/stddev z-scores) — the point-anomaly
+    companion to q205's CUSUM level-shift localization and the
+    time-series sibling of q153's per-group MAD outliers.
+
+    Entirely INTEGER-decided: with doubled order statistics
+    (med2 = lower+upper middle of n, so always an exact integer even
+    for even-length series), the deviation dev = |2n - med2| is an
+    integer, the doubled MAD med2dev = lower+upper middle of dev is
+    an integer, and the flag is the cross-multiplication
+    2*dev > k*med2dev — no float appears anywhere.
+
+    Output: the full daily curve (day, n_events, dev2, is_anomaly),
+    dev2 = |2n - med2| for the report's own audit trail.
+
+    Scale shape: the day-keyed groupBy is the only corpus-sized
+    work; the series densifies to the calendar span (a zero-event
+    day must be flaggable); medians come from row_number windows
+    over the #days-bounded curve."""
+    observed = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("_obs")
+    )
+    span = observed.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    daily = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+        )
+        .join(observed, "day", "left")
+        .select(
+            "day", F.coalesce(F.col("_obs"), F.lit(0)).alias("n_events")
+        )
+    )
+
+    def _med2(frame: DataFrame, col: str) -> DataFrame:
+        """1-row frame with med2 = (lower middle + upper middle) of
+        ``col`` — 2x the median, always an exact integer."""
+        w = Window.orderBy(F.col(col).asc(), F.col("day").asc())
+        ranked = frame.select(
+            F.col(col), F.row_number().over(w).alias("_r")
+        ).crossJoin(
+            F.broadcast(frame.agg(F.count(F.lit(1)).alias("_cnt")))
+        )
+        return ranked.filter(
+            (F.col("_r") * 2 == F.col("_cnt"))
+            | (F.col("_r") * 2 == F.col("_cnt") + 1)
+            | (F.col("_r") * 2 == F.col("_cnt") + 2)
+        ).agg(
+            F.when(
+                F.max("_cnt") % 2 == 1, F.max(F.col(col)) * 2
+            )
+            .otherwise(F.sum(F.col(col)))
+            .alias("med2")
+        )
+
+    m1 = _med2(daily, "n_events").withColumnRenamed("med2", "_med2n")
+    devs = daily.crossJoin(F.broadcast(m1)).select(
+        "day",
+        "n_events",
+        F.abs(F.lit(2) * F.col("n_events") - F.col("_med2n")).alias(
+            "dev2"
+        ),
+    )
+    m2 = _med2(devs, "dev2").withColumnRenamed("med2", "_med2d")
+    return (
+        devs.crossJoin(F.broadcast(m2))
+        .select(
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("dev2").cast("long").alias("dev2"),
+            F.when(
+                F.lit(2) * F.col("dev2") > F.lit(k) * F.col("_med2d"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+def weekday_uniformity(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Day-of-week load profile with the chi-square uniformity
+    statistic — the capacity-planning audit (is traffic flat across
+    weekdays, or does the pipeline need weekday-aware partitioning
+    and autoscaling?) and a drift input like q139/q148 but over the
+    CALENDAR margin.
+
+    chi2 against the uniform null folds to exact integers:
+
+        chi2 = sum((o_d - N/7)^2 / (N/7)) = sum((7*o_d - N)^2) / (7N)
+
+    so the only float is the final single division. All 7 weekday
+    bins are present even at count 0 (a missing bin must contribute
+    its full deviation). Weekday is ISO Monday=0 on both engines
+    (Spark weekday(); DuckDB isodow - 1).
+
+    Output: 7 rows (weekday, n_events, dev_sq, chi2) — chi2 repeated
+    per row (the q192 broadcast-total pattern).
+
+    Scale shape: one weekday-keyed map-side-combined groupBy is the
+    only corpus-sized work; the grid is 7 literal rows; the
+    statistic folds as a broadcast 1-row aggregate."""
+    counts = df.groupBy(
+        F.expr(f"weekday(to_date({ts_col}))").alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    grid = (
+        df.sparkSession.range(7)
+        .select(F.col("id").cast("int").alias("weekday"))
+        .join(counts, "weekday", "left")
+        .select(
+            "weekday",
+            F.coalesce(F.col("_o"), F.lit(0)).alias("n_events"),
+        )
+    )
+    tot = grid.agg(F.sum("n_events").alias("_n"))
+    withdev = grid.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        F.col("n_events").cast("long").alias("n_events"),
+        (
+            (F.lit(7) * F.col("n_events") - F.col("_n"))
+            * (F.lit(7) * F.col("n_events") - F.col("_n"))
+        )
+        .cast("long")
+        .alias("dev_sq"),
+        F.col("_n"),
+    )
+    m = withdev.agg(
+        F.sum("dev_sq").alias("_s"), F.max("_n").alias("_nn")
+    )
+    return (
+        withdev.select("weekday", "n_events", "dev_sq")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "weekday",
+            "n_events",
+            "dev_sq",
+            F.round(
+                F.col("_s").cast("double")
+                / (F.lit(7) * F.col("_nn")).cast("double"),
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("weekday")
+    )

@@ -139,6 +139,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q206_crossfold_kn_scores",
     "q207_kaplan_meier_churn",
     "q208_unseen_vocabulary",
+    "q209_mad_anomaly_days",
+    "q210_weekday_uniformity",
 ]
 
 _DRIVER_WINDOW = [

@@ -19,8 +19,15 @@ privacy.t_closeness_audit — completing the k/l/t privacy ladder),
 the Zipf and Heaps corpus fingerprints (q199/q200,
 collocations.zipf_fit / heaps_fit on the shared lnln_ols decimal-
 moment fitter), the MinHash-LSH and IVF recall audits (q201/q202 —
-with q194 the full ANN evaluation triple), and market-basket
-association rules (q203, basket.association_rules).
+with q194 the full ANN evaluation triple), market-basket
+association rules (q203, basket.association_rules), RFM segments
+(q204, segmentation.rfm_segments), CUSUM changepoint localization
+(q205, timeseries.cusum_changepoint), leakage-safe cross-fold KN
+scoring (q206, collocations.kneser_ney_score), the Kaplan-Meier
+churn curve (q207, timeseries.kaplan_meier), Chao1/Good-Turing
+unseen-vocabulary estimators (q208), MAD point-anomaly days (q209,
+timeseries.mad_anomaly_days), and the weekday chi-square
+uniformity audit (q210, timeseries.weekday_uniformity).
 
 Every entry keeps the repo invariants: identical column names/aliases
 between the Spark plan and the DuckDB oracle, integer-decided ranks,
@@ -1595,3 +1602,115 @@ def q208_unseen_vocabulary(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return unseen_vocabulary_estimate(d, "text")
+
+
+@register(
+    "q209_mad_anomaly_days",
+    """
+    WITH observed AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), span AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM observed
+    ), daily AS (
+      SELECT a.day, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_events
+      FROM (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                        AS DATE) AS day FROM span) a
+      LEFT JOIN observed o ON o.day = a.day
+    ), r1 AS (
+      SELECT day, n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events, day) AS r,
+             COUNT(*) OVER () AS cnt
+      FROM daily
+    ), m1 AS (
+      SELECT CAST(CASE WHEN MAX(cnt) % 2 = 1 THEN MAX(n_events) * 2
+                  ELSE SUM(n_events) END AS BIGINT) AS med2n
+      FROM r1
+      WHERE 2 * r = cnt OR 2 * r = cnt + 1 OR 2 * r = cnt + 2
+    ), devs AS (
+      SELECT day, n_events,
+             CAST(ABS(2 * n_events - m1.med2n) AS BIGINT) AS dev2
+      FROM daily CROSS JOIN m1
+    ), r2 AS (
+      SELECT day, dev2,
+             ROW_NUMBER() OVER (ORDER BY dev2, day) AS r,
+             COUNT(*) OVER () AS cnt
+      FROM devs
+    ), m2 AS (
+      SELECT CAST(CASE WHEN MAX(cnt) % 2 = 1 THEN MAX(dev2) * 2
+                  ELSE SUM(dev2) END AS BIGINT) AS med2d
+      FROM r2
+      WHERE 2 * r = cnt OR 2 * r = cnt + 1 OR 2 * r = cnt + 2
+    )
+    SELECT d.day, d.n_events, d.dev2,
+           CAST(CASE WHEN 2 * d.dev2 > 3 * m2.med2d THEN 1 ELSE 0 END
+                AS INT) AS is_anomaly
+    FROM devs d CROSS JOIN m2
+    ORDER BY d.day
+    """,
+)
+def q209_mad_anomaly_days(spark, sf_dir):
+    """Robust point-anomaly flags on the daily event-rate series
+    (timeseries.mad_anomaly_days, |n - median| > 3*MAD): the
+    outlier rule a single crazy day cannot poison — the
+    point-anomaly companion to q205's CUSUM level shifts and the
+    time-series sibling of q153's per-group MAD outliers.
+    Engine-exact and float-free: DOUBLED order statistics keep the
+    median and the MAD exact integers for any series length, and the
+    flag is the integer cross-multiplication 2*dev > k*med2dev.
+
+    Scale shape: one day-keyed groupBy, calendar densification, then
+    two row_number medians over the #days-bounded curve — nothing
+    corpus-sized past the scan."""
+    from product_etl_spark.operators.timeseries import mad_anomaly_days
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_anomaly_days(ev, "ts", k=3)
+
+
+@register(
+    "q210_weekday_uniformity",
+    """
+    WITH counts AS (
+      SELECT isodow(CAST(ts AS DATE)) - 1 AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY isodow(CAST(ts AS DATE)) - 1
+    ), grid AS (
+      SELECT g.weekday, CAST(COALESCE(c.o, 0) AS BIGINT) AS n_events
+      FROM (SELECT UNNEST(RANGE(0, 7)) AS weekday) g
+      LEFT JOIN counts c ON c.weekday = g.weekday
+    ), tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM grid
+    ), withdev AS (
+      SELECT g.weekday, g.n_events,
+             CAST((7 * g.n_events - t.n) * (7 * g.n_events - t.n)
+                  AS BIGINT) AS dev_sq,
+             t.n
+      FROM grid g CROSS JOIN tot t
+    ), m AS (
+      SELECT CAST(SUM(dev_sq) AS BIGINT) AS s,
+             CAST(MAX(n) AS BIGINT) AS nn
+      FROM withdev
+    )
+    SELECT w.weekday, w.n_events, w.dev_sq,
+           ROUND(CAST(m.s AS DOUBLE) / CAST(7 * m.nn AS DOUBLE), 6)
+             AS chi2
+    FROM withdev w CROSS JOIN m
+    ORDER BY w.weekday
+    """,
+)
+def q210_weekday_uniformity(spark, sf_dir):
+    """Day-of-week load profile + chi-square uniformity statistic
+    (timeseries.weekday_uniformity): is event traffic flat across
+    ISO weekdays (chi2 ~ 6 under the null) or does the pipeline need
+    weekday-aware capacity — the calendar-margin drift audit next to
+    PSI (q139) and KS (q148). Engine-exact: the statistic folds to
+    sum((7*o - N)^2) / (7N), so every term is an exact integer and
+    the only float is one division; all 7 bins present even at zero.
+
+    Scale shape: one weekday-keyed map-side-combined groupBy; a
+    7-row literal grid; one broadcast 1-row fold."""
+    from product_etl_spark.operators.timeseries import weekday_uniformity
+
+    ev = _t(spark, sf_dir, "events")
+    return weekday_uniformity(ev, "ts")

@@ -492,3 +492,72 @@ def test_cusum_changepoint_densifies_outage_days(spark):
     assert out["2024-01-02"]["cusum"] == -2
     assert out["2024-01-01"]["cusum"] == 2
     assert out["2024-01-03"]["cusum"] == 0
+
+
+def test_mad_anomaly_days_planted(spark):
+    """[10,10,10,10,100]: median 10, MAD 0 -> only the 100-day flags
+    (2*dev > 3*0); an all-identical series flags nothing (strict
+    inequality)."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import mad_anomaly_days
+
+    rows = []
+    for d in range(1, 5):
+        rows.extend([(datetime(2024, 1, d, h),) for h in range(10)])
+    rows.extend(
+        [(datetime(2024, 1, 5, h, m),) for h in range(10) for m in range(10)]
+    )
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = {str(r["day"]): r for r in mad_anomaly_days(ev, "ts").collect()}
+    assert [d for d, r in out.items() if r["is_anomaly"]] == ["2024-01-05"]
+    assert out["2024-01-05"]["dev2"] == 180  # |2*100 - 20|
+
+    flat = spark.createDataFrame(
+        [(datetime(2024, 1, d),) for d in range(1, 6)], "ts timestamp"
+    )
+    assert all(
+        r["is_anomaly"] == 0 for r in mad_anomaly_days(flat, "ts").collect()
+    )
+
+
+def test_mad_anomaly_days_even_count_median(spark):
+    """Even-length series: med2 = lower+upper middle (counts 1,2,3,4
+    -> med2 = 5), exercised without any float median."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import mad_anomaly_days
+
+    rows = []
+    for d, n in enumerate([1, 2, 3, 4], start=1):
+        rows.extend([(datetime(2024, 1, d, h),) for h in range(n)])
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = {str(r["day"]): r for r in mad_anomaly_days(ev, "ts").collect()}
+    # dev2 = |2n - 5| = [3, 1, 1, 3]
+    assert [out[f"2024-01-0{d}"]["dev2"] for d in range(1, 5)] == [3, 1, 1, 3]
+    # med2dev = 1+3 = 4; flag iff 2*dev2 > 12 -> none
+    assert all(r["is_anomaly"] == 0 for r in out.values())
+
+
+def test_weekday_uniformity_hand_check(spark):
+    """One event per ISO weekday -> chi2 0; all seven on Monday ->
+    chi2 = (42^2 + 6*49)/49 = 42.0 exactly."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import weekday_uniformity
+
+    # 2024-01-01 is a Monday
+    flat = spark.createDataFrame(
+        [(datetime(2024, 1, d),) for d in range(1, 8)], "ts timestamp"
+    )
+    rows = weekday_uniformity(flat, "ts").collect()
+    assert [r["weekday"] for r in rows] == list(range(7))
+    assert all(r["chi2"] == 0.0 and r["dev_sq"] == 0 for r in rows)
+
+    skew = spark.createDataFrame(
+        [(datetime(2024, 1, 1, h),) for h in range(7)], "ts timestamp"
+    )
+    rows = {r["weekday"]: r for r in weekday_uniformity(skew, "ts").collect()}
+    assert rows[0]["n_events"] == 7 and rows[0]["dev_sq"] == 1764
+    assert rows[1]["n_events"] == 0 and rows[1]["dev_sq"] == 49
+    assert rows[0]["chi2"] == 42.0
