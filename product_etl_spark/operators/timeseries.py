@@ -750,3 +750,67 @@ def weekday_uniformity(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame, ts_col: str = "ts", period: int = 7
+) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecast (predict day d with
+    day d-period) on the daily event-count series — the baseline
+    every forecasting effort must beat (Hyndman's forecasting
+    folklore: if your model can't beat seasonal naive, ship seasonal
+    naive), and the capacity-planning sanity number next to the
+    weekday profile (q210).
+
+    Output: ONE row (n_days, total_abs_err, total_err, mae, bias,
+    rmse) over every day with a d-period predecessor in the
+    densified calendar (zero-event days forecast and score like any
+    other).
+
+    Float policy: errors and their sums are exact integers (counts);
+    mae and bias are single divisions; rmse is one division + one
+    correctly-rounded sqrt; ROUND(.,6).
+
+    Scale shape: one day-keyed groupBy is the only corpus-sized
+    work; the lag and the fold run over the #days-bounded dense
+    curve."""
+    observed = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("_obs")
+    )
+    span = observed.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    daily = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+        )
+        .join(observed, "day", "left")
+        .select(
+            "day", F.coalesce(F.col("_obs"), F.lit(0)).alias("n_events")
+        )
+    )
+    w = Window.orderBy("day")
+    scored = daily.select(
+        "n_events",
+        F.lag("n_events", period).over(w).alias("_pred"),
+    ).filter(F.col("_pred").isNotNull())
+    err = F.col("n_events") - F.col("_pred")
+    m = scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(err)).alias("total_abs_err"),
+        F.sum(err).alias("total_err"),
+        F.sum(err * err).alias("_sq"),
+    )
+    nd = F.col("n_days").cast("double")
+    return m.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total_abs_err").cast("long").alias("total_abs_err"),
+        F.col("total_err").cast("long").alias("total_err"),
+        F.round(F.col("total_abs_err").cast("double") / nd, 6).alias(
+            "mae"
+        ),
+        F.round(F.col("total_err").cast("double") / nd, 6).alias("bias"),
+        F.round(F.sqrt(F.col("_sq").cast("double") / nd), 6).alias(
+            "rmse"
+        ),
+    )

@@ -141,6 +141,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q208_unseen_vocabulary",
     "q209_mad_anomaly_days",
     "q210_weekday_uniformity",
+    "q211_seasonal_naive_backtest",
 ]
 
 _DRIVER_WINDOW = [

@@ -1714,3 +1714,59 @@ def q210_weekday_uniformity(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return weekday_uniformity(ev, "ts")
+
+
+@register(
+    "q211_seasonal_naive_backtest",
+    """
+    WITH observed AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), span AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM observed
+    ), daily AS (
+      SELECT a.day, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_events
+      FROM (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                        AS DATE) AS day FROM span) a
+      LEFT JOIN observed o ON o.day = a.day
+    ), scored AS (
+      SELECT n_events,
+             LAG(n_events, 7) OVER (ORDER BY day) AS pred
+      FROM daily
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(n_events - pred)) AS BIGINT) AS total_abs_err,
+             CAST(SUM(n_events - pred) AS BIGINT) AS total_err,
+             CAST(SUM((n_events - pred) * (n_events - pred)) AS BIGINT)
+               AS sq
+      FROM scored WHERE pred IS NOT NULL
+    )
+    SELECT n_days, total_abs_err, total_err,
+           ROUND(CAST(total_abs_err AS DOUBLE)
+                 / CAST(n_days AS DOUBLE), 6) AS mae,
+           ROUND(CAST(total_err AS DOUBLE)
+                 / CAST(n_days AS DOUBLE), 6) AS bias,
+           ROUND(SQRT(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+             AS rmse
+    FROM m
+    """,
+)
+def q211_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest (timeseries.
+    seasonal_naive_backtest, period 7): MAE/bias/RMSE of predicting
+    each day's event count with the same weekday last week — the
+    baseline any forecasting model must beat, completing the
+    event-rate analytics set (q205 WHEN it shifted, q209 WHICH days
+    are anomalous, q210 HOW uneven the weekday load is, q211 HOW
+    PREDICTABLE it is). Engine-exact: errors and their folds are
+    exact integers over the densified calendar; mae/bias are single
+    divisions, rmse one division + one correctly-rounded sqrt.
+
+    Scale shape: one day-keyed groupBy; the lag and the 1-row fold
+    run over the #days-bounded dense curve."""
+    from product_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_naive_backtest(ev, "ts", period=7)

@@ -561,3 +561,32 @@ def test_weekday_uniformity_hand_check(spark):
     assert rows[0]["n_events"] == 7 and rows[0]["dev_sq"] == 1764
     assert rows[1]["n_events"] == 0 and rows[1]["dev_sq"] == 49
     assert rows[0]["chi2"] == 42.0
+
+
+def test_seasonal_naive_backtest_hand_check(spark):
+    """14-day series with a perfect weekly pattern scores zero error;
+    breaking one day by +3 gives total_abs_err 3 over 7 scored days
+    (the densified calendar supplies the zero-event days)."""
+    from datetime import datetime
+
+    from product_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    pattern = [1, 2, 0, 1, 2, 0, 1]  # includes zero-event days
+    rows = []
+    for week in range(2):
+        for i, n in enumerate(pattern):
+            d = week * 7 + i + 1
+            rows.extend([(datetime(2024, 1, d, h),) for h in range(n)])
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    r = seasonal_naive_backtest(ev, "ts", period=7).collect()[0]
+    assert r["n_days"] == 7
+    assert r["total_abs_err"] == 0 and r["mae"] == 0.0
+    assert r["rmse"] == 0.0
+
+    rows.extend([(datetime(2024, 1, 14, 20 + h),) for h in range(3)])
+    ev2 = spark.createDataFrame(rows, "ts timestamp")
+    r2 = seasonal_naive_backtest(ev2, "ts", period=7).collect()[0]
+    assert r2["total_abs_err"] == 3 and r2["total_err"] == 3
+    assert abs(r2["mae"] - 3 / 7) < 1e-6
