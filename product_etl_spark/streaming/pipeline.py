@@ -1325,3 +1325,48 @@ def stream_semdedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_daily_rate(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+):
+    """Continuous-ingest twin of the batch rate-analytics family
+    (q205 CUSUM changepoint, q209 MAD anomaly days, q211 seasonal-
+    naive backtest): maintain the daily event-count series under
+    streaming ingest so the batch analyzers run over materialized
+    state instead of rescanning history.
+
+    Shape: each micro-batch folds to per-day partial counts written
+    to an immutable ``state_dir/batch=<id>`` directory (the
+    `_fold_to_batch_dirs` replay contract — a replayed batch
+    rewrites the same directory with the same content, so the fold
+    is idempotent). ``read_daily_rate`` merges partials by day:
+    per-batch cost is one day-keyed partial aggregate over the
+    BATCH; history is never rescanned; state is #days x #batches
+    rows (compactable like the rollup partials).
+
+    Drains everything available exactly once, then stops."""
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(
+            F.to_date(F.col(ts_col)).alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    return _fold_to_batch_dirs(events, state_dir, checkpoint, partial)
+
+
+def read_daily_rate(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged daily event counts from ``stream_daily_rate`` partials:
+    (day, n_events) — the exact frame the batch rate analyzers
+    (`timeseries.cusum_changepoint` / `mad_anomaly_days` /
+    `seasonal_naive_backtest`) derive internally, so streaming-fed
+    state and a batch rescan agree row-for-row (pytest-pinned)."""
+    return (
+        spark.read.option("basePath", state_dir)
+        .parquet(f"{state_dir}/batch=*")
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("n_events"))
+    )
