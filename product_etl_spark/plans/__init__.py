@@ -89,6 +89,16 @@ item 2's cohort). That fills exactly 50 slots; the 6 anchors sit
 out one round (last green r10, within the freshness bound) and
 q189 SemDeDup waits in the queue with the exact harness. After r11
 no catalog entry's newest green row is older than r8.
+
+Round-12 ROTATION PLAN (for the session that composes it, written at
+the end of r11): the queue below holds 23 post-freeze registrations
+(q189-q211) — they lead, as every round. The stalest cohorts are
+then the r8-last-green tier (q149-q163, 15 entries) and the six
+standing anchors (q01/q02/q32/q94/q112/q114, last green r10). That
+is 23 + 15 + 6 = 44 slots; the remaining 6 take the oldest r9
+reps (q164-q168 + q93~). Catalog growth deliberately stopped at 211
+this round so the r12 window can clear the whole queue without
+crowding out the freshness bound.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
