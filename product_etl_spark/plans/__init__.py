@@ -99,6 +99,16 @@ is 23 + 15 + 6 = 44 slots; the remaining 6 take the oldest r9
 reps (q164-q168 + q93~). Catalog growth deliberately stopped at 211
 this round so the r12 window can clear the whole queue without
 crowding out the freshness bound.
+
+Round-12 ROTATION (executes the plan above, per the r11 verdict's
+items 1 and 2): the full 23-entry post-freeze queue q189-q211 leads,
+then the 15-entry r8-last-green tier q149-q163, the 6 standing
+anchors (q01/q02/q32/q94/q112/q114, last green r10), and the 6
+oldest-r9 reps (q164-q168 + q93 rows-only). After r12 no catalog
+entry's newest green row is older than r9. New-in-r12 registrations
+(suffix-array dedup, PCA moment pin — r11 verdict items 4 and 5)
+land in the post-freeze queue with the exact harness, per the
+standing queue discipline.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -128,7 +138,12 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # nothing exact-checked it until it entered a window; queue entries
 # now get the same harness as window entries from the day they are
 # registered.
-_NEXT_WINDOW_QUEUE: list[str] = [
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+_DRIVER_WINDOW = [
+    # -- the full 23-entry post-freeze queue from r11 (r11 verdict
+    #    item 1): every one oracle-backed and exact-checked by
+    #    tests/test_driver_window_parity.py since registration --
     "q189_semdedup_prune",
     "q190_wordpiece_first_merge",
     "q191_domain_mixture_budgets",
@@ -152,65 +167,36 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q209_mad_anomaly_days",
     "q210_weekday_uniformity",
     "q211_seasonal_naive_backtest",
-]
-
-_DRIVER_WINDOW = [
-    # -- registered after the r10 freeze, exact-checked every pytest
-    #    run since registration (r10 verdict item 1) --
-    "q180_hard_negative_pairs",
-    "q181_sorted_neighborhood_pairs",
-    "q182_k_anonymity_suppression",
-    "q183_kfold_assignment",
-    "q184_woe_price_bins",
-    "q185_user_burstiness",
-    "q186_next_event_pairs",
-    "q187_dedup_cluster_histogram",
-    # -- new-in-r11 registration (tokenizer-family driver row) --
-    "q188_unigram_min_pieces",
-    # -- stale refresh: EVERY r7-last-green entry (r10 verdict
-    #    item 2's cohort) — after r11 no catalog entry's newest green
-    #    row is older than r8 --
-    "q12_active_nations_union",
-    "q16_like_filter",
-    "q18_price_buckets",
-    "q20_string_projection",
-    "q21_attribute_parse_explode",
-    "q23_hourly_event_rollup",
-    "q24_sessionization",
-    "q26_user_event_timeline",
-    "q27_doc_token_stats",
-    "q29_doc_fingerprint_dedup",
-    "q30_doc_script_langid",
-    "q31_minhash_signatures",
-    "q33_ngram_jaccard_pairs",
-    "q38_referential_integrity",
-    "q40_brand_dictionary",
-    "q41_rollup_region_nation",
-    "q45_price_band_range_join",
-    "q47_event_pivot",
-    "q49_distinct_users_by_type",
-    "q51_props_json_extract",
-    "q56_ivf_assignment",
-    "q57_winnowing_fingerprints",
-    "q58_gopher_quality_filters",
-    "q64_pii_redaction",
-    "q69_null_aware_not_in",
-    "q92_cosine_near_dup_pairs",
-    "q99_tfidf_top_terms",
-    "q120_binary_hash_hamming",
-    "q134_changelog_snapshot",
-    "q137_entity_resolution_pairs",
-    "q138_dsir_importance",
-    "q139_price_psi_drift",
-    "q140_k_anonymity_audit",
-    "q141_copurchase_triangles",
-    "q142_kmeans_one_iter_lists",
-    "q143_order_partition_checksums",
-    "q144_dup_ngram_fraction",
-    "q145_flesch_readability",
-    "q146_part_price_size_skyline",
-    "q147_crossdoc_dup_span_coverage",
-    "q148_price_ks_drift",
+    # -- stale refresh: the r8-last-green tier (r11 verdict item 2) --
+    "q149_fd_violations",
+    "q150_benford_first_digit",
+    "q151_user_event_entropy",
+    "q152_segment_balance_gini",
+    "q153_mad_balance_outliers",
+    "q154_exact_jaccard_join",
+    "q155_trigram_substring_search",
+    "q156_dedup_cluster_components",
+    "q157_salted_join_rollup",
+    "q158_zorder_bucket_stats",
+    "q159_containment_pairs",
+    "q160_interval_overlap_join",
+    "q161_brand_size_price_ols",
+    "q162_last_touch_attribution",
+    "q163_segment_balance_divergence",
+    # -- the six standing anchors (last green r10) --
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q32_lsh_near_dup_pairs",
+    "q94_corpus_curation",
+    "q112_benchmark_decontam",
+    "q114_transition_pagerank",
+    # -- oldest r9 reps fill the remaining 6 slots --
+    "q164_incremental_component_merge",
+    "q165_cms_event_type_freq",
+    "q166_weighted_jaccard_pairs",
+    "q167_hll_portable_distinct",
+    "q168_kmv_event_type_overlap",
+    "q93_kmeans_ivf_lists",
 ]
 
 
