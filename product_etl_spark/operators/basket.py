@@ -23,7 +23,7 @@ Scale shape (why this survives 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,13 +33,29 @@ def association_rules(
     item_col: str,
     min_pair_count: int = 2,
     top_n: int = 20,
+    max_basket_size: int = 10_000,
 ) -> DataFrame:
     """Top pair rules (a -> b, a < b) by co-occurrence count:
-    (item_a, item_b, n_ab, n_a, n_b, support, confidence, lift).
+    (item_a, item_b, n_ab, n_a, n_b, support, confidence_a_to_b,
+    lift).
 
     support    = n_ab / N            (N = distinct baskets)
-    confidence = n_ab / n_a          (direction a -> b)
+    confidence_a_to_b = n_ab / n_a   (direction a -> b; lift and
+                                      support are symmetric, this
+                                      column is NOT — a < b by item
+                                      key order picks the direction)
     lift       = (n_ab * N) / (n_a * n_b)
+
+    Degenerate-input guard: the pair self-join is O(sum basket^2), so
+    a single crawler-artifact mega-basket (one basket holding a large
+    fraction of the item vocabulary) turns a bounded join into a
+    quadratic blow-up on one key. Any basket with more than
+    ``max_basket_size`` distinct items therefore FAILS the job loudly
+    (assert_true on a per-basket window count, same pattern as
+    interval_overlap_pairs) — cap or pre-filter the basket
+    deliberately, don't discover it as an executor OOM. Real order
+    baskets are dozens of items; the default bound never fires on
+    sane data.
 
     Float policy: all counts are exact BIGINTs; the three ratios are
     single-op trees on exact-integer doubles (the numerator/
@@ -50,6 +66,21 @@ def association_rules(
     b = baskets.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     ).distinct()
+    bsz = F.count(F.lit(1)).over(Window.partitionBy("_bk"))
+    guard = F.assert_true(
+        bsz <= F.lit(max_basket_size),
+        F.concat(
+            F.lit("association_rules: basket holds > "
+                  f"{max_basket_size} distinct items (basket="),
+            F.col("_bk").cast("string"),
+            F.lit("); the pair join is O(basket^2) — cap or "
+                  "pre-filter mega-baskets, or raise max_basket_size"),
+        ),
+    )
+    # assert_true returns NULL on success; folding it into the item
+    # column keeps it in the evaluated plan (a free-standing guard
+    # column would be pruned as unused and never run)
+    b = b.withColumn("_it", F.when(guard.isNull(), F.col("_it")))
     n_baskets = b.agg(
         F.count_distinct(F.col("_bk")).alias("_n")
     )
@@ -83,7 +114,7 @@ def association_rules(
             F.round(
                 F.col("n_ab").cast("double") / F.col("n_a").cast("double"),
                 6,
-            ).alias("confidence"),
+            ).alias("confidence_a_to_b"),
             F.round(
                 (F.col("n_ab").cast("double") * nd)
                 / (

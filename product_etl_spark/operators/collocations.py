@@ -381,8 +381,15 @@ def heaps_fit(
     dcount = ranked.agg(F.count(F.lit(1)).alias("_d"))
     withb = ranked.crossJoin(F.broadcast(dcount)).select(
         F.col(text_col),
-        F.expr(f"CAST(((_rank - 1) * {n_buckets}) DIV _d + 1 AS INT)")
-        .alias("bucket"),
+        # clamp to the doc count: a corpus smaller than n_buckets
+        # would otherwise produce SPARSE ids (1,3,5,... from the
+        # integer division) — clamped, every doc is its own bucket
+        # and ids stay contiguous 1..d (ADVICE r11); d >= n_buckets
+        # corpora are bit-identical to the unclamped formula
+        F.expr(
+            f"CAST(((_rank - 1) * LEAST({n_buckets}, _d)) DIV _d + 1"
+            " AS INT)"
+        ).alias("bucket"),
     )
     # ONE tokenize feeds both legs: per-bucket token totals are a
     # count over the exploded rows, first-occurrence words a

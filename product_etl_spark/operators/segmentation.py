@@ -59,7 +59,13 @@ def rfm_segments(
         "ck",
         "_freq",
         "_mon",
-        (-F.unix_micros(F.col("_last"))).alias("_negr"),
+        # explicit TIMESTAMP cast: unix_micros on a DATE column would
+        # otherwise rely on an implicit session-timezone-dependent
+        # coercion — the rank only needs monotonicity (midnight-local
+        # epochs are monotone in the date under any fixed zone), but
+        # the cast documents the intent and survives a column-type
+        # change (ADVICE r11)
+        (-F.unix_micros(F.col("_last").cast("timestamp"))).alias("_negr"),
         (-F.col("_freq")).alias("_negf"),
         (-F.col("_mon")).alias("_negm"),
     )

@@ -1112,6 +1112,7 @@ def semdedup_exact(
     id_col: str,
     n_cells: int = 8,
     threshold: float = 0.3,
+    max_cell_size: int = 200_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"):
@@ -1135,6 +1136,16 @@ def semdedup_exact(
     instead of the engine-exact seed rule, and giant cells pre-split
     via operators/skew.py. One shuffle for the pair join, one
     distinct on the pruned side, one left join back.
+
+    Degenerate-input guard: a degenerate cell (e.g. all-zero or
+    constant embeddings collapsing the argmin onto one list_id)
+    silently turns the within-cell join into corpus^2. Any cell
+    holding more than ``max_cell_size`` vectors therefore FAILS the
+    job loudly (assert_true on a per-cell window count riding the
+    same list_id shuffle the pair join pays, the
+    interval_overlap_pairs convention) — re-train centroids or
+    pre-split the hot cell via operators/skew.py deliberately, don't
+    discover it as an executor OOM.
     """
     w = Window.orderBy(F.col(id_col))
     seeds = (
@@ -1152,8 +1163,27 @@ def semdedup_exact(
     # dropped 7.1 s -> 3.6 s; the remainder is the within-cell pair
     # join itself, the same cost band as q92's label-blocked cosine)
     assigned = assigned.localCheckpoint(eager=True)
+    csz = F.count(F.lit(1)).over(Window.partitionBy("list_id"))
+    cell_guard = F.assert_true(
+        csz <= F.lit(max_cell_size),
+        F.concat(
+            F.lit("semdedup_exact: cell holds > "
+                  f"{max_cell_size} vectors (list_id="),
+            F.col("list_id").cast("string"),
+            F.lit("); the within-cell join is O(cell^2) — re-train "
+                  "centroids or pre-split the hot cell "
+                  "(operators/skew.py), or raise max_cell_size"),
+        ),
+    )
+    # fold the guard into the embedding column of the JOIN input only
+    # (NULL-on-success keeps values intact; a free-standing column
+    # would be pruned and never run) — the quadratic branch is the
+    # one that must not start on a degenerate cell
+    guarded = assigned.withColumn(
+        emb_col, F.when(cell_guard.isNull(), F.col(emb_col))
+    )
     pairs = cosine_near_dup_pairs(
-        assigned, emb_col, id_col, "list_id", threshold=threshold
+        guarded, emb_col, id_col, "list_id", threshold=threshold
     )
     removed = (
         pairs.select(F.col("id_b").alias(id_col))

@@ -709,7 +709,7 @@ def weekday_uniformity(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     only corpus-sized work; the grid is 7 literal rows; the
     statistic folds as a broadcast 1-row aggregate."""
     counts = df.groupBy(
-        F.expr(f"weekday(to_date({ts_col}))").alias("weekday")
+        F.weekday(F.to_date(F.col(ts_col))).alias("weekday")
     ).agg(F.count(F.lit(1)).alias("_o"))
     grid = (
         df.sparkSession.range(7)

@@ -955,7 +955,9 @@ def q199_zipf_fit(spark, sf_dir):
     ), dd AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS d FROM t
     ), b AS (
-      SELECT toks, CAST(((rank - 1) * 10) // dd.d + 1 AS INT) AS bucket
+      SELECT toks,
+             CAST(((rank - 1) * LEAST(10, dd.d)) // dd.d + 1 AS INT)
+               AS bucket
       FROM r CROSS JOIN dd
     ), bt AS (
       SELECT bucket, CAST(SUM(LEN(toks)) AS BIGINT) AS tn
@@ -1254,7 +1256,7 @@ def q202_ivf_recall_audit(spark, sf_dir):
            ROUND(CAST(p.n_ab AS DOUBLE) / CAST(n.nb AS DOUBLE), 6)
              AS support,
            ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6)
-             AS confidence,
+             AS confidence_a_to_b,
            ROUND((CAST(p.n_ab AS DOUBLE) * CAST(n.nb AS DOUBLE))
                  / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6)
              AS lift

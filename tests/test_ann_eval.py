@@ -117,3 +117,33 @@ def test_ivf_recall_audit_cross_cell_miss(spark):
     assert row["n_candidates"] == 2  # cell 0 = {0, 2, 4} minus self
     assert row["hits"] == 1  # vec 4 in-cell; vec 1 (top-1!) missed
     assert row["recall"] == 0.5
+
+
+def test_signbit_band_null_poisoning_short_and_long_vectors(spark):
+    """Pins the documented malformed-vector contract (ADVICE r11):
+    any band touching a missing dimension is NULL-POISONED (a NULL
+    band value never matches an equi-join, so an undersized vector
+    can never be a candidate via that band), a PARTIAL band is poisoned
+    as a whole (not sign-packed from the surviving prefix), and extra
+    dimensions beyond n_bands*band_bits are ignored."""
+    rows = [
+        (0, [1.0, -1.0, 1.0, 1.0]),          # exact fit: 2 bands x 2 bits
+        (1, [1.0, -1.0, 1.0]),               # band 1 partial -> NULL
+        (2, [1.0]),                          # band 0 partial, band 1 empty
+        (3, [1.0, -1.0, 1.0, 1.0, -9.0]),    # extra dim ignored
+        (4, []),                             # no dims at all
+    ]
+    out = {
+        (r["vec_id"], r["band"]): r["band_val"]
+        for r in signbit_bands(
+            _emb(spark, rows), "embedding", "vec_id",
+            n_bands=2, band_bits=2,
+        ).collect()
+    }
+    # every vector emits exactly n_bands rows, NULL or not
+    assert len(out) == 10
+    assert out[(0, 0)] == 1 and out[(0, 1)] == 3
+    assert out[(1, 0)] == 1 and out[(1, 1)] is None
+    assert out[(2, 0)] is None and out[(2, 1)] is None
+    assert out[(3, 0)] == 1 and out[(3, 1)] == 3  # == vec 0, extra ignored
+    assert out[(4, 0)] is None and out[(4, 1)] is None

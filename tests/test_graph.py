@@ -102,7 +102,7 @@ def test_k_core_matches_bruteforce_peel(spark):
 
 def test_association_rules_hand_check(spark):
     """Baskets {x,y},{x,y},{x,z},{w}: only (x,y) clears min_pair_count
-    -> support 2/4, confidence 2/3 (x is the antecedent by item
+    -> support 2/4, confidence_a_to_b 2/3 (x is the antecedent by item
     order), lift 2*4/(3*2)."""
     from product_etl_spark.operators.basket import association_rules
 
@@ -117,7 +117,7 @@ def test_association_rules_hand_check(spark):
     assert (r["item_a"], r["item_b"]) == ("x", "y")
     assert r["n_ab"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
     assert r["support"] == 0.5
-    assert r["confidence"] == round(2 / 3, 6)
+    assert r["confidence_a_to_b"] == round(2 / 3, 6)
     assert r["lift"] == round(8 / 6, 6)
 
 
@@ -134,3 +134,29 @@ def test_association_rules_dedups_basket_lines(spark):
     out = association_rules(rows, "bk", "it", min_pair_count=2).collect()
     assert len(out) == 1
     assert out[0]["n_ab"] == 2 and out[0]["n_a"] == 2
+
+
+def test_association_rules_mega_basket_guard(spark):
+    """A planted crawler-artifact mega-basket (one basket holding
+    more distinct items than max_basket_size) must FAIL the job
+    loudly before the O(basket^2) pair join, not OOM an executor —
+    the interval_overlap_pairs loud-guard convention. Sane baskets
+    under the bound still flow through unchanged."""
+    import pytest
+
+    from product_etl_spark.operators.basket import association_rules
+
+    mega = [(1, f"i{j}") for j in range(40)] + [(2, "i0"), (2, "i1")]
+    rows = spark.createDataFrame(mega, "bk long, it string")
+    with pytest.raises(Exception, match="mega-baskets"):
+        association_rules(
+            rows, "bk", "it", min_pair_count=1, max_basket_size=30
+        ).collect()
+    # same frame, bound above the planted basket: runs fine and the
+    # planted pair is still counted in both baskets
+    ok = association_rules(
+        rows, "bk", "it", min_pair_count=2, max_basket_size=50
+    ).collect()
+    assert {(r["item_a"], r["item_b"], r["n_ab"]) for r in ok} >= {
+        ("i0", "i1", 2)
+    }

@@ -265,3 +265,41 @@ def test_stream_semdedup_end_to_end(spark, tmp_path):
     ]
     assert (acc2, rej2) == (acc, rej)
     assert spark.read.parquet(store).count() == 4
+
+
+def test_semdedup_degenerate_cell_guard(spark):
+    """A planted degenerate cell (all vectors collapsing onto one
+    list_id) must FAIL the job loudly before the O(cell^2) pair join
+    when it exceeds max_cell_size — the loud-guard convention
+    (interval_overlap_pairs, knn_bruteforce_fast, association_rules)
+    — and run IDENTICALLY with the bound lifted."""
+    import pytest
+
+    # seed 1 is so far out that every non-seed vector argmins to
+    # cell 0 -> cell 0 holds 4 of 5 vectors
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1000.0, 1000.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.8, 0.2]),
+        (4, [1.01, 0.001]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="pre-split the hot cell"):
+        semdedup_exact(
+            corpus, "embedding", "vec_id", n_cells=2, threshold=0.95,
+            max_cell_size=3,
+        ).collect()
+    out = {
+        r["vec_id"]: (r["list_id"], r["kept"])
+        for r in semdedup_exact(
+            corpus, "embedding", "vec_id", n_cells=2, threshold=0.95,
+            max_cell_size=4,
+        ).collect()
+    }
+    assert out[0] == (0, 1)          # lowest-id cellmate always kept
+    assert out[1] == (1, 1)          # the far seed keeps its own cell
+    # 2/3/4 all clear 0.95 against a lower-id cellmate -> pruned
+    assert {k for k, v in out.items() if v == (0, 0)} == {2, 3, 4}

@@ -249,6 +249,25 @@ def test_heaps_fit_saturated_vocab(spark):
     assert row["beta"] == 0.0 and row["r2"] == 0.0
 
 
+def test_heaps_fit_small_corpus_clamps_buckets(spark):
+    """A corpus with fewer documents than n_buckets clamps to one
+    bucket per doc with CONTIGUOUS ids (ADVICE r11: the unclamped
+    formula produced sparse ids like 1,3,5,... and silently degraded
+    the equal-width-prefix contract). Two docs under n_buckets=10
+    must behave exactly like n_buckets=2."""
+    from product_etl_spark.operators.collocations import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    big = heaps_fit(docs, n_buckets=10).collect()[0]
+    two = heaps_fit(docs, n_buckets=2).collect()[0]
+    assert big == two
+    assert big["n_pts"] == 2
+    assert big["total_tokens"] == 6 and big["total_vocab"] == 4
+
+
 def test_kneser_ney_score_backoff_ladder(spark):
     """All three backoff branches hand-checked on a planted split.
     Train: 'a b' x2 + 'a c' -> pairs (a,b):2,(a,c):1; cw1(a)=3,
