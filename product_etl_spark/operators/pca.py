@@ -108,6 +108,116 @@ def pca_train(
     return mean.tolist(), comps.tolist(), explained
 
 
+def pca_moments(
+    corpus: DataFrame,
+    emb_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """ENGINE-EXACT sufficient statistics for PCA: one row per
+    upper-triangle dimension pair (i <= j) with
+    (i, j, n, s_i, s_j, gram) where s_i = SUM(round(x_i, 6)) and
+    gram = SUM(round(x_i, 6) * round(x_j, 6)) as EXACT decimal sums
+    (the q102/q161 moment recipe lifted to the Gram matrix), cast to
+    double once at the surface. mean and covariance — everything
+    ``pca_train``'s eigendecomposition consumes — reconstruct from
+    this frame alone: mean_i = s_i/n (from the (i,i) row), cov_ij =
+    (gram_ij - n*mean_i*mean_j)/(n-1). The eigensolve itself is not
+    ANSI-expressible, but its entire input is — this query is the
+    driver-hashable pin for the PCA family (the q142 seeding-rule
+    pattern applied to q90's trainer).
+
+    Scale shape: PURE MAP + one map-side-combined groupBy on
+    dim*(dim+1)/2 keys — each row expands to its own upper-triangle
+    pair structs inside one higher-order expression (no self-join,
+    no explode-then-join); the output is dim-bounded (2080 rows at
+    d=64), never corpus-sized. The decimal partials are mergeable,
+    so a 100 TB fit is one aggregate — the same contract as the
+    integrity checksums (q143).
+
+    Row-level NULL/short-vector policy: a pair term with EITHER
+    dimension missing is dropped before aggregation, so that pair's
+    n, sums and gram all come from the same well-formed row set —
+    malformed vectors cannot silently skew the fit (same poisoning
+    stance as signbit_bands)."""
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> struct(i AS i, j AS j, "
+        f"CAST(ROUND(CAST(get({emb_col}, i) AS DOUBLE), 6)"
+        " AS DECIMAL(18,6)) AS a, "
+        f"CAST(ROUND(CAST(get({emb_col}, j) AS DOUBLE), 6)"
+        " AS DECIMAL(18,6)) AS b))))"
+    )
+    return (
+        corpus.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.a", "p.b")
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").cast("double").alias("s_i"),
+            F.sum("b").cast("double").alias("s_j"),
+            F.sum(F.col("a") * F.col("b")).cast("double").alias("gram"),
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("n").cast("long").alias("n"),
+            "s_i",
+            "s_j",
+            "gram",
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_train_from_moments(
+    moments: list,
+    k: int,
+    dim: int = 64,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """The eigensolve half of ``pca_train``, consuming EXACTLY the
+    ``pca_moments`` surface (collected rows): rebuilds mean and
+    sample covariance from (i, j, n, s_i, s_j, gram) and runs the
+    identical eigh + deterministic-sign + explained-share tail. The
+    parity test asserts this path reproduces ``pca_train``'s
+    projection on the same corpus up to the 1e-6 input rounding the
+    moment surface commits to."""
+    import numpy as np
+
+    if not (0 < k <= dim):
+        raise ValueError(
+            f"pca_train_from_moments: need 0 < k <= dim, got k={k} dim={dim}"
+        )
+    n = None
+    s = np.zeros(dim)
+    gram = np.zeros((dim, dim))
+    seen = 0
+    for r in moments:
+        i, j = int(r["i"]), int(r["j"])
+        gram[i][j] = gram[j][i] = float(r["gram"])
+        if i == j:
+            s[i] = float(r["s_i"])
+            n = int(r["n"]) if n is None else n
+        seen += 1
+    if seen != dim * (dim + 1) // 2 or n is None or n < 2:
+        raise ValueError(
+            "pca_train_from_moments: incomplete moment frame "
+            f"({seen} rows, n={n})"
+        )
+    mean = s / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    total = float(evals.sum()) or 1.0
+    explained = [float(evals[o]) / total for o in order]
+    return mean.tolist(), comps.tolist(), explained
+
+
 def pca_project(
     df: DataFrame,
     mean: list[float],

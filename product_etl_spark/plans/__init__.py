@@ -125,6 +125,7 @@ from product_etl_spark.plans import catalog_ext10  # noqa: F401  (registers q156
 from product_etl_spark.plans import catalog_ext11  # noqa: F401  (registers q169+)
 from product_etl_spark.plans import catalog_ext12  # noqa: F401  (registers q177+)
 from product_etl_spark.plans import catalog_ext13  # noqa: F401  (registers q188+)
+from product_etl_spark.plans import catalog_ext14  # noqa: F401  (registers q212+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -138,7 +139,9 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # nothing exact-checked it until it entered a window; queue entries
 # now get the same harness as window entries from the day they are
 # registered.
-_NEXT_WINDOW_QUEUE: list[str] = []
+_NEXT_WINDOW_QUEUE: list[str] = [
+    "q213_pca_gram_moments",
+]
 
 _DRIVER_WINDOW = [
     # -- the full 23-entry post-freeze queue from r11 (r11 verdict

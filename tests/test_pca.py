@@ -115,3 +115,50 @@ def test_pca_rotation_improves_pq_quantization(spark):
     err_rot = PQ.quantization_error(rotated, "embedding", rot_books, dim=d)
     assert err_rot < err_raw * 0.95  # measured ~13% gain on this fixture
     df.unpersist(); rotated.unpersist()
+
+
+def test_moments_pin_trainer(planted):
+    """q213's contract: the exact-decimal Gram-moment surface
+    (pca_moments) is a complete sufficient statistic for the trainer
+    — pca_train_from_moments consuming EXACTLY the collected q213
+    rows must reproduce pca_train's mean, components, explained
+    shares and projection up to the 1e-6 input rounding the moment
+    surface commits to."""
+    from product_etl_spark.operators.pca import (
+        pca_moments,
+        pca_train_from_moments,
+    )
+
+    df, rows, a, b = planted
+    mean_d, comps_d, expl_d = pca_train(df, "embedding", k=2, dim=8)
+    mom = pca_moments(df, "embedding", dim=8).collect()
+    assert len(mom) == 8 * 9 // 2
+    mean_m, comps_m, expl_m = pca_train_from_moments(mom, k=2, dim=8)
+    assert np.allclose(mean_m, mean_d, atol=1e-5)
+    assert np.allclose(comps_m, comps_d, atol=1e-4)
+    assert np.allclose(expl_m, expl_d, atol=1e-5)
+    proj_d = pca_project(df, mean_d, comps_d, "embedding").select(
+        "vec_id", "pca_emb"
+    )
+    proj_m = pca_project(df, mean_m, comps_m, "embedding").select(
+        "vec_id", F.col("pca_emb").alias("pca_m")
+    )
+    both = proj_d.join(proj_m, "vec_id").collect()
+    for r in both:
+        assert np.allclose(r["pca_emb"], r["pca_m"], atol=1e-3)
+
+
+def test_moments_drop_malformed_pairs(spark):
+    """A short vector contributes only to the pairs whose BOTH dims
+    it carries — n varies per pair and well-formed rows are never
+    contaminated (the documented drop policy)."""
+    from product_etl_spark.operators.pca import pca_moments
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r["i"], r["j"]): r for r in pca_moments(df, "embedding", dim=2).collect()}
+    assert out[(0, 0)]["n"] == 3 and out[(0, 0)]["s_i"] == 9.0
+    assert out[(0, 1)]["n"] == 2 and out[(0, 1)]["gram"] == 1 * 2 + 3 * 4
+    assert out[(1, 1)]["n"] == 2 and out[(1, 1)]["s_i"] == 6.0
