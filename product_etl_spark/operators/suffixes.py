@@ -1,0 +1,398 @@
+"""Distributed suffix-array exact-substring dedup — the EXACT rung of
+the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+Models Better", ExactSubstr) family: arbitrary-length cross-document
+duplicated spans from distributed suffix RANKING, upgrading the
+fixed-n gram approximation (dedup.crossdoc_dup_span_coverage, q147 /
+remove_duplicate_spans, q177) to true suffix semantics.
+
+The reference pipeline (pandas+psycopg2 row loops) computes no dedup
+at all; this operator extends the training-data-pipeline surface per
+the build brief and the r11 verdict's item 4.
+
+Algorithm (all-DataFrame, no single-task stage):
+
+1. **Suffixes are per-document token tails** — suffix (doc, p) is
+   doc's tokens from p to ITS OWN end. No corpus concatenation, no
+   sentinel alphabet: a short tail simply runs out, which the rank
+   construction encodes with a -1 pad, so cross-document span
+   continuation is impossible by construction.
+2. **Prefix doubling** (Manber–Myers, the classic MapReduce suffix-
+   sort): level-0 ranks are a dense rank of the token vocabulary
+   (vocabulary-bounded shuffle); level-l ranks are the dense rank of
+   the pair (rank[p], rank[p + 2^(l-1)] | -1) — each round is one
+   positional equi-join plus one distinct + global_sort_ranks dense
+   rank (repartitionByRange two-level ranks — never a single-task
+   window). Rounds stop at the STABLE PARTITION: when a doubling
+   refines nothing (distinct-rank count unchanged), equal rank is
+   exactly "identical complete tails" and no later round can refine
+   (the doubling map's fixed point), so the loop exits in
+   O(log longest-repeat) rounds — same convergence-fused discipline
+   as the q156/q164 closures.
+3. **LCP of adjacent suffix pairs** in suffix order by binary
+   lifting over the retained level tables (descending level; add
+   2^l when both shifted ranks exist and agree). Equal-final-rank
+   pairs are identical tails — their LCP is the tail length
+   directly; distinct pairs clip at the shorter tail, which also
+   absorbs the truncated-rank overshoot exactly (the min() is the
+   true LCP, proven in the module test against brute force).
+4. **Longest cross-document shared prefix per position**: in suffix
+   order, the nearest DIFFERENT-document neighbor above any row is
+   the row just before its run of consecutive same-doc rows (any
+   non-run row has a different doc), so d(p) = max(up, down) needs
+   only (a) run ids — ONE distributed prefix-sum of run starts (the
+   global_sort_ranks two-level offsets pattern, generalized to
+   sums), (b) running mins of the adjacent-LCP array WITHIN each
+   run (runs are bounded by a single document's suffix count, the
+   same doc-sized bound as the reconstruction collect_lists), and
+   (c) run-boundary LCPs fetched by a dense run_id+1 equi-join —
+   no global window anywhere.
+5. **Maximal duplicated spans**: positions with d >= min_len emit
+   [pos, pos+d); per-doc gaps-and-islands (the q147 merge) yields
+   the maximal merged intervals and their TRUE lengths.
+
+Cross-check contract (the reason q212's oracle can be plain SQL):
+for token coverage — and interval-for-interval for the merged
+spans — the suffix method at ``min_len`` L EQUALS the gram method
+at n = L: a duplicated L-gram extends to a shared suffix prefix
+>= L, and conversely every L-sub-gram of a shared span of length
+d >= L is itself cross-doc duplicated, so the two interval unions
+coincide. tests/test_suffixes.py asserts this equality against
+dedup.crossdoc_dup_span_coverage on planted fixtures and real
+corpus slices, plus brute force.
+
+Scale shape (why this survives 100 TB): every round of the doubling
+is a linear equi-join + a two-level dense rank (the cost model of a
+distributed sort, paid O(log repeat-length) times); the LCP lifting
+is 2 linear joins per retained level; runs/islands windows are
+doc-bounded; the only driver state is the per-partition offset maps
+(#partitions-sized) and the per-round distinct counts. Nothing is
+ever corpus^2; no single-task window exists in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from product_etl_spark.functions import text as T
+from product_etl_spark.operators.linkage import global_sort_ranks
+
+
+def _prefix_sum(
+    df: DataFrame, order_col: str, val_col: str, out_col: str
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``val_col`` over the total
+    order ``order_col`` — global_sort_ranks' two-level pattern with
+    SUM instead of row_number: repartitionByRange, per-partition
+    running-sum windows (parallel), #partitions-sized offset collect
+    broadcast back. Never a single-task global window."""
+    parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ranged = df.repartitionByRange(int(parts), F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = ranged.withColumn(
+        "_lps", F.sum(F.col(val_col)).over(w)
+    ).localCheckpoint(eager=True)
+    sizes = (
+        local.groupBy("_pid").agg(F.sum(F.col(val_col)).alias("_t")).collect()
+    )
+    offsets, acc = {}, 0
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_t"] or 0
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return local.withColumn(
+        out_col, (off[F.col("_pid")] + F.col("_lps")).cast("bigint")
+    ).drop("_pid", "_lps")
+
+
+def _suffix_rank_tables(
+    tok: DataFrame, id_col: str, max_rounds: int
+) -> tuple[DataFrame, list[DataFrame], int]:
+    """Prefix-doubling suffix ranks over per-doc token tails.
+
+    ``tok``: (id, pos, _tk) — already lowercased, checkpointed.
+    Returns (final_ranks, [level tables 0..L], L) where level-l ranks
+    discriminate tail prefixes of length min(2^l, tail). Raises
+    loudly if the partition has not stabilized by ``max_rounds`` —
+    raise the bound deliberately, don't discover an unconverged rank
+    table as silently-wrong spans."""
+    vocab = tok.select("_tk").distinct()
+    vr = global_sort_ranks(vocab, ["_tk"], "_r")
+    cur = (
+        tok.join(vr, "_tk")
+        .select(id_col, "pos", F.col("_r").cast("bigint").alias("_r"))
+        .localCheckpoint(eager=True)
+    )
+    tables = [cur]
+    nd_prev = vr.count()
+    offset = 1
+    for _ in range(max_rounds):
+        shifted = cur.select(
+            F.col(id_col).alias("_sid"),
+            (F.col("pos") - F.lit(offset)).alias("_spos"),
+            F.col("_r").alias("_r2"),
+        )
+        paired = (
+            cur.join(
+                shifted,
+                (F.col(id_col) == F.col("_sid"))
+                & (F.col("pos") == F.col("_spos")),
+                "left",
+            )
+            .select(
+                id_col,
+                "pos",
+                "_r",
+                F.coalesce(F.col("_r2"), F.lit(-1)).alias("_r2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        keys = paired.select("_r", "_r2").distinct()
+        nd = keys.count()
+        kr = global_sort_ranks(keys, ["_r", "_r2"], "_nr")
+        cur = (
+            paired.join(kr, ["_r", "_r2"])
+            .select(
+                id_col, "pos", F.col("_nr").cast("bigint").alias("_r")
+            )
+            .localCheckpoint(eager=True)
+        )
+        tables.append(cur)
+        if nd == nd_prev:
+            return cur, tables, len(tables) - 1
+        nd_prev = nd
+        offset *= 2
+    raise RuntimeError(
+        f"suffix ranks did not stabilize within {max_rounds} doubling "
+        f"rounds (repeated spans longer than {1 << max_rounds} tokens); "
+        "raise max_rounds deliberately"
+    )
+
+
+def _position_dup_lengths(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_rounds: int,
+) -> DataFrame:
+    """Per token position: (id, pos, _d) where _d is the length of
+    the longest prefix of the suffix at (id, pos) that also occurs
+    in a DIFFERENT document (0 when none) — steps 1-4 of the module
+    algorithm."""
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias(
+                "pos", "_tk"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    final, tables, top = _suffix_rank_tables(tok, id_col, max_rounds)
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    saf = (
+        global_sort_ranks(final, ["_r", id_col, "pos"], "_s")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            "pos",
+            "_r",
+            "_s",
+            (F.col("_dl") - F.col("pos")).alias("_tail"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo = saf.select(
+        F.col(id_col).alias("_ida"),
+        F.col("pos").alias("_posa"),
+        F.col("_r").alias("_ra"),
+        F.col("_tail").alias("_taila"),
+        (F.col("_s") + F.lit(1)).alias("_s"),
+    )
+    pairs = saf.join(lo, "_s").select(
+        "_s",
+        F.col(id_col).alias("_idb"),
+        F.col("pos").alias("_posb"),
+        F.col("_r").alias("_rb"),
+        F.col("_tail").alias("_tailb"),
+        "_ida",
+        "_posa",
+        "_ra",
+        "_taila",
+        F.lit(0).cast("bigint").alias("_acc"),
+    )
+    # binary lifting, descending level; level `top` is the stable
+    # permutation-or-identical-tails table — equal there means
+    # identical tails, short-circuited below, so lift top-1..0
+    for lvl in range(top - 1, -1, -1):
+        t = tables[lvl]
+        ta = t.select(
+            F.col(id_col).alias("_ida"),
+            F.col("pos").alias("_pla"),
+            F.col("_r").alias("_rla"),
+        )
+        tb = t.select(
+            F.col(id_col).alias("_idb"),
+            F.col("pos").alias("_plb"),
+            F.col("_r").alias("_rlb"),
+        )
+        pairs = (
+            pairs.withColumn("_pla", F.col("_posa") + F.col("_acc"))
+            .withColumn("_plb", F.col("_posb") + F.col("_acc"))
+            .join(ta, ["_ida", "_pla"], "left")
+            .join(tb, ["_idb", "_plb"], "left")
+            .withColumn(
+                "_acc",
+                F.when(
+                    F.col("_rla").isNotNull()
+                    & F.col("_rlb").isNotNull()
+                    & (F.col("_rla") == F.col("_rlb")),
+                    F.col("_acc") + F.lit(1 << lvl),
+                ).otherwise(F.col("_acc")),
+            )
+            .drop("_pla", "_plb", "_rla", "_rlb")
+        )
+    lcp = pairs.select(
+        "_s",
+        "_ida",
+        F.when(
+            F.col("_ra") == F.col("_rb"), F.least("_taila", "_tailb")
+        )
+        .otherwise(F.least("_acc", "_taila", "_tailb"))
+        .alias("_lcp"),
+    )
+    sa = (
+        saf.join(lcp, "_s", "left")
+        .select(
+            id_col,
+            "pos",
+            "_s",
+            "_tail",
+            F.coalesce(F.col("_lcp"), F.lit(0)).alias("_lcp"),
+            (
+                F.col("_ida").isNull() | (F.col("_ida") != F.col(id_col))
+            ).alias("_start"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    runs = _prefix_sum(
+        sa.withColumn("_sv", F.col("_start").cast("int")), "_s", "_sv", "_run"
+    )
+    wrun = Window.partitionBy("_run").orderBy("_s")
+    up = F.min("_lcp").over(wrun.rowsBetween(Window.unboundedPreceding, 0))
+    tail_min = F.min("_lcp").over(
+        wrun.rowsBetween(1, Window.unboundedFollowing)
+    )
+    run_starts = runs.filter(F.col("_start")).select(
+        (F.col("_run") - F.lit(1)).alias("_run"),
+        F.col("_lcp").alias("_nb"),
+    )
+    big = F.lit(1 << 62)
+    scored = (
+        runs.withColumn("_up", up)
+        .withColumn("_tm", tail_min)
+        .join(run_starts, "_run", "left")
+        .select(
+            id_col,
+            "pos",
+            "_tail",
+            F.greatest(
+                F.col("_up"),
+                F.when(F.col("_nb").isNull(), F.lit(0)).otherwise(
+                    F.least(F.coalesce(F.col("_tm"), big), F.col("_nb"))
+                ),
+            ).alias("_d"),
+        )
+    )
+    return scored
+
+
+def _merged_spans(
+    dup: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """Per-doc gaps-and-islands merge of [pos, pos+_d) intervals with
+    _d >= min_len -> (id, span_start, span_end_excl)."""
+    iv = dup.filter(F.col("_d") >= F.lit(min_len)).select(
+        F.col(id_col), "pos", (F.col("pos") + F.col("_d")).alias("_end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = iv.withColumn(
+        "_nw",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(
+            0
+        ),
+    ).withColumn("_isl", F.sum("_nw").over(w))
+    return isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("span_start"),
+        F.max("_end").alias("_se"),
+    )
+
+
+def suffix_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated spans, exactly: one row per
+    maximal merged token interval that lies inside text shared
+    verbatim (length >= ``min_len``) with at least one OTHER
+    document — (id, span_start, span_len), span_start 0-based,
+    ordered by (id, span_start). This is the surface the gram
+    family cannot produce: TRUE span lengths of arbitrary size, not
+    fixed-n windows. Interval-for-interval equal to the merged
+    islands of the n=min_len gram method (module contract)."""
+    dup = _position_dup_lengths(df, text_col, id_col, max_rounds)
+    return (
+        _merged_spans(dup, id_col, min_len)
+        .select(
+            F.col(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            (F.col("_se") - F.col("span_start"))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def suffix_dup_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Per-document duplicated-token coverage from the TRUE suffix
+    spans — same surface as dedup.crossdoc_dup_span_coverage
+    (id, n_tokens, covered, coverage) and provably equal to it at
+    n = min_len (module contract; pytest-asserted), while also
+    exposing the exact span inventory via suffix_duplicated_spans."""
+    dup = _position_dup_lengths(df, text_col, id_col, max_rounds)
+    spans = _merged_spans(dup, id_col, min_len)
+    covered = spans.groupBy(id_col).agg(
+        F.sum(F.col("_se") - F.col("span_start")).alias("_cov")
+    )
+    base = df.select(
+        F.col(id_col), T.token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("_cov"), F.lit(0)).cast("bigint").alias("covered"),
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce(F.col("_cov"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            )
+        )
+        .alias("coverage"),
+    )

@@ -140,6 +140,7 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # now get the same harness as window entries from the day they are
 # registered.
 _NEXT_WINDOW_QUEUE: list[str] = [
+    "q212_suffix_duplicated_spans",
     "q213_pca_gram_moments",
 ]
 

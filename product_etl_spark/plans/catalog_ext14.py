@@ -66,3 +66,70 @@ def q213_pca_gram_moments(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return pca_moments(e, "embedding", dim=64)
+
+
+@register(
+    "q212_suffix_duplicated_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, r.i - 1 AS pos,
+             array_to_string(toks[r.i:r.i+7], ' ') AS gram
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(toks) - 6)) AS i) r
+      WHERE LEN(toks) >= 8
+    ), dupg AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dp AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM dp
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos + 7) - MIN(pos) + 1 AS BIGINT) AS span_len
+    FROM isl2 GROUP BY doc_id, isl_id
+    ORDER BY doc_id, span_start
+    """,
+)
+def q212_suffix_duplicated_spans(spark, sf_dir):
+    """EXACT cross-document duplicated spans from distributed suffix
+    ranking (suffixes.suffix_duplicated_spans; Lee et al. 2022
+    ExactSubstr semantics): one row per MAXIMAL merged token
+    interval (>= 8 tokens) shared verbatim with another document,
+    with its TRUE arbitrary length — the upgrade over the fixed-n
+    gram rung (q147 measures, q177 removes; this names the spans).
+
+    The oracle is plain SQL by the module's proven contract: the
+    merged islands of duplicated 8-grams equal the suffix method's
+    maximal intervals INTERVAL-FOR-INTERVAL (a duplicated 8-gram
+    extends to a shared suffix prefix >= 8; every 8-sub-gram of a
+    shared span is itself duplicated — the two interval unions
+    coincide). tests/test_suffixes.py pins the same equality against
+    brute force and the gram operator; the Spark side never computes
+    a gram.
+
+    Scale shape: prefix-doubling suffix ranks (O(log repeat) rounds
+    of linear equi-join + two-level dense rank — distributed-sort
+    cost, convergence-fused), binary-lifting LCP on adjacent suffix
+    pairs, nearest-different-doc via doc-bounded run windows + one
+    distributed prefix sum; islands per doc. No corpus^2 anywhere;
+    no single-task window (suffixes.py module docstring)."""
+    from product_etl_spark.operators.suffixes import (
+        suffix_duplicated_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return suffix_duplicated_spans(d, "text", "doc_id", min_len=8)

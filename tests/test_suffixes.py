@@ -1,0 +1,154 @@
+"""Suffix-array exact-substring dedup (operators/suffixes): brute
+force on planted corpora, the identical-tails fast path, within-doc
+repetition exclusion, and the module's cross-check contract —
+coverage AND merged intervals equal the gram method at n = min_len
+(dedup.crossdoc_dup_span_coverage) on fixtures and a real corpus
+slice."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.operators.dedup import crossdoc_dup_span_coverage
+from product_etl_spark.operators.suffixes import (
+    suffix_dup_coverage,
+    suffix_duplicated_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_spans(corpus: dict, min_len: int) -> list:
+    """Reference model: for every position, the longest prefix of its
+    tail occurring contiguously in a DIFFERENT doc; merge [p, p+d)
+    islands with d >= min_len. O(everything) — fixtures only."""
+
+    def occurs(needle, did):
+        for o, toks in corpus.items():
+            if o == did:
+                continue
+            for i in range(len(toks) - len(needle) + 1):
+                if toks[i : i + len(needle)] == needle:
+                    return True
+        return False
+
+    out = []
+    for did, toks in sorted(corpus.items()):
+        ivs = []
+        for p in range(len(toks)):
+            d = 0
+            for L in range(len(toks) - p, 0, -1):
+                if occurs(toks[p : p + L], did):
+                    d = L
+                    break
+            if d >= min_len:
+                ivs.append((p, p + d))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        out.extend((did, s, e - s) for s, e in merged)
+    return out
+
+
+def _spark_spans(spark, rows, min_len):
+    return [
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in suffix_duplicated_spans(
+            _docs(spark, rows), "text", "doc_id", min_len=min_len
+        ).collect()
+    ]
+
+
+def test_planted_long_span_true_length(spark):
+    """Two docs share a verbatim 10-token run; min_len=8 must report
+    ONE maximal span of TRUE length 10 in each (the arbitrary-length
+    upgrade over fixed-n grams), and the clean doc reports none."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, f"x1 x2 {shared} x3"),
+        (2, f"y1 {shared} y2 y3 y4"),
+        (3, "clean words only never repeated anywhere at all"),
+    ]
+    got = _spark_spans(spark, rows, 8)
+    assert got == [(1, 2, 10), (2, 1, 10)]
+    assert got == _brute_spans(
+        {i: t.split() for i, t in rows}, 8
+    )
+
+
+def test_within_doc_repetition_does_not_count(spark):
+    """A document repeating its own 8-gram twice has NO cross-doc
+    duplicated span (min_df-distinct-docs semantics, same as q147)."""
+    run = " ".join(f"r{i}" for i in range(8))
+    rows = [(1, f"{run} mid {run}"), (2, "totally different content here")]
+    assert _spark_spans(spark, rows, 8) == []
+
+
+def test_identical_docs_full_coverage(spark):
+    """Two byte-identical docs: the identical-tails LCP fast path —
+    every position's tail matches the other doc, one span covering
+    the whole doc each; a third doc sharing only a mid prefix gets
+    its true shorter span."""
+    body = " ".join(f"w{i}" for i in range(12))
+    rows = [(1, body), (2, body), (3, "zz " + " ".join(f"w{i}" for i in range(9)))]
+    corpus = {i: t.split() for i, t in rows}
+    got = _spark_spans(spark, rows, 8)
+    assert got == _brute_spans(corpus, 8)
+    assert (1, 0, 12) in got and (2, 0, 12) in got and (3, 1, 9) in got
+    cov = {
+        r["doc_id"]: (r["covered"], r["coverage"])
+        for r in suffix_dup_coverage(
+            _docs(spark, rows), "text", "doc_id", min_len=8
+        ).collect()
+    }
+    assert cov[1] == (12, 1.0) and cov[2] == (12, 1.0)
+    assert cov[3] == (9, round(9 / 10, 4))
+
+
+def test_brute_force_hash_corpus(spark):
+    """Deterministic small-vocab corpus (md5-driven, 8 docs x 30
+    tokens over a 12-word vocab — dense accidental repeats): the
+    spans surface must equal brute force exactly at two min_lens."""
+
+    def tk(i, j):
+        return "t" + str(
+            int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[:4], 16) % 12
+        )
+
+    rows = [
+        (i, " ".join(tk(i, j) for j in range(30))) for i in range(8)
+    ]
+    corpus = {i: t.split() for i, t in rows}
+    for ml in (3, 5):
+        assert _spark_spans(spark, rows, ml) == _brute_spans(corpus, ml), ml
+
+
+def test_coverage_equals_gram_method_on_real_slice(spark, sf_dir):
+    """The module contract powering q212's SQL oracle: suffix
+    coverage at min_len L == gram coverage at n = L, row for row, on
+    a real documents slice."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["covered"], r["coverage"])
+        for r in suffix_dup_coverage(
+            docs, "text", "doc_id", min_len=5
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["covered"], r["coverage"])
+        for r in crossdoc_dup_span_coverage(
+            docs, "text", "doc_id", n=5, min_df=2
+        ).collect()
+    }
+    assert a == b and len(a) == 150
