@@ -34,34 +34,32 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-11 rotation invariant (r10 verdict items 1 and 2): every
-    query with no GREEN driver row through r10 (the eight registered
-    after the r10 window froze, plus the new-in-r11 q188; per
-    COVERAGE.md) is in this round's window, plus every r7-stale entry
-    the r10 verdict's item 2 names. q189 registered after the r11
-    window filled and waits in the queue instead."""
-    never_green_prefixes = {
-        # registered after the r10 window froze
-        "q180", "q181", "q182", "q183", "q184", "q185", "q186", "q187",
-        # new in r11, scheduled same round
-        "q188",
-    }
-    r7_stale_prefixes = {
-        "q12", "q16", "q18", "q20", "q21", "q23", "q24", "q26",
-        "q27", "q29", "q30", "q31", "q33", "q38", "q40", "q41",
-        "q45", "q47", "q49", "q51", "q56", "q57", "q58", "q64",
-        "q69", "q92", "q99", "q120", "q134", "q137", "q138",
-        "q139", "q140", "q141", "q142", "q143", "q144", "q145",
-        "q146", "q147", "q148",
-    }
+    """Round-12 rotation invariant (r11 verdict items 1 and 2): every
+    query with no GREEN driver row through r11 — the full 23-entry
+    post-r11-freeze queue q189-q211 — is in this round's window,
+    plus the r8-last-green tier (q149-q163), the six standing
+    anchors (last green r10), and the six oldest-r9 reps. q212/q213
+    registered after the r12 window filled and wait in the queue."""
+    never_green_prefixes = {f"q{n}" for n in range(189, 212)}
+    r8_stale_prefixes = {f"q{n}" for n in range(149, 164)}
+    anchor_prefixes = {"q01", "q02", "q32", "q94", "q112", "q114"}
+    oldest_r9_prefixes = {"q164", "q165", "q166", "q167", "q168", "q93"}
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    missing = (never_green_prefixes | r7_stale_prefixes) - window_prefixes
+    expect = (
+        never_green_prefixes
+        | r8_stale_prefixes
+        | anchor_prefixes
+        | oldest_r9_prefixes
+    )
+    missing = expect - window_prefixes
     assert not missing, f"never-driver-green queries left out: {missing}"
+    # the plan fills exactly 50 slots — nothing else slips in
+    assert window_prefixes == expect
 
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 211
+    assert len(names) == len(set(names)) == 213
 
 
 def test_coverage_doc_matches_window():
@@ -84,7 +82,7 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r11*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r12*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
 
 
