@@ -139,16 +139,21 @@ def pca_moments(
     n, sums and gram all come from the same well-formed row set —
     malformed vectors cannot silently skew the fit (same poisoning
     stance as signbit_bands)."""
+    # round+cast each dimension ONCE per row (64 ops), then build the
+    # 2080 pair structs from the precomputed decimal array — naively
+    # rounding inside the pair lambda costs 2*2080 casts per row
+    dec = F.expr(
+        f"transform({emb_col}, v -> "
+        "CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))"
+    )
     pairs = F.expr(
         f"flatten(transform(sequence(0, {dim - 1}), i -> "
         f"transform(sequence(i, {dim - 1}), j -> struct(i AS i, j AS j, "
-        f"CAST(ROUND(CAST(get({emb_col}, i) AS DOUBLE), 6)"
-        " AS DECIMAL(18,6)) AS a, "
-        f"CAST(ROUND(CAST(get({emb_col}, j) AS DOUBLE), 6)"
-        " AS DECIMAL(18,6)) AS b))))"
+        "get(_dec, i) AS a, get(_dec, j) AS b))))"
     )
     return (
-        corpus.select(F.explode(pairs).alias("p"))
+        corpus.select(dec.alias("_dec"))
+        .select(F.explode(pairs).alias("p"))
         .select("p.i", "p.j", "p.a", "p.b")
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .groupBy("i", "j")

@@ -121,12 +121,17 @@ def q212_suffix_duplicated_spans(spark, sf_dir):
     brute force and the gram operator; the Spark side never computes
     a gram.
 
-    Scale shape: prefix-doubling suffix ranks (O(log repeat) rounds
-    of linear equi-join + two-level dense rank — distributed-sort
-    cost, convergence-fused), binary-lifting LCP on adjacent suffix
-    pairs, nearest-different-doc via doc-bounded run windows + one
-    distributed prefix sum; islands per doc. No corpus^2 anywhere;
-    no single-task window (suffixes.py module docstring)."""
+    Scale shape: the default 'blocked' construction — per-document
+    suffix blocks (documents are bounded here; loud-guarded at
+    max_doc_tokens) sorted by Spark's native lexicographic array
+    ordering in ONE two-level global rank, adjacent-pair LCP as a
+    single first-mismatch expression, nearest-different-doc via
+    doc-bounded run windows + one distributed prefix sum, islands
+    per doc. The 'doubling' twin (prefix-doubling ranks, O(log
+    repeat) linear rounds, binary-lifting LCP) is the
+    document-length-agnostic path; both are pytest-pinned to agree
+    with each other and with brute force. No corpus^2 anywhere; no
+    single-task window (suffixes.py module docstring)."""
     from product_etl_spark.operators.suffixes import (
         suffix_duplicated_spans,
     )

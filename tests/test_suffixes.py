@@ -57,11 +57,12 @@ def _brute_spans(corpus: dict, min_len: int) -> list:
     return out
 
 
-def _spark_spans(spark, rows, min_len):
+def _spark_spans(spark, rows, min_len, method="blocked"):
     return [
         (r["doc_id"], r["span_start"], r["span_len"])
         for r in suffix_duplicated_spans(
-            _docs(spark, rows), "text", "doc_id", min_len=min_len
+            _docs(spark, rows), "text", "doc_id", min_len=min_len,
+            method=method,
         ).collect()
     ]
 
@@ -76,11 +77,12 @@ def test_planted_long_span_true_length(spark):
         (2, f"y1 {shared} y2 y3 y4"),
         (3, "clean words only never repeated anywhere at all"),
     ]
-    got = _spark_spans(spark, rows, 8)
-    assert got == [(1, 2, 10), (2, 1, 10)]
-    assert got == _brute_spans(
-        {i: t.split() for i, t in rows}, 8
-    )
+    for method in ("blocked", "doubling"):
+        got = _spark_spans(spark, rows, 8, method)
+        assert got == [(1, 2, 10), (2, 1, 10)], method
+        assert got == _brute_spans(
+            {i: t.split() for i, t in rows}, 8
+        ), method
 
 
 def test_within_doc_repetition_does_not_count(spark):
@@ -127,7 +129,12 @@ def test_brute_force_hash_corpus(spark):
     ]
     corpus = {i: t.split() for i, t in rows}
     for ml in (3, 5):
-        assert _spark_spans(spark, rows, ml) == _brute_spans(corpus, ml), ml
+        want = _brute_spans(corpus, ml)
+        for method in ("blocked", "doubling"):
+            assert _spark_spans(spark, rows, ml, method) == want, (
+                ml,
+                method,
+            )
 
 
 def test_coverage_equals_gram_method_on_real_slice(spark, sf_dir):
@@ -152,3 +159,22 @@ def test_coverage_equals_gram_method_on_real_slice(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) == 150
+
+
+def test_blocked_mega_doc_guard(spark):
+    """The blocked method's O(len^2) per-doc blow-up is loud-guarded:
+    a document over max_doc_tokens FAILS with the switch-to-doubling
+    message; doubling happily processes the same corpus."""
+    import pytest
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"a{i}" for i in range(30))),
+    ]
+    with pytest.raises(Exception, match="doubling"):
+        suffix_duplicated_spans(
+            _docs(spark, rows), "text", "doc_id", min_len=8,
+            max_doc_tokens=10,
+        ).collect()
+    got = _spark_spans(spark, rows, 8, "doubling")
+    assert got == [(1, 0, 30), (2, 0, 30)]
