@@ -550,3 +550,47 @@ def suffix_dup_coverage(
         )
         .alias("coverage"),
     )
+
+
+def suffix_remove_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    max_rounds: int = 16,
+    method: str = "blocked",
+    max_doc_tokens: int = 4096,
+) -> DataFrame:
+    """Suffix-exact span REMOVAL — the excision rung on TRUE suffix
+    semantics: every token inside a cross-document duplicated span of
+    length >= ``min_len`` is excised from EVERY document holding it
+    (the conservative boilerplate-strip variant of Lee et al. 2022
+    ExactSubstr; the keeper-preserving variant — lowest-id doc keeps
+    its copy — is ``dedup.remove_duplicate_spans``/q177's gram rule).
+
+    Output: (id, text_clean, n_tokens, n_removed) — same surface and
+    reconstruction tail (``dedup._excise_positions``) as the gram
+    removal ops; by the module's coverage-equality contract the
+    removed POSITION SET equals the gram method's covered set at
+    n = min_len, which is what q214's plain-SQL oracle replays.
+
+    Scale shape: the span frame's cost (see module docstring) plus
+    one bounded sequence-explode of covered intervals, one (id,
+    pos)-keyed anti-join, one doc-sized per-doc reconstruction
+    groupBy."""
+    from product_etl_spark.operators.dedup import _excise_positions
+
+    dup = _position_dup_lengths(
+        df, text_col, id_col, max_rounds, method, max_doc_tokens
+    )
+    removal = (
+        dup.filter(F.col("_d") >= F.lit(min_len))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("_d") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _excise_positions(df, text_col, id_col, removal)

@@ -142,6 +142,7 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 _NEXT_WINDOW_QUEUE: list[str] = [
     "q212_suffix_duplicated_spans",
     "q213_pca_gram_moments",
+    "q214_suffix_span_removal",
 ]
 
 _DRIVER_WINDOW = [

@@ -138,3 +138,68 @@ def q212_suffix_duplicated_spans(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return suffix_duplicated_spans(d, "text", "doc_id", min_len=8)
+
+
+@register(
+    "q214_suffix_span_removal",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS ltoks,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS otoks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, r.i - 1 AS pos,
+             array_to_string(ltoks[r.i:r.i+7], ' ') AS gram
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(ltoks) - 6)) AS i) r
+      WHERE LEN(ltoks) >= 8
+    ), dupg AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), rem AS (
+      SELECT DISTINCT g.doc_id, g.pos + d.o AS pos
+      FROM g JOIN dupg USING (gram),
+           LATERAL (SELECT UNNEST(range(0, 8)) AS o) d
+    ), tokpos AS (
+      SELECT doc_id, r.i - 1 AS pos, otoks[r.i] AS tok
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(otoks) + 1)) AS i) r
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp LEFT JOIN rem
+        ON tp.doc_id = rem.doc_id AND tp.pos = rem.pos
+      WHERE rem.pos IS NULL
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(reb.text_clean, '') AS text_clean,
+           LEN(t.otoks) AS n_tokens,
+           CAST(LEN(t.otoks) - COALESCE(reb.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM t LEFT JOIN reb USING (doc_id)
+    """,
+)
+def q214_suffix_span_removal(spark, sf_dir):
+    """Suffix-exact duplicated-span REMOVAL
+    (suffixes.suffix_remove_duplicates): every token inside a
+    cross-document shared span of >= 8 tokens excised from every
+    document — the conservative boilerplate strip on TRUE suffix
+    semantics, completing the suffix ladder (q212 names the spans,
+    this removes them) beside the keeper-preserving gram rule
+    (q177). The oracle replays the removed-position set as the
+    8-gram covered union — equal to the suffix cover by the module's
+    proven contract — and the same original-case reconstruction as
+    q177's tail.
+
+    Scale shape: the q212 span frame plus one bounded interval
+    explode, one (id, pos) anti-join, one doc-sized reconstruction
+    groupBy (dedup._excise_positions)."""
+    from product_etl_spark.operators.suffixes import (
+        suffix_remove_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return suffix_remove_duplicates(d, "text", "doc_id", min_len=8)

@@ -178,3 +178,39 @@ def test_blocked_mega_doc_guard(spark):
         ).collect()
     got = _spark_spans(spark, rows, 8, "doubling")
     assert got == [(1, 0, 30), (2, 0, 30)]
+
+
+def test_suffix_removal_planted_and_matches_coverage(spark):
+    """suffix_remove_duplicates excises the shared run from EVERY
+    holder (no keeper — the conservative strip; q177's gram rule
+    keeps one), preserves original case, and its n_removed equals
+    suffix_dup_coverage's covered count per doc (same position
+    set)."""
+    from product_etl_spark.operators.suffixes import (
+        suffix_remove_duplicates,
+    )
+
+    shared = " ".join(f"S{i}" for i in range(10))  # original case kept
+    rows = [
+        (1, f"x1 x2 {shared} x3"),
+        (2, f"y1 {shared.lower()} y2"),  # lowercased match still dups
+        (3, "clean words only never repeated anywhere at all"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in suffix_remove_duplicates(
+            _docs(spark, rows), "text", "doc_id", min_len=8
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "x1 x2 x3"
+    assert out[2]["text_clean"] == "y1 y2"
+    assert out[3]["text_clean"] == rows[2][1]
+    assert out[1]["n_removed"] == 10 and out[2]["n_removed"] == 10
+    assert out[3]["n_removed"] == 0
+    cov = {
+        r["doc_id"]: r["covered"]
+        for r in suffix_dup_coverage(
+            _docs(spark, rows), "text", "doc_id", min_len=8
+        ).collect()
+    }
+    assert all(out[d]["n_removed"] == cov[d] for d in cov)
