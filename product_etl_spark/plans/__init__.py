@@ -109,6 +109,16 @@ entry's newest green row is older than r9. New-in-r12 registrations
 (suffix-array dedup, PCA moment pin — r11 verdict items 4 and 5)
 land in the post-freeze queue with the exact harness, per the
 standing queue discipline.
+
+Round-13 ROTATION PLAN (for the session that composes it, written at
+the end of r12): the queue below holds the 3 post-freeze
+registrations (q212 suffix spans, q213 PCA Gram moments, q214
+suffix span removal) — they lead. The stalest cohorts are then the
+r9-last-green tier (the 27 r5-refresh entries q52-q117 family reps
+plus q169-q173, q13, q43/q34 — per COVERAGE.md stamps) and the r10
+cohort as slots allow; the six standing anchors are r12-fresh and
+can sit out. Fill to 50 with oldest-r10 reps. After r13 no entry's
+newest green row should be older than r10.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
