@@ -191,19 +191,49 @@ def _position_dup_lengths(
     max_rounds: int,
     method: str = "blocked",
     max_doc_tokens: int = 4096,
+    color_col: str | None = None,
 ) -> DataFrame:
     """Per token position: (id, pos, _d) where _d is the length of
     the longest prefix of the suffix at (id, pos) that also occurs
-    in a DIFFERENT document (0 when none) — steps 1-4 of the module
-    algorithm, by either construction method (pytest-pinned to
-    agree)."""
+    in a document of a DIFFERENT COLOR (default color = the doc id
+    itself, i.e. any other document; 0 when none) — steps 1-4 of the
+    module algorithm, by either construction method (pytest-pinned
+    to agree)."""
     if method == "blocked":
-        return _position_dup_lengths_blocked(
+        sa = _position_dup_lengths_blocked(
             df, text_col, id_col, max_doc_tokens
         )
-    if method != "doubling":
+    elif method == "doubling":
+        sa = _position_dup_lengths_doubling(df, text_col, id_col, max_rounds)
+    else:
         raise ValueError(f"unknown suffix method {method!r}")
-    return _position_dup_lengths_doubling(df, text_col, id_col, max_rounds)
+    if color_col is None:
+        # cross-DOC semantics: the color IS the doc id; same-color
+        # runs in suffix order are doc-bounded, so plain per-run
+        # windows are safe
+        sa = sa.withColumn(
+            "_start",
+            F.col("_ida").isNull() | (F.col("_ida") != F.col(id_col)),
+        )
+        return _d_from_sa(sa, id_col, bounded_runs=True)
+    # cross-COLOR (e.g. corpus-vs-benchmark source) semantics: a
+    # same-color run can be corpus-sized (one source dominating a
+    # whole suffix-order region), so the per-run mins go through the
+    # segmented two-level scans instead of windows
+    colors = df.select(
+        F.col(id_col), F.col(color_col).alias("_clr")
+    ).distinct()
+    ca = colors.select(
+        F.col(id_col).alias("_ida"), F.col("_clr").alias("_clra")
+    )
+    sa = (
+        sa.join(colors, id_col)
+        .join(ca, "_ida", "left")
+        .withColumn(
+            "_start", ~F.col("_clra").eqNullSafe(F.col("_clr"))
+        )
+    )
+    return _d_from_sa(sa, id_col, bounded_runs=False)
 
 
 def _position_dup_lengths_blocked(
@@ -283,7 +313,7 @@ def _position_dup_lengths_blocked(
         "array_position(zip_with(_sfxa, _sfx, (x, y) -> NOT (x <=> y)),"
         " true)"
     )
-    sa = (
+    return (
         saf.join(lo, "_s", "left")
         .select(
             id_col,
@@ -294,13 +324,10 @@ def _position_dup_lengths_blocked(
             .when(mism > 0, (mism - 1).cast("bigint"))
             .otherwise(F.least("_taila", "_tail").cast("bigint"))
             .alias("_lcp"),
-            (
-                F.col("_ida").isNull() | (F.col("_ida") != F.col(id_col))
-            ).alias("_start"),
+            "_ida",
         )
         .localCheckpoint(eager=True)
     )
-    return _d_from_sa(sa, id_col)
 
 
 def _position_dup_lengths_doubling(
@@ -394,7 +421,7 @@ def _position_dup_lengths_doubling(
         .otherwise(F.least("_acc", "_taila", "_tailb"))
         .alias("_lcp"),
     )
-    sa = (
+    return (
         saf.join(lcp, "_s", "left")
         .select(
             id_col,
@@ -402,38 +429,125 @@ def _position_dup_lengths_doubling(
             "_s",
             "_tail",
             F.coalesce(F.col("_lcp"), F.lit(0)).alias("_lcp"),
-            (
-                F.col("_ida").isNull() | (F.col("_ida") != F.col(id_col))
-            ).alias("_start"),
+            "_ida",
         )
         .localCheckpoint(eager=True)
     )
-    return _d_from_sa(sa, id_col)
 
 
-def _d_from_sa(sa: DataFrame, id_col: str) -> DataFrame:
-    """Step 4 shared by both construction methods: from the
-    suffix-ordered frame (id, pos, _s, _tail, _lcp = LCP to the
-    previous suffix, _start = previous suffix is a different doc),
-    compute _d = longest cross-document shared prefix per position
-    via the nearest-different-doc run machinery."""
+def _segmented_running_min(
+    df: DataFrame,
+    order_col: str,
+    seg_col: str,
+    val_col: str,
+    out_col: str,
+    reverse: bool = False,
+) -> DataFrame:
+    """Distributed INCLUSIVE running min of ``val_col`` within each
+    ``seg_col`` segment along the total order ``order_col``
+    (``reverse=True`` scans backward) — the segmented-scan sibling of
+    ``_prefix_sum``: repartitionByRange on the order, per-(partition,
+    segment) local window mins (parallel), then a cross-partition
+    carry computed on the (partition, segment)-sized summary frame —
+    a window PARTITIONED BY SEGMENT over at most #partitions rows per
+    segment, never over the rows themselves. Safe for segments of ANY
+    length — the reason the cross-color path can't use plain per-run
+    windows (one color can dominate a corpus-sized suffix-order
+    run)."""
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = F.col(order_col).desc() if reverse else F.col(order_col).asc()
+    ranged = df.repartitionByRange(parts, order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid", seg_col).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = ranged.withColumn(
+        "_lm", F.min(F.col(val_col)).over(wloc)
+    ).localCheckpoint(eager=True)
+    pm = local.groupBy("_pid", seg_col).agg(
+        F.min(F.col(val_col)).alias("_pm")
+    )
+    # pid always ASCENDS along the scan direction: range partitioning
+    # on the (possibly reversed) order puts scan-earlier rows in
+    # lower pids for BOTH directions, so the carry is always the min
+    # over strictly-lower pids
+    wcarry = Window.partitionBy(seg_col).orderBy(
+        F.col("_pid").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    carry = pm.select(
+        "_pid", seg_col, F.min("_pm").over(wcarry).alias("_cm")
+    )
+    big = F.lit(1 << 62)
+    return (
+        local.join(carry, ["_pid", seg_col])
+        .withColumn(
+            out_col, F.least(F.col("_lm"), F.coalesce(F.col("_cm"), big))
+        )
+        .drop("_pid", "_lm", "_cm")
+    )
+
+
+def _d_from_sa(
+    sa: DataFrame, id_col: str, bounded_runs: bool = True
+) -> DataFrame:
+    """Step 4 shared by both construction methods and both color
+    semantics: from the suffix-ordered frame (id, pos, _s, _tail,
+    _lcp = LCP to the previous suffix, _start = previous suffix has a
+    different color), compute _d = longest shared prefix with any
+    OTHER-color suffix via the nearest-different-color run machinery.
+
+    ``bounded_runs=True`` (color = doc id): runs are doc-bounded, so
+    per-run windows compute the running mins. ``bounded_runs=False``
+    (source colors): runs can be corpus-sized — the mins go through
+    ``_segmented_running_min`` two-level scans instead."""
     runs = _prefix_sum(
         sa.withColumn("_sv", F.col("_start").cast("int")), "_s", "_sv", "_run"
     )
-    wrun = Window.partitionBy("_run").orderBy("_s")
-    up = F.min("_lcp").over(wrun.rowsBetween(Window.unboundedPreceding, 0))
-    tail_min = F.min("_lcp").over(
-        wrun.rowsBetween(1, Window.unboundedFollowing)
-    )
+    big = F.lit(1 << 62)
+    if bounded_runs:
+        wrun = Window.partitionBy("_run").orderBy("_s")
+        scored_in = runs.withColumn(
+            "_up",
+            F.min("_lcp").over(
+                wrun.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn(
+            "_tm",
+            F.min("_lcp").over(
+                wrun.rowsBetween(1, Window.unboundedFollowing)
+            ),
+        )
+    else:
+        fwd = _segmented_running_min(runs, "_s", "_run", "_lcp", "_up")
+        bwd = _segmented_running_min(
+            fwd, "_s", "_run", "_lcp", "_bm", reverse=True
+        ).localCheckpoint(eager=True)
+        # exclusive following-min = the NEXT row's inclusive backward
+        # min, valid only within the same run
+        nxt = bwd.select(
+            (F.col("_s") - F.lit(1)).alias("_s"),
+            F.col("_run").alias("_run2"),
+            F.col("_bm").alias("_tm0"),
+        )
+        scored_in = (
+            bwd.join(nxt, "_s", "left")
+            .withColumn(
+                "_tm",
+                F.when(
+                    F.col("_run2") == F.col("_run"), F.col("_tm0")
+                ),
+            )
+            .drop("_run2", "_tm0", "_bm")
+        )
     run_starts = runs.filter(F.col("_start")).select(
         (F.col("_run") - F.lit(1)).alias("_run"),
         F.col("_lcp").alias("_nb"),
     )
-    big = F.lit(1 << 62)
     scored = (
-        runs.withColumn("_up", up)
-        .withColumn("_tm", tail_min)
-        .join(run_starts, "_run", "left")
+        scored_in.join(run_starts, "_run", "left")
         .select(
             id_col,
             "pos",
@@ -594,3 +708,69 @@ def suffix_remove_duplicates(
         .distinct()
     )
     return _excise_positions(df, text_col, id_col, removal)
+
+
+def suffix_shared_span_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    color_col: str,
+    min_len: int = 8,
+    max_rounds: int = 16,
+    method: str = "blocked",
+    max_doc_tokens: int = 4096,
+) -> DataFrame:
+    """Cross-SOURCE exact-span contamination: per document, the
+    coverage of tokens inside verbatim spans of >= ``min_len`` tokens
+    shared with a document of a DIFFERENT ``color_col`` value (e.g.
+    corpus vs held-out benchmark) — true-span benchmark
+    decontamination, upgrading fixed-n gram collision (q112) to
+    arbitrary-length suffix semantics. Same-color duplication is
+    deliberately invisible: a corpus document copying another corpus
+    document is dedup's business (q212), not contamination.
+
+    Output: (id, color, n_tokens, covered, coverage) for EVERY
+    document; filter by color for the corpus-side report. By the
+    module's cover-equality contract the covered set equals the
+    cross-color duplicated n-gram cover at n = min_len, which is what
+    the q215 oracle replays in plain SQL.
+
+    Scale shape: the suffix construction of the chosen method, then
+    the nearest-different-COLOR machinery with SEGMENTED two-level
+    scans (`_segmented_running_min`) instead of per-run windows —
+    same-color runs in suffix order can be corpus-sized when one
+    source dominates, so the scans' cross-partition carries ride a
+    (partition, run)-bounded summary frame, never the rows."""
+    dup = _position_dup_lengths(
+        df,
+        text_col,
+        id_col,
+        max_rounds,
+        method,
+        max_doc_tokens,
+        color_col=color_col,
+    )
+    spans = _merged_spans(dup, id_col, min_len)
+    covered = spans.groupBy(id_col).agg(
+        F.sum(F.col("_se") - F.col("span_start")).alias("_cov")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(color_col).alias("color"),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        "color",
+        "n_tokens",
+        F.coalesce(F.col("_cov"), F.lit(0)).cast("bigint").alias("covered"),
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce(F.col("_cov"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            )
+        )
+        .alias("coverage"),
+    )

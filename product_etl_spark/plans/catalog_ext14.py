@@ -203,3 +203,103 @@ def q214_suffix_span_removal(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return suffix_remove_duplicates(d, "text", "doc_id", min_len=8)
+
+
+@register(
+    "q215_suffix_decontam_coverage",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0 THEN 'bench' ELSE 'corpus' END
+               AS src,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, src, r.i - 1 AS pos,
+             array_to_string(toks[r.i:r.i+5], ' ') AS gram
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(toks) - 4)) AS i) r
+      WHERE LEN(toks) >= 6
+    ), bg AS (
+      SELECT DISTINCT gram FROM g WHERE src = 'bench'
+    ), dp AS (
+      SELECT g.doc_id, g.pos FROM g JOIN bg USING (gram)
+      WHERE g.src = 'corpus'
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS nw
+      FROM dp
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, isl_id, MAX(pos + 5) - MIN(pos) + 1 AS len
+      FROM isl2 GROUP BY doc_id, isl_id
+    ), cov AS (
+      SELECT doc_id, CAST(SUM(len) AS BIGINT) AS c
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           LEN(t.toks) AS n_tokens,
+           COALESCE(cov.c, 0) AS contaminated,
+           CASE WHEN LEN(t.toks) <= 0 THEN 0.0
+                ELSE ROUND(COALESCE(cov.c, 0)::DOUBLE
+                           / LEN(t.toks)::DOUBLE, 4)
+           END AS coverage
+    FROM t LEFT JOIN cov USING (doc_id)
+    WHERE t.src = 'corpus'
+    ORDER BY t.doc_id
+    """,
+)
+def q215_suffix_decontam_coverage(spark, sf_dir):
+    """TRUE-SPAN benchmark decontamination
+    (suffixes.suffix_shared_span_coverage): per corpus document, the
+    fraction of tokens inside verbatim spans of >= 6 tokens shared
+    with the held-out benchmark set (every 50th doc, the q112
+    split) — the exact-span upgrade of q112's fixed 5-gram collision
+    flag. Same-color duplication is invisible by construction: a
+    corpus doc copying another corpus doc is dedup's business
+    (q212), not contamination — the cross-COLOR nearest-neighbor
+    machinery never compares same-source suffixes.
+
+    The oracle replays the covered set as the cross-source
+    duplicated 6-gram cover (the module's cover-equality contract,
+    color-generalized); the Spark side computes it from suffix ranks
+    and never builds a gram.
+
+    Scale shape: one suffix construction (blocked — documents
+    bounded), then the nearest-different-COLOR machinery on
+    SEGMENTED two-level scans (suffixes._segmented_running_min):
+    same-color runs in suffix order can be corpus-sized when one
+    source dominates (exactly this fixture: 98%% corpus), so the
+    per-run mins ride a (partition, run)-bounded carry frame, never
+    a per-run window. Benchmark sets are MBs against a 100 TB
+    corpus; nothing here is corpus x benchmark."""
+    from product_etl_spark.operators.suffixes import (
+        suffix_shared_span_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.withColumn(
+        "src",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("bench")).otherwise(
+            F.lit("corpus")
+        ),
+    )
+    return (
+        suffix_shared_span_coverage(
+            tagged, "text", "doc_id", "src", min_len=6
+        )
+        .filter(F.col("color") == "corpus")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("covered").alias("contaminated"),
+            "coverage",
+        )
+        .orderBy("doc_id")
+    )

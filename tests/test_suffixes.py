@@ -214,3 +214,112 @@ def test_suffix_removal_planted_and_matches_coverage(spark):
         ).collect()
     }
     assert all(out[d]["n_removed"] == cov[d] for d in cov)
+
+
+def _brute_color_cover(corpus, colors, min_len):
+    """Reference: per doc, merged cover of [p, p+d) where d = longest
+    prefix occurring contiguously in a doc of a DIFFERENT color."""
+    out = {}
+    for did, toks in sorted(corpus.items()):
+        ivs = []
+        for p in range(len(toks)):
+            d = 0
+            for L in range(len(toks) - p, 0, -1):
+                hit = False
+                for o, ot in corpus.items():
+                    if colors[o] == colors[did]:
+                        continue
+                    for i in range(len(ot) - L + 1):
+                        if ot[i : i + L] == toks[p : p + L]:
+                            hit = True
+                            break
+                    if hit:
+                        break
+                if hit:
+                    d = L
+                    break
+            if d >= min_len:
+                ivs.append((p, p + d))
+        cov = set()
+        for s, e in ivs:
+            cov.update(range(s, e))
+        out[did] = len(cov)
+    return out
+
+
+def test_cross_source_coverage_brute_and_same_color_invisible(spark):
+    """suffix_shared_span_coverage: corpus-vs-benchmark true-span
+    contamination. A corpus doc copying ANOTHER CORPUS doc is
+    invisible (same color); a corpus doc sharing a run with a
+    BENCHMARK doc is covered for exactly that run; brute force
+    agrees on every doc for both methods."""
+    from product_etl_spark.operators.suffixes import (
+        suffix_shared_span_coverage,
+    )
+
+    leak = " ".join(f"L{i}" for i in range(9))
+    dup = " ".join(f"D{i}" for i in range(12))
+    rows = [
+        (0, f"bench1 {leak} benchtail"),           # benchmark
+        (1, f"c1 {leak} c2 c3"),                   # contaminated corpus
+        (2, f"x0 {dup} x1"),                       # corpus-corpus dup pair
+        (3, f"y0 y1 {dup}"),                       #   -> must be invisible
+        (4, "clean corpus words nothing shared"),  # clean corpus
+    ]
+    colors = {0: "bench", 1: "corp", 2: "corp", 3: "corp", 4: "corp"}
+    df = spark.createDataFrame(
+        [(i, t, colors[i]) for i, t in rows],
+        "doc_id long, text string, src string",
+    )
+    want = _brute_color_cover(
+        {i: t.split() for i, t in rows}, colors, 8
+    )
+    for method in ("blocked", "doubling"):
+        got = {
+            r["doc_id"]: r["covered"]
+            for r in suffix_shared_span_coverage(
+                df, "text", "doc_id", "src", min_len=8, method=method
+            ).collect()
+        }
+        assert got == want, method
+        assert got[1] == 9    # the benchmark leak, true length
+        assert got[2] == 0 and got[3] == 0  # same-color dup invisible
+        assert got[0] == 9    # benchmark side sees the corpus copy
+
+
+def test_segmented_running_min_matches_pandas(spark):
+    """_segmented_running_min (both directions) == pandas
+    groupby-cummin on a deterministic frame whose segments span
+    multiple range partitions."""
+    import hashlib
+
+    import pandas as pd
+
+    from product_etl_spark.operators.suffixes import (
+        _segmented_running_min,
+    )
+
+    rows = []
+    for s in range(1, 401):
+        seg = 1 + (s - 1) // 97  # segments of 97 rows: cross partitions
+        v = int(hashlib.md5(str(s).encode()).hexdigest()[:4], 16) % 100
+        rows.append((s, seg, v))
+    df = spark.createDataFrame(rows, "_s long, _run long, _lcp long")
+    fwd = {
+        r["_s"]: r["_fm"]
+        for r in _segmented_running_min(
+            df, "_s", "_run", "_lcp", "_fm"
+        ).collect()
+    }
+    bwd = {
+        r["_s"]: r["_bm"]
+        for r in _segmented_running_min(
+            df, "_s", "_run", "_lcp", "_bm", reverse=True
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["_s", "_run", "_lcp"])
+    exp_f = pdf.groupby("_run")["_lcp"].cummin()
+    exp_b = pdf[::-1].groupby("_run")["_lcp"].cummin()[::-1]
+    for i, s in enumerate(pdf["_s"]):
+        assert fwd[s] == exp_f.iloc[i], ("fwd", s)
+        assert bwd[s] == exp_b.iloc[i], ("bwd", s)
