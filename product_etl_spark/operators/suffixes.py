@@ -435,58 +435,70 @@ def _position_dup_lengths_doubling(
     )
 
 
-def _segmented_running_min(
+def _segmented_running_mins(
     df: DataFrame,
     order_col: str,
     seg_col: str,
     val_col: str,
-    out_col: str,
-    reverse: bool = False,
+    fwd_col: str,
+    bwd_col: str,
 ) -> DataFrame:
-    """Distributed INCLUSIVE running min of ``val_col`` within each
-    ``seg_col`` segment along the total order ``order_col``
-    (``reverse=True`` scans backward) — the segmented-scan sibling of
-    ``_prefix_sum``: repartitionByRange on the order, per-(partition,
-    segment) local window mins (parallel), then a cross-partition
-    carry computed on the (partition, segment)-sized summary frame —
-    a window PARTITIONED BY SEGMENT over at most #partitions rows per
-    segment, never over the rows themselves. Safe for segments of ANY
-    length — the reason the cross-color path can't use plain per-run
-    windows (one color can dominate a corpus-sized suffix-order
-    run)."""
+    """Distributed INCLUSIVE running mins of ``val_col`` within each
+    ``seg_col`` segment along the total order ``order_col``, BOTH
+    directions in one pass — the segmented-scan sibling of
+    ``_prefix_sum``: ONE repartitionByRange on the order, per-
+    (partition, segment) local window mins in both orders (same
+    shuffle, two sort-free frames), then cross-partition carries
+    computed on the (partition, segment)-sized summary frame — a
+    window PARTITIONED BY SEGMENT over at most #partitions rows per
+    segment, never over the rows themselves. The forward carry is
+    the min over strictly-LOWER pids, the backward carry over
+    strictly-HIGHER pids (pid is monotone in the order). Safe for
+    segments of ANY length — the reason the cross-color path can't
+    use plain per-run windows (one color can dominate a corpus-sized
+    suffix-order run)."""
     parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    order = F.col(order_col).desc() if reverse else F.col(order_col).asc()
-    ranged = df.repartitionByRange(parts, order).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = df.repartitionByRange(
+        parts, F.col(order_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    wf = Window.partitionBy("_pid", seg_col).orderBy(
+        F.col(order_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.partitionBy("_pid", seg_col).orderBy(
+        F.col(order_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = (
+        ranged.withColumn("_lf", F.min(F.col(val_col)).over(wf))
+        .withColumn("_lb", F.min(F.col(val_col)).over(wb))
+        .localCheckpoint(eager=True)
     )
-    wloc = Window.partitionBy("_pid", seg_col).orderBy(order).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    local = ranged.withColumn(
-        "_lm", F.min(F.col(val_col)).over(wloc)
-    ).localCheckpoint(eager=True)
     pm = local.groupBy("_pid", seg_col).agg(
         F.min(F.col(val_col)).alias("_pm")
     )
-    # pid always ASCENDS along the scan direction: range partitioning
-    # on the (possibly reversed) order puts scan-earlier rows in
-    # lower pids for BOTH directions, so the carry is always the min
-    # over strictly-lower pids
-    wcarry = Window.partitionBy(seg_col).orderBy(
+    wcf = Window.partitionBy(seg_col).orderBy(
         F.col("_pid").asc()
     ).rowsBetween(Window.unboundedPreceding, -1)
+    wcb = Window.partitionBy(seg_col).orderBy(
+        F.col("_pid").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
     carry = pm.select(
-        "_pid", seg_col, F.min("_pm").over(wcarry).alias("_cm")
+        "_pid",
+        seg_col,
+        F.min("_pm").over(wcf).alias("_cf"),
+        F.min("_pm").over(wcb).alias("_cb"),
     )
     big = F.lit(1 << 62)
     return (
         local.join(carry, ["_pid", seg_col])
         .withColumn(
-            out_col, F.least(F.col("_lm"), F.coalesce(F.col("_cm"), big))
+            fwd_col, F.least(F.col("_lf"), F.coalesce(F.col("_cf"), big))
         )
-        .drop("_pid", "_lm", "_cm")
+        .withColumn(
+            bwd_col, F.least(F.col("_lb"), F.coalesce(F.col("_cb"), big))
+        )
+        .drop("_pid", "_lf", "_lb", "_cf", "_cb")
     )
 
 
@@ -521,9 +533,8 @@ def _d_from_sa(
             ),
         )
     else:
-        fwd = _segmented_running_min(runs, "_s", "_run", "_lcp", "_up")
-        bwd = _segmented_running_min(
-            fwd, "_s", "_run", "_lcp", "_bm", reverse=True
+        bwd = _segmented_running_mins(
+            runs, "_s", "_run", "_lcp", "_up", "_bm"
         ).localCheckpoint(eager=True)
         # exclusive following-min = the NEXT row's inclusive backward
         # min, valid only within the same run

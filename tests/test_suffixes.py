@@ -296,7 +296,7 @@ def test_segmented_running_min_matches_pandas(spark):
     import pandas as pd
 
     from product_etl_spark.operators.suffixes import (
-        _segmented_running_min,
+        _segmented_running_mins,
     )
 
     rows = []
@@ -305,18 +305,11 @@ def test_segmented_running_min_matches_pandas(spark):
         v = int(hashlib.md5(str(s).encode()).hexdigest()[:4], 16) % 100
         rows.append((s, seg, v))
     df = spark.createDataFrame(rows, "_s long, _run long, _lcp long")
-    fwd = {
-        r["_s"]: r["_fm"]
-        for r in _segmented_running_min(
-            df, "_s", "_run", "_lcp", "_fm"
-        ).collect()
-    }
-    bwd = {
-        r["_s"]: r["_bm"]
-        for r in _segmented_running_min(
-            df, "_s", "_run", "_lcp", "_bm", reverse=True
-        ).collect()
-    }
+    both = _segmented_running_mins(
+        df, "_s", "_run", "_lcp", "_fm", "_bm"
+    ).collect()
+    fwd = {r["_s"]: r["_fm"] for r in both}
+    bwd = {r["_s"]: r["_bm"] for r in both}
     pdf = pd.DataFrame(rows, columns=["_s", "_run", "_lcp"])
     exp_f = pdf.groupby("_run")["_lcp"].cummin()
     exp_b = pdf[::-1].groupby("_run")["_lcp"].cummin()[::-1]
