@@ -785,3 +785,57 @@ def suffix_shared_span_coverage(
         )
         .alias("coverage"),
     )
+
+
+def suffix_remove_contaminated(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    color_col: str,
+    target_color,
+    min_len: int = 8,
+    max_rounds: int = 16,
+    method: str = "blocked",
+    max_doc_tokens: int = 4096,
+) -> DataFrame:
+    """Benchmark-contamination REMOVAL: excise from every
+    ``target_color`` document (the training corpus) all tokens inside
+    verbatim spans of >= ``min_len`` tokens shared with a document of
+    a DIFFERENT color (the held-out benchmark) — the removal rung of
+    the decontamination ladder (q112 flags gram collisions, q215
+    measures true-span coverage, this excises), on exact suffix
+    semantics. Non-target documents (the benchmark itself) pass
+    through untouched so eval sets are never mutilated.
+
+    Output: (id, text_clean, n_tokens, n_removed) for target-color
+    documents only — same surface and reconstruction tail as the
+    dedup removal ops; the removed position set equals the
+    cross-color gram cover at n = min_len (module contract), which
+    the q216 oracle replays.
+
+    Scale shape: the q215 position frame (segmented scans — see
+    suffix_shared_span_coverage) plus one bounded interval explode,
+    one (id, pos) anti-join, one doc-sized reconstruction groupBy."""
+    from product_etl_spark.operators.dedup import _excise_positions
+
+    target = df.filter(F.col(color_col) == F.lit(target_color))
+    dup = _position_dup_lengths(
+        df,
+        text_col,
+        id_col,
+        max_rounds,
+        method,
+        max_doc_tokens,
+        color_col=color_col,
+    )
+    removal = (
+        dup.filter(F.col("_d") >= F.lit(min_len))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("_d") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _excise_positions(target, text_col, id_col, removal)

@@ -111,9 +111,10 @@ land in the post-freeze queue with the exact harness, per the
 standing queue discipline.
 
 Round-13 ROTATION PLAN (for the session that composes it, written at
-the end of r12): the queue below holds the 4 post-freeze
+the end of r12): the queue below holds the 5 post-freeze
 registrations (q212 suffix spans, q213 PCA Gram moments, q214
-suffix span removal, q215 true-span decontamination) — they lead. The stalest cohorts are then the
+suffix span removal, q215/q216 true-span decontamination
+coverage + removal) — they lead. The stalest cohorts are then the
 r9-last-green tier (the 27 r5-refresh entries q52-q117 family reps
 plus q169-q173, q13, q43/q34 — per COVERAGE.md stamps) and the r10
 cohort as slots allow; the six standing anchors are r12-fresh and
@@ -154,6 +155,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q213_pca_gram_moments",
     "q214_suffix_span_removal",
     "q215_suffix_decontam_coverage",
+    "q216_suffix_decontam_removal",
 ]
 
 _DRIVER_WINDOW = [

@@ -303,3 +303,84 @@ def q215_suffix_decontam_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q216_suffix_decontam_removal",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0 THEN 'bench' ELSE 'corpus' END
+               AS src,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS ltoks,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS otoks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, src, r.i - 1 AS pos,
+             array_to_string(ltoks[r.i:r.i+5], ' ') AS gram
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(ltoks) - 4)) AS i) r
+      WHERE LEN(ltoks) >= 6
+    ), bg AS (
+      SELECT DISTINCT gram FROM g WHERE src = 'bench'
+    ), rem AS (
+      SELECT DISTINCT g.doc_id, g.pos + d.o AS pos
+      FROM g JOIN bg USING (gram),
+           LATERAL (SELECT UNNEST(range(0, 6)) AS o) d
+      WHERE g.src = 'corpus'
+    ), tokpos AS (
+      SELECT doc_id, r.i - 1 AS pos, otoks[r.i] AS tok
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(otoks) + 1)) AS i) r
+      WHERE src = 'corpus'
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp LEFT JOIN rem
+        ON tp.doc_id = rem.doc_id AND tp.pos = rem.pos
+      WHERE rem.pos IS NULL
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(reb.text_clean, '') AS text_clean,
+           LEN(t.otoks) AS n_tokens,
+           CAST(LEN(t.otoks) - COALESCE(reb.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM t LEFT JOIN reb USING (doc_id)
+    WHERE t.src = 'corpus'
+    """,
+)
+def q216_suffix_decontam_removal(spark, sf_dir):
+    """Benchmark-contamination REMOVAL on exact suffix semantics
+    (suffixes.suffix_remove_contaminated): every corpus token inside
+    a verbatim span of >= 6 tokens shared with the held-out
+    benchmark (the q112 %%50 split) is excised; benchmark documents
+    pass through untouched. Completes the decontamination ladder —
+    q112 flags gram collisions, q215 measures true-span coverage,
+    this removes it — beside the dedup removal twins (q177 gram
+    keeper rule, q214 suffix strip).
+
+    The oracle replays the removed set as the cross-source 6-gram
+    cover (the color-generalized cover-equality contract) with the
+    q177/q214 original-case reconstruction tail.
+
+    Scale shape: the q215 position frame (blocked suffix
+    construction + segmented nearest-different-color scans) plus one
+    bounded interval explode, one (id, pos) anti-join, one doc-sized
+    reconstruction groupBy."""
+    from product_etl_spark.operators.suffixes import (
+        suffix_remove_contaminated,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.withColumn(
+        "src",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("bench")).otherwise(
+            F.lit("corpus")
+        ),
+    )
+    return suffix_remove_contaminated(
+        tagged, "text", "doc_id", "src", "corpus", min_len=6
+    )

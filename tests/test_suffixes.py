@@ -316,3 +316,34 @@ def test_segmented_running_min_matches_pandas(spark):
     for i, s in enumerate(pdf["_s"]):
         assert fwd[s] == exp_f.iloc[i], ("fwd", s)
         assert bwd[s] == exp_b.iloc[i], ("bwd", s)
+
+
+def test_contamination_removal_planted(spark):
+    """suffix_remove_contaminated: the benchmark leak is excised from
+    the corpus doc (original case kept), corpus-corpus duplication is
+    NOT removed (same color), benchmark docs are absent from the
+    output, and n_removed matches the cross-color coverage."""
+    from product_etl_spark.operators.suffixes import (
+        suffix_remove_contaminated,
+    )
+
+    leak = " ".join(f"L{i}" for i in range(9))
+    dup = " ".join(f"D{i}" for i in range(12))
+    rows = [
+        (0, f"bench1 {leak.lower()} benchtail", "bench"),
+        (1, f"C1 {leak} C2", "corpus"),
+        (2, f"x0 {dup} x1", "corpus"),
+        (3, f"y0 y1 {dup}", "corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        r["doc_id"]: r
+        for r in suffix_remove_contaminated(
+            df, "text", "doc_id", "src", "corpus", min_len=8
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}            # benchmark never emitted
+    assert out[1]["text_clean"] == "C1 C2"  # leak gone, case kept
+    assert out[1]["n_removed"] == 9
+    assert out[2]["n_removed"] == 0 and out[3]["n_removed"] == 0
+    assert out[2]["text_clean"] == rows[2][1]
