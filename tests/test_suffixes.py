@@ -347,3 +347,29 @@ def test_contamination_removal_planted(spark):
     assert out[1]["n_removed"] == 9
     assert out[2]["n_removed"] == 0 and out[3]["n_removed"] == 0
     assert out[2]["text_clean"] == rows[2][1]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_property_spans_match_brute(spark, docs, min_len):
+    """Property: over tiny 3-letter-alphabet corpora (dense accidental
+    repeats, adversarial for run/boundary logic), the blocked spans
+    surface equals the brute-force model for any min_len."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    corpus = {i: t.split() for i, t in rows}
+    assert _spark_spans(spark, rows, min_len) == _brute_spans(
+        corpus, min_len
+    )
