@@ -143,6 +143,45 @@ def main() -> None:
         "blocked_spans_expected": expected_pairs_b,
         "blocked_spans_found": n_spans,
     }
+
+    # cross-color path at volume: 2% of docs play the benchmark, so
+    # same-color (corpus) runs in suffix order are CORPUS-sized —
+    # exactly the regime the segmented scans exist for. The planted
+    # 37-pair runs are corpus-corpus and must stay invisible; the
+    # only contamination is the hash-accidental kind (near zero at
+    # this vocab), so the check is the semantic, not a count.
+    from product_etl_spark.operators.suffixes import (
+        suffix_shared_span_coverage,
+    )
+
+    tagged = docs_b.withColumn(
+        "src",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("bench")).otherwise(
+            F.lit("corpus")
+        ),
+    )
+    t0 = time.time()
+    cov = (
+        suffix_shared_span_coverage(
+            tagged, "text", "doc_id", "src", min_len=8
+        )
+        .filter(F.col("color") == "corpus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("covered")).alias("cov"),
+        )
+        .collect()[0]
+    )
+    tc = round(time.time() - t0, 2)
+    # planted corpus-corpus pairs whose BOTH docs are corpus-colored:
+    # all of them (benchmark is %50; planted pairs are %37 — overlap
+    # docs are bench-colored and drop out of the corpus side)
+    out["cross_color_coverage"] = {
+        "docs": N_DOCS_BLOCKED,
+        "sec": tc,
+        "corpus_docs": int(cov["n"]),
+        "covered_tokens": int(cov["cov"] or 0),
+    }
     print(json.dumps({"metric": "suffix_scale_probe", **out}))
     spark.stop()
 
