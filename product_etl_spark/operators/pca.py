@@ -151,8 +151,30 @@ def pca_moments(
         f"transform(sequence(i, {dim - 1}), j -> struct(i AS i, j AS j, "
         "get(_dec, i) AS a, get(_dec, j) AS b))))"
     )
+    # LOUD guard (r12 ADVICE): get(_dec, i) reads only 0..dim-1, so an
+    # embedding LONGER than dim would be silently truncated — and the
+    # q213 oracle unnests every position, so the truncation would
+    # surface as an opaque parity failure instead of an error.
+    # pca_train raises on the same mismatch; match its policy here.
+    # (SHORT/null vectors stay the documented per-pair drop.)
+    oversize_guard = F.assert_true(
+        F.col("_dec").isNull() | (F.size("_dec") <= F.lit(dim)),
+        F.concat(
+            F.lit("pca_moments: embedding has "),
+            F.size("_dec").cast("string"),
+            F.lit(
+                f" dims > dim={dim} — reading only 0..{dim - 1} would "
+                "silently truncate the vector; pass the true dim "
+                "(pca_train raises on the same mismatch)"
+            ),
+        ),
+    )
     return (
         corpus.select(dec.alias("_dec"))
+        # assert_true returns NULL on success; folding it into the
+        # consumed column keeps it in the evaluated plan (basket.py
+        # idiom — a free-standing guard column would be pruned)
+        .select(F.when(oversize_guard.isNull(), F.col("_dec")).alias("_dec"))
         .select(F.explode(pairs).alias("p"))
         .select("p.i", "p.j", "p.a", "p.b")
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -193,17 +215,32 @@ def pca_train_from_moments(
         raise ValueError(
             f"pca_train_from_moments: need 0 < k <= dim, got k={k} dim={dim}"
         )
-    n = None
     s = np.zeros(dim)
     gram = np.zeros((dim, dim))
     seen = 0
+    n_by_diag: dict[int, int] = {}
     for r in moments:
         i, j = int(r["i"]), int(r["j"])
         gram[i][j] = gram[j][i] = float(r["gram"])
         if i == j:
             s[i] = float(r["s_i"])
-            n = int(r["n"]) if n is None else n
+            n_by_diag[i] = int(r["n"])
         seen += 1
+    # r12 ADVICE: pca_moments drops null/short-vector terms PER PAIR,
+    # so on a malformed corpus the per-dimension row counts diverge
+    # and mean_i = s_i/n built from any single n silently skews the
+    # fit. Require every diagonal to agree (a corpus whose malformed
+    # vectors are entirely-null drops them uniformly and still
+    # passes); anything else must be cleaned upstream, matching
+    # pca_train's raise-on-mismatch policy.
+    if len(set(n_by_diag.values())) > 1:
+        lo, hi = min(n_by_diag.values()), max(n_by_diag.values())
+        raise ValueError(
+            "pca_train_from_moments: per-dimension row counts disagree "
+            f"(min n={lo}, max n={hi}) — the corpus has partially-null "
+            "or short vectors; drop/repair them before fitting"
+        )
+    n = next(iter(n_by_diag.values()), None)
     if seen != dim * (dim + 1) // 2 or n is None or n < 2:
         raise ValueError(
             "pca_train_from_moments: incomplete moment frame "

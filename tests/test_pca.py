@@ -162,3 +162,66 @@ def test_moments_drop_malformed_pairs(spark):
     assert out[(0, 0)]["n"] == 3 and out[(0, 0)]["s_i"] == 9.0
     assert out[(0, 1)]["n"] == 2 and out[(0, 1)]["gram"] == 1 * 2 + 3 * 4
     assert out[(1, 1)]["n"] == 2 and out[(1, 1)]["s_i"] == 6.0
+
+
+def test_moments_oversize_embedding_raises(spark):
+    """r12 ADVICE guard: an embedding LONGER than dim must FAIL the
+    job loudly (pca_train's raise-on-mismatch policy), never be
+    silently truncated to the first dim positions."""
+    import pytest
+
+    from product_etl_spark.operators.pca import pca_moments
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="pca_moments.*dims > dim"):
+        pca_moments(df, "embedding", dim=2).collect()
+
+
+def test_train_from_moments_inconsistent_n_raises(spark):
+    """r12 ADVICE guard: per-pair drops make the diagonal row counts
+    diverge on a partially-null corpus; the trainer must refuse the
+    inconsistent moment frame instead of silently fitting mean_i =
+    s_i/n with a single n."""
+    import pytest
+
+    from product_etl_spark.operators.pca import (
+        pca_moments,
+        pca_train_from_moments,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0]), (3, [6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mom = pca_moments(df, "embedding", dim=2).collect()
+    with pytest.raises(ValueError, match="row counts disagree"):
+        pca_train_from_moments(mom, k=1, dim=2)
+
+
+def test_train_from_moments_uniform_null_ok(spark):
+    """Entirely-null vectors drop uniformly across every pair, so the
+    diagonal counts still agree and the fit proceeds — only
+    PARTIALLY-malformed corpora are refused."""
+    from product_etl_spark.operators.pca import (
+        pca_moments,
+        pca_train_from_moments,
+        pca_train,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, [float(i), float(2 * i + 1)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    noisy = spark.createDataFrame(
+        [(i, [float(i), float(2 * i + 1)]) for i in range(6)]
+        + [(99, None)],
+        "vec_id long, embedding array<double>",
+    )
+    mom = pca_moments(noisy, "embedding", dim=2).collect()
+    mean_m, comps_m, expl_m = pca_train_from_moments(mom, k=1, dim=2)
+    mean_d, comps_d, expl_d = pca_train(clean, "embedding", k=1, dim=2)
+    assert np.allclose(mean_m, mean_d, atol=1e-5)
+    assert np.allclose(comps_m, comps_d, atol=1e-4)
