@@ -775,3 +775,210 @@ def incremental_span_excision(
             store_path
         )
     return cleaned
+
+
+# ------------------------------------------ suffix-span probe store (r13)
+#
+# Incremental twin of the suffix-array exact-substring family
+# (operators/suffixes.py, q212/q214): "which spans of a NEW batch are
+# shared verbatim (>= min_len tokens) with the accepted corpus?" —
+# without rescanning accepted text. The store is NOT a suffix rank
+# table (ranks are total orders; appending would re-rank history):
+# by the suffix module's proven cover-equality contract, a suffix
+# shares a >= min_len-token prefix with another document iff its
+# leading min_len-gram occurs in that document — so for a FIXED
+# min_len the distinct-gram inventory is a complete sufficient
+# statistic of the rank store, and it is append-only. Per-batch cost
+# is one equi-join on the gram key against a vocabulary-sized store;
+# merged islands of the matched gram starts equal the suffix
+# operator's maximal spans interval-for-interval (both are the
+# maximal intervals of the same covered-position set — pinned in
+# tests/test_suffixes.py against suffix_duplicated_spans on the
+# combined corpus).
+
+
+def build_suffix_span_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Persistable probe index for the suffix-span family: one row
+    per DISTINCT ``min_len``-gram of the accepted corpus with its
+    first-seen owner — (sh, keep, gram_bucket), the same store shape
+    as ``incremental_span_excision`` (hash-bucketed for compaction
+    and bucket-preserving RTBF erasure via ``erase_from_stores(...,
+    id_col='keep', partition_by=['gram_bucket'])``). ``keep`` is the
+    lowest doc id carrying the gram in THIS corpus; it exists so a
+    replayed batch can recognize its own grams (self-matches are not
+    duplication) — the idempotence keystone.
+
+    Scale shape: one gram groupBy (map-side combine) over the corpus;
+    the store is gram-vocabulary-sized, never position-sized."""
+    from product_etl_spark.operators.dedup import positional_shingles
+
+    return (
+        positional_shingles(df, text_col, id_col, min_len)
+        .groupBy("sh")
+        .agg(F.min(F.col(id_col)).alias("keep"))
+        .select(
+            "sh",
+            "keep",
+            F.pmod(F.xxhash64("sh"), F.lit(n_buckets)).alias("gram_bucket"),
+        )
+    )
+
+
+def _suffix_probe_dup_positions(
+    index: DataFrame | None,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int,
+) -> DataFrame:
+    """(id, pos, _d=min_len) rows at every batch gram start whose
+    gram is shared with history (stored with a DIFFERENT owner) or
+    with another batch document — the covered-position generator all
+    three probe surfaces share."""
+    from product_etl_spark.operators.dedup import positional_shingles
+
+    grams = positional_shingles(batch, text_col, id_col, min_len)
+    bdf = grams.groupBy("sh").agg(
+        F.countDistinct(F.col(id_col)).alias("_bdf")
+    )
+    if index is not None:
+        joined = grams.join(
+            bdf.join(
+                index.select("sh", F.col("keep").alias("_skeep")),
+                "sh",
+                "left",
+            ),
+            "sh",
+        )
+        dup = joined.filter(
+            (F.col("_bdf") >= 2)
+            | (
+                F.col("_skeep").isNotNull()
+                & (F.col("_skeep") != F.col(id_col))
+            )
+        )
+    else:
+        dup = grams.join(bdf.filter(F.col("_bdf") >= 2), "sh")
+    return dup.select(
+        F.col(id_col), "pos", F.lit(min_len).cast("bigint").alias("_d")
+    )
+
+
+def probe_suffix_spans(
+    index: DataFrame | None,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """q212's surface for a NEW batch against a frozen store: one row
+    per MAXIMAL merged token interval (>= min_len tokens) of a batch
+    document shared verbatim with the indexed history OR another
+    batch document — (id, span_start, span_len), never reading
+    history text. ``index=None`` degrades to batch-internal spans.
+
+    Contract (pytest-pinned): ingesting batches in ascending doc-id
+    order, each batch's probe output equals
+    ``suffixes.suffix_duplicated_spans`` over the union of all
+    batches so far RESTRICTED to this batch's documents — history
+    docs' spans are history's business (they were probed when they
+    arrived; the every-holder view needs the batch rebuild).
+
+    Scale shape: one batch gram groupBy, one equi-join against the
+    vocabulary-sized store on the gram key, per-doc island windows
+    (doc-bounded). Nothing rescans accepted text; nothing is
+    corpus^2."""
+    from product_etl_spark.operators.suffixes import _merged_spans
+
+    dup = _suffix_probe_dup_positions(
+        index, batch, text_col, id_col, min_len
+    )
+    return (
+        _merged_spans(dup, id_col, min_len)
+        .select(
+            F.col(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            (F.col("_se") - F.col("span_start"))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def probe_suffix_excision(
+    index: DataFrame | None,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """q214's conservative strip for a NEW batch: every batch token
+    inside a probe span (shared with indexed history or another
+    batch doc) is excised; the q177/q214 original-case
+    reconstruction tail. History documents are untouched — excising
+    THEM retroactively is the batch operator's job
+    (suffixes.suffix_remove_duplicates), not an ingest path's."""
+    from product_etl_spark.operators.dedup import _excise_positions
+
+    dup = _suffix_probe_dup_positions(
+        index, batch, text_col, id_col, min_len
+    )
+    removal = dup.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
+        ).alias("pos"),
+    ).distinct()
+    return _excise_positions(batch, text_col, id_col, removal)
+
+
+def ingest_suffix_spans(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Probe a NEW batch's suffix spans against the persisted gram
+    store at ``store_path`` AND claim the batch's unseen grams for
+    future batches (append-only, first-seen owner = lowest batch doc
+    id) — the ``incremental_span_excision`` posture for the suffix
+    SPAN surface.
+
+    Rerun safety: a replayed batch finds its grams stored with the
+    owners decided in the first run; owner==self matches are not
+    duplication, so the span output is identical and the store gains
+    nothing (idempotent). RTBF: erase by ``keep`` within
+    ``gram_bucket`` partitions; an erased owner's grams re-enter as
+    new on next sighting, claimed by a surviving document."""
+    index = read_signature_store(spark, store_path)
+    if index is not None:
+        index = index.localCheckpoint(eager=True)  # one store read —
+        # the append below must not re-trigger reads of a store this
+        # call is itself appending to
+    spans = probe_suffix_spans(
+        index, batch, text_col, id_col, min_len
+    ).localCheckpoint(eager=True)
+    fresh = build_suffix_span_index(
+        batch, text_col, id_col, min_len, n_buckets
+    )
+    if index is not None:
+        fresh = fresh.join(
+            index.select("sh").withColumn("_hit", F.lit(True)),
+            "sh",
+            "left",
+        ).filter(F.col("_hit").isNull()).drop("_hit")
+    if fresh.limit(1).count():
+        fresh.write.mode("append").partitionBy("gram_bucket").parquet(
+            store_path
+        )
+    return spans

@@ -190,7 +190,7 @@ def _position_dup_lengths(
     id_col: str,
     max_rounds: int,
     method: str = "blocked",
-    max_doc_tokens: int = 4096,
+    max_doc_tokens: int = 2048,
     color_col: str | None = None,
 ) -> DataFrame:
     """Per token position: (id, pos, _d) where _d is the length of
@@ -285,7 +285,9 @@ def _position_dup_lengths_blocked(
             F.col(id_col).cast("string"),
             F.lit(
                 "); per-doc suffix blocks are O(len^2) — use "
-                "method='doubling' or split the document"
+                "method='doubling' (document-length-agnostic), split "
+                "the document upstream (packing.chunk_documents, "
+                "q118), or raise max_doc_tokens deliberately"
             ),
         ),
     )
@@ -605,7 +607,7 @@ def suffix_duplicated_spans(
     min_len: int = 8,
     max_rounds: int = 16,
     method: str = "blocked",
-    max_doc_tokens: int = 4096,
+    max_doc_tokens: int = 2048,
 ) -> DataFrame:
     """MAXIMAL cross-document duplicated spans, exactly: one row per
     maximal merged token interval that lies inside text shared
@@ -644,7 +646,7 @@ def suffix_dup_coverage(
     min_len: int = 8,
     max_rounds: int = 16,
     method: str = "blocked",
-    max_doc_tokens: int = 4096,
+    max_doc_tokens: int = 2048,
 ) -> DataFrame:
     """Per-document duplicated-token coverage from the TRUE suffix
     spans — same surface as dedup.crossdoc_dup_span_coverage
@@ -684,7 +686,7 @@ def suffix_remove_duplicates(
     min_len: int = 8,
     max_rounds: int = 16,
     method: str = "blocked",
-    max_doc_tokens: int = 4096,
+    max_doc_tokens: int = 2048,
 ) -> DataFrame:
     """Suffix-exact span REMOVAL — the excision rung on TRUE suffix
     semantics: every token inside a cross-document duplicated span of
@@ -729,7 +731,7 @@ def suffix_shared_span_coverage(
     min_len: int = 8,
     max_rounds: int = 16,
     method: str = "blocked",
-    max_doc_tokens: int = 4096,
+    max_doc_tokens: int = 2048,
 ) -> DataFrame:
     """Cross-SOURCE exact-span contamination: per document, the
     coverage of tokens inside verbatim spans of >= ``min_len`` tokens
@@ -796,7 +798,7 @@ def suffix_remove_contaminated(
     min_len: int = 8,
     max_rounds: int = 16,
     method: str = "blocked",
-    max_doc_tokens: int = 4096,
+    max_doc_tokens: int = 2048,
 ) -> DataFrame:
     """Benchmark-contamination REMOVAL: excise from every
     ``target_color`` document (the training corpus) all tokens inside

@@ -110,16 +110,30 @@ entry's newest green row is older than r9. New-in-r12 registrations
 land in the post-freeze queue with the exact harness, per the
 standing queue discipline.
 
-Round-13 ROTATION PLAN (for the session that composes it, written at
-the end of r12): the queue below holds the 5 post-freeze
-registrations (q212 suffix spans, q213 PCA Gram moments, q214
-suffix span removal, q215/q216 true-span decontamination
-coverage + removal) — they lead. The stalest cohorts are then the
-r9-last-green tier (the 27 r5-refresh entries q52-q117 family reps
-plus q169-q173, q13, q43/q34 — per COVERAGE.md stamps) and the r10
-cohort as slots allow; the six standing anchors are r12-fresh and
-can sit out. Fill to 50 with oldest-r10 reps. After r13 no entry's
-newest green row should be older than r10.
+Round-13 ROTATION (executes the plan written at the end of r12, per
+the r12 verdict's item 1): the 5-entry post-freeze queue q212-q216
+leads, joined by the two new-in-r13 registrations scheduled same
+round (q217 doubling-construction twin — verdict item 3; q218
+incremental suffix-span probe — item 4; the q188 pattern). The
+stalest cohort per the COVERAGE.md LEDGER is the 29-entry
+r8-last-green tier (q35/q36/q52/q54/q59-q63/q66/q70-q75/q79/q81/
+q87/q91/q95-q98/q102/q113/q115-q117 — the r12 verdict's narrative
+called this cohort r9; the ledger stamps say r8, ledger wins) — all
+29 get slots. The remaining 14 take the oldest r9-last-green reps
+(q13/q34/q43/q44/q46/q53/q55/q65/q67/q68/q76/q77/q78/q80). The six
+standing anchors are r12-fresh and sit out. After r13 the stalest
+green row is r9 (q82-q90, q100-q111, q169-q173 cohort).
+
+Round-14 ROTATION PLAN (for the session that composes it, written at
+the end of r13): post-freeze queue registrations lead, as every
+round. The stalest cohort is then the 26-entry r9-last-green
+remainder (q82-q86/q88-q90, q100-q111, q169-q173) — all of it —
+plus q93~ (rows-only). The six standing anchors
+(q01/q02/q32/q94/q112/q114, last green r12) can sit out again
+unless slots are spare; fill any remaining slots with the oldest
+r10 reps (q174-q176 cohort and the r10-stamped family reps per the
+ledger). After r14 no entry's newest green row should be older than
+r10.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -137,6 +151,7 @@ from product_etl_spark.plans import catalog_ext11  # noqa: F401  (registers q169
 from product_etl_spark.plans import catalog_ext12  # noqa: F401  (registers q177+)
 from product_etl_spark.plans import catalog_ext13  # noqa: F401  (registers q188+)
 from product_etl_spark.plans import catalog_ext14  # noqa: F401  (registers q212+)
+from product_etl_spark.plans import catalog_ext15  # noqa: F401  (registers q217+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -150,71 +165,70 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # nothing exact-checked it until it entered a window; queue entries
 # now get the same harness as window entries from the day they are
 # registered.
-_NEXT_WINDOW_QUEUE: list[str] = [
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+_DRIVER_WINDOW = [
+    # -- the full post-r12-freeze queue (r12 verdict item 1): the
+    #    suffix/PCA wave, oracle-backed and exact-checked by
+    #    tests/test_driver_window_parity.py since registration --
     "q212_suffix_duplicated_spans",
     "q213_pca_gram_moments",
     "q214_suffix_span_removal",
     "q215_suffix_decontam_coverage",
     "q216_suffix_decontam_removal",
-]
-
-_DRIVER_WINDOW = [
-    # -- the full 23-entry post-freeze queue from r11 (r11 verdict
-    #    item 1): every one oracle-backed and exact-checked by
-    #    tests/test_driver_window_parity.py since registration --
-    "q189_semdedup_prune",
-    "q190_wordpiece_first_merge",
-    "q191_domain_mixture_budgets",
-    "q192_event_key_skew_profile",
-    "q193_cluster_safe_folds",
-    "q194_ann_recall_audit",
-    "q195_kneser_ney_bigrams",
-    "q196_fold_contamination_audit",
-    "q197_linkage_agreement_patterns",
-    "q198_t_closeness_audit",
-    "q199_zipf_fit",
-    "q200_heaps_fit",
-    "q201_minhash_recall_audit",
-    "q202_ivf_recall_audit",
-    "q203_association_rules",
-    "q204_rfm_segments",
-    "q205_cusum_changepoint",
-    "q206_crossfold_kn_scores",
-    "q207_kaplan_meier_churn",
-    "q208_unseen_vocabulary",
-    "q209_mad_anomaly_days",
-    "q210_weekday_uniformity",
-    "q211_seasonal_naive_backtest",
-    # -- stale refresh: the r8-last-green tier (r11 verdict item 2) --
-    "q149_fd_violations",
-    "q150_benford_first_digit",
-    "q151_user_event_entropy",
-    "q152_segment_balance_gini",
-    "q153_mad_balance_outliers",
-    "q154_exact_jaccard_join",
-    "q155_trigram_substring_search",
-    "q156_dedup_cluster_components",
-    "q157_salted_join_rollup",
-    "q158_zorder_bucket_stats",
-    "q159_containment_pairs",
-    "q160_interval_overlap_join",
-    "q161_brand_size_price_ols",
-    "q162_last_touch_attribution",
-    "q163_segment_balance_divergence",
-    # -- the six standing anchors (last green r10) --
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q32_lsh_near_dup_pairs",
-    "q94_corpus_curation",
-    "q112_benchmark_decontam",
-    "q114_transition_pagerank",
-    # -- oldest r9 reps fill the remaining 6 slots --
-    "q164_incremental_component_merge",
-    "q165_cms_event_type_freq",
-    "q166_weighted_jaccard_pairs",
-    "q167_hll_portable_distinct",
-    "q168_kmv_event_type_overlap",
-    "q93_kmeans_ivf_lists",
+    # -- new in r13, scheduled same round (the q188 pattern): the
+    #    doubling-construction twin (r12 verdict item 3) and the
+    #    incremental suffix-span probe (item 4) --
+    "q217_suffix_doubling_spans",
+    "q218_suffix_probe_spans",
+    # -- stale refresh: the ENTIRE r8-last-green tier per the
+    #    COVERAGE.md ledger (the r12 verdict's narrative called this
+    #    cohort r9; the ledger stamps say r8 — ledger wins) --
+    "q35_knn_bruteforce",
+    "q36_lsh_bucket_histogram",
+    "q52_value_delta_lag",
+    "q54_above_nation_average",
+    "q59_master_variant_split",
+    "q60_deterministic_sample",
+    "q61_train_test_split",
+    "q62_stratified_cap",
+    "q63_source_mixing",
+    "q66_context_packing",
+    "q70_null_safe_join",
+    "q71_tpch_q6_forecast_revenue",
+    "q72_tpch_q3_shipping_priority",
+    "q73_tpch_q5_local_supplier_volume",
+    "q74_tpch_q10_returned_items",
+    "q75_having_filter",
+    "q79_json_schema_on_read",
+    "q81_tpch_q7_volume_shipping",
+    "q87_tpch_q17_small_quantity_revenue",
+    "q91_segment_dedup",
+    "q95_scd2_customer_history",
+    "q96_daily_gapfill_locf",
+    "q97_event_funnel",
+    "q98_cohort_retention",
+    "q102_lineitem_moment_stats",
+    "q113_bigram_lm_perplexity",
+    "q115_pq_codes",
+    "q116_pq_adc_topk",
+    "q117_bm25_search",
+    # -- oldest r9-last-green reps fill the remaining 14 slots (the
+    #    six standing anchors are r12-fresh and sit this round out) --
+    "q13_customer_only_nations",
+    "q34_simhash",
+    "q43_price_percentiles",
+    "q44_acctbal_stats",
+    "q46_asof_purchase_signup",
+    "q53_order_rank_in_customer",
+    "q55_events_per_day_of_week",
+    "q65_line_repetition",
+    "q67_nations_intersect",
+    "q68_user_event_type_sets",
+    "q76_ntile_quartiles",
+    "q77_vocabulary_topk",
+    "q78_array_higher_order",
+    "q80_running_distinct_types",
 ]
 
 

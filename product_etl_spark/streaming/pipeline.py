@@ -1248,6 +1248,73 @@ def stream_span_excision(
     )
 
 
+def stream_suffix_span_probe(
+    spark: SparkSession,
+    input_dir: str,
+    spans_dir: str,
+    gram_store: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+):
+    """Continuous suffix-exact span detection (the q212 operator's
+    streaming posture, completing the suffix family's incremental
+    rung beside stream_span_excision's q177 gram rule): documents
+    land as json-lines files in ``input_dir``; each micro-batch is
+    probed against the persisted gram->owner store
+    (operators/dedup_incremental.ingest_suffix_spans) and the batch's
+    maximal shared spans land under ``spans_dir/batch=<id>`` —
+    spans shared with history or a same-batch sibling are named with
+    their true merged extents, and the batch's unseen grams are
+    claimed for future batches.
+
+    Same foreachBatch idempotence argument as stream_span_excision:
+    the gram append is keyed (only store-unseen grams land, with the
+    first run's owners), the span output is a per-batch-dir
+    overwrite, and a replayed batch's self-owned grams are not
+    duplication — so the replayed span rows are byte-identical and
+    the store gains nothing.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from product_etl_spark.operators.dedup_incremental import (
+        ingest_suffix_spans,
+    )
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(text_col, StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = ingest_suffix_spans(
+            batch_df.sparkSession,
+            batch_df,
+            gram_store,
+            text_col,
+            id_col,
+            min_len=min_len,
+        )
+        spans.write.mode("overwrite").parquet(
+            f"{spans_dir}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_semdedup(
     spark: SparkSession,
     input_dir: str,

@@ -5,6 +5,7 @@ touching historical text; reruns are idempotent."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from product_etl_spark.operators.dedup_incremental import (
     incremental_dedup,
@@ -367,3 +368,184 @@ def test_incremental_dedup_jaccard_strategy(spark, tmp_path):
                            strategy="jaccard",
                            threshold_num=3, threshold_den=5)
     assert s3.count() == 0
+
+
+# ------------------------------------------ suffix-span probe (r13)
+
+
+def _sdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _span_set(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_len"]) for r in df.collect()
+    }
+
+
+def test_suffix_probe_matches_batch_rebuild(spark):
+    """The pin: ingesting batches in ascending doc-id order, each
+    batch's probe output equals suffix_duplicated_spans over the
+    union of all batches so far RESTRICTED to that batch's docs."""
+    from product_etl_spark.operators.dedup_incremental import (
+        build_suffix_span_index,
+        probe_suffix_spans,
+    )
+    from product_etl_spark.operators.suffixes import (
+        suffix_duplicated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    other = " ".join(f"o{i}" for i in range(9))
+    b1 = [
+        (1, f"a1 a2 {shared} a3"),
+        (2, f"b1 b2 b3 b4 b5 b6 b7 b8 b9 {other}"),
+        (3, "unique text never repeated by anyone else at all"),
+    ]
+    b2 = [
+        (11, f"c1 {shared} c2 c3"),         # dups vs history doc 1
+        (12, f"{other} d1 d2"),             # dups vs history doc 2
+        (13, f"e1 e2 e3 {shared} e4"),      # dups vs history AND 11
+        (14, "fresh words with no duplication whatsoever here"),
+    ]
+    union = _sdocs(spark, b1 + b2)
+    # batch 1 against the empty store: batch-internal only
+    got1 = _span_set(
+        probe_suffix_spans(None, _sdocs(spark, b1), "text", "doc_id", 8)
+    )
+    want1 = _span_set(
+        suffix_duplicated_spans(_sdocs(spark, b1), "text", "doc_id", 8)
+    )
+    assert got1 == want1 == set()
+    # batch 2 against batch 1's index
+    idx = build_suffix_span_index(_sdocs(spark, b1), "text", "doc_id", 8)
+    got2 = _span_set(
+        probe_suffix_spans(idx, _sdocs(spark, b2), "text", "doc_id", 8)
+    )
+    want2 = _span_set(
+        suffix_duplicated_spans(union, "text", "doc_id", 8).filter(
+            F.col("doc_id") >= 11
+        )
+    )
+    assert got2 == want2
+    assert {d for d, _, _ in got2} == {11, 12, 13}
+
+
+def test_suffix_probe_excision_matches_batch_strip(spark):
+    """probe_suffix_excision on the new batch equals
+    suffix_remove_duplicates over the union restricted to the
+    batch (same covered set, same reconstruction tail)."""
+    from product_etl_spark.operators.dedup_incremental import (
+        build_suffix_span_index,
+        probe_suffix_excision,
+    )
+    from product_etl_spark.operators.suffixes import (
+        suffix_remove_duplicates,
+    )
+
+    shared = " ".join(f"S{i}" for i in range(9))
+    b1 = [(1, f"x1 x2 {shared} x3")]
+    b2 = [
+        (11, f"y1 {shared.lower()} y2"),
+        (12, "nothing shared in this document at all really"),
+    ]
+    idx = build_suffix_span_index(_sdocs(spark, b1), "text", "doc_id", 8)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in probe_suffix_excision(
+            idx, _sdocs(spark, b2), "text", "doc_id", 8
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in suffix_remove_duplicates(
+            _sdocs(spark, b1 + b2), "text", "doc_id", 8
+        ).filter(F.col("doc_id") >= 11).collect()
+    }
+    assert got == want
+    assert got[11] == ("y1 y2", 11, 9)
+    assert got[12][2] == 0
+
+
+def test_ingest_suffix_spans_idempotent_replay(spark, tmp_path):
+    """Replaying an ingested batch reproduces the first run's spans
+    byte-identically and appends nothing (owner==self matches are
+    not duplication)."""
+    from product_etl_spark.operators.dedup_incremental import (
+        ingest_suffix_spans,
+        read_signature_store,
+    )
+
+    store = str(tmp_path / "suffix_gram_store")
+    shared = " ".join(f"s{i}" for i in range(10))
+    b1 = [(1, f"a1 a2 {shared} a3"), (2, "some unique filler text here ok")]
+    b2 = [(11, f"c1 {shared} c2"), (12, "other unique filler text here ok")]
+
+    first1 = _span_set(
+        ingest_suffix_spans(spark, _sdocs(spark, b1), store, "text", "doc_id", 8)
+    )
+    assert first1 == set()
+    rows_after_1 = read_signature_store(spark, store).count()
+    first2 = _span_set(
+        ingest_suffix_spans(spark, _sdocs(spark, b2), store, "text", "doc_id", 8)
+    )
+    assert first2 == {(11, 1, 10)}
+    rows_after_2 = read_signature_store(spark, store).count()
+    assert rows_after_2 > rows_after_1  # batch 2's new grams claimed
+
+    # replay batch 1: self-owned grams are not duplication
+    replay1 = _span_set(
+        ingest_suffix_spans(spark, _sdocs(spark, b1), store, "text", "doc_id", 8)
+    )
+    assert replay1 == first1
+    # replay batch 2: spans identical, store unchanged
+    replay2 = _span_set(
+        ingest_suffix_spans(spark, _sdocs(spark, b2), store, "text", "doc_id", 8)
+    )
+    assert replay2 == first2
+    assert read_signature_store(spark, store).count() == rows_after_2
+
+
+def test_stream_suffix_span_probe_end_to_end(spark, tmp_path):
+    """Streaming twin of the suffix-span probe: batches of json-lines
+    docs are probed against the gram store; a later drop names the
+    spans the first drop owns (true merged extents), and replay
+    (same checkpoint, no new files) changes nothing."""
+    import json as _json
+    import os
+
+    from product_etl_spark.streaming.pipeline import (
+        stream_suffix_span_probe,
+    )
+
+    src, out, store, ck = (
+        str(tmp_path / d) for d in ("in", "spans", "grams", "ck")
+    )
+    os.makedirs(src)
+    span = " ".join(f"w{i}" for i in range(9))
+
+    def drop(fname, rows):
+        with open(f"{src}/{fname}", "w") as f:
+            for rid, text in rows:
+                f.write(_json.dumps({"doc_id": rid, "text": text}) + "\n")
+
+    drop("b1.jsonl", [(1, f"{span} unique one two")])
+    q = stream_suffix_span_probe(spark, src, out, store, ck)
+    q.awaitTermination()
+    drop("b2.jsonl", [(2, f"p1 p2 p3 {span} s1"), (3, "all fresh here")])
+    q = stream_suffix_span_probe(spark, src, out, store, ck)
+    q.awaitTermination()
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(2, 3, 9)}  # doc 2's span vs history doc 1, true extent
+
+    # replay: no new files -> no new batches -> outputs unchanged
+    q = stream_suffix_span_probe(spark, src, out, store, ck)
+    q.awaitTermination()
+    assert {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in spark.read.parquet(out).collect()
+    } == {(2, 3, 9)}

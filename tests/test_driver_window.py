@@ -34,23 +34,26 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-12 rotation invariant (r11 verdict items 1 and 2): every
-    query with no GREEN driver row through r11 — the full 23-entry
-    post-r11-freeze queue q189-q211 — is in this round's window,
-    plus the r8-last-green tier (q149-q163), the six standing
-    anchors (last green r10), and the six oldest-r9 reps. q212/q213
-    registered after the r12 window filled and wait in the queue."""
-    never_green_prefixes = {f"q{n}" for n in range(189, 212)}
-    r8_stale_prefixes = {f"q{n}" for n in range(149, 164)}
-    anchor_prefixes = {"q01", "q02", "q32", "q94", "q112", "q114"}
-    oldest_r9_prefixes = {"q164", "q165", "q166", "q167", "q168", "q93"}
+    """Round-13 rotation invariant (r12 verdict item 1 + the written
+    plan): every query with no GREEN driver row through r12 — the
+    5-entry post-r12-freeze queue q212-q216 plus the two new-in-r13
+    same-round registrations q217/q218 — is in this round's window,
+    plus the FULL 29-entry r8-last-green tier per the COVERAGE.md
+    ledger and the 14 oldest r9-last-green reps. The six standing
+    anchors are r12-fresh and sit out."""
+    never_green_prefixes = {f"q{n}" for n in range(212, 219)}
+    r8_stale_prefixes = {
+        "q35", "q36", "q52", "q54", "q59", "q60", "q61", "q62", "q63",
+        "q66", "q70", "q71", "q72", "q73", "q74", "q75", "q79", "q81",
+        "q87", "q91", "q95", "q96", "q97", "q98", "q102", "q113",
+        "q115", "q116", "q117",
+    }
+    oldest_r9_prefixes = {
+        "q13", "q34", "q43", "q44", "q46", "q53", "q55", "q65", "q67",
+        "q68", "q76", "q77", "q78", "q80",
+    }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    expect = (
-        never_green_prefixes
-        | r8_stale_prefixes
-        | anchor_prefixes
-        | oldest_r9_prefixes
-    )
+    expect = never_green_prefixes | r8_stale_prefixes | oldest_r9_prefixes
     missing = expect - window_prefixes
     assert not missing, f"never-driver-green queries left out: {missing}"
     # the plan fills exactly 50 slots — nothing else slips in
@@ -59,7 +62,7 @@ def test_window_covers_all_never_driver_green():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 216
+    assert len(names) == len(set(names)) == 218
 
 
 def test_coverage_doc_matches_window():
@@ -82,7 +85,7 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r12*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r13*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
 
 
