@@ -19,7 +19,7 @@ persist it so score-only runs skip training entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from product_etl_spark.functions import text as T
@@ -137,3 +137,79 @@ def load_model(spark, path: str):
     from pyspark.ml import PipelineModel
 
     return PipelineModel.load(path)
+
+
+def tandem_loops(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    period: int = 2,
+) -> DataFrame:
+    """Degenerate-repetition (tandem-loop) detector: the classic
+    generation-failure mode where a fixed ``period``-token pattern
+    repeats back-to-back ("the cat the cat the cat ...") — a
+    WITHIN-document consecutive-repeat signal that the existing
+    repetition family doesn't isolate (line_repetition_ratio wants
+    duplicate LINES, dup_ngram_fraction counts non-consecutive
+    re-occurrences anywhere in the doc).
+
+    A position p >= period "continues a loop" when token[p] ==
+    token[p - period] (case-folded). Maximal runs of continuing
+    positions of length L cover a repeated region of L + period
+    tokens (>= 2 full periods iff L >= period). Surface per doc:
+    ``n_tokens``, ``max_loop_span`` (longest such region in tokens;
+    0 when the doc has no run of >= 2 full periods) and ``n_loops``
+    (count of maximal regions with >= 2 full periods) — integers,
+    engine-exact.
+
+    Scale shape: one posexplode + one per-doc lag window + one
+    gaps-and-islands (both doc-bounded partitions) + one groupBy per
+    doc; nothing cross-document, nothing corpus^2."""
+    if period < 1:
+        raise ValueError(f"tandem_loops: need period >= 1, got {period}")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "_tk"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = tok.withColumn(
+        "_cont",
+        (F.col("_tk") == F.lag("_tk", period).over(w)).cast("int"),
+    ).withColumn(
+        # island id: positions where the continue-flag turns on start
+        # a new run; non-continuing rows get island NULL via _cont=0
+        "_brk",
+        F.when(
+            (F.col("_cont") == 1)
+            & (F.coalesce(F.lag("_cont", 1).over(w), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_brk").over(w))
+    runs = (
+        flagged.filter(F.col("_cont") == 1)
+        .groupBy(id_col, "_isl")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .filter(F.col("_len") >= F.lit(period))  # >= 2 full periods
+        .groupBy(id_col)
+        .agg(
+            F.max(F.col("_len") + F.lit(period)).alias("max_loop_span"),
+            F.count(F.lit(1)).alias("n_loops"),
+        )
+    )
+    sizes = df.select(
+        F.col(id_col), T.token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return (
+        sizes.join(runs, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("max_loop_span"), F.lit(0))
+            .cast("bigint")
+            .alias("max_loop_span"),
+            F.coalesce(F.col("n_loops"), F.lit(0))
+            .cast("bigint")
+            .alias("n_loops"),
+        )
+        .orderBy(id_col)
+    )

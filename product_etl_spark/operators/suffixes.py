@@ -140,6 +140,7 @@ def _suffix_rank_tables(
     )
     tables = [cur]
     nd_prev = vr.count()
+    n_pos = tok.count()
     offset = 1
     for _ in range(max_rounds):
         shifted = cur.select(
@@ -173,7 +174,15 @@ def _suffix_rank_tables(
             .localCheckpoint(eager=True)
         )
         tables.append(cur)
-        if nd == nd_prev:
+        # nd == nd_prev: no refinement happened — ranks are stable
+        # (remaining ties are identical tails). nd == n_pos: every
+        # position already has a UNIQUE rank, so no later round can
+        # change anything either — stopping here saves one full
+        # doubling round AND one binary-lifting level on corpora
+        # without identical cross-doc tails (the common case), and
+        # the top-level equal-rank short-circuit stays correct
+        # (equality at an all-distinct level is simply vacuous).
+        if nd == nd_prev or nd == n_pos:
             return cur, tables, len(tables) - 1
         nd_prev = nd
         offset *= 2

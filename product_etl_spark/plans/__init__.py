@@ -165,7 +165,15 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # nothing exact-checked it until it entered a window; queue entries
 # now get the same harness as window entries from the day they are
 # registered.
-_NEXT_WINDOW_QUEUE: list[str] = []
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # registered in r13 after the r13 window above was composed —
+    # they lead the r14 rotation and are exact-checked by
+    # tests/test_driver_window_parity.py from registration day:
+    "q219_suffix_probe_excision",
+    "q220_balanced_shards",
+    "q221_shard_balance",
+    "q222_tandem_loops",
+]
 
 _DRIVER_WINDOW = [
     # -- the full post-r12-freeze queue (r12 verdict item 1): the

@@ -160,3 +160,251 @@ def q218_suffix_probe_spans(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 2 == 1)
     idx = build_suffix_span_index(hist, "text", "doc_id", min_len=8)
     return probe_suffix_spans(idx, batch, "text", "doc_id", min_len=8)
+
+
+@register(
+    "q219_suffix_probe_excision",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'hist' ELSE 'batch' END AS src,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS ltoks,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS otoks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, src, r.i - 1 AS pos,
+             array_to_string(ltoks[r.i:r.i+7], ' ') AS gram
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(ltoks) - 6)) AS i) r
+      WHERE LEN(ltoks) >= 8
+    ), hg AS (
+      SELECT DISTINCT gram FROM g WHERE src = 'hist'
+    ), bdup AS (
+      SELECT gram FROM g WHERE src = 'batch'
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dupg AS (
+      SELECT gram FROM hg UNION SELECT gram FROM bdup
+    ), rem AS (
+      SELECT DISTINCT g.doc_id, g.pos + d.o AS pos
+      FROM g JOIN dupg USING (gram),
+           LATERAL (SELECT UNNEST(range(0, 8)) AS o) d
+      WHERE g.src = 'batch'
+    ), tokpos AS (
+      SELECT doc_id, r.i - 1 AS pos, otoks[r.i] AS tok
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(otoks) + 1)) AS i) r
+      WHERE src = 'batch'
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp LEFT JOIN rem
+        ON tp.doc_id = rem.doc_id AND tp.pos = rem.pos
+      WHERE rem.pos IS NULL
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(reb.text_clean, '') AS text_clean,
+           LEN(t.otoks) AS n_tokens,
+           CAST(LEN(t.otoks) - COALESCE(reb.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM t LEFT JOIN reb USING (doc_id)
+    WHERE t.src = 'batch'
+    """,
+)
+def q219_suffix_probe_excision(spark, sf_dir):
+    """INCREMENTAL suffix-exact strip
+    (dedup_incremental.probe_suffix_excision): every token of the
+    arriving batch (odd doc_ids) inside a verbatim span of >= 8
+    tokens shared with the frozen history index (even doc_ids) or a
+    same-batch sibling is excised, with the q177/q214 original-case
+    reconstruction tail — the removal twin of the q218 probe,
+    completing the incremental suffix ladder (q218 names the spans,
+    this removes them; pytest pins both equal to the batch rebuild
+    restricted to the batch).
+
+    The oracle replays the removed set as the 8-gram cover of the
+    probe's dup grams (history union batch-internal) — the
+    color-generalized cover-equality contract.
+
+    Scale shape: the q218 position frame plus one bounded interval
+    explode, one (id, pos) anti-join, one doc-sized reconstruction
+    groupBy (dedup._excise_positions)."""
+    from product_etl_spark.operators.dedup_incremental import (
+        build_suffix_span_index,
+        probe_suffix_excision,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    idx = build_suffix_span_index(hist, "text", "doc_id", min_len=8)
+    return probe_suffix_excision(idx, batch, "text", "doc_id", min_len=8)
+
+
+_SHARD_RANK_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             LEN(list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM t
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0
+                       THEN (rn - 1) % 8
+                       ELSE 7 - ((rn - 1) % 8)
+                  END AS INT) AS shard
+      FROM r
+    )
+"""
+
+
+@register(
+    "q220_balanced_shards",
+    _SHARD_RANK_SQL
+    + """
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard
+    FROM s ORDER BY doc_id
+    """,
+)
+def q220_balanced_shards(spark, sf_dir):
+    """Balanced training-shard manifest
+    (sampling.balanced_shards): every document dealt to one of 8
+    shards in SNAKE order over the global token-count-descending
+    rank — the distributable greedy approximation of
+    longest-processing-time bin packing, keeping shard token totals
+    within one max-document of each other where naive modulo
+    round-robin systematically overloads shard 0. The manifest step
+    every multi-host training run needs between curation (q94) and
+    packing (q66/q118).
+
+    Engine-exact: ranks are integer-decided (n_tokens desc, doc_id),
+    the snake rule is pure integer arithmetic.
+
+    Scale shape: ONE two-level global rank
+    (linkage.global_sort_ranks — repartitionByRange + per-partition
+    windows + #partitions-bounded offset collect; NEVER the
+    single-task row_number() OVER (ORDER BY) cliff the oracle is
+    allowed to use) plus pure expressions."""
+    from product_etl_spark.functions import text as T_
+    from product_etl_spark.operators.sampling import balanced_shards
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", T_.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        balanced_shards(sized, "n_tokens", "doc_id", n_shards=8)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "shard",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q221_shard_balance",
+    _SHARD_RANK_SQL
+    + """
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q221_shard_balance(spark, sf_dir):
+    """The balance AUDIT over q220's manifest: per-shard document
+    and token totals — the assertion a pipeline runs before shipping
+    shards to trainers (max/min shard_tokens spread is the
+    snake-deal guarantee made visible). Same operator, aggregate
+    surface; integer-exact."""
+    from product_etl_spark.functions import text as T_
+    from product_etl_spark.operators.sampling import balanced_shards
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", T_.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        balanced_shards(sized, "n_tokens", "doc_id", n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "q222_tandem_loops",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, r.i - 1 AS pos, toks[r.i] AS tk
+      FROM t, LATERAL (SELECT UNNEST(range(1, LEN(toks) + 1)) AS i) r
+    ), f AS (
+      SELECT doc_id, pos,
+             CASE WHEN tk = LAG(tk, 2) OVER (
+               PARTITION BY doc_id ORDER BY pos) THEN 1 ELSE 0 END AS cont
+      FROM tok
+    ), b AS (
+      SELECT doc_id, pos, cont,
+             CASE WHEN cont = 1 AND COALESCE(LAG(cont) OVER (
+               PARTITION BY doc_id ORDER BY pos), 0) = 0
+             THEN 1 ELSE 0 END AS brk
+      FROM f
+    ), i AS (
+      SELECT doc_id, pos, cont,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM b
+    ), runs AS (
+      SELECT doc_id, isl, COUNT(*) AS len
+      FROM i WHERE cont = 1 GROUP BY doc_id, isl
+      HAVING COUNT(*) >= 2
+    ), agg AS (
+      SELECT doc_id, MAX(len + 2) AS max_loop_span,
+             COUNT(*) AS n_loops
+      FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(LEN(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(agg.max_loop_span, 0) AS BIGINT) AS max_loop_span,
+           CAST(COALESCE(agg.n_loops, 0) AS BIGINT) AS n_loops
+    FROM t LEFT JOIN agg USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q222_tandem_loops(spark, sf_dir):
+    """Degenerate-repetition detector (quality_model.tandem_loops,
+    period=2): per document, the longest back-to-back repeat of a
+    2-token pattern ("the cat the cat ...") and how many such loop
+    regions exist — the generation-failure / low-quality signal the
+    existing repetition family doesn't isolate
+    (line_repetition_ratio wants duplicate LINES, q144's
+    dup_ngram_fraction counts re-occurrence anywhere). A position
+    continues a loop when its token equals the token ``period``
+    back; maximal runs of length L >= period cover L + period
+    repeated tokens.
+
+    Engine-exact: integer counts from the same case-folded
+    whitespace tokens both engines split.
+
+    Scale shape: one posexplode + per-doc lag window +
+    gaps-and-islands + per-doc groupBy — all doc-bounded
+    partitions, nothing cross-document."""
+    from product_etl_spark.operators.quality_model import tandem_loops
+
+    d = _t(spark, sf_dir, "documents")
+    return tandem_loops(d, "text", "doc_id", period=2)

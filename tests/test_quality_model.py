@@ -116,3 +116,55 @@ def test_model_scores_after_df_observe_in_same_session(spark, tmp_path):
         "text",
     ).collect()
     assert len(out) == 1 and 0.0 <= out[0]["quality_prob"] <= 1.0
+
+
+def test_tandem_loops_planted(spark):
+    """Planted period-2 loops: exact spans/counts, loops at doc start,
+    sub-2-period runs excluded, case folding, clean docs zeroed."""
+    import pytest
+
+    from product_etl_spark.operators.quality_model import tandem_loops
+
+    rows = [
+        # "a b a b a b" -> run of 4 continuing positions, span 6
+        (1, "a b a b a b tail words here"),
+        # loop at doc start AND a second loop later: "x y x y" (span 4)
+        # then "p q p q p q p q" (span 8)
+        (2, "x y x y mid p q p q p q p q"),
+        # only ONE extra period ("c d c d" needs run>=2: c d c d has
+        # run 2 -> span 4 counts; "e f e" run 1 -> excluded)
+        (3, "c d c d stop e f e stop2"),
+        (4, "all distinct words in this document"),
+        # case folding: "A b a B" loops after lower()
+        (5, "A b a B a b"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["max_loop_span"], r["n_loops"])
+        for r in tandem_loops(df, "text", "doc_id", period=2).collect()
+    }
+    assert got[1] == (9, 6, 1)
+    assert got[2] == (13, 8, 2)
+    assert got[3] == (9, 4, 1)
+    assert got[4] == (6, 0, 0)
+    assert got[5] == (6, 6, 1)
+    assert got[6] == (0, 0, 0)
+    with pytest.raises(ValueError, match="period >= 1"):
+        tandem_loops(df, "text", "doc_id", period=0)
+
+
+def test_tandem_loops_period_one(spark):
+    """period=1 is plain stuttering: 'go go go' spans 3."""
+    from product_etl_spark.operators.quality_model import tandem_loops
+
+    df = spark.createDataFrame(
+        [(1, "go go go stop"), (2, "no stutter here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["max_loop_span"], r["n_loops"])
+        for r in tandem_loops(df, "text", "doc_id", period=1).collect()
+    }
+    assert got[1] == (3, 1)
+    assert got[2] == (0, 0)

@@ -258,3 +258,59 @@ def test_bucketed_cumsum_null_order_rows_survive(spark):
     # NULL bucket sorts first: its rows precede ord=1
     assert set(rows) == {None, 1, 2}
     assert rows[1] == 5 and rows[2] == 15 and rows[None] == 0
+
+
+def test_balanced_shards_snake_deal_and_balance(spark):
+    """Snake order: pass 0 deals 0..n-1 by weight desc, pass 1 deals
+    n-1..0 — and on a heavy-tailed fixture the shard totals beat the
+    modulo deal's systematic shard-0 overload."""
+    import pytest
+
+    from product_etl_spark.operators.sampling import balanced_shards
+
+    rows = [(i, 100 - i) for i in range(12)]  # weights 100..89, ids 0..11
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in balanced_shards(df, "w", "doc_id", 4).collect()
+    }
+    # weight-desc order IS id order here; snake: 0123 3210 0123
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: 3,
+        4: 3, 5: 2, 6: 1, 7: 0,
+        8: 0, 9: 1, 10: 2, 11: 3,
+    }
+    # heavy-tailed weights: snake's max/min shard-total spread must
+    # not exceed the largest single item (the LPT-ish guarantee);
+    # plain modulo would pile every pass's largest onto shard 0
+    heavy = [(i, 2 ** (12 - i // 4)) for i in range(24)]
+    hdf = spark.createDataFrame(heavy, "doc_id long, w long")
+    out = balanced_shards(hdf, "w", "doc_id", 4)
+    from pyspark.sql import functions as F
+
+    totals = [
+        r["t"]
+        for r in out.groupBy("shard").agg(F.sum("w").alias("t")).collect()
+    ]
+    assert max(totals) - min(totals) <= max(w for _, w in heavy)
+    with pytest.raises(ValueError, match="n_shards >= 1"):
+        balanced_shards(df, "w", "doc_id", 0)
+
+
+def test_balanced_shards_deterministic_ties(spark):
+    """Equal weights tie-break on doc_id, so the assignment is stable
+    across partitionings (the global_sort_ranks total-order rule)."""
+    from product_etl_spark.operators.sampling import balanced_shards
+
+    rows = [(i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {r["doc_id"]: r["shard"] for r in balanced_shards(df, "w", "doc_id", 3).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in balanced_shards(
+            df.repartition(7), "w", "doc_id", 3
+        ).collect()
+    }
+    assert a == b
+    # snake over ids 0..9: 012 210 012 2
+    assert a == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0, 6: 0, 7: 1, 8: 2, 9: 2}
