@@ -832,3 +832,85 @@ def grouped_winsorized_mean(
         ).alias("winsorized_mean"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups — the
+    NONPARAMETRIC two-sample rung the drift family lacked (PSI and
+    the binned KS react to binned mass, chi-square to categories;
+    the rank-sum statistic orders the raw values and needs no
+    binning, no distributional assumption).
+
+    Midranks are handled exactly by DOUBLING: ties at a value span
+    ranks [cum-cnt+1, cum], so 2*midrank = 2*cum - cnt + 1 is an
+    INTEGER and 2*R_a = SUM(cnt_a * (2*cum - cnt + 1)) stays
+    integer-exact across engines. Surface (one row): n_a, n_b,
+    r2_a (= 2*R_a), u2_a (= 2*U_a = r2_a - n_a*(n_a+1)),
+    u2_b (= 2*U_b = 2*n_a*n_b - u2_a) — all BIGINT — plus the
+    tie-corrected normal approximation z and the effect size
+    cliffs_delta (= u2_a/(n_a*n_b) - 1), each a single deterministic
+    float tree ROUND(.,6)ed at the surface (the q148/q161 float
+    policy).
+
+    Scale shape: one map-side-combined groupBy on the VALUE (ties
+    collapse before any ordering), one distributed prefix sum over
+    the distinct-value total order (suffixes._prefix_sum —
+    repartitionByRange + per-partition windows + k-bounded offset
+    collect; never a single-task global window even when every value
+    is distinct), one 1-row aggregate. Nothing pair-wise, nothing
+    corpus^2."""
+    from product_etl_spark.operators.suffixes import _prefix_sum
+
+    s = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == F.lit(group_a)).cast("long").alias("_a"),
+    )
+    g = s.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum("_a").alias("_cnt_a")
+    )
+    c = _prefix_sum(g, "_v", "_cnt", "_cum")
+    agg = c.agg(
+        F.sum(F.col("_cnt_a") * (2 * F.col("_cum") - F.col("_cnt") + 1))
+        .alias("_r2a"),
+        F.sum("_cnt_a").alias("_na"),
+        F.sum(F.col("_cnt") - F.col("_cnt_a")).alias("_nb"),
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).alias("_ties"),
+        F.sum("_cnt").alias("_n"),
+    )
+    u2a = F.col("_r2a") - F.col("_na") * (F.col("_na") + 1)
+    var = (
+        F.col("_na").cast("double")
+        * F.col("_nb").cast("double")
+        / F.lit(12.0)
+        * (
+            (F.col("_n") + 1).cast("double")
+            - F.col("_ties").cast("double")
+            / (F.col("_n").cast("double") * (F.col("_n") - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        F.col("_na").cast("bigint").alias("n_a"),
+        F.col("_nb").cast("bigint").alias("n_b"),
+        F.col("_r2a").cast("bigint").alias("r2_a"),
+        u2a.cast("bigint").alias("u2_a"),
+        (2 * F.col("_na") * F.col("_nb") - u2a).cast("bigint").alias("u2_b"),
+        F.round(
+            (u2a.cast("double") - F.col("_na").cast("double") * F.col("_nb"))
+            / (F.lit(2.0) * F.sqrt(var)),
+            6,
+        ).alias("z"),
+        F.round(
+            u2a.cast("double")
+            / (F.col("_na").cast("double") * F.col("_nb"))
+            - F.lit(1.0),
+            6,
+        ).alias("cliffs_delta"),
+    )

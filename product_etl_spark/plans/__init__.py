@@ -173,6 +173,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q220_balanced_shards",
     "q221_shard_balance",
     "q222_tandem_loops",
+    "q223_mann_whitney_acctbal",
 ]
 
 _DRIVER_WINDOW = [

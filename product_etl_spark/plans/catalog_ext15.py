@@ -408,3 +408,70 @@ def q222_tandem_loops(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return tandem_loops(d, "text", "doc_id", period=2)
+
+
+@register(
+    "q223_mann_whitney_acctbal",
+    r"""
+    WITH s AS (
+      SELECT c_acctbal AS v,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), g AS (
+      SELECT v, COUNT(*) AS cnt, SUM(a) AS cnt_a FROM s GROUP BY v
+    ), c AS (
+      SELECT v, cnt, cnt_a, SUM(cnt) OVER (ORDER BY v) AS cum FROM g
+    ), agg AS (
+      SELECT SUM(cnt_a * (2 * cum - cnt + 1)) AS r2_a,
+             SUM(cnt_a) AS n_a,
+             SUM(cnt - cnt_a) AS n_b,
+             SUM(cnt * cnt * cnt - cnt) AS ties,
+             SUM(cnt) AS n
+      FROM c
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a AS BIGINT) AS r2_a,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT)
+             AS u2_b,
+           ROUND(
+             (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / (2.0 * SQRT(
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * (CAST(n + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))),
+             6) AS z,
+           ROUND(
+             CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0,
+             6) AS cliffs_delta
+    FROM agg
+    """,
+)
+def q223_mann_whitney_acctbal(spark, sf_dir):
+    """Mann-Whitney U rank-sum drift (profile.rank_sum_test):
+    BUILDING vs MACHINERY customers' account balances — the
+    nonparametric two-sample rung beside the binned KS (q148), PSI
+    (q139) and chi-square (q210): no bins, no distributional
+    assumption, ties handled exactly by midranks.
+
+    Engine-exact: 2*midrank = 2*cum - cnt + 1 keeps the rank sums
+    INTEGER (n_a/n_b/r2_a/u2_a/u2_b are BIGINTs); z and
+    cliffs_delta are single deterministic float trees ROUND(.,6)ed
+    (the q148/q161 float policy).
+
+    Scale shape: ties collapse in one map-side-combined groupBy on
+    the value BEFORE any ordering; the distinct-value prefix sum is
+    the two-level distributed scan (suffixes._prefix_sum), never a
+    single-task window even on an all-distinct column; one 1-row
+    aggregate tail."""
+    from product_etl_spark.operators.profile import rank_sum_test
+
+    c = _t(spark, sf_dir, "customer")
+    return rank_sum_test(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )

@@ -77,3 +77,41 @@ def test_profile_drift_findings(spark):
         profile_columns(base_df, ["k"]), c2
     ).collect()}
     assert got2 == {"k": "distinct_collapse"}
+
+
+def test_rank_sum_test_hand_computed(spark):
+    """Mann-Whitney with ties, pinned by hand: groups A=[1,2,2,5],
+    B=[2,3,4] -> midranks 1:(1), 2:(3,3,3), 3:(5), 4:(6), 5:(7);
+    R_A = 1+3+3+7 = 14, U_A = 14 - 4*5/2 = 4, U_B = 12-4 = 8."""
+    from product_etl_spark.operators.profile import rank_sum_test
+
+    rows = [(1.0, "A"), (2.0, "A"), (2.0, "A"), (5.0, "A"),
+            (2.0, "B"), (3.0, "B"), (4.0, "B")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = rank_sum_test(df, "v", "g", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["r2_a"] == 28          # 2*R_A
+    assert r["u2_a"] == 8           # 2*U_A
+    assert r["u2_b"] == 16          # 2*U_B
+    # tie-corrected z: var = na*nb/12 * ((n+1) - (t^3-t)/(n(n-1)))
+    #  = 12/12 * (8 - 24/42) = 7.428571...; z = (4-6)/sqrt(var)
+    import math
+
+    var = 1.0 * (8 - 24 / 42.0)
+    assert abs(r["z"] - round((4 - 6) / math.sqrt(var), 6)) < 1e-9
+    # Cliff's delta = 2*U_A/(n_a*n_b) - 1 = 8/12 - 1
+    assert abs(r["cliffs_delta"] - round(8 / 12.0 - 1, 6)) < 1.1e-6
+
+
+def test_rank_sum_test_symmetry(spark):
+    """Swapping the groups flips z and cliffs_delta signs and swaps
+    u2_a/u2_b — the consistency property a wrong cum/tie term breaks."""
+    from product_etl_spark.operators.profile import rank_sum_test
+
+    rows = [(float(i % 17), "A" if i % 3 else "B") for i in range(60)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    ab = rank_sum_test(df, "v", "g", "A", "B").collect()[0]
+    ba = rank_sum_test(df, "v", "g", "B", "A").collect()[0]
+    assert ab["u2_a"] == ba["u2_b"] and ab["u2_b"] == ba["u2_a"]
+    assert abs(ab["z"] + ba["z"]) < 2e-6
+    assert abs(ab["cliffs_delta"] + ba["cliffs_delta"]) < 2e-6
