@@ -914,3 +914,82 @@ def rank_sum_test(
             6,
         ).alias("cliffs_delta"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Grouped Spearman rank correlation — Pearson over rank
+    transforms, the nonparametric effect-size companion to the
+    rank-sum test above (monotone association without assuming
+    linearity; ties handled exactly by midranks).
+
+    Exactness: doubled midranks (2*midrank = 2*cum - cnt + 1, an
+    INTEGER — the rank_sum_test trick) make every rank a whole
+    number; the constant factor 2 cancels in the correlation. The
+    six per-group sums (n, Sx, Sy, Sxx, Syy, Sxy) aggregate as
+    EXACT decimals (order-free, mergeable partials — the q102/q161
+    moment recipe on ranks); rho is ONE double tree ROUND(.,6)ed.
+    Groups with zero rank variance on either side (all values tied)
+    yield NULL rho.
+
+    Scale shape: ties collapse in two (group, value) map-side-
+    combined groupBys BEFORE any ordering; the cumulative windows
+    run over the DISTINCT-VALUE frames (value-cardinality-bounded
+    partitions, never row-count-bounded); two equi-join-backs on
+    (group, value); one map-side-combined final aggregate. Nothing
+    pair-wise, no global window."""
+    from pyspark.sql import Window as W
+
+    def doubled_midranks(col: str, out: str) -> DataFrame:
+        g = df.groupBy(F.col(group_col).alias("_g"), F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        wcum = W.partitionBy("_g").orderBy("_v")
+        return g.select(
+            "_g",
+            "_v",
+            (2 * F.sum("_c").over(wcum) - F.col("_c") + 1).alias(out),
+        )
+
+    rx = doubled_midranks(x_col, "_rx")
+    ry = doubled_midranks(y_col, "_ry")
+    j = (
+        df.select(F.col(group_col), F.col(x_col), F.col(y_col))
+        .join(
+            rx,
+            (F.col(group_col) == rx["_g"]) & (F.col(x_col) == rx["_v"]),
+        )
+        .drop(rx["_g"])
+        .drop(rx["_v"])
+        .join(
+            ry,
+            (F.col(group_col) == ry["_g"]) & (F.col(y_col) == ry["_v"]),
+        )
+        .select(group_col, "_rx", "_ry")
+    )
+    dx = F.col("_rx").cast("decimal(18,0)")
+    dy = F.col("_ry").cast("decimal(18,0)")
+    m = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("_sx"),
+        F.sum(dy).alias("_sy"),
+        F.sum(dx * dx).alias("_sxx"),
+        F.sum(dy * dy).alias("_syy"),
+        F.sum(dx * dy).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    rho = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return m.select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(rho, 6).alias("rho"),
+    ).orderBy(group_col)

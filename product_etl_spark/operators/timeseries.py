@@ -814,3 +814,79 @@ def seasonal_naive_backtest(
             "rmse"
         ),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame, ts_col: str = "ts", half_window: int = 3
+) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count curve
+    (the classical-decomposition half of STL, without the iterative
+    loess passes): per densified calendar day, ``trend`` = centered
+    moving average over the +-``half_window``-day window (narrower at
+    the series edges), ``seasonal`` = the weekday mean of the
+    detrended values, ``residual`` = the rest. The diagnostic that
+    separates "weekday shape" from "level shift" before anomaly
+    gates like q209's MAD days fire.
+
+    Exactness: counts are integers; every window width w in
+    [half_window+1, 2*half_window+1] divides L = lcm(...), so the
+    per-day scaled detrended value L*n - (L/w)*S is an INTEGER and
+    the weekday sums stay exact; trend, seasonal and residual are
+    single double trees ROUND(.,6)ed (the q161 float policy). The
+    seasonal means are NOT re-centered to sum zero — the residual
+    absorbs the constant (documented classical-decomposition
+    variant).
+
+    Scale shape: one day-keyed map-side-combined groupBy is the only
+    corpus-sized work (the q211 posture); the dense-calendar
+    windows, the 7-row weekday aggregate and the join-back all run
+    over #days-bounded frames."""
+    import math
+
+    if half_window < 1:
+        raise ValueError(
+            f"seasonal_decompose: need half_window >= 1, got {half_window}"
+        )
+    lcm = math.lcm(*range(half_window + 1, 2 * half_window + 2))
+    observed = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("_obs")
+    )
+    span = observed.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    daily = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+        )
+        .join(observed, "day", "left")
+        .select("day", F.coalesce(F.col("_obs"), F.lit(0)).alias("n_events"))
+    )
+    wwin = Window.orderBy("day").rowsBetween(-half_window, half_window)
+    win = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(wwin).alias("_s"),
+        F.count(F.lit(1)).over(wwin).alias("_w"),
+        F.weekday(F.col("day")).cast("long").alias("_dow"),
+    )
+    seas = win.groupBy("_dow").agg(
+        F.sum(
+            F.lit(lcm) * F.col("n_events")
+            - (F.lit(lcm) / F.col("_w")).cast("long") * F.col("_s")
+        ).alias("_sc"),
+        F.count(F.lit(1)).alias("_cd"),
+    )
+    nd = F.col("n_events").cast("double")
+    sd = F.col("_s").cast("double")
+    scd = F.col("_sc").cast("double")
+    trend = sd / F.col("_w")
+    seasonal = scd / (F.lit(float(lcm)) * F.col("_cd"))
+    return (
+        win.join(seas, "_dow")
+        .select(
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(trend, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(nd - trend - seasonal, 6).alias("residual"),
+        )
+        .orderBy("day")
+    )

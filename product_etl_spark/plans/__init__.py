@@ -174,6 +174,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q221_shard_balance",
     "q222_tandem_loops",
     "q223_mann_whitney_acctbal",
+    "q224_spearman_size_price",
+    "q225_seasonal_decomposition",
 ]
 
 _DRIVER_WINDOW = [

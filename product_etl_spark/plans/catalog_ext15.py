@@ -475,3 +475,131 @@ def q223_mann_whitney_acctbal(spark, sf_dir):
     return rank_sum_test(
         c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
     )
+
+
+@register(
+    "q224_spearman_size_price",
+    r"""
+    WITH gx AS (
+      SELECT p_brand AS g, p_size AS v, COUNT(*) AS c
+      FROM part GROUP BY 1, 2
+    ), cx AS (
+      SELECT g, v,
+             2 * SUM(c) OVER (PARTITION BY g ORDER BY v) - c + 1 AS r2
+      FROM gx
+    ), gy AS (
+      SELECT p_brand AS g, p_retailprice AS v, COUNT(*) AS c
+      FROM part GROUP BY 1, 2
+    ), cy AS (
+      SELECT g, v,
+             2 * SUM(c) OVER (PARTITION BY g ORDER BY v) - c + 1 AS r2
+      FROM gy
+    ), j AS (
+      SELECT p.p_brand AS g,
+             CAST(cx.r2 AS DECIMAL(18,0)) AS rx,
+             CAST(cy.r2 AS DECIMAL(18,0)) AS ry
+      FROM part p
+      JOIN cx ON cx.g = p.p_brand AND cx.v = p.p_size
+      JOIN cy ON cy.g = p.p_brand AND cy.v = p.p_retailprice
+    ), m AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+             SUM(rx * ry) AS sxy
+      FROM j GROUP BY g
+    )
+    SELECT g AS p_brand, CAST(n AS BIGINT) AS n,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS rho
+    FROM m ORDER BY p_brand
+    """,
+)
+def q224_spearman_size_price(spark, sf_dir):
+    """Grouped Spearman rank correlation (profile.spearman_corr):
+    p_size vs p_retailprice per brand — monotone association
+    without a linearity assumption, the effect-size companion to
+    the rank-sum test (q223) beside the parametric OLS (q161). Ties
+    exact via doubled midranks (integers); six exact-decimal moment
+    sums per group; rho is one double tree ROUND(.,6) — the
+    q102/q161 float policy on rank transforms.
+
+    Scale shape: ties collapse in (group, value) map-side-combined
+    groupBys BEFORE any ordering; cumulative windows run over the
+    DISTINCT-VALUE frames (value-cardinality-bounded); two
+    (group, value) equi-join-backs; one mergeable-moment aggregate.
+    The oracle's window is allowed to be naive — the Spark side
+    never orders corpus-sized partitions."""
+    from product_etl_spark.operators.profile import spearman_corr
+
+    p = _t(spark, sf_dir, "part")
+    return spearman_corr(p, "p_size", "p_retailprice", "p_brand")
+
+
+@register(
+    "q225_seasonal_decomposition",
+    r"""
+    WITH observed AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), span AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM observed
+    ), daily AS (
+      SELECT a.day, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_events
+      FROM (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                        AS DATE) AS day FROM span) a
+      LEFT JOIN observed o ON o.day = a.day
+    ), win AS (
+      SELECT day, n_events,
+             SUM(n_events) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w,
+             CAST(isodow(day) - 1 AS BIGINT) AS dow
+      FROM daily
+    ), seas AS (
+      SELECT dow,
+             SUM(420 * n_events - (420 // w) * s) AS sc,
+             COUNT(*) AS cd
+      FROM win GROUP BY dow
+    )
+    SELECT win.day,
+           CAST(win.n_events AS BIGINT) AS n_events,
+           ROUND(CAST(win.s AS DOUBLE) / win.w, 6) AS trend,
+           ROUND(CAST(seas.sc AS DOUBLE) / (420.0 * seas.cd), 6)
+             AS seasonal,
+           ROUND(CAST(win.n_events AS DOUBLE)
+                 - CAST(win.s AS DOUBLE) / win.w
+                 - CAST(seas.sc AS DOUBLE) / (420.0 * seas.cd), 6)
+             AS residual
+    FROM win JOIN seas USING (dow)
+    ORDER BY win.day
+    """,
+)
+def q225_seasonal_decomposition(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily event
+    curve (timeseries.seasonal_decompose, +-3-day trend window):
+    trend / weekday-seasonal / residual per densified calendar day —
+    the diagnostic separating weekday shape from level shifts
+    before the anomaly gates (q209 MAD days, q205 CUSUM) fire, and
+    the structural complement of the seasonal-naive backtest
+    (q211).
+
+    Exactness: every window width w in [4,7] divides 420, so the
+    scaled detrended value 420*n - (420//w)*S stays INTEGER and the
+    weekday sums are exact; trend/seasonal/residual are single
+    double trees ROUND(.,6) (the q161 float policy).
+
+    Scale shape: one day-keyed map-side-combined groupBy is the
+    only corpus-sized work; windows, the 7-row weekday aggregate
+    and the join-back run over #days-bounded frames (the q211
+    posture)."""
+    from product_etl_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_decompose(ev, "ts", half_window=3)

@@ -115,3 +115,40 @@ def test_rank_sum_test_symmetry(spark):
     assert ab["u2_a"] == ba["u2_b"] and ab["u2_b"] == ba["u2_a"]
     assert abs(ab["z"] + ba["z"]) < 2e-6
     assert abs(ab["cliffs_delta"] + ba["cliffs_delta"]) < 2e-6
+
+
+def test_spearman_corr_hand_computed(spark):
+    """Monotone data -> rho 1; reversed -> -1; a tie-heavy fixture
+    pinned against the closed form computed by hand with midranks."""
+    from product_etl_spark.operators.profile import spearman_corr
+
+    mono = [(float(i), float(i * i), "G") for i in range(10)]
+    rev = [(float(i), float(-i), "G") for i in range(10)]
+    df = spark.createDataFrame(mono, "x double, y double, g string")
+    assert spearman_corr(df, "x", "y", "g").collect()[0]["rho"] == 1.0
+    df = spark.createDataFrame(rev, "x double, y double, g string")
+    assert spearman_corr(df, "x", "y", "g").collect()[0]["rho"] == -1.0
+    # ties: x = [1,1,2,3], y = [10,20,20,30]
+    # doubled midranks x: [3,3,6,8]; y: [2,5,5,8]
+    # pearson over (3,2),(3,5),(6,5),(8,8):
+    #  n=4 Sx=20 Sy=20 Sxx=118 Syy=118 Sxy=115
+    #  num = 4*115-400 = 60; den = sqrt((472-400)(472-400)) = 72
+    # (= scipy's 0.833333 on midranks [1.5,1.5,3,4] / [1,2.5,2.5,4])
+    rows = [(1.0, 10.0, "G"), (1.0, 20.0, "G"), (2.0, 20.0, "G"), (3.0, 30.0, "G")]
+    df = spark.createDataFrame(rows, "x double, y double, g string")
+    got = spearman_corr(df, "x", "y", "g").collect()[0]["rho"]
+    assert abs(got - round(60 / 72.0, 6)) < 1.1e-6
+
+
+def test_spearman_corr_grouped_independent(spark):
+    """Groups rank independently: a group's rho is unaffected by the
+    other group's values (the per-group midrank contract)."""
+    from product_etl_spark.operators.profile import spearman_corr
+
+    a = [(float(i), float(i), "A") for i in range(8)]
+    b = [(float(i), float((i * 3) % 8), "B") for i in range(8)]
+    df = spark.createDataFrame(a + b, "x double, y double, g string")
+    both = {r["g"]: r["rho"] for r in spearman_corr(df, "x", "y", "g").collect()}
+    only_b = spark.createDataFrame(b, "x double, y double, g string")
+    alone = spearman_corr(only_b, "x", "y", "g").collect()[0]["rho"]
+    assert both["A"] == 1.0 and both["B"] == alone

@@ -81,3 +81,47 @@ def test_interval_overlap_empty_and_reversed_intervals_dropped(spark):
     }
     assert got == {(1, 4): (6, 7)}
     assert all(s < e for s, e in got.values())
+
+
+def test_seasonal_decompose_identity_and_planted_pattern(spark):
+    """Constant series decomposes to trend=c, seasonal=0, residual=0;
+    a pure weekly pattern has ~zero residual in the interior; and
+    n = trend + seasonal + residual holds by construction."""
+    import datetime as dt
+
+    import pytest
+
+    from product_etl_spark.operators.timeseries import seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+
+    def mk(counts):
+        rows = []
+        for d, n in enumerate(counts):
+            for k in range(n):
+                rows.append((d * 10000 + k, base + dt.timedelta(days=d, hours=k % 24)))
+        return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    const = mk([5] * 28)
+    out = seasonal_decompose(const, "ts", half_window=3).collect()
+    assert len(out) == 28
+    for r in out:
+        assert r["n_events"] == 5
+        assert abs(r["trend"] - 5.0) < 1e-9
+        assert abs(r["seasonal"]) < 1e-9 and abs(r["residual"]) < 1e-9
+
+    weekly = [3, 5, 7, 9, 7, 5, 3] * 4  # pure weekday shape, 4 weeks
+    out = seasonal_decompose(mk(weekly), "ts", half_window=3).collect()
+    # identity holds everywhere (rounding-only error)
+    for r in out:
+        assert abs(
+            r["n_events"] - (r["trend"] + r["seasonal"] + r["residual"])
+        ) < 3e-6
+    # interior days: 7-day MA = weekly mean (constant), so the weekly
+    # shape lands in `seasonal` and residual ~ 0
+    for r in out[3:-3]:
+        assert abs(r["trend"] - 39 / 7.0) < 1e-6
+        assert abs(r["residual"]) < 0.6  # edge-window seasonal bleed only
+
+    with pytest.raises(ValueError, match="half_window >= 1"):
+        seasonal_decompose(const, "ts", half_window=0)
