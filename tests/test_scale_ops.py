@@ -590,3 +590,60 @@ def test_seasonal_naive_backtest_hand_check(spark):
     r2 = seasonal_naive_backtest(ev2, "ts", period=7).collect()[0]
     assert r2["total_abs_err"] == 3 and r2["total_err"] == 3
     assert abs(r2["mae"] - 3 / 7) < 1e-6
+
+
+def test_balanced_shards_no_single_task_window(spark):
+    """q220's rank must come from the two-level global_sort_ranks,
+    never a single-task row_number() OVER (ORDER BY) — the executed
+    plan may contain Window nodes only partitioned by _pid (the
+    range-partition id), and the snake arithmetic is pure projection."""
+    from product_etl_spark.operators.sampling import balanced_shards
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("w")
+    )
+    out = balanced_shards(df, "w", "doc_id", 8)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # global_sort_ranks checkpoints its ranked frame, so the final
+    # plan must show NO Window at all (the per-_pid windows already
+    # ran behind the checkpoint) and no global Sort
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    # every doc lands in exactly one shard, all 8 shards populated
+    agg = {r["shard"]: r["c"] for r in
+           out.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sorted(agg) == list(range(8)) and sum(agg.values()) == 5000
+
+
+def test_balanced_shards_spread_bound_property(spark):
+    """Snake-deal balance property on adversarial weight shapes: the
+    max-min shard-total spread stays within 2x the largest single
+    weight (per-pass folded-pair spreads telescope over the sorted
+    sequence; the final partial pass adds at most one item)."""
+    shapes = [
+        [1000] + [1] * 30,                      # one giant
+        [2 ** (i % 11) for i in range(64)],     # heavy tail
+        [7] * 40,                               # all equal
+        list(range(1, 50)),                     # linear ramp
+        [5, 5, 5, 1000, 1000, 1000, 1, 1, 1],   # clustered
+    ]
+    from product_etl_spark.operators.sampling import balanced_shards
+
+    for shape in shapes:
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(shape)], "doc_id long, w long"
+        )
+        for n in (2, 3, 5):
+            totals = [
+                r["t"]
+                for r in balanced_shards(df, "w", "doc_id", n)
+                .groupBy("shard")
+                .agg(F.sum("w").alias("t"))
+                .collect()
+            ]
+            assert max(totals) - min(totals) <= 2 * max(shape), (
+                shape[:5],
+                n,
+                totals,
+            )
