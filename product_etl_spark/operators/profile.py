@@ -867,7 +867,14 @@ def rank_sum_test(
     corpus^2."""
     from product_etl_spark.operators.suffixes import _prefix_sum
 
-    s = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+    # complete observations only: a NULL value has no rank, and the
+    # engines disagree on where NULL sorts (Spark windows default
+    # NULLS FIRST, DuckDB NULLS LAST) — dropping them is both the
+    # standard stance and the only cross-engine-stable one
+    s = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
         F.col(value_col).alias("_v"),
         (F.col(group_col) == F.lit(group_a)).cast("long").alias("_a"),
     )
@@ -944,8 +951,14 @@ def spearman_corr(
     pair-wise, no global window."""
     from pyspark.sql import Window as W
 
+    # complete observations only (same NULL stance as rank_sum_test:
+    # no rank for NULL, and NULL sort order differs across engines)
+    obs = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+
     def doubled_midranks(col: str, out: str) -> DataFrame:
-        g = df.groupBy(F.col(group_col).alias("_g"), F.col(col).alias("_v")).agg(
+        g = obs.groupBy(F.col(group_col).alias("_g"), F.col(col).alias("_v")).agg(
             F.count(F.lit(1)).alias("_c")
         )
         wcum = W.partitionBy("_g").orderBy("_v")
@@ -958,7 +971,7 @@ def spearman_corr(
     rx = doubled_midranks(x_col, "_rx")
     ry = doubled_midranks(y_col, "_ry")
     j = (
-        df.select(F.col(group_col), F.col(x_col), F.col(y_col))
+        obs.select(F.col(group_col), F.col(x_col), F.col(y_col))
         .join(
             rx,
             (F.col(group_col) == rx["_g"]) & (F.col(x_col) == rx["_v"]),

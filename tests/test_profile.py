@@ -152,3 +152,29 @@ def test_spearman_corr_grouped_independent(spark):
     only_b = spark.createDataFrame(b, "x double, y double, g string")
     alone = spearman_corr(only_b, "x", "y", "g").collect()[0]["rho"]
     assert both["A"] == 1.0 and both["B"] == alone
+
+
+def test_rank_tests_drop_null_values(spark):
+    """NULL values carry no rank (complete observations): the engines
+    disagree on NULL sort order inside windows, so both rank ops drop
+    them — a corpus with nulls must score exactly like the corpus
+    without them."""
+    from product_etl_spark.operators.profile import (
+        rank_sum_test,
+        spearman_corr,
+    )
+
+    clean = [(1.0, 10.0, "A"), (2.0, 20.0, "A"), (3.0, 15.0, "B"), (4.0, 40.0, "B")]
+    noisy = clean + [(None, 5.0, "A"), (None, None, "B")]
+    dc = spark.createDataFrame(clean, "x double, y double, g string")
+    dn = spark.createDataFrame(noisy, "x double, y double, g string")
+    rc = rank_sum_test(dc, "x", "g", "A", "B").collect()[0]
+    rn = rank_sum_test(dn, "x", "g", "A", "B").collect()[0]
+    assert (rn["n_a"], rn["n_b"], rn["r2_a"], rn["u2_a"]) == (
+        rc["n_a"], rc["n_b"], rc["r2_a"], rc["u2_a"]
+    )
+    sc = spearman_corr(dc, "x", "y", "g").collect()
+    sn = spearman_corr(dn, "x", "y", "g").collect()
+    assert [(r["g"], r["n"], r["rho"]) for r in sc] == [
+        (r["g"], r["n"], r["rho"]) for r in sn
+    ]
