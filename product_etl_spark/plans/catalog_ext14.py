@@ -87,7 +87,7 @@ def q213_pca_gram_moments(spark, sf_dir):
       SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)
     ), isl AS (
       SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
              THEN 1 ELSE 0 END AS nw

@@ -373,3 +373,51 @@ def test_property_spans_match_brute(spark, docs, min_len):
     assert _spark_spans(spark, rows, min_len) == _brute_spans(
         corpus, min_len
     )
+
+
+def test_touching_spans_merge_on_both_engines(spark, tmp_path):
+    """TOUCHING maximal spans (doc A shares tokens [0,8) with X and
+    [8,16) with Y, with NO duplicated 8-gram crossing the boundary)
+    are ONE maximal interval of the covered set — [0,16) — and both
+    the Spark operator and the q212 ORACLE must say so. Pins the r13
+    oracle fix: the island break is now pos > MAX(pos + 8) (exclusive
+    ends touch-merge); the old pos > MAX(pos + 7) split touching
+    islands and would have hash-mismatched on exactly this corpus."""
+    import duckdb
+
+    from product_etl_spark import plans
+
+    s = " ".join(f"s{i}" for i in range(8))
+    t = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (0, f"{s} {t}"),                         # A: [0,8)+[8,16) touch
+        (1, f"x1 x2 x3 x4 x5 x6 x7 x8 {s}"),     # X carries s at pos 8
+        (2, f"{t} y1 y2 y3 y4 y5 y6 y7 y8"),     # Y carries t at pos 0
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in suffix_duplicated_spans(docs, "text", "doc_id", 8).collect()
+    }
+    want = {(0, 0, 16), (1, 8, 8), (2, 0, 8)}
+    assert got == want
+    # doubling agrees
+    assert (
+        set(
+            (r["doc_id"], r["span_start"], r["span_len"])
+            for r in suffix_duplicated_spans(
+                docs, "text", "doc_id", 8, method="doubling"
+            ).collect()
+        )
+        == want
+    )
+    # the ORACLE on the same corpus (DuckDB over a parquet view)
+    pq = str(tmp_path / "touch_docs")
+    docs.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = plans.oracle_sql()["q212_suffix_duplicated_spans"]
+    got_sql = {tuple(r) for r in con.execute(oracle).fetchall()}
+    assert got_sql == want
