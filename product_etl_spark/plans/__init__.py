@@ -134,6 +134,22 @@ unless slots are spare; fill any remaining slots with the oldest
 r10 reps (q174-q176 cohort and the r10-stamped family reps per the
 ledger). After r14 no entry's newest green row should be older than
 r10.
+
+Round-14 ROTATION (executes the plan above, per the r13 verdict's
+item 1): the 7-entry post-freeze queue q219-q225 leads (suffix
+probe excision, balanced shards + balance audit, tandem loops,
+Mann-Whitney rank-sum, grouped Spearman, seasonal decomposition —
+all exact-green at sf0.01 since registration via
+tests/test_driver_window_parity.py, none with a driver row yet).
+Then the ENTIRE r9-last-green remainder per the COVERAGE.md ledger
+— 24 entries, not the plan's nominal 26, because q102 and q113-q117
+refreshed in r13 and the ledger wins — plus q93~ (rows-only; the
+plan schedules it with its r9 cohort). New-in-r14 registrations
+join same-round per the q188 pattern. The remaining slots take the
+oldest r10 reps: the q174-q176 post-r9-freeze cohort first, then
+r10-stamped family reps in registration order. The six standing
+anchors are r12-fresh and sit out again. After r14 no entry's
+newest green row is older than r10.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -166,9 +182,18 @@ _ROWS_ONLY = {"q93_kmeans_ivf_lists"}
 # now get the same harness as window entries from the day they are
 # registered.
 _NEXT_WINDOW_QUEUE: list[str] = [
-    # registered in r13 after the r13 window above was composed —
-    # they lead the r14 rotation and are exact-checked by
-    # tests/test_driver_window_parity.py from registration day:
+    # empty at r14 rotation time: the full r13 queue (q219-q225)
+    # graduated into the r14 window below. New-in-r14 registrations
+    # land here (or swap into the window's r10-fill tail if they
+    # register before the r14 freeze, per the q188 pattern) so
+    # tests/test_driver_window_parity.py exact-checks them from
+    # registration day.
+]
+
+_DRIVER_WINDOW = [
+    # -- the full post-r13-freeze queue (r13 verdict item 1):
+    #    oracle-backed and exact-checked by
+    #    tests/test_driver_window_parity.py since registration --
     "q219_suffix_probe_excision",
     "q220_balanced_shards",
     "q221_shard_balance",
@@ -176,70 +201,58 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "q223_mann_whitney_acctbal",
     "q224_spearman_size_price",
     "q225_seasonal_decomposition",
-]
-
-_DRIVER_WINDOW = [
-    # -- the full post-r12-freeze queue (r12 verdict item 1): the
-    #    suffix/PCA wave, oracle-backed and exact-checked by
-    #    tests/test_driver_window_parity.py since registration --
-    "q212_suffix_duplicated_spans",
-    "q213_pca_gram_moments",
-    "q214_suffix_span_removal",
-    "q215_suffix_decontam_coverage",
-    "q216_suffix_decontam_removal",
-    # -- new in r13, scheduled same round (the q188 pattern): the
-    #    doubling-construction twin (r12 verdict item 3) and the
-    #    incremental suffix-span probe (item 4) --
-    "q217_suffix_doubling_spans",
-    "q218_suffix_probe_spans",
-    # -- stale refresh: the ENTIRE r8-last-green tier per the
-    #    COVERAGE.md ledger (the r12 verdict's narrative called this
-    #    cohort r9; the ledger stamps say r8 — ledger wins) --
-    "q35_knn_bruteforce",
-    "q36_lsh_bucket_histogram",
-    "q52_value_delta_lag",
-    "q54_above_nation_average",
-    "q59_master_variant_split",
-    "q60_deterministic_sample",
-    "q61_train_test_split",
-    "q62_stratified_cap",
-    "q63_source_mixing",
-    "q66_context_packing",
-    "q70_null_safe_join",
-    "q71_tpch_q6_forecast_revenue",
-    "q72_tpch_q3_shipping_priority",
-    "q73_tpch_q5_local_supplier_volume",
-    "q74_tpch_q10_returned_items",
-    "q75_having_filter",
-    "q79_json_schema_on_read",
-    "q81_tpch_q7_volume_shipping",
-    "q87_tpch_q17_small_quantity_revenue",
-    "q91_segment_dedup",
-    "q95_scd2_customer_history",
-    "q96_daily_gapfill_locf",
-    "q97_event_funnel",
-    "q98_cohort_retention",
-    "q102_lineitem_moment_stats",
-    "q113_bigram_lm_perplexity",
-    "q115_pq_codes",
-    "q116_pq_adc_topk",
-    "q117_bm25_search",
-    # -- oldest r9-last-green reps fill the remaining 14 slots (the
-    #    six standing anchors are r12-fresh and sit this round out) --
-    "q13_customer_only_nations",
-    "q34_simhash",
-    "q43_price_percentiles",
-    "q44_acctbal_stats",
-    "q46_asof_purchase_signup",
-    "q53_order_rank_in_customer",
-    "q55_events_per_day_of_week",
-    "q65_line_repetition",
-    "q67_nations_intersect",
-    "q68_user_event_type_sets",
-    "q76_ntile_quartiles",
-    "q77_vocabulary_topk",
-    "q78_array_higher_order",
-    "q80_running_distinct_types",
+    # -- stale refresh: the ENTIRE r9-last-green remainder per the
+    #    COVERAGE.md ledger (24 entries — q102/q113-q117 already
+    #    refreshed in r13) plus q93~ rows-only --
+    "q82_tpch_q8_market_share",
+    "q83_tpch_q9_product_profit",
+    "q84_tpch_q13_order_count_distribution",
+    "q85_tpch_q14_promo_revenue",
+    "q86_tpch_q15_top_supplier",
+    "q88_tpch_q18_large_volume_customers",
+    "q89_tpch_q19_bracketed_revenue",
+    "q90_tpch_q22_idle_balances",
+    "q93_kmeans_ivf_lists",
+    "q100_trailing_7d_spend",
+    "q101_weighted_doc_sample",
+    "q103_event_transitions",
+    "q104_event_type_overlap",
+    "q105_tpch_q2_min_cost_supplier",
+    "q106_tpch_q4_order_priority",
+    "q107_tpch_q11_value_concentration",
+    "q108_tpch_q12_late_shipment_priority",
+    "q109_tpch_q16_supplier_count",
+    "q110_tpch_q20_potential_promotion",
+    "q111_tpch_q21_waiting_suppliers",
+    "q169_quantile_sample_sketch",
+    "q170_star_components",
+    "q171_weighted_median_price",
+    "q172_vocabulary_coverage",
+    "q173_trimmed_mean_price",
+    # -- oldest r10 reps fill the remaining 18 slots: the q174-q176
+    #    post-r9-freeze cohort first, then r10-stamped family reps in
+    #    registration order. New-in-r14 registrations displace the
+    #    TAIL of this fill (the displaced rep stays r10-green, within
+    #    the freshness bound). The six standing anchors are r12-fresh
+    #    and sit out. --
+    "q174_brand_mode_type",
+    "q175_customer_revenue_concentration",
+    "q176_winsorized_mean_price",
+    "q03_region_nation_rollup",
+    "q04_customers_without_orders",
+    "q05_customers_with_urgent_orders",
+    "q06_order_counts_left",
+    "q07_order_date_range",
+    "q08_segment_distinct_nations",
+    "q09_priority_status_matrix",
+    "q10_topk_brands",
+    "q11_distinct_flag_status",
+    "q14_first_order_per_customer",
+    "q15_running_customer_revenue",
+    "q17_null_empty_guards",
+    "q19_orders_by_year",
+    "q22_url_extraction",
+    "q25_event_type_share",
 ]
 
 

@@ -34,26 +34,27 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-13 rotation invariant (r12 verdict item 1 + the written
-    plan): every query with no GREEN driver row through r12 — the
-    5-entry post-r12-freeze queue q212-q216 plus the two new-in-r13
-    same-round registrations q217/q218 — is in this round's window,
-    plus the FULL 29-entry r8-last-green tier per the COVERAGE.md
-    ledger and the 14 oldest r9-last-green reps. The six standing
-    anchors are r12-fresh and sit out."""
-    never_green_prefixes = {f"q{n}" for n in range(212, 219)}
-    r8_stale_prefixes = {
-        "q35", "q36", "q52", "q54", "q59", "q60", "q61", "q62", "q63",
-        "q66", "q70", "q71", "q72", "q73", "q74", "q75", "q79", "q81",
-        "q87", "q91", "q95", "q96", "q97", "q98", "q102", "q113",
-        "q115", "q116", "q117",
+    """Round-14 rotation invariant (r13 verdict item 1 + the written
+    plan): every query with no GREEN driver row — the 7-entry
+    post-r13-freeze queue q219-q225 — is in this round's window,
+    plus the ENTIRE 24-entry r9-last-green remainder per the
+    COVERAGE.md ledger, q93~ rows-only, and 18 oldest-r10 fill reps
+    (q174-q176 cohort first, then r10-stamped family reps in
+    registration order; new-in-r14 registrations displace the fill
+    tail). The six standing anchors are r12-fresh and sit out."""
+    never_green_prefixes = {f"q{n}" for n in range(219, 226)}
+    r9_stale_prefixes = {
+        "q82", "q83", "q84", "q85", "q86", "q88", "q89", "q90", "q93",
+        "q100", "q101", "q103", "q104", "q105", "q106", "q107", "q108",
+        "q109", "q110", "q111", "q169", "q170", "q171", "q172", "q173",
     }
-    oldest_r9_prefixes = {
-        "q13", "q34", "q43", "q44", "q46", "q53", "q55", "q65", "q67",
-        "q68", "q76", "q77", "q78", "q80",
+    r10_fill_prefixes = {
+        "q174", "q175", "q176", "q03", "q04", "q05", "q06", "q07",
+        "q08", "q09", "q10", "q11", "q14", "q15", "q17", "q19", "q22",
+        "q25",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    expect = never_green_prefixes | r8_stale_prefixes | oldest_r9_prefixes
+    expect = never_green_prefixes | r9_stale_prefixes | r10_fill_prefixes
     missing = expect - window_prefixes
     assert not missing, f"never-driver-green queries left out: {missing}"
     # the plan fills exactly 50 slots — nothing else slips in
@@ -85,7 +86,7 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r13*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r14*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
 
 
