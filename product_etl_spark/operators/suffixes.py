@@ -88,7 +88,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from product_etl_spark.functions import text as T
-from product_etl_spark.operators.linkage import global_sort_ranks
+from product_etl_spark.operators.linkage import (
+    global_sort_ranks,
+    global_sort_ranks_counted,
+)
 
 
 def _prefix_sum(
@@ -132,14 +135,13 @@ def _suffix_rank_tables(
     raise the bound deliberately, don't discover an unconverged rank
     table as silently-wrong spans."""
     vocab = tok.select("_tk").distinct()
-    vr = global_sort_ranks(vocab, ["_tk"], "_r")
+    vr, nd_prev = global_sort_ranks_counted(vocab, ["_tk"], "_r")
     cur = (
         tok.join(vr, "_tk")
         .select(id_col, "pos", F.col("_r").cast("bigint").alias("_r"))
         .localCheckpoint(eager=True)
     )
     tables = [cur]
-    nd_prev = vr.count()
     n_pos = tok.count()
     offset = 1
     for _ in range(max_rounds):
@@ -163,9 +165,12 @@ def _suffix_rank_tables(
             )
             .localCheckpoint(eager=True)
         )
+        # the counted rank fuses the all-distinct early-stop check
+        # into the rank pass itself: its offsets collect totals the
+        # distinct-key frame, so no separate COUNT job (and no second
+        # evaluation of the distinct) per round — r13 verdict item 4
         keys = paired.select("_r", "_r2").distinct()
-        nd = keys.count()
-        kr = global_sort_ranks(keys, ["_r", "_r2"], "_nr")
+        kr, nd = global_sort_ranks_counted(keys, ["_r", "_r2"], "_nr")
         cur = (
             paired.join(kr, ["_r", "_r2"])
             .select(
