@@ -903,22 +903,37 @@ def rank_sum_test(
             / (F.col("_n").cast("double") * (F.col("_n") - 1).cast("double"))
         )
     )
+    # degenerate-corpus contract, engine-identical by explicit guard
+    # (ADVICE r13): a missing group (n_a*n_b = 0) leaves both z and
+    # cliffs_delta NULL; zero variance (all observations tied, or
+    # n = 1 where var is 0/0 = NaN and the > fails) leaves z NULL —
+    # never an engine-specific NaN/inf from IEEE division
+    both = (F.col("_na") > 0) & (F.col("_nb") > 0)
     return agg.select(
         F.col("_na").cast("bigint").alias("n_a"),
         F.col("_nb").cast("bigint").alias("n_b"),
         F.col("_r2a").cast("bigint").alias("r2_a"),
         u2a.cast("bigint").alias("u2_a"),
         (2 * F.col("_na") * F.col("_nb") - u2a).cast("bigint").alias("u2_b"),
-        F.round(
-            (u2a.cast("double") - F.col("_na").cast("double") * F.col("_nb"))
-            / (F.lit(2.0) * F.sqrt(var)),
-            6,
+        F.when(
+            both & (var > F.lit(0.0)),
+            F.round(
+                (
+                    u2a.cast("double")
+                    - F.col("_na").cast("double") * F.col("_nb")
+                )
+                / (F.lit(2.0) * F.sqrt(var)),
+                6,
+            ),
         ).alias("z"),
-        F.round(
-            u2a.cast("double")
-            / (F.col("_na").cast("double") * F.col("_nb"))
-            - F.lit(1.0),
-            6,
+        F.when(
+            both,
+            F.round(
+                u2a.cast("double")
+                / (F.col("_na").cast("double") * F.col("_nb"))
+                - F.lit(1.0),
+                6,
+            ),
         ).alias("cliffs_delta"),
     )
 
@@ -944,12 +959,16 @@ def spearman_corr(
     yield NULL rho.
 
     Scale shape: ties collapse in two (group, value) map-side-
-    combined groupBys BEFORE any ordering; the cumulative windows
-    run over the DISTINCT-VALUE frames (value-cardinality-bounded
-    partitions, never row-count-bounded); two equi-join-backs on
-    (group, value); one map-side-combined final aggregate. Nothing
-    pair-wise, no global window."""
-    from pyspark.sql import Window as W
+    combined groupBys BEFORE any ordering; the cumulative sums run
+    over the DISTINCT-VALUE frames through the segmented two-level
+    prefix sum (suffixes._segmented_prefix_sum — repartitionByRange
+    on (group, value), per-(partition, group) windows, carries on
+    the (partition, group)-sized summary frame), so one group with
+    any number of distinct values is never a single window task
+    (r13 verdict item 2); two equi-join-backs on (group, value);
+    one map-side-combined final aggregate. Nothing pair-wise, no
+    global window, no window partitioned by group alone."""
+    from product_etl_spark.operators.suffixes import _segmented_prefix_sum
 
     # complete observations only (same NULL stance as rank_sum_test:
     # no rank for NULL, and NULL sort order differs across engines)
@@ -961,11 +980,11 @@ def spearman_corr(
         g = obs.groupBy(F.col(group_col).alias("_g"), F.col(col).alias("_v")).agg(
             F.count(F.lit(1)).alias("_c")
         )
-        wcum = W.partitionBy("_g").orderBy("_v")
-        return g.select(
+        c = _segmented_prefix_sum(g, ["_g"], "_v", "_c", "_cum")
+        return c.select(
             "_g",
             "_v",
-            (2 * F.sum("_c").over(wcum) - F.col("_c") + 1).alias(out),
+            (2 * F.col("_cum") - F.col("_c") + 1).alias(out),
         )
 
     rx = doubled_midranks(x_col, "_rx")
@@ -998,9 +1017,14 @@ def spearman_corr(
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
     sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
     sxy = F.col("_sxy").cast("double")
-    rho = (nd * sxy - sx * sy) / F.sqrt(
-        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
-    )
+    # the zero-rank-variance contract is made ENGINE-IDENTICAL by an
+    # explicit guard rather than by division semantics: Spark's IEEE
+    # 0/0 yields NaN (not NULL as 'yield NULL rho' promises) and the
+    # DuckDB oracle's yields NaN too, but relying on that couples the
+    # contract to each engine's division — emit NULL explicitly on
+    # both sides instead (ADVICE r13)
+    den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    rho = F.when(den > F.lit(0.0), (nd * sxy - sx * sy) / F.sqrt(den))
     return m.select(
         group_col,
         F.col("n").cast("bigint").alias("n"),

@@ -123,6 +123,57 @@ def _prefix_sum(
     ).drop("_pid", "_lps")
 
 
+def _segmented_prefix_sum(
+    df: DataFrame,
+    seg_cols: list[str],
+    order_col: str,
+    val_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``val_col`` along
+    ``order_col`` WITHIN each segment — the segmented sibling of
+    ``_prefix_sum`` and the SUM analogue of
+    ``_segmented_running_mins``: ONE repartitionByRange on
+    (segments, order), per-(partition, segment) running-sum windows
+    (parallel), then cross-partition carries computed on the
+    (partition, segment)-sized summary frame — a window PARTITIONED
+    BY SEGMENT over at most #partitions rows per segment, never over
+    the data rows. Safe for segments of ANY length: one group with
+    hundreds of millions of distinct values never becomes a single
+    window task (the r13 verdict's spearman_corr scale finding). The
+    forward carry sums strictly-LOWER pids (pid is monotone in the
+    (segments, order) sort after repartitionByRange on it)."""
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    segs = [F.col(c) for c in seg_cols]
+    ranged = df.repartitionByRange(
+        parts, *segs, F.col(order_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid", *seg_cols).orderBy(
+        F.col(order_col).asc()
+    )
+    local = ranged.withColumn(
+        "_lps", F.sum(F.col(val_col)).over(w)
+    ).localCheckpoint(eager=True)
+    pt = local.groupBy("_pid", *seg_cols).agg(
+        F.sum(F.col(val_col)).alias("_pt")
+    )
+    wc = Window.partitionBy(*seg_cols).orderBy(
+        F.col("_pid").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    carry = pt.select(
+        "_pid",
+        *seg_cols,
+        F.coalesce(F.sum("_pt").over(wc), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(carry, ["_pid", *seg_cols])
+        .withColumn(out_col, (F.col("_off") + F.col("_lps")).cast("bigint"))
+        .drop("_pid", "_lps", "_off")
+    )
+
+
 def _suffix_rank_tables(
     tok: DataFrame, id_col: str, max_rounds: int
 ) -> tuple[DataFrame, list[DataFrame], int]:

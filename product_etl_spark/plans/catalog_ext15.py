@@ -429,6 +429,18 @@ def q222_tandem_loops(spark, sf_dir):
              SUM(cnt * cnt * cnt - cnt) AS ties,
              SUM(cnt) AS n
       FROM c
+    ), v AS (
+      -- degenerate-corpus contract, engine-identical (ADVICE r13):
+      -- NULLIF keeps n = 1 from dividing by zero; the CASE guards
+      -- below emit NULL for a missing group or zero variance instead
+      -- of engine-specific NaN/inf
+      SELECT agg.*,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+             * (CAST(n + 1 AS DOUBLE)
+                - CAST(ties AS DOUBLE)
+                  / NULLIF(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE),
+                           0.0)) AS var
+      FROM agg
     )
     SELECT CAST(n_a AS BIGINT) AS n_a,
            CAST(n_b AS BIGINT) AS n_b,
@@ -436,20 +448,18 @@ def q222_tandem_loops(spark, sf_dir):
            CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
            CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT)
              AS u2_b,
-           ROUND(
-             (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
-              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-             / (2.0 * SQRT(
-                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
-                 * (CAST(n + 1 AS DOUBLE)
-                    - CAST(ties AS DOUBLE)
-                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))),
-             6) AS z,
-           ROUND(
-             CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
-             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0,
-             6) AS cliffs_delta
-    FROM agg
+           CASE WHEN n_a > 0 AND n_b > 0 AND var > 0 THEN
+             ROUND(
+               (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               / (2.0 * SQRT(var)),
+               6) END AS z,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             ROUND(
+               CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0,
+               6) END AS cliffs_delta
+    FROM v
     """,
 )
 def q223_mann_whitney_acctbal(spark, sf_dir):
@@ -507,17 +517,24 @@ def q223_mann_whitney_acctbal(spark, sf_dir):
              SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
              SUM(rx * ry) AS sxy
       FROM j GROUP BY g
+    ), d AS (
+      SELECT g, n, sx, sy, sxy,
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+      FROM m
     )
     SELECT g AS p_brand, CAST(n AS BIGINT) AS n,
-           ROUND(
-             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-             6) AS rho
-    FROM m ORDER BY p_brand
+           -- zero-rank-variance contract, engine-identical (ADVICE
+           -- r13): NULL rho by explicit guard, not by 0/0 semantics
+           CASE WHEN den > 0 THEN
+             ROUND(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / SQRT(den),
+               6) END AS rho
+    FROM d ORDER BY p_brand
     """,
 )
 def q224_spearman_size_price(spark, sf_dir):

@@ -154,6 +154,85 @@ def test_spearman_corr_grouped_independent(spark):
     assert both["A"] == 1.0 and both["B"] == alone
 
 
+def test_spearman_corr_spans_range_partitions(spark):
+    """Few groups x many distinct values, pinned against scipy-style
+    rank Pearson computed in pandas — the data SPANS range partitions
+    so the segmented prefix sum's cross-partition carry is exercised
+    (the fixture class that caught the reversed-carry bug)."""
+    import hashlib
+
+    import pandas as pd
+
+    from product_etl_spark.operators.profile import spearman_corr
+
+    rows = []
+    for i in range(600):
+        g = "A" if i % 2 else "B"
+        x = float(int(hashlib.md5(f"x{i}".encode()).hexdigest()[:6], 16) % 211)
+        y = float(int(hashlib.md5(f"y{i}".encode()).hexdigest()[:6], 16) % 173)
+        rows.append((x, x + y if g == "A" else y, g))
+    df = spark.createDataFrame(rows, "x double, y double, g string")
+    got = {r["g"]: r["rho"] for r in spearman_corr(df, "x", "y", "g").collect()}
+    pdf = pd.DataFrame(rows, columns=["x", "y", "g"])
+    for g, sub in pdf.groupby("g"):
+        rx, ry = sub["x"].rank(), sub["y"].rank()
+        exp = rx.corr(ry)  # pearson over midranks == spearman
+        assert abs(got[g] - round(exp, 6)) < 2e-6, g
+
+
+def test_spearman_corr_no_per_group_data_window(spark):
+    """Scale guard (r13 verdict item 2): every window in the plan
+    carries _pid — either partitioned by (_pid, group) over the data
+    rows, or the #partitions-bounded carry window ordered by _pid.
+    A window partitioned by the group alone over data rows (one task
+    per group) must not reappear."""
+    import re
+
+    from product_etl_spark.operators.profile import spearman_corr
+
+    rows = [(float(i), float(i * 2 % 7), "G") for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, g string")
+    plan = (
+        spearman_corr(df, "x", "y", "g")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    bad = [s for s in specs if "_pid" not in s]
+    assert not bad, f"window without _pid (single-task group window): {bad}"
+
+
+def test_rank_tests_degenerate_null_contract(spark):
+    """Degenerate corpora emit NULL by explicit guard on BOTH engines
+    (ADVICE r13), never an engine-specific NaN/inf: a missing group
+    -> z and cliffs_delta NULL; all observations tied -> z NULL but
+    cliffs_delta 0; zero rank variance -> rho NULL."""
+    from product_etl_spark.operators.profile import (
+        rank_sum_test,
+        spearman_corr,
+    )
+
+    # group B absent entirely
+    only_a = spark.createDataFrame(
+        [(1.0, "A"), (2.0, "A")], "v double, g string"
+    )
+    r = rank_sum_test(only_a, "v", "g", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 0)
+    assert r["z"] is None and r["cliffs_delta"] is None
+    # every observation tied: zero variance
+    tied = spark.createDataFrame(
+        [(5.0, "A"), (5.0, "A"), (5.0, "B")], "v double, g string"
+    )
+    r = rank_sum_test(tied, "v", "g", "A", "B").collect()[0]
+    assert r["z"] is None and r["cliffs_delta"] == 0.0
+    # constant y within the group: zero rank variance -> NULL rho
+    const_y = spark.createDataFrame(
+        [(1.0, 9.0, "G"), (2.0, 9.0, "G"), (3.0, 9.0, "G")],
+        "x double, y double, g string",
+    )
+    r = spearman_corr(const_y, "x", "y", "g").collect()[0]
+    assert r["n"] == 3 and r["rho"] is None
+
+
 def test_rank_tests_drop_null_values(spark):
     """NULL values carry no rank (complete observations): the engines
     disagree on NULL sort order inside windows, so both rank ops drop

@@ -318,6 +318,35 @@ def test_segmented_running_min_matches_pandas(spark):
         assert bwd[s] == exp_b.iloc[i], ("bwd", s)
 
 
+def test_segmented_prefix_sum_matches_pandas(spark):
+    """_segmented_prefix_sum == pandas groupby-cumsum on a
+    deterministic frame whose segments SPAN multiple range partitions
+    — the fixture class that caught the reversed-carry bug in the
+    running-min scans (tiny planted frames fit one partition and
+    never exercise the cross-partition carry)."""
+    import hashlib
+
+    import pandas as pd
+
+    from product_etl_spark.operators.suffixes import _segmented_prefix_sum
+
+    rows = []
+    for s in range(1, 401):
+        seg = 1 + (s - 1) // 97  # segments of 97 rows: cross partitions
+        v = int(hashlib.md5(str(s).encode()).hexdigest()[:4], 16) % 100
+        rows.append((s, seg, v))
+    df = spark.createDataFrame(rows, "_s long, _g long, _v long")
+    got = {
+        (r["_g"], r["_s"]): r["_cum"]
+        for r in _segmented_prefix_sum(df, ["_g"], "_s", "_v", "_cum").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["_s", "_g", "_v"])
+    exp = pdf.groupby("_g")["_v"].cumsum()
+    for i in range(len(pdf)):
+        key = (pdf["_g"].iloc[i], pdf["_s"].iloc[i])
+        assert got[key] == exp.iloc[i], key
+
+
 def test_contamination_removal_planted(spark):
     """suffix_remove_contaminated: the benchmark leak is excised from
     the corpus doc (original case kept), corpus-corpus duplication is
