@@ -959,7 +959,22 @@ def ingest_suffix_spans(
     duplication, so the span output is identical and the store gains
     nothing (idempotent). RTBF: erase by ``keep`` within
     ``gram_bucket`` partitions; an erased owner's grams re-enter as
-    new on next sighting, claimed by a surviving document."""
+    new on next sighting, claimed by a surviving document.
+
+    SINGLE WRITER REQUIRED (ADVICE r13): the read-store-then-append
+    sequence is not safe for CONCURRENT ingests — two writers can
+    both see a gram as unseen and append duplicate ``sh`` rows under
+    different owners. Span extents would survive (islands take
+    min/max), but the store bloats and replay idempotence breaks (a
+    replayed batch then finds its own gram under a foreign owner and
+    reports extra spans). Serialize ingests per store — the posture
+    every fold-state store in this module shares; the streaming
+    wrapper (``stream_suffix_span_probe``) satisfies it by
+    construction (one micro-batch at a time per checkpoint).
+    Maintenance: ``table_maintenance.compact_partitions`` rewrites
+    the per-batch small files bucket-by-bucket without changing a
+    row — probe/replay parity and bucket-preserving erasure on the
+    compacted layout are pinned in tests/test_dedup_incremental."""
     index = read_signature_store(spark, store_path)
     if index is not None:
         index = index.localCheckpoint(eager=True)  # one store read —

@@ -146,6 +146,42 @@ def main() -> None:
         "replay_idempotent": True,
     }
 
+    # (d) lifecycle (r13 verdict item 3): the ingest appended the
+    # batch's grams as per-batch small files into every bucket
+    # partition — compact them and prove the probe is byte-identical
+    # on the compacted layout (same rows, same spans, fewer files)
+    from product_etl_spark.operators.table_maintenance import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    files_before = sum(s.n_files for s in partition_file_stats(store2))
+    t0 = time.time()
+    compacted = compact_partitions(spark, store2, min_files=2)
+    t_compact = round(time.time() - t0, 2)
+    files_after = sum(s.n_files for s in partition_file_stats(store2))
+    t0 = time.time()
+    got4 = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in probe_suffix_spans(
+            spark.read.parquet(store2), batch, "text", "doc_id", min_len=8
+        ).collect()
+    }
+    t_probe_compacted = round(time.time() - t0, 2)
+    assert got4 == expected, "post-compaction probe parity broke"
+    assert spark.read.parquet(store2).count() == rows_after, (
+        "compaction changed the store's row count"
+    )
+    out["compaction"] = {
+        "partitions_rewritten": len(compacted),
+        "files_before": files_before,
+        "files_after": files_after,
+        "sec": t_compact,
+        "probe_after_sec": t_probe_compacted,
+        "probe_parity": True,
+        "store_rows_unchanged": True,
+    }
+
     shutil.rmtree(store, ignore_errors=True)
     shutil.rmtree(store2, ignore_errors=True)
     print(json.dumps(out, separators=(",", ":")))
