@@ -320,10 +320,14 @@ def balanced_shards(
     deals shards 0..n-1, pass 1 deals n-1..0, and so on. This is the
     distributable greedy approximation of longest-processing-time
     bin packing: each full double-pass gives every shard exactly one
-    heavy-half and one light-half item, so shard totals stay within
-    one max-item of each other on realistic (heavy-tailed) length
-    distributions — where naive modulo round-robin systematically
-    overloads shard 0 with every pass's largest item.
+    heavy-half and one light-half item, so the max-min shard-total
+    spread stays within TWICE the largest single weight (the tested
+    guarantee — test_scale_ops' adversarial property; a one-giant-item
+    corpus shows a within-ONE-max-item claim is not generally
+    achievable, ADVICE r13), and is far tighter on realistic
+    heavy-tailed length distributions — where naive modulo
+    round-robin systematically overloads shard 0 with every pass's
+    largest item.
 
     The reference pipeline (pandas row loops) has no sharding at
     all; this extends the packing/split family (q61 train_test_split,
@@ -354,4 +358,78 @@ def balanced_shards(
         F.when(snake_pass % 2 == 0, idx)
         .otherwise(F.lit(n_shards - 1) - idx)
         .cast("int"),
+    ).drop("_negw", "_grank")
+
+
+def shard_weight_totals(assigned: DataFrame, weight_col: str) -> DataFrame:
+    """Per-shard weight totals of a shard-assigned frame — the
+    n_shards-bounded state ``append_balanced_shards`` folds over.
+    One map-side-combined groupBy; output is n_shards rows."""
+    return assigned.groupBy("shard").agg(
+        F.sum(F.col(weight_col).cast("double")).alias("total_weight")
+    )
+
+
+def append_balanced_shards(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    n_shards: int,
+    shard_totals: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental twin of ``balanced_shards`` (r13 verdict item 5):
+    deal a NEW batch into EXISTING shard manifests keeping totals
+    balanced — the batch's weight-descending snake order is dealt
+    into the shards ordered CURRENT-LIGHTEST-FIRST, so each pass
+    hands the heaviest remaining documents to the lightest shards.
+    ``shard_totals`` is the (shard, total_weight) state from prior
+    appends (``shard_weight_totals``; n_shards rows — the only
+    driver-side piece, a k-bounded collect); ``None`` means empty
+    manifests, where the lightest-first order is the identity and
+    the assignment EQUALS ``balanced_shards`` on the batch
+    (pytest-pinned).
+
+    Balance contract (pytest-pinned over K appends on adversarial
+    shapes): after every append the max-min shard-total spread stays
+    within twice the largest single weight ingested so far — the
+    same tested bound as the batch operator, and far tighter on
+    realistic heavy-tailed corpora.
+
+    Scale shape: ONE two-level global rank over the BATCH
+    (linkage.global_sort_ranks), pure integer snake arithmetic, and
+    an n_shards-bounded literal array lookup for the lightest-first
+    permutation. History is never read — the state is n_shards rows,
+    the natural per-batch fold for the streaming wrapper
+    (streaming.pipeline.stream_balanced_shard_append)."""
+    if n_shards < 1:
+        raise ValueError(
+            f"append_balanced_shards: need n_shards >= 1, got {n_shards}"
+        )
+    from product_etl_spark.operators.linkage import global_sort_ranks
+
+    if shard_totals is None:
+        order = list(range(n_shards))
+    else:
+        rows = shard_totals.collect()  # n_shards-bounded by contract
+        totals = {int(r["shard"]): float(r["total_weight"] or 0.0) for r in rows}
+        bad = [s for s in totals if not (0 <= s < n_shards)]
+        if bad:
+            raise ValueError(
+                f"append_balanced_shards: shard_totals names shards {bad} "
+                f"outside 0..{n_shards - 1}"
+            )
+        order = sorted(range(n_shards), key=lambda s: (totals.get(s, 0.0), s))
+    ranked = global_sort_ranks(
+        df.withColumn("_negw", -F.col(weight_col).cast("double")),
+        ["_negw", id_col],
+        "_grank",
+    )
+    idx = (F.col("_grank") - 1) % n_shards
+    snake_pass = F.floor((F.col("_grank") - 1) / n_shards)
+    slot = F.when(snake_pass % 2 == 0, idx).otherwise(
+        F.lit(n_shards - 1) - idx
+    )
+    perm = F.array(*[F.lit(s) for s in order])
+    return ranked.withColumn(
+        "shard", F.element_at(perm, (slot + 1).cast("int")).cast("int")
     ).drop("_negw", "_grank")

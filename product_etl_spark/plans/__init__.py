@@ -168,6 +168,7 @@ from product_etl_spark.plans import catalog_ext12  # noqa: F401  (registers q177
 from product_etl_spark.plans import catalog_ext13  # noqa: F401  (registers q188+)
 from product_etl_spark.plans import catalog_ext14  # noqa: F401  (registers q212+)
 from product_etl_spark.plans import catalog_ext15  # noqa: F401  (registers q217+)
+from product_etl_spark.plans import catalog_ext16  # noqa: F401  (registers q226+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -201,6 +202,9 @@ _DRIVER_WINDOW = [
     "q223_mann_whitney_acctbal",
     "q224_spearman_size_price",
     "q225_seasonal_decomposition",
+    # -- new in r14, scheduled same round (the q188 pattern): the
+    #    incremental balanced-shard deal (r13 verdict item 5) --
+    "q226_incremental_shard_append",
     # -- stale refresh: the ENTIRE r9-last-green remainder per the
     #    COVERAGE.md ledger (24 entries — q102/q113-q117 already
     #    refreshed in r13) plus q93~ rows-only --
@@ -252,7 +256,6 @@ _DRIVER_WINDOW = [
     "q17_null_empty_guards",
     "q19_orders_by_year",
     "q22_url_extraction",
-    "q25_event_type_share",
 ]
 
 

@@ -277,8 +277,9 @@ def q220_balanced_shards(spark, sf_dir):
     (sampling.balanced_shards): every document dealt to one of 8
     shards in SNAKE order over the global token-count-descending
     rank — the distributable greedy approximation of
-    longest-processing-time bin packing, keeping shard token totals
-    within one max-document of each other where naive modulo
+    longest-processing-time bin packing, keeping the shard token
+    spread within twice one max-document (the tested adversarial
+    bound; far tighter on realistic corpora) where naive modulo
     round-robin systematically overloads shard 0. The manifest step
     every multi-host training run needs between curation (q94) and
     packing (q66/q118).

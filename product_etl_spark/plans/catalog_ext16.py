@@ -1,0 +1,111 @@
+"""Sixteenth extension catalog (q226+): round-14 additions — the
+incremental twin of the balanced-shard manifest deal (q226,
+operators/sampling.append_balanced_shards — a NEW batch dealt into
+EXISTING shard totals lightest-first, the r13 verdict's missing
+incremental rung for the sharding family; its streaming posture is
+streaming/pipeline.stream_balanced_shard_append).
+
+Reference parity note: the reference (pandas+psycopg2 row loops,
+ETL.py / main.py) computes none of this; these rows extend the
+training-data-pipeline surface per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_etl_spark.plans.catalog import _t, register
+
+
+@register(
+    "q226_incremental_shard_append",
+    r"""
+    WITH sized AS (
+      SELECT doc_id,
+             LEN(list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), b1 AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM sized WHERE doc_id % 3 <> 2
+    ), a1 AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0
+                       THEN (rn - 1) % 8
+                       ELSE 7 - ((rn - 1) % 8)
+                  END AS INT) AS shard
+      FROM b1
+    ), totals AS (
+      SELECT shard, SUM(CAST(n_tokens AS DOUBLE)) AS total_weight
+      FROM a1 GROUP BY shard
+    ), perm AS (
+      -- lightest-first permutation: slot s takes the shard with the
+      -- s-th smallest running total (ties broken by shard id)
+      SELECT shard,
+             ROW_NUMBER() OVER (ORDER BY total_weight, shard) - 1 AS slot
+      FROM totals
+    ), b2 AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM sized WHERE doc_id % 3 = 2
+    ), a2 AS (
+      SELECT b2.doc_id, b2.n_tokens, CAST(perm.shard AS INT) AS shard
+      FROM b2 JOIN perm
+        ON perm.slot = CASE WHEN ((b2.rn - 1) // 8) % 2 = 0
+                            THEN (b2.rn - 1) % 8
+                            ELSE 7 - ((b2.rn - 1) % 8)
+                       END
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+    ORDER BY doc_id
+    """,
+)
+def q226_incremental_shard_append(spark, sf_dir):
+    """Incremental balanced-shard manifest growth
+    (sampling.append_balanced_shards, r13 verdict item 5): an
+    accepted corpus (doc_id % 3 != 2) is dealt into 8 shards by the
+    q220 snake, then an ARRIVING batch (doc_id % 3 == 2) is dealt
+    into the resulting totals LIGHTEST-FIRST — each snake pass hands
+    the batch's heaviest remaining documents to the lightest shards,
+    so manifests keep growing balanced without re-dealing history.
+    Surface: every document's final (doc_id, n_tokens, shard) — the
+    union of both manifests, which pins the whole assignment.
+
+    Engine-exact: ranks are integer-decided (n_tokens desc, doc_id),
+    snake arithmetic is pure integers, and the lightest-first
+    permutation orders exact double totals tie-broken by shard id.
+
+    Scale shape: one two-level global rank per batch
+    (linkage.global_sort_ranks — never the single-task
+    row_number() OVER (ORDER BY) the oracle is allowed), pure
+    expressions, and an n_shards-bounded collect for the
+    permutation; history documents are never re-read (the state is
+    8 rows)."""
+    from product_etl_spark.functions import text as T_
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        shard_weight_totals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", T_.token_count(F.col("text")).alias("n_tokens")
+    )
+    hist = sized.filter(F.col("doc_id") % 3 != 2)
+    batch = sized.filter(F.col("doc_id") % 3 == 2)
+    a1 = append_balanced_shards(hist, "n_tokens", "doc_id", 8)
+    a2 = append_balanced_shards(
+        batch, "n_tokens", "doc_id", 8,
+        shard_weight_totals(a1, "n_tokens"),
+    )
+    return (
+        a1.unionByName(a2)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "shard",
+        )
+        .orderBy("doc_id")
+    )

@@ -1437,3 +1437,100 @@ def read_daily_rate(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("n").cast("long").alias("n_events"))
     )
+
+
+def stream_balanced_shard_append(
+    spark: SparkSession,
+    input_dir: str,
+    manifest_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+):
+    """Continuous balanced-shard manifest growth (the q220 operator's
+    incremental posture, r13 verdict item 5): sized documents land
+    as json-lines (id, weight) rows in ``input_dir`` (weights, not
+    text — the manifest step runs after tokenize/count upstream);
+    each micro-batch is dealt into
+    the EXISTING shard totals lightest-first
+    (operators/sampling.append_balanced_shards), the batch's
+    assignments land under ``manifest_dir/batch=<id>``, and the
+    batch's n_shards-row per-shard weight partial lands under
+    ``state_dir/batch=<id>`` — the `_fold_to_batch_dirs` shape with
+    one extra wrinkle: the totals each batch deals into must EXCLUDE
+    its own partial, or a REPLAYED batch would see itself in the
+    state and deal differently. Reading only ``batch < batch_id``
+    partials makes replay byte-identical (availableNow replays are
+    always the tail batch, so strictly-lower ids are exactly the
+    pre-batch state).
+
+    State per batch is n_shards rows — bytes, regardless of stream
+    volume; history documents are never re-read.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        shard_weight_totals,
+    )
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(weight_col, LongType())]
+    )
+    stream = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        totals = read_shard_totals(
+            sess, state_dir, before_batch=batch_id, n_shards=n_shards
+        )
+        assigned = append_balanced_shards(
+            batch_df, weight_col, id_col, n_shards, totals
+        ).localCheckpoint(eager=True)
+        assigned.write.mode("overwrite").parquet(
+            f"{manifest_dir}/batch={batch_id}"
+        )
+        shard_weight_totals(assigned, weight_col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_shard_totals(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int | None = None,
+    n_shards: int | None = None,
+) -> DataFrame | None:
+    """Current (shard, total_weight) state folded from the per-batch
+    partials ``stream_balanced_shard_append`` writes — ``None`` when
+    no partial exists yet (empty manifests). ``before_batch``
+    restricts the fold to strictly-lower batch ids (the replay
+    determinism contract above)."""
+    import os
+
+    if not os.path.isdir(state_dir) or not any(
+        d.startswith("batch=") for d in os.listdir(state_dir)
+    ):
+        return None
+    df = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*"
+    )
+    if before_batch is not None:
+        df = df.filter(F.col("batch") < before_batch)
+    folded = df.groupBy("shard").agg(
+        F.sum("total_weight").alias("total_weight")
+    )
+    if before_batch is not None and not folded.limit(1).count():
+        return None
+    return folded

@@ -314,3 +314,91 @@ def test_balanced_shards_deterministic_ties(spark):
     assert a == b
     # snake over ids 0..9: 012 210 012 2
     assert a == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0, 6: 0, 7: 1, 8: 2, 9: 2}
+
+
+def test_append_balanced_shards_empty_state_equals_batch(spark):
+    """First append (no totals) IS balanced_shards: the lightest-first
+    permutation of zero totals is the identity."""
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        balanced_shards,
+    )
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {r["doc_id"]: r["shard"]
+         for r in balanced_shards(df, "w", "doc_id", 4).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in append_balanced_shards(df, "w", "doc_id", 4).collect()}
+    assert a == b
+
+
+def test_append_balanced_shards_deals_lightest_first(spark):
+    """The heaviest document of a new batch must land on the CURRENT
+    lightest shard, and K adversarial appends keep the spread within
+    2x the largest single weight seen so far (the batch operator's
+    tested bound)."""
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        shard_weight_totals,
+    )
+
+    n = 4
+    # skewed initial totals: shard 2 is lightest
+    totals = spark.createDataFrame(
+        [(0, 50.0), (1, 30.0), (2, 5.0), (3, 40.0)],
+        "shard int, total_weight double",
+    )
+    batch = spark.createDataFrame(
+        [(100, 9), (101, 7), (102, 5), (103, 3)], "doc_id long, w long"
+    )
+    got = {r["doc_id"]: r["shard"]
+           for r in append_balanced_shards(
+               batch, "w", "doc_id", n, totals).collect()}
+    # lightest-first order of totals: 2,1,3,0 — heaviest doc -> shard 2
+    assert got == {100: 2, 101: 1, 102: 3, 103: 0}
+
+    # K appends over adversarial shapes: spread bound holds per append
+    shapes = [
+        [1000] + [1] * 15,
+        [2 ** (i % 9) for i in range(32)],
+        [7] * 12,
+        [5, 5, 1000, 1000, 1, 1],
+    ]
+    state = None
+    max_w, next_id = 0, 0
+    for shape in shapes:
+        max_w = max(max_w, max(shape))
+        bdf = spark.createDataFrame(
+            [(next_id + i, w) for i, w in enumerate(shape)],
+            "doc_id long, w long",
+        )
+        next_id += len(shape)
+        assigned = append_balanced_shards(bdf, "w", "doc_id", n, state)
+        part = shard_weight_totals(assigned, "w")
+        state = (
+            part if state is None
+            else state.unionByName(part)
+            .groupBy("shard")
+            .agg(F.sum("total_weight").alias("total_weight"))
+        ).localCheckpoint(eager=True)
+        totals_now = {r["shard"]: r["total_weight"] for r in state.collect()}
+        vals = [totals_now.get(s, 0.0) for s in range(n)]
+        assert max(vals) - min(vals) <= 2 * max_w, (shape, vals)
+
+
+def test_append_balanced_shards_guards(spark):
+    import pytest
+
+    from product_etl_spark.operators.sampling import append_balanced_shards
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="n_shards >= 1"):
+        append_balanced_shards(df, "w", "doc_id", 0)
+    bad = spark.createDataFrame(
+        [(9, 1.0)], "shard int, total_weight double"
+    )
+    with pytest.raises(ValueError, match="outside"):
+        append_balanced_shards(df, "w", "doc_id", 4, bad)

@@ -297,3 +297,93 @@ def test_state_readers_empty_fallbacks_and_uri_guard(spark, tmp_path):
             read_distinct_sketch_state(spark, bad, ["k"])
         with pytest.raises(ValueError, match="PLAIN local"):
             read_cms_state(spark, bad, ["k"])
+
+
+def test_stream_balanced_shard_append_end_to_end(spark, tmp_path):
+    """Streaming twin of the incremental shard deal: (id, weight)
+    json-lines drops are dealt into the growing shard totals
+    lightest-first; the per-batch manifests match a hand-replayed
+    append_balanced_shards fold, totals stay within the tested 2x
+    max-weight spread, and a same-checkpoint replay (no new files)
+    changes nothing."""
+    import json as _json
+    import os
+
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        shard_weight_totals,
+    )
+    from product_etl_spark.streaming.pipeline import (
+        read_shard_totals,
+        stream_balanced_shard_append,
+    )
+
+    src, man, state, ck = (
+        str(tmp_path / d) for d in ("in", "manifest", "totals", "ck")
+    )
+    os.makedirs(src)
+    n = 4
+
+    def drop(fname, rows):
+        with open(f"{src}/{fname}", "w") as f:
+            for rid, w in rows:
+                f.write(_json.dumps({"doc_id": rid, "n_tokens": w}) + "\n")
+
+    def run():
+        q = stream_balanced_shard_append(
+            spark, src, man, state, ck, "n_tokens", "doc_id", n
+        )
+        q.awaitTermination()
+
+    b1 = [(1, 100), (2, 60), (3, 40), (4, 10), (5, 5)]
+    b2 = [(11, 90), (12, 8), (13, 3)]
+    drop("b1.jsonl", b1)
+    run()
+    drop("b2.jsonl", b2)
+    run()
+
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.option("basePath", man)
+        .parquet(f"{man}/batch=*").collect()
+    }
+    # hand fold: batch 1 from empty state, batch 2 from batch 1 totals
+    d1 = append_balanced_shards(
+        spark.createDataFrame(b1, "doc_id long, n_tokens long"),
+        "n_tokens", "doc_id", n,
+    )
+    t1 = shard_weight_totals(d1, "n_tokens")
+    d2 = append_balanced_shards(
+        spark.createDataFrame(b2, "doc_id long, n_tokens long"),
+        "n_tokens", "doc_id", n, t1,
+    )
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in d1.unionByName(d2).select("doc_id", "shard").collect()
+    }
+    assert got == want
+    totals = {
+        r["shard"]: r["total_weight"]
+        for r in read_shard_totals(spark, state).collect()
+    }
+    vals = [totals.get(s, 0.0) for s in range(n)]
+    assert max(vals) - min(vals) <= 2 * 100
+    assert sum(vals) == sum(w for _, w in b1 + b2)
+
+    # same-checkpoint replay with no new files: nothing changes
+    before = sorted(
+        (r["doc_id"], r["shard"])
+        for r in spark.read.option("basePath", man)
+        .parquet(f"{man}/batch=*").collect()
+    )
+    run()
+    after = sorted(
+        (r["doc_id"], r["shard"])
+        for r in spark.read.option("basePath", man)
+        .parquet(f"{man}/batch=*").collect()
+    )
+    assert before == after
+    # read_shard_totals: None on an empty dir, and before_batch=0
+    # (nothing strictly lower) is also None
+    assert read_shard_totals(spark, str(tmp_path / "nope")) is None
+    assert read_shard_totals(spark, state, before_batch=0) is None
