@@ -80,6 +80,18 @@ is 2 linear joins per retained level; runs/islands windows are
 doc-bounded; the only driver state is the per-partition offset maps
 (#partitions-sized) and the per-round distinct counts. Nothing is
 ever corpus^2; no single-task window exists in the plan.
+
+Behavior change (r13, called out per ADVICE): ``max_doc_tokens``
+defaulted to 4096 through r12 and is 2048 since r13 across all six
+public suffix operators. Documents of 2049-4096 tokens that
+previously processed under the default ``method='blocked'`` now
+raise the loud length guard — callers with such documents must pass
+``max_doc_tokens=4096`` explicitly (the guard exists because the
+blocked method materializes per-doc suffix arrays, quadratic in doc
+length) or switch to ``method='doubling'``, which has no document
+length bound. No in-repo caller relied on the old default (catalog
+corpora are < 2048 tokens; the long-doc volume drive passes
+method='doubling' explicitly).
 """
 
 from __future__ import annotations
