@@ -433,3 +433,93 @@ def append_balanced_shards(
     return ranked.withColumn(
         "shard", F.element_at(perm, (slot + 1).cast("int")).cast("int")
     ).drop("_negw", "_grank")
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    source_col: str,
+    difficulty_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic curriculum training order with source
+    interleaving: within each source, documents are ranked
+    easy-first (``difficulty_col`` ascending, ``id_col`` tie-break);
+    the global order cycles the sources round-robin so every
+    training window sees every source — ``curriculum_key =
+    (rank_in_source - 1) * n_sources + source_index`` is a SORT KEY
+    (strictly increasing along the intended order; not dense once
+    the smallest source exhausts), returned as a new column.
+
+    The standard pretraining schedule combo (curriculum ordering x
+    mixture interleaving) the sampling family lacked: mix_sources
+    decides WHAT stays, balanced_shards decides WHERE it lives,
+    this decides WHEN it is seen.
+
+    Scale shape: one vocabulary-sized distinct + counted rank for
+    the source index (linkage.global_sort_ranks_counted — its
+    offsets collect supplies n_sources for free), one SEGMENTED
+    two-level prefix sum of 1s over the per-source
+    (difficulty, id) struct order (suffixes._segmented_prefix_sum —
+    a source with any number of documents is never a single window
+    task), and one vocabulary-sized equi-join back. Pure integer
+    arithmetic after that; no global window, no corpus-sized
+    collect."""
+    from product_etl_spark.operators.linkage import (
+        global_sort_ranks_counted,
+    )
+    from product_etl_spark.operators.suffixes import _segmented_prefix_sum
+
+    srcs = df.select(F.col(source_col)).distinct()
+    sr, n_sources = global_sort_ranks_counted(srcs, [source_col], "_sidx")
+    base = df.withColumn("_one", F.lit(1)).withColumn(
+        "_ord",
+        F.struct(
+            F.col(difficulty_col).alias("d"), F.col(id_col).alias("i")
+        ),
+    )
+    ranked = _segmented_prefix_sum(base, [source_col], "_ord", "_one", "_srank")
+    return (
+        ranked.join(sr, source_col)
+        .withColumn(
+            "curriculum_key",
+            (
+                (F.col("_srank") - 1) * F.lit(n_sources)
+                + (F.col("_sidx") - 1)
+            ).cast("bigint"),
+        )
+        .drop("_one", "_ord", "_srank", "_sidx")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[str],
+    budget: int,
+) -> DataFrame:
+    """Greedy best-first data-budget selection: keep the
+    ``order_cols``-ascending prefix of the corpus whose cumulative
+    ``weight_col`` stays within ``budget`` — "the best N tokens",
+    the step between scoring (quality/importance families) and
+    packing. A document is kept iff its INCLUSIVE cumulative weight
+    fits, so the boundary document that would overflow the budget is
+    dropped (deterministic; no partial documents). ``order_cols``
+    must be a total order (tie-break with the id) or membership is
+    nondeterministic. Returns the kept rows plus ``cum_weight``.
+
+    Scale shape: ONE distributed prefix sum over the total order
+    (suffixes._prefix_sum on a struct sort key —
+    repartitionByRange + per-partition windows + #partitions-bounded
+    offset collect; never the single-task SUM() OVER (ORDER BY)
+    cliff the oracle is allowed), one filter. History-free,
+    input-sized, no corpus collect."""
+    from product_etl_spark.operators.suffixes import _prefix_sum
+
+    if budget < 0:
+        raise ValueError(f"token_budget_select: budget must be >= 0, got {budget}")
+    base = df.withColumn(
+        "_ord",
+        F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]),
+    )
+    c = _prefix_sum(base, "_ord", weight_col, "cum_weight")
+    return c.filter(F.col("cum_weight") <= F.lit(budget)).drop("_ord")

@@ -203,8 +203,11 @@ _DRIVER_WINDOW = [
     "q224_spearman_size_price",
     "q225_seasonal_decomposition",
     # -- new in r14, scheduled same round (the q188 pattern): the
-    #    incremental balanced-shard deal (r13 verdict item 5) --
+    #    incremental balanced-shard deal (r13 verdict item 5), the
+    #    curriculum interleave, and the token-budget selection --
     "q226_incremental_shard_append",
+    "q227_curriculum_interleave",
+    "q228_token_budget_select",
     # -- stale refresh: the ENTIRE r9-last-green remainder per the
     #    COVERAGE.md ledger (24 entries — q102/q113-q117 already
     #    refreshed in r13) plus q93~ rows-only --
@@ -254,8 +257,6 @@ _DRIVER_WINDOW = [
     "q14_first_order_per_customer",
     "q15_running_customer_revenue",
     "q17_null_empty_guards",
-    "q19_orders_by_year",
-    "q22_url_extraction",
 ]
 
 

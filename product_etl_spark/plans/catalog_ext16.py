@@ -109,3 +109,122 @@ def q226_incremental_shard_append(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q227_curriculum_interleave",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             LEN(list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) AS sidx,
+             COUNT(*) OVER () AS ns
+      FROM (SELECT DISTINCT source FROM t)
+    ), r AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_tokens, doc_id) AS srank
+      FROM t
+    )
+    SELECT r.doc_id, r.source, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           CAST((r.srank - 1) * s.ns + (s.sidx - 1) AS BIGINT)
+             AS curriculum_key
+    FROM r JOIN s USING (source)
+    ORDER BY curriculum_key
+    """,
+)
+def q227_curriculum_interleave(spark, sf_dir):
+    """Curriculum training order with source interleaving
+    (sampling.curriculum_interleave): within each source documents
+    rank easy-first (token count ascending, doc_id tie-break) and
+    the global key cycles sources round-robin — the WHEN of the
+    sampling family (mix_sources = what stays, balanced_shards =
+    where it lives). Key = (rank_in_source - 1) * n_sources +
+    source_index: a strictly-increasing sort key along the schedule.
+
+    Engine-exact: ranks and the key are pure integers.
+
+    Scale shape: vocabulary-sized counted source rank
+    (global_sort_ranks_counted — n_sources from the offsets collect,
+    no extra COUNT job), a SEGMENTED two-level prefix sum of 1s per
+    source over the (difficulty, id) struct order (never a
+    single-task per-source window — the oracle's PARTITION BY
+    window is the cliff the Spark side must avoid), one
+    vocabulary-sized join back."""
+    from product_etl_spark.functions import text as T_
+    from product_etl_spark.operators.sampling import curriculum_interleave
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", T_.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        curriculum_interleave(sized, "source", "n_tokens", "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "curriculum_key",
+        )
+        .orderBy("curriculum_key")
+    )
+
+
+@register(
+    "q228_token_budget_select",
+    r"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             LEN(list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY n_chars DESC, doc_id) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    ORDER BY doc_id
+    """,
+)
+def q228_token_budget_select(spark, sf_dir):
+    """Greedy data-budget selection (sampling.token_budget_select):
+    the best-first prefix of the corpus — here richest-content-first
+    (n_chars descending, doc_id tie-break) — whose cumulative token
+    count fits a 20k budget; the boundary document that would
+    overflow is dropped (no partial documents). The step between
+    scoring (quality/importance) and packing that "give me the best
+    N tokens" runs at every ablation.
+
+    Engine-exact: integer weights over an integer-decided order;
+    cum_tokens is an exact BIGINT running total.
+
+    Scale shape: ONE distributed two-level prefix sum over the total
+    order (suffixes._prefix_sum on the struct sort key) + a filter —
+    never the single-task SUM() OVER (ORDER BY) the oracle is
+    allowed to use."""
+    from product_etl_spark.functions import text as T_
+    from product_etl_spark.operators.sampling import token_budget_select
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (-F.col("n_chars")).alias("_negc"),
+        T_.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        token_budget_select(sized, "n_tokens", ["_negc", "doc_id"], 20000)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_weight").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -402,3 +402,108 @@ def test_append_balanced_shards_guards(spark):
     )
     with pytest.raises(ValueError, match="outside"):
         append_balanced_shards(df, "w", "doc_id", 4, bad)
+
+
+def test_curriculum_interleave_matches_pandas(spark):
+    """Per-source easy-first ranks x round-robin source cycling,
+    pinned against a pandas replay on data that SPANS range
+    partitions; the key is strictly increasing along the intended
+    order and sorting by it cycles sources until one exhausts."""
+    import hashlib
+
+    import pandas as pd
+
+    from product_etl_spark.operators.sampling import curriculum_interleave
+
+    rows = []
+    for i in range(600):
+        src = ["web", "code", "books"][i % 3] if i % 7 else "tiny"
+        d = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 251
+        rows.append((i, src, d))
+    df = spark.createDataFrame(rows, "doc_id long, src string, diff long")
+    got = {
+        r["doc_id"]: r["curriculum_key"]
+        for r in curriculum_interleave(df, "src", "diff", "doc_id").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["doc_id", "src", "diff"])
+    sidx = {s: i for i, s in enumerate(sorted(pdf["src"].unique()))}
+    ns = len(sidx)
+    pdf = pdf.sort_values(["src", "diff", "doc_id"])
+    pdf["srank"] = pdf.groupby("src").cumcount()
+    want = {
+        int(r.doc_id): int(r.srank) * ns + sidx[r.src]
+        for r in pdf.itertuples()
+    }
+    assert got == want
+    # keys are unique (a total order) and round-robin at the head
+    assert len(set(got.values())) == len(got)
+    head = sorted(got.items(), key=lambda kv: kv[1])[:ns]
+    assert {pdf.set_index("doc_id").loc[d, "src"] for d, _ in head} == set(sidx)
+
+
+def test_curriculum_interleave_no_per_source_data_window(spark):
+    """The per-source rank must come from the segmented two-level
+    scan: every window in the executed plan carries _pid."""
+    import re
+
+    from product_etl_spark.operators.sampling import curriculum_interleave
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2), i % 13) for i in range(80)],
+        "doc_id long, src string, diff long",
+    )
+    plan = (
+        curriculum_interleave(df, "src", "diff", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    bad = [s for s in specs if "_pid" not in s]
+    assert not bad, f"window without _pid: {bad}"
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    """Inclusive-cum membership pinned by hand: the boundary doc that
+    would overflow is dropped; budget 0 keeps nothing; the cum_weight
+    column is the running total in selection order."""
+    import pytest
+
+    from product_etl_spark.operators.sampling import token_budget_select
+
+    rows = [(1, 40, 9), (2, 30, 9), (3, 25, 7), (4, 20, 5), (5, 10, 1)]
+    # order: quality desc -> _negq asc; ids 1,2 (q=9) then 3,4,5
+    df = spark.createDataFrame(rows, "doc_id long, w long, q long")
+    base = df.withColumn("_negq", -F.col("q"))
+    got = {
+        r["doc_id"]: r["cum_weight"]
+        for r in token_budget_select(
+            base, "w", ["_negq", "doc_id"], budget=100
+        ).collect()
+    }
+    # cums: 40, 70, 95, 115(drop), 125(drop)
+    assert got == {1: 40, 2: 70, 3: 95}
+    assert token_budget_select(base, "w", ["_negq", "doc_id"], 0).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select(base, "w", ["_negq", "doc_id"], -1)
+
+
+def test_token_budget_select_spans_partitions(spark):
+    """Membership == pandas greedy prefix on 500 rows spanning range
+    partitions (the cross-partition carry fixture class)."""
+    import hashlib
+
+    import pandas as pd
+
+    from product_etl_spark.operators.sampling import token_budget_select
+
+    rows = [
+        (i, int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 50 + 1)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    budget = 3000
+    got = {r["doc_id"] for r in token_budget_select(
+        df, "w", ["doc_id"], budget).collect()}
+    pdf = pd.DataFrame(rows, columns=["doc_id", "w"]).sort_values("doc_id")
+    pdf["cum"] = pdf["w"].cumsum()
+    want = set(pdf[pdf["cum"] <= budget]["doc_id"])
+    assert got == want and len(got) > 0
