@@ -523,3 +523,86 @@ def token_budget_select(
     )
     c = _prefix_sum(base, "_ord", weight_col, "cum_weight")
     return c.filter(F.col("cum_weight") <= F.lit(budget)).drop("_ord")
+
+
+def stratified_quota_backfill(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Per-group quota sampling with BACKFILL: every group keeps at
+    most ``cap`` rows (picked in deterministic ``order_cols``
+    ascending order), and the budget that under-full groups leave
+    unused is redistributed to the over-full groups — ``floor``
+    share each, the remainder dealt one-each to the first over-full
+    groups in group-key order. The total kept thus stays at
+    ``min(n_rows, cap * n_groups)`` instead of silently shrinking
+    whenever domains are skewed — the flaw of a plain stratified cap
+    (q62) as a corpus BUDGET tool. One redistribution round only:
+    backfill a group cannot absorb is forfeited (documented, and the
+    common case — a single dominant domain — absorbs everything).
+
+    ``order_cols`` must totally order rows within a group (tie-break
+    with the id) or membership is nondeterministic.
+
+    Scale shape: group counts are one map-side-combined groupBy; the
+    unused-budget aggregate is ONE row; over-group ranks come from
+    the two-level global_sort_ranks over the GROUP-cardinality
+    frame; per-row in-group ranks come from the segmented two-level
+    prefix sum of 1s (suffixes._segmented_prefix_sum — a group with
+    any number of rows is never a single window task); the final
+    keep test is one broadcast-sized equi-join. Nothing corpus^2,
+    no corpus-sized collect."""
+    from product_etl_spark.operators.linkage import global_sort_ranks
+    from product_etl_spark.operators.suffixes import _segmented_prefix_sum
+
+    if cap < 0:
+        raise ValueError(f"stratified_quota_backfill: cap must be >= 0, got {cap}")
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    pool = counts.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_n") < cap, F.lit(cap) - F.col("_n"))
+            ),
+            F.lit(0),
+        ).alias("_unused"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > cap, F.lit(1))), F.lit(0)
+        ).alias("_n_over"),
+    )
+    over_ranked = global_sort_ranks(
+        counts.filter(F.col("_n") > cap).select("_g"), ["_g"], "_orank"
+    )
+    allowed = (
+        counts.join(over_ranked, "_g", "left")
+        .crossJoin(F.broadcast(pool))
+        .select(
+            "_g",
+            F.when(
+                F.col("_orank").isNull(), F.lit(cap).cast("bigint")
+            )
+            .otherwise(
+                F.lit(cap)
+                + F.floor(F.col("_unused") / F.col("_n_over"))
+                + F.when(
+                    F.col("_orank") <= F.col("_unused") % F.col("_n_over"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("_allowed"),
+        )
+    )
+    base = df.withColumn("_one", F.lit(1)).withColumn(
+        "_ord",
+        F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]),
+    )
+    ranked = _segmented_prefix_sum(base, [group_col], "_ord", "_one", "_rn")
+    return (
+        ranked.join(allowed, ranked[group_col] == allowed["_g"])
+        .filter(F.col("_rn") <= F.col("_allowed"))
+        .drop("_one", "_ord", "_rn", "_g", "_allowed")
+    )

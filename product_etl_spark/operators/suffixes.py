@@ -129,10 +129,14 @@ def _prefix_sum(
     for r in sorted(sizes, key=lambda r: r["_pid"]):
         offsets[r["_pid"]] = acc
         acc += r["_t"] or 0
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    return local.withColumn(
-        out_col, (off[F.col("_pid")] + F.col("_lps")).cast("bigint")
-    ).drop("_pid", "_lps")
+    if offsets:
+        off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        cum_expr = (off[F.col("_pid")] + F.col("_lps")).cast("bigint")
+    else:
+        # empty input: zero-entry create_map() is VOID-typed and fails
+        # analysis; the frame has no rows, so any well-typed column works
+        cum_expr = F.lit(None).cast("bigint")
+    return local.withColumn(out_col, cum_expr).drop("_pid", "_lps")
 
 
 def _segmented_prefix_sum(

@@ -208,6 +208,7 @@ _DRIVER_WINDOW = [
     "q226_incremental_shard_append",
     "q227_curriculum_interleave",
     "q228_token_budget_select",
+    "q229_quota_backfill",
     # -- stale refresh: the ENTIRE r9-last-green remainder per the
     #    COVERAGE.md ledger (24 entries — q102/q113-q117 already
     #    refreshed in r13) plus q93~ rows-only --
@@ -256,7 +257,6 @@ _DRIVER_WINDOW = [
     "q11_distinct_flag_status",
     "q14_first_order_per_customer",
     "q15_running_customer_revenue",
-    "q17_null_empty_guards",
 ]
 
 

@@ -228,3 +228,69 @@ def q228_token_budget_select(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q229_quota_backfill",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars FROM documents
+    ), cnt AS (
+      SELECT lang, COUNT(*) AS n FROM t GROUP BY lang
+    ), pool AS (
+      SELECT COALESCE(SUM(CASE WHEN n < 80 THEN 80 - n END), 0) AS unused,
+             COALESCE(SUM(CASE WHEN n > 80 THEN 1 END), 0) AS n_over
+      FROM cnt
+    ), ovr AS (
+      SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) AS orank
+      FROM cnt WHERE n > 80
+    ), allowed AS (
+      SELECT cnt.lang,
+             CASE WHEN ovr.orank IS NULL THEN 80
+                  ELSE 80 + (pool.unused // pool.n_over)
+                       + CASE WHEN ovr.orank <= pool.unused % pool.n_over
+                              THEN 1 ELSE 0 END
+             END AS allowed
+      FROM cnt LEFT JOIN ovr USING (lang) CROSS JOIN pool
+    ), r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM t
+    )
+    SELECT r.doc_id, r.lang
+    FROM r JOIN allowed USING (lang)
+    WHERE r.rn <= allowed.allowed
+    ORDER BY r.lang, r.doc_id
+    """,
+)
+def q229_quota_backfill(spark, sf_dir):
+    """Per-language quota sampling with BACKFILL
+    (sampling.stratified_quota_backfill): each language keeps its 80
+    richest documents (n_chars descending, doc_id tie-break); the
+    budget the small languages leave unused flows to the over-full
+    ones (floor share + remainder one-each in key order) — so the
+    corpus budget stays min(n_rows, cap * n_groups) where q62's
+    plain stratified cap silently shrinks it under domain skew.
+
+    Engine-exact: counts, quotas and in-group ranks are all
+    integer-decided.
+
+    Scale shape: one map-side-combined group count, a 1-row pool
+    aggregate, a two-level rank over the GROUP-cardinality frame,
+    the segmented two-level prefix sum of 1s for in-group ranks
+    (never a single-task per-group window — the oracle's PARTITION
+    BY window is the cliff), one broadcast-sized join back."""
+    from product_etl_spark.operators.sampling import (
+        stratified_quota_backfill,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", (-F.col("n_chars")).alias("_negc")
+    )
+    return (
+        stratified_quota_backfill(base, "lang", ["_negc", "doc_id"], 80)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

@@ -211,3 +211,21 @@ def test_agreement_pattern_profile_blocks_bound_pairs(spark):
     assert (
         agreement_pattern_profile(df, "blk", "id", ["seg"]).count() == 0
     )
+
+
+def test_global_sort_ranks_empty_input(spark):
+    """Empty frames must rank to empty frames (zero-entry create_map
+    is VOID-typed — the analysis failure stratified_quota_backfill's
+    no-over-group path exposed)."""
+    from product_etl_spark.operators.linkage import (
+        global_sort_ranks,
+        global_sort_ranks_counted,
+    )
+    from product_etl_spark.operators.suffixes import _prefix_sum
+
+    empty = spark.createDataFrame([], "k long, v long").filter("k > 0")
+    ranked, total = global_sort_ranks_counted(empty, ["k"], "_r")
+    assert ranked.count() == 0 and total == 0
+    assert "_r" in ranked.columns
+    assert global_sort_ranks(empty, ["k"], "_r").count() == 0
+    assert _prefix_sum(empty, "k", "v", "_cum").count() == 0

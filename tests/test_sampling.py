@@ -507,3 +507,74 @@ def test_token_budget_select_spans_partitions(spark):
     pdf["cum"] = pdf["w"].cumsum()
     want = set(pdf[pdf["cum"] <= budget]["doc_id"])
     assert got == want and len(got) > 0
+
+
+def test_stratified_quota_backfill_hand_pinned(spark):
+    """Unused quota flows to over-full groups: floor share + remainder
+    one-each in group-key order; under-full groups keep everything;
+    kept total = min(n_rows, cap * n_groups)."""
+    import pytest
+
+    from product_etl_spark.operators.sampling import (
+        stratified_quota_backfill,
+    )
+
+    rows = (
+        [(i, "A") for i in range(10)]
+        + [(100 + i, "B") for i in range(8)]
+        + [(200, "C")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = stratified_quota_backfill(df, "g", ["doc_id"], cap=4)
+    kept = {}
+    for r in out.collect():
+        kept.setdefault(r["g"], set()).add(r["doc_id"])
+    # unused = (4-1) from C = 3; over = {A, B}; extra = 1 each,
+    # remainder 1 -> A (first in key order) gets +1
+    assert len(kept["A"]) == 6 and kept["A"] == set(range(6))
+    assert len(kept["B"]) == 5 and kept["B"] == {100, 101, 102, 103, 104}
+    assert kept["C"] == {200}
+    assert out.count() == min(len(rows), 4 * 3) == 12
+    # no over-full group: plain cap, nothing redistributed, no 0/0
+    small = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "doc_id long, g string"
+    )
+    assert stratified_quota_backfill(small, "g", ["doc_id"], 5).count() == 2
+    with pytest.raises(ValueError, match="cap"):
+        stratified_quota_backfill(small, "g", ["doc_id"], -1)
+
+
+def test_stratified_quota_backfill_spans_partitions(spark):
+    """Membership == a pandas replay on groups that SPAN range
+    partitions (the segmented-scan carry fixture class)."""
+    import hashlib
+
+    import pandas as pd
+
+    from product_etl_spark.operators.sampling import (
+        stratified_quota_backfill,
+    )
+
+    rows = []
+    for i in range(700):
+        g = "G" + str(i % 4 if i % 11 else 9)  # G9 tiny, G0-G3 big
+        k = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 1000
+        rows.append((i, g, k))
+    df = spark.createDataFrame(rows, "doc_id long, g string, k long")
+    cap = 150
+    got = {r["doc_id"] for r in stratified_quota_backfill(
+        df, "g", ["k", "doc_id"], cap).collect()}
+    pdf = pd.DataFrame(rows, columns=["doc_id", "g", "k"])
+    counts = pdf.groupby("g").size()
+    unused = int(sum(max(0, cap - n) for n in counts))
+    over = sorted(g for g, n in counts.items() if n > cap)
+    extra = unused // len(over)
+    rem = unused % len(over)
+    want = set()
+    for g, sub in pdf.groupby("g"):
+        allowed = cap if g not in over else (
+            cap + extra + (1 if over.index(g) + 1 <= rem else 0)
+        )
+        sub = sub.sort_values(["k", "doc_id"]).head(allowed)
+        want |= set(sub["doc_id"])
+    assert got == want and len(got) > 0
