@@ -1030,3 +1030,123 @@ def spearman_corr(
         F.col("n").cast("bigint").alias("n"),
         F.round(rho, 6).alias("rho"),
     ).orderBy(group_col)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H rank test across ALL groups at once — the
+    k-sample generalization of ``rank_sum_test`` (same doubled
+    midranks, same value-collapsed machinery): does at least one
+    group's distribution sit apart? The drift family's answer when
+    a corpus has many segments and pairwise Mann-Whitney tests
+    would multiply.
+
+    Per-group surface (one row per group, ORDER BY group): n_g and
+    the doubled rank sum r2_g (both BIGINT, integer-exact via
+    2*midrank = 2*cum - cnt + 1), plus h_term — this group's
+    contribution 3*r2_g^2 / (N*(N+1)*n_g) as ONE deterministic
+    float tree ROUND(.,6)ed (the q148/q161 float policy; the sum of
+    identical IEEE trees is left to the consumer so no cross-engine
+    float-summation ORDER ever enters the hash). H = SUM(h_term) -
+    3*(N+1); tie-corrected H_tc = H / (1 - SUM(cnt^3-cnt)/(N^3-N))
+    — ``kruskal_wallis_h`` computes both. NULL values and NULL
+    groups are dropped (no rank for NULL; engines disagree on NULL
+    sort order).
+
+    Scale shape: ties collapse in one map-side-combined groupBy on
+    the VALUE before any ordering; the distinct-value prefix sum is
+    the two-level distributed scan (suffixes._prefix_sum); the
+    (value, group) frame joins back on the value key; one group
+    aggregate + a 1-row total broadcast. Nothing pair-wise, no
+    single-task window."""
+    from product_etl_spark.operators.suffixes import _prefix_sum
+
+    s = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(value_col).alias("_v"), F.col(group_col).alias("_g"))
+    vals = s.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    c = _prefix_sum(vals, "_v", "_cnt", "_cum")
+    vg = s.groupBy("_v", "_g").agg(F.count(F.lit(1)).alias("_cvg"))
+    rg = (
+        vg.join(c, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.col("_cvg") * (2 * F.col("_cum") - F.col("_cnt") + 1)
+            ).alias("_r2g"),
+            F.sum("_cvg").alias("_ng"),
+        )
+    )
+    tot = rg.agg(F.sum("_ng").alias("_n"))
+    nd = F.col("_n").cast("double")
+    r2d = F.col("_r2g").cast("double")
+    ngd = F.col("_ng").cast("double")
+    return (
+        rg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_ng").cast("bigint").alias("n_g"),
+            F.col("_r2g").cast("bigint").alias("r2_g"),
+            F.round(
+                F.lit(3.0) * r2d * r2d / (nd * (nd + 1) * ngd), 6
+            ).alias("h_term"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def kruskal_wallis_h(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-row H statistic from the ``kruskal_wallis`` per-group
+    surface: H = SUM(h_term) - 3*(N+1) and the tie-corrected
+    H_tc = H / (1 - ties/(N^3 - N)). The per-group ROUND(.,6)ed
+    terms are summed as DECIMAL(38,6) — exact, order-free addition —
+    so the only float steps are the per-row trees and one final
+    division: deterministic on any engine, any partitioning.
+    Degenerate contract (engine-identical by guard): N <= 1 or
+    all observations tied (ties == N^3 - N) yield NULL H_tc; k = 0
+    (empty input) yields a single all-NULL row."""
+    terms = kruskal_wallis(df, value_col, group_col)
+    s = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(value_col).alias("_v"))
+    ties = (
+        s.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(
+            F.sum(
+                F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+            ).alias("_ties")
+        )
+    )
+    agg = terms.agg(
+        F.sum(F.col("h_term").cast("decimal(38,6)")).alias("_sumt"),
+        F.sum("n_g").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("_n").cast("double")
+    h = F.col("_sumt").cast("double") - F.lit(3.0) * (nd + 1)
+    n3n = F.col("_n") * F.col("_n") * F.col("_n") - F.col("_n")
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_k").cast("bigint").alias("k"),
+        F.col("_ties").cast("bigint").alias("ties"),
+        F.round(h, 6).alias("h"),
+        F.when(
+            (F.col("_n") > 1) & (F.col("_ties") < n3n),
+            F.round(
+                h
+                / (
+                    F.lit(1.0)
+                    - F.col("_ties").cast("double") / n3n.cast("double")
+                ),
+                6,
+            ),
+        ).alias("h_tc"),
+    )

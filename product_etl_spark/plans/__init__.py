@@ -149,7 +149,27 @@ join same-round per the q188 pattern. The remaining slots take the
 oldest r10 reps: the q174-q176 post-r9-freeze cohort first, then
 r10-stamped family reps in registration order. The six standing
 anchors are r12-fresh and sit out again. After r14 no entry's
-newest green row is older than r10.
+newest green row is older than r10. Five new-in-r14 registrations
+(q226 incremental shard append, q227 curriculum interleave, q228
+token-budget select, q229 quota backfill, q230 Kruskal-Wallis)
+joined same-round per the q188 pattern, each displacing the tail
+r10 fill (q25/q22/q19/q17/q15 ceded — all stay r10-green, within
+the freshness bound).
+
+Round-15 ROTATION PLAN (for the session that composes it, written at
+the end of r14): post-freeze queue registrations lead, as every
+round (the r14 queue is EMPTY — all five r14 registrations were
+scheduled same-round). The stalest cohort per the COVERAGE.md
+ledger is then the 31-entry r10-last-green tier (q15/q17/q19/q22/
+q25/q28/q37/q39/q42/q48/q50, the r6-registered q118/q119/q121-q133/
+q135/q136 remainder, and q177-q179) — all of it. The remaining ~19
+slots take the oldest r11-last-green reps in registration order
+(q12/q16/q18/q20/q21/q23/q24/q26/q27/q29/q30/q31/q33/q38/q40/q41/
+q45/q47/q49). The six standing anchors (q01/q02/q32/q94/q112/q114,
+last green r12) can sit out once more or take spare slots;
+new-in-r15 registrations displace the r11-fill tail per the q188
+pattern. After r15 no entry's newest green row should be older
+than r11.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -209,6 +229,7 @@ _DRIVER_WINDOW = [
     "q227_curriculum_interleave",
     "q228_token_budget_select",
     "q229_quota_backfill",
+    "q230_kruskal_wallis",
     # -- stale refresh: the ENTIRE r9-last-green remainder per the
     #    COVERAGE.md ledger (24 entries — q102/q113-q117 already
     #    refreshed in r13) plus q93~ rows-only --
@@ -256,7 +277,6 @@ _DRIVER_WINDOW = [
     "q10_topk_brands",
     "q11_distinct_flag_status",
     "q14_first_order_per_customer",
-    "q15_running_customer_revenue",
 ]
 
 

@@ -294,3 +294,60 @@ def q229_quota_backfill(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "q230_kruskal_wallis",
+    r"""
+    WITH s AS (
+      SELECT c_acctbal AS v, c_mktsegment AS g
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+    ), vals AS (
+      SELECT v, COUNT(*) AS cnt FROM s GROUP BY v
+    ), c AS (
+      SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM vals
+    ), vg AS (
+      SELECT v, g, COUNT(*) AS cvg FROM s GROUP BY v, g
+    ), rg AS (
+      SELECT g,
+             SUM(cvg * (2 * cum - cnt + 1)) AS r2g,
+             SUM(cvg) AS ng
+      FROM vg JOIN c USING (v) GROUP BY g
+    ), tot AS (
+      SELECT SUM(ng) AS n FROM rg
+    )
+    SELECT g AS c_mktsegment,
+           CAST(ng AS BIGINT) AS n_g,
+           CAST(r2g AS BIGINT) AS r2_g,
+           ROUND(3.0 * CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                    * CAST(ng AS DOUBLE)), 6) AS h_term
+    FROM rg CROSS JOIN tot
+    ORDER BY c_mktsegment
+    """,
+)
+def q230_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across ALL five market segments at once
+    (profile.kruskal_wallis) — the k-sample generalization of the
+    q223 Mann-Whitney on the same doubled-midrank machinery: one
+    test instead of k*(k-1)/2 pairwise rank-sums when a corpus has
+    many segments. Surface: per-group (n_g, r2_g) BIGINTs plus the
+    group's H contribution as one ROUND(.,6) float tree; H =
+    SUM(h_term) - 3*(N+1) (kruskal_wallis_h adds the exact-decimal
+    term sum and tie correction).
+
+    Engine-exact: doubled midranks keep every rank sum integral;
+    each h_term is a single deterministic IEEE tree from
+    integer-decided inputs — no cross-engine float-summation order
+    enters the hash.
+
+    Scale shape: ties collapse in one map-side groupBy on the value;
+    the distinct-value prefix sum is the two-level scan
+    (suffixes._prefix_sum — never the oracle's single-task window);
+    one value-keyed join-back, one group aggregate, a 1-row total
+    broadcast."""
+    from product_etl_spark.operators.profile import kruskal_wallis
+
+    c = _t(spark, sf_dir, "customer")
+    return kruskal_wallis(c, "c_acctbal", "c_mktsegment")

@@ -42,7 +42,7 @@ def test_window_covers_all_never_driver_green():
     (q174-q176 cohort first, then r10-stamped family reps in
     registration order; new-in-r14 registrations displace the fill
     tail). The six standing anchors are r12-fresh and sit out."""
-    never_green_prefixes = {f"q{n}" for n in range(219, 230)}
+    never_green_prefixes = {f"q{n}" for n in range(219, 231)}
     r9_stale_prefixes = {
         "q82", "q83", "q84", "q85", "q86", "q88", "q89", "q90", "q93",
         "q100", "q101", "q103", "q104", "q105", "q106", "q107", "q108",
@@ -50,7 +50,7 @@ def test_window_covers_all_never_driver_green():
     }
     r10_fill_prefixes = {
         "q174", "q175", "q176", "q03", "q04", "q05", "q06", "q07",
-        "q08", "q09", "q10", "q11", "q14", "q15",
+        "q08", "q09", "q10", "q11", "q14",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
     expect = never_green_prefixes | r9_stale_prefixes | r10_fill_prefixes
@@ -62,7 +62,7 @@ def test_window_covers_all_never_driver_green():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 229
+    assert len(names) == len(set(names)) == 230
 
 
 def test_coverage_doc_matches_window():

@@ -257,3 +257,60 @@ def test_rank_tests_drop_null_values(spark):
     assert [(r["g"], r["n"], r["rho"]) for r in sc] == [
         (r["g"], r["n"], r["rho"]) for r in sn
     ]
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    """Three groups pinned by hand (scipy.stats.kruskal cross-checked
+    formula): A=[1,2], B=[3,4], C=[5,6] -> no ties, ranks 1..6,
+    R_A=3, R_B=7, R_C=11; H = 12/(6*7) * (9/2+49/2+121/2) - 21
+    = 2/7*89.5/... = 12/42*89.5 - 21 = 4.5714286."""
+    from product_etl_spark.operators.profile import (
+        kruskal_wallis,
+        kruskal_wallis_h,
+    )
+
+    rows = [(1.0, "A"), (2.0, "A"), (3.0, "B"), (4.0, "B"),
+            (5.0, "C"), (6.0, "C")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    per = {r["g"]: (r["n_g"], r["r2_g"]) for r in
+           kruskal_wallis(df, "v", "g").collect()}
+    assert per == {"A": (2, 6), "B": (2, 14), "C": (2, 22)}
+    h = kruskal_wallis_h(df, "v", "g").collect()[0]
+    assert (h["n"], h["k"], h["ties"]) == (6, 3, 0)
+    import math
+
+    want = 12.0 / (6 * 7) * (1.5 ** 2 * 2 + 3.5 ** 2 * 2 + 5.5 ** 2 * 2) - 21
+    assert math.isclose(h["h"], round(want, 6), abs_tol=2e-6)
+    assert h["h_tc"] == h["h"]  # no ties -> correction is identity
+
+
+def test_kruskal_wallis_ties_and_degenerate(spark):
+    """Tie correction pinned by hand on a tied fixture; all-tied and
+    empty inputs follow the NULL contract."""
+    from product_etl_spark.operators.profile import kruskal_wallis_h
+
+    # A=[1,1], B=[1,2]: doubled midranks of 1 -> 2*cum-cnt+1 = 2*3-3+1=4
+    # (midrank 2), of 2 -> 2*4-1+1=8 (rank 4). r2_A=8, r2_B=12.
+    rows = [(1.0, "A"), (1.0, "A"), (1.0, "B"), (2.0, "B")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    h = kruskal_wallis_h(df, "v", "g").collect()[0]
+    assert h["ties"] == 24  # 3^3-3
+    import math
+
+    # R_A = 4 (2+2), R_B = 6 (2+4); H = 12/(4*5)*(16/2+36/2) - 15 = 0.6
+    want_h = 12.0 / 20 * (8 + 18) - 15
+    assert math.isclose(h["h"], round(want_h, 6), abs_tol=2e-6)
+    assert math.isclose(h["h_tc"], round(want_h / (1 - 24 / 60.0), 6),
+                        abs_tol=2e-6)
+    # all observations tied: ties == n^3-n -> h_tc NULL
+    tied = spark.createDataFrame(
+        [(7.0, "A"), (7.0, "B"), (7.0, "B")], "v double, g string"
+    )
+    ht = kruskal_wallis_h(tied, "v", "g").collect()[0]
+    assert ht["h_tc"] is None
+    # NULL values/groups dropped; k=2 groups still fine
+    noisy = spark.createDataFrame(
+        rows + [(None, "A"), (9.0, None)], "v double, g string"
+    )
+    hn = kruskal_wallis_h(noisy, "v", "g").collect()[0]
+    assert (hn["n"], hn["h"]) == (h["n"], h["h"])
