@@ -1062,12 +1062,30 @@ def kruskal_wallis(
     (value, group) frame joins back on the value key; one group
     aggregate + a 1-row total broadcast. Nothing pair-wise, no
     single-task window."""
-    from product_etl_spark.operators.suffixes import _prefix_sum
+    s, vals = _kw_observations(df, value_col, group_col)
+    return _kw_terms(s, vals, group_col)
 
+
+def _kw_observations(
+    df: DataFrame, value_col: str, group_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Kruskal-Wallis inputs: the complete-observation frame
+    and its value-collapsed counts — split out so kruskal_wallis_h
+    can checkpoint ``vals`` once and derive BOTH the per-group terms
+    and the tie total from it instead of re-aggregating the corpus a
+    third time (r14 review finding)."""
     s = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(value_col).alias("_v"), F.col(group_col).alias("_g"))
     vals = s.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    return s, vals
+
+
+def _kw_terms(
+    s: DataFrame, vals: DataFrame, group_col: str
+) -> DataFrame:
+    from product_etl_spark.operators.suffixes import _prefix_sum
+
     c = _prefix_sum(vals, "_v", "_cnt", "_cum")
     vg = s.groupBy("_v", "_g").agg(F.count(F.lit(1)).alias("_cvg"))
     rg = (
@@ -1112,18 +1130,16 @@ def kruskal_wallis_h(
     Degenerate contract (engine-identical by guard): N <= 1 or
     all observations tied (ties == N^3 - N) yield NULL H_tc; k = 0
     (empty input) yields a single all-NULL row."""
-    terms = kruskal_wallis(df, value_col, group_col)
-    s = df.filter(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
-    ).select(F.col(value_col).alias("_v"))
-    ties = (
-        s.groupBy("_v")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .agg(
-            F.sum(
-                F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
-            ).alias("_ties")
-        )
+    s, vals = _kw_observations(df, value_col, group_col)
+    # one materialization of the value counts feeds BOTH the term
+    # pipeline and the tie total — without it the tie aggregate would
+    # re-scan and re-collapse the corpus a third time
+    vals = vals.localCheckpoint(eager=True)
+    terms = _kw_terms(s, vals, group_col)
+    ties = vals.agg(
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).alias("_ties")
     )
     agg = terms.agg(
         F.sum(F.col("h_term").cast("decimal(38,6)")).alias("_sumt"),

@@ -317,7 +317,9 @@ def balanced_shards(
     manifests: documents are laid out in GLOBAL weight-descending
     order (token counts, byte sizes — tie-broken by ``id_col``) and
     dealt to ``n_shards`` in SNAKE (boustrophedon) order — pass 0
-    deals shards 0..n-1, pass 1 deals n-1..0, and so on. This is the
+    deals shards 0..n-1, pass 1 deals n-1..0, and so on; the trailing
+    PARTIAL pass always deals forward (see ``_snake_slot`` — the rule
+    that keeps the incremental twin's per-append bound). This is the
     distributable greedy approximation of longest-processing-time
     bin packing: each full double-pass gives every shard exactly one
     heavy-half and one light-half item, so the max-min shard-total
@@ -344,21 +346,40 @@ def balanced_shards(
     range partition; the output is input-sized."""
     if n_shards < 1:
         raise ValueError(f"balanced_shards: need n_shards >= 1, got {n_shards}")
-    from product_etl_spark.operators.linkage import global_sort_ranks
+    from product_etl_spark.operators.linkage import (
+        global_sort_ranks_counted,
+    )
 
-    ranked = global_sort_ranks(
+    ranked, n_rows = global_sort_ranks_counted(
         df.withColumn("_negw", -F.col(weight_col).cast("double")),
         ["_negw", id_col],
         "_grank",
     )
+    return ranked.withColumn(
+        "shard", _snake_slot(n_shards, n_rows).cast("int")
+    ).drop("_negw", "_grank")
+
+
+def _snake_slot(n_shards: int, n_rows: int):
+    """Slot expression for the snake deal over a global 1-based rank
+    ``_grank`` of ``n_rows`` items into ``n_shards`` slots: full
+    passes alternate direction (boustrophedon — each double-pass
+    gives every slot one heavy-half and one light-half item); the
+    trailing PARTIAL pass always deals FORWARD (slots 0..m-1, the
+    lightest-first end). A reversed partial pass would hand its
+    extra items to the HEAVIEST end — harmless once, but under
+    repeated appends of odd-tail batches (append_balanced_shards)
+    the drift compounds without bound, breaching the 2x-max-weight
+    spread contract (r14 review finding; regression-pinned in
+    tests/test_sampling.py)."""
     idx = (F.col("_grank") - 1) % n_shards
     snake_pass = F.floor((F.col("_grank") - 1) / n_shards)
-    return ranked.withColumn(
-        "shard",
-        F.when(snake_pass % 2 == 0, idx)
+    partial_start = (n_rows // n_shards) * n_shards
+    return (
+        F.when(F.col("_grank") > F.lit(partial_start), idx)
+        .when(snake_pass % 2 == 0, idx)
         .otherwise(F.lit(n_shards - 1) - idx)
-        .cast("int"),
-    ).drop("_negw", "_grank")
+    )
 
 
 def shard_weight_totals(assigned: DataFrame, weight_col: str) -> DataFrame:
@@ -381,7 +402,10 @@ def append_balanced_shards(
     deal a NEW batch into EXISTING shard manifests keeping totals
     balanced — the batch's weight-descending snake order is dealt
     into the shards ordered CURRENT-LIGHTEST-FIRST, so each pass
-    hands the heaviest remaining documents to the lightest shards.
+    hands the heaviest remaining documents to the lightest shards;
+    the trailing partial pass deals forward (``_snake_slot`` — a
+    reversed partial would feed the heaviest shards and compound
+    without bound over repeated odd-tail appends).
     ``shard_totals`` is the (shard, total_weight) state from prior
     appends (``shard_weight_totals``; n_shards rows — the only
     driver-side piece, a k-bounded collect); ``None`` means empty
@@ -405,7 +429,9 @@ def append_balanced_shards(
         raise ValueError(
             f"append_balanced_shards: need n_shards >= 1, got {n_shards}"
         )
-    from product_etl_spark.operators.linkage import global_sort_ranks
+    from product_etl_spark.operators.linkage import (
+        global_sort_ranks_counted,
+    )
 
     if shard_totals is None:
         order = list(range(n_shards))
@@ -419,16 +445,12 @@ def append_balanced_shards(
                 f"outside 0..{n_shards - 1}"
             )
         order = sorted(range(n_shards), key=lambda s: (totals.get(s, 0.0), s))
-    ranked = global_sort_ranks(
+    ranked, n_rows = global_sort_ranks_counted(
         df.withColumn("_negw", -F.col(weight_col).cast("double")),
         ["_negw", id_col],
         "_grank",
     )
-    idx = (F.col("_grank") - 1) % n_shards
-    snake_pass = F.floor((F.col("_grank") - 1) / n_shards)
-    slot = F.when(snake_pass % 2 == 0, idx).otherwise(
-        F.lit(n_shards - 1) - idx
-    )
+    slot = _snake_slot(n_shards, n_rows)
     perm = F.array(*[F.lit(s) for s in order])
     return ranked.withColumn(
         "shard", F.element_at(perm, (slot + 1).cast("int")).cast("int")
@@ -505,7 +527,10 @@ def token_budget_select(
     fits, so the boundary document that would overflow the budget is
     dropped (deterministic; no partial documents). ``order_cols``
     must be a total order (tie-break with the id) or membership is
-    nondeterministic. Returns the kept rows plus ``cum_weight``.
+    nondeterministic. Returns the kept rows plus ``cum_weight``
+    (DECIMAL(38,6) — weights are accumulated as exact decimals at
+    6-fractional-digit precision, so fractional weights neither
+    truncate nor float-drift; r14 review finding).
 
     Scale shape: ONE distributed prefix sum over the total order
     (suffixes._prefix_sum on a struct sort key —
@@ -520,9 +545,9 @@ def token_budget_select(
     base = df.withColumn(
         "_ord",
         F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]),
-    )
-    c = _prefix_sum(base, "_ord", weight_col, "cum_weight")
-    return c.filter(F.col("cum_weight") <= F.lit(budget)).drop("_ord")
+    ).withColumn("_w", F.col(weight_col).cast("decimal(27,6)"))
+    c = _prefix_sum(base, "_ord", "_w", "cum_weight", out_cast="decimal(38,6)")
+    return c.filter(F.col("cum_weight") <= F.lit(budget)).drop("_ord", "_w")
 
 
 def stratified_quota_backfill(

@@ -107,13 +107,21 @@ from product_etl_spark.operators.linkage import (
 
 
 def _prefix_sum(
-    df: DataFrame, order_col: str, val_col: str, out_col: str
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    out_cast: str = "bigint",
 ) -> DataFrame:
     """Distributed inclusive prefix sum of ``val_col`` over the total
     order ``order_col`` — global_sort_ranks' two-level pattern with
     SUM instead of row_number: repartitionByRange, per-partition
     running-sum windows (parallel), #partitions-sized offset collect
-    broadcast back. Never a single-task global window."""
+    broadcast back. Never a single-task global window. ``out_cast``
+    is the output type: the default bigint fits the integer-count
+    callers (runs, ranks, token sums); pass an exact decimal for
+    fractional values — a bigint cast would silently TRUNCATE them
+    (r14 review finding, token_budget_select)."""
     parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     ranged = df.repartitionByRange(int(parts), F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
@@ -131,11 +139,11 @@ def _prefix_sum(
         acc += r["_t"] or 0
     if offsets:
         off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        cum_expr = (off[F.col("_pid")] + F.col("_lps")).cast("bigint")
+        cum_expr = (off[F.col("_pid")] + F.col("_lps")).cast(out_cast)
     else:
         # empty input: zero-entry create_map() is VOID-typed and fails
         # analysis; the frame has no rows, so any well-typed column works
-        cum_expr = F.lit(None).cast("bigint")
+        cum_expr = F.lit(None).cast(out_cast)
     return local.withColumn(out_col, cum_expr).drop("_pid", "_lps")
 
 

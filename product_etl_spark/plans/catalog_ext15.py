@@ -251,12 +251,14 @@ _SHARD_RANK_SQL = r"""
       FROM documents
     ), r AS (
       SELECT doc_id, n_tokens,
-             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS nr
       FROM t
     ), s AS (
+      -- trailing PARTIAL pass deals forward (the _snake_slot rule)
       SELECT doc_id, n_tokens,
-             CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0
-                       THEN (rn - 1) % 8
+             CAST(CASE WHEN rn > (nr // 8) * 8 THEN (rn - 1) % 8
+                       WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
                        ELSE 7 - ((rn - 1) % 8)
                   END AS INT) AS shard
       FROM r

@@ -27,12 +27,14 @@ from product_etl_spark.plans.catalog import _t, register
       FROM documents
     ), b1 AS (
       SELECT doc_id, n_tokens,
-             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS nr
       FROM sized WHERE doc_id % 3 <> 2
     ), a1 AS (
+      -- trailing PARTIAL pass deals forward (the _snake_slot rule)
       SELECT doc_id, n_tokens,
-             CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0
-                       THEN (rn - 1) % 8
+             CAST(CASE WHEN rn > (nr // 8) * 8 THEN (rn - 1) % 8
+                       WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
                        ELSE 7 - ((rn - 1) % 8)
                   END AS INT) AS shard
       FROM b1
@@ -40,19 +42,28 @@ from product_etl_spark.plans.catalog import _t, register
       SELECT shard, SUM(CAST(n_tokens AS DOUBLE)) AS total_weight
       FROM a1 GROUP BY shard
     ), perm AS (
-      -- lightest-first permutation: slot s takes the shard with the
-      -- s-th smallest running total (ties broken by shard id)
-      SELECT shard,
-             ROW_NUMBER() OVER (ORDER BY total_weight, shard) - 1 AS slot
-      FROM totals
+      -- lightest-first permutation over ALL n_shards slots: a shard
+      -- with no history document folds in at weight 0 (the Spark
+      -- side's totals.get(s, 0.0)) — an inner join on observed
+      -- shards alone would DROP batch docs whose slot maps to an
+      -- unseen shard on degenerate corpora (r14 review finding)
+      SELECT g.shard,
+             ROW_NUMBER() OVER (
+               ORDER BY COALESCE(t.total_weight, 0.0), g.shard) - 1
+               AS slot
+      FROM (SELECT UNNEST(range(8)) AS shard) g
+      LEFT JOIN totals t USING (shard)
     ), b2 AS (
       SELECT doc_id, n_tokens,
-             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS nr
       FROM sized WHERE doc_id % 3 = 2
     ), a2 AS (
       SELECT b2.doc_id, b2.n_tokens, CAST(perm.shard AS INT) AS shard
       FROM b2 JOIN perm
-        ON perm.slot = CASE WHEN ((b2.rn - 1) // 8) % 2 = 0
+        ON perm.slot = CASE WHEN b2.rn > (b2.nr // 8) * 8
+                            THEN (b2.rn - 1) % 8
+                            WHEN ((b2.rn - 1) // 8) % 2 = 0
                             THEN (b2.rn - 1) % 8
                             ELSE 7 - ((b2.rn - 1) % 8)
                        END
@@ -224,7 +235,10 @@ def q228_token_budget_select(spark, sf_dir):
         .select(
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.col("cum_weight").alias("cum_tokens"),
+            # cum_weight is an exact DECIMAL; integral here (integer
+            # token weights) — surface as BIGINT per the exact-hash
+            # contract (decimal surfaces never hash-match DuckDB)
+            F.col("cum_weight").cast("bigint").alias("cum_tokens"),
         )
         .orderBy("doc_id")
     )

@@ -1516,9 +1516,24 @@ def read_shard_totals(
     partials ``stream_balanced_shard_append`` writes — ``None`` when
     no partial exists yet (empty manifests). ``before_batch``
     restricts the fold to strictly-lower batch ids (the replay
-    determinism contract above)."""
+    determinism contract above). ``n_shards``, when given, validates
+    the folded state against the caller's shard count — stale state
+    written under a DIFFERENT count raises here with a clear message
+    instead of deep inside the deal."""
     import os
 
+    if "://" in state_dir:
+        # includes file:// — os.path.isdir cannot resolve URI
+        # spellings, so letting one through would silently report an
+        # EMPTY state (every batch dealt as if manifests were empty)
+        # rather than reading the accumulated totals — the
+        # _sketch_partial_dirs guard, same failure mode (ADVICE-class
+        # r14 review finding)
+        raise ValueError(
+            "shard state_dir must be a PLAIN local filesystem path "
+            f"(got {state_dir!r}); the state readers use driver-local "
+            "listing and cannot resolve URI schemes"
+        )
     if not os.path.isdir(state_dir) or not any(
         d.startswith("batch=") for d in os.listdir(state_dir)
     ):
@@ -1531,6 +1546,16 @@ def read_shard_totals(
     folded = df.groupBy("shard").agg(
         F.sum("total_weight").alias("total_weight")
     )
+    if n_shards is not None:
+        bad = folded.filter(
+            (F.col("shard") < 0) | (F.col("shard") >= n_shards)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"shard state at {state_dir!r} names shards outside "
+                f"0..{n_shards - 1} — it was written under a different "
+                "n_shards; refusing to deal against stale-count state"
+            )
     if before_batch is not None and not folded.limit(1).count():
         return None
     return folded

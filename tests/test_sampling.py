@@ -312,8 +312,9 @@ def test_balanced_shards_deterministic_ties(spark):
         ).collect()
     }
     assert a == b
-    # snake over ids 0..9: 012 210 012 2
-    assert a == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0, 6: 0, 7: 1, 8: 2, 9: 2}
+    # snake over ids 0..9: 012 210 012, then the PARTIAL pass deals
+    # forward (the _snake_slot rule): rank 10 -> slot 0
+    assert a == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0, 6: 0, 7: 1, 8: 2, 9: 0}
 
 
 def test_append_balanced_shards_empty_state_equals_batch(spark):
@@ -578,3 +579,50 @@ def test_stratified_quota_backfill_spans_partitions(spark):
         sub = sub.sort_values(["k", "doc_id"]).head(allowed)
         want |= set(sub["doc_id"])
     assert got == want and len(got) > 0
+
+
+def test_append_balanced_shards_odd_tail_no_drift(spark):
+    """Regression (r14 review finding 1): repeated appends of
+    odd-tail batches must NOT drift. With a reversed partial pass,
+    n_shards=2 and batches of 3 equal-weight docs, the heavier shard
+    gained 2W per batch vs the lighter's W — spread kW after k
+    batches. The forward-partial rule keeps it within one W."""
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        shard_weight_totals,
+    )
+
+    state = None
+    for k in range(6):
+        batch = spark.createDataFrame(
+            [(k * 10 + i, 7) for i in range(3)], "doc_id long, w long"
+        )
+        assigned = append_balanced_shards(batch, "w", "doc_id", 2, state)
+        part = shard_weight_totals(assigned, "w")
+        state = (
+            part if state is None
+            else state.unionByName(part)
+            .groupBy("shard")
+            .agg(F.sum("total_weight").alias("total_weight"))
+        ).localCheckpoint(eager=True)
+        totals = {r["shard"]: r["total_weight"] for r in state.collect()}
+        vals = [totals.get(s, 0.0) for s in range(2)]
+        assert max(vals) - min(vals) <= 7.0, (k, vals)
+
+
+def test_token_budget_select_fractional_weights(spark):
+    """Regression (r14 review finding 3): fractional weights must
+    accumulate exactly — a bigint cum would truncate 0.6/1.2/1.8 to
+    0/1/1 and keep 1.8 weight against a budget of 1."""
+    from decimal import Decimal
+
+    from product_etl_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.6), (2, 0.6), (3, 0.6)], "doc_id long, w double"
+    )
+    got = {r["doc_id"]: r["cum_weight"] for r in token_budget_select(
+        df, "w", ["doc_id"], budget=1).collect()}
+    assert got == {1: Decimal("0.600000")}

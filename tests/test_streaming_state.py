@@ -387,3 +387,25 @@ def test_stream_balanced_shard_append_end_to_end(spark, tmp_path):
     # (nothing strictly lower) is also None
     assert read_shard_totals(spark, str(tmp_path / "nope")) is None
     assert read_shard_totals(spark, state, before_batch=0) is None
+
+
+def test_read_shard_totals_uri_guard_and_stale_count(spark, tmp_path):
+    """Regression (r14 review findings 2/6): URI-spelled state dirs
+    raise instead of silently reading an empty state, and state
+    written under a different n_shards refuses the deal loudly."""
+    import pytest
+
+    from product_etl_spark.operators.sampling import shard_weight_totals
+    from product_etl_spark.streaming.pipeline import read_shard_totals
+
+    with pytest.raises(ValueError, match="PLAIN local"):
+        read_shard_totals(spark, f"file://{tmp_path}/state")
+    state = str(tmp_path / "totals")
+    part = spark.createDataFrame(
+        [(7, 10.0)], "shard int, total_weight double"
+    )
+    part.write.parquet(f"{state}/batch=0")
+    # shard 7 is fine for an 8-shard deal, stale for a 4-shard one
+    assert read_shard_totals(spark, state, n_shards=8).count() == 1
+    with pytest.raises(ValueError, match="different n_shards"):
+        read_shard_totals(spark, state, n_shards=4)
