@@ -485,12 +485,20 @@ def curriculum_interleave(
     a source with any number of documents is never a single window
     task), and one vocabulary-sized equi-join back. Pure integer
     arithmetic after that; no global window, no corpus-sized
-    collect."""
+    collect.
+
+    NULL contract (r14 ADVICE): rows with a NULL ``source_col`` are
+    DROPPED explicitly up front — the same stance as
+    rank_sum_test/spearman_corr. Before this filter they were
+    dropped anyway by the null-unsafe equi-join back, but a NULL
+    source additionally inflated ``n_sources`` by one, silently
+    shifting every row's curriculum_key; now neither happens."""
     from product_etl_spark.operators.linkage import (
         global_sort_ranks_counted,
     )
     from product_etl_spark.operators.suffixes import _segmented_prefix_sum
 
+    df = df.filter(F.col(source_col).isNotNull())
     srcs = df.select(F.col(source_col)).distinct()
     sr, n_sources = global_sort_ranks_counted(srcs, [source_col], "_sidx")
     base = df.withColumn("_one", F.lit(1)).withColumn(
@@ -578,12 +586,22 @@ def stratified_quota_backfill(
     prefix sum of 1s (suffixes._segmented_prefix_sum — a group with
     any number of rows is never a single window task); the final
     keep test is one broadcast-sized equi-join. Nothing corpus^2,
-    no corpus-sized collect."""
+    no corpus-sized collect.
+
+    NULL contract (r14 ADVICE): rows with a NULL ``group_col`` are
+    DROPPED explicitly up front — the same stance as
+    rank_sum_test/spearman_corr. Before this filter they were
+    dropped anyway by the null-unsafe keep-join, but a NULL group
+    also entered the group counts, silently skewing the unused-pool
+    arithmetic; now neither happens, and the kept-total claim
+    ``min(n_rows, cap * n_groups)`` reads over NON-NULL-keyed rows
+    and groups."""
     from product_etl_spark.operators.linkage import global_sort_ranks
     from product_etl_spark.operators.suffixes import _segmented_prefix_sum
 
     if cap < 0:
         raise ValueError(f"stratified_quota_backfill: cap must be >= 0, got {cap}")
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -611,7 +629,10 @@ def stratified_quota_backfill(
             )
             .otherwise(
                 F.lit(cap)
-                + F.floor(F.col("_unused") / F.col("_n_over"))
+                # integral `div` on the bigints, not floor(a / b): the
+                # double division diverges from the oracle's exact
+                # `unused // n_over` past 2^53 (r14 ADVICE finding)
+                + F.expr("_unused div _n_over")
                 + F.when(
                     F.col("_orank") <= F.col("_unused") % F.col("_n_over"),
                     F.lit(1),

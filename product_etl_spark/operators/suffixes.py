@@ -153,6 +153,7 @@ def _segmented_prefix_sum(
     order_col: str,
     val_col: str,
     out_col: str,
+    out_cast: str = "bigint",
 ) -> DataFrame:
     """Distributed inclusive prefix sum of ``val_col`` along
     ``order_col`` WITHIN each segment — the segmented sibling of
@@ -166,7 +167,11 @@ def _segmented_prefix_sum(
     hundreds of millions of distinct values never becomes a single
     window task (the r13 verdict's spearman_corr scale finding). The
     forward carry sums strictly-LOWER pids (pid is monotone in the
-    (segments, order) sort after repartitionByRange on it)."""
+    (segments, order) sort after repartitionByRange on it).
+    ``out_cast`` mirrors ``_prefix_sum``'s: the default bigint fits
+    the integer-count callers; pass an exact decimal for fractional
+    values — a bigint cast would silently TRUNCATE them (the same
+    r14 token_budget_select finding, applied here preemptively)."""
     parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -193,7 +198,7 @@ def _segmented_prefix_sum(
     )
     return (
         local.join(carry, ["_pid", *seg_cols])
-        .withColumn(out_col, (F.col("_off") + F.col("_lps")).cast("bigint"))
+        .withColumn(out_col, (F.col("_off") + F.col("_lps")).cast(out_cast))
         .drop("_pid", "_lps", "_off")
     )
 

@@ -170,6 +170,33 @@ last green r12) can sit out once more or take spare slots;
 new-in-r15 registrations displace the r11-fill tail per the q188
 pattern. After r15 no entry's newest green row should be older
 than r11.
+
+Round-15 ROTATION (executes the plan above, per the r14 verdict's
+item 1): the post-freeze queue is EMPTY (all five r14 registrations
+were scheduled same-round), so the 31-entry r10-last-green tier
+leads (q15/q17/q19/q22/q25/q28/q37/q39/q42/q48/q50, the
+r6-registered q118/q119/q121-q133/q135/q136 remainder, and
+q177-q179), followed by the 19 oldest r11-last-green reps in
+registration order (q12/q16/q18/q20/q21/q23/q24/q26/q27/q29/q30/
+q31/q33/q38/q40/q41/q45/q47/q49). The six standing anchors
+(q01/q02/q32/q94/q112/q114, last green r12) sit out once more.
+New-in-r15 registrations join same-round per the q188 pattern,
+each displacing the TAIL of the r11 fill (the displaced rep stays
+r11-green, within the freshness bound). After r15 no entry's
+newest green row is older than r11.
+
+Round-16 ROTATION PLAN (for the session that composes it, written
+at the end of r15): post-freeze queue registrations lead, as every
+round. The stalest cohort per the COVERAGE.md ledger is then the
+six standing anchors (q01/q02/q32/q94/q112/q114, last green r12)
+— they MUST take slots this round, having sat out three rotations
+— plus the entire r11-last-green remainder (the q34-q40-tier reps
+displaced from the r15 fill, the r11-stamped family reps
+q51-q80-tier per the ledger, and q137-q148/q180-q188). Fill any
+remaining slots with the oldest r12 reps in registration order.
+New-in-r16 registrations displace the fill tail per the q188
+pattern. After r16 no entry's newest green row should be older
+than r12.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -212,71 +239,65 @@ _NEXT_WINDOW_QUEUE: list[str] = [
 ]
 
 _DRIVER_WINDOW = [
-    # -- the full post-r13-freeze queue (r13 verdict item 1):
-    #    oracle-backed and exact-checked by
-    #    tests/test_driver_window_parity.py since registration --
-    "q219_suffix_probe_excision",
-    "q220_balanced_shards",
-    "q221_shard_balance",
-    "q222_tandem_loops",
-    "q223_mann_whitney_acctbal",
-    "q224_spearman_size_price",
-    "q225_seasonal_decomposition",
-    # -- new in r14, scheduled same round (the q188 pattern): the
-    #    incremental balanced-shard deal (r13 verdict item 5), the
-    #    curriculum interleave, and the token-budget selection --
-    "q226_incremental_shard_append",
-    "q227_curriculum_interleave",
-    "q228_token_budget_select",
-    "q229_quota_backfill",
-    "q230_kruskal_wallis",
-    # -- stale refresh: the ENTIRE r9-last-green remainder per the
-    #    COVERAGE.md ledger (24 entries — q102/q113-q117 already
-    #    refreshed in r13) plus q93~ rows-only --
-    "q82_tpch_q8_market_share",
-    "q83_tpch_q9_product_profit",
-    "q84_tpch_q13_order_count_distribution",
-    "q85_tpch_q14_promo_revenue",
-    "q86_tpch_q15_top_supplier",
-    "q88_tpch_q18_large_volume_customers",
-    "q89_tpch_q19_bracketed_revenue",
-    "q90_tpch_q22_idle_balances",
-    "q93_kmeans_ivf_lists",
-    "q100_trailing_7d_spend",
-    "q101_weighted_doc_sample",
-    "q103_event_transitions",
-    "q104_event_type_overlap",
-    "q105_tpch_q2_min_cost_supplier",
-    "q106_tpch_q4_order_priority",
-    "q107_tpch_q11_value_concentration",
-    "q108_tpch_q12_late_shipment_priority",
-    "q109_tpch_q16_supplier_count",
-    "q110_tpch_q20_potential_promotion",
-    "q111_tpch_q21_waiting_suppliers",
-    "q169_quantile_sample_sketch",
-    "q170_star_components",
-    "q171_weighted_median_price",
-    "q172_vocabulary_coverage",
-    "q173_trimmed_mean_price",
-    # -- oldest r10 reps fill the remaining 18 slots: the q174-q176
-    #    post-r9-freeze cohort first, then r10-stamped family reps in
-    #    registration order. New-in-r14 registrations displace the
-    #    TAIL of this fill (the displaced rep stays r10-green, within
-    #    the freshness bound). The six standing anchors are r12-fresh
-    #    and sit out. --
-    "q174_brand_mode_type",
-    "q175_customer_revenue_concentration",
-    "q176_winsorized_mean_price",
-    "q03_region_nation_rollup",
-    "q04_customers_without_orders",
-    "q05_customers_with_urgent_orders",
-    "q06_order_counts_left",
-    "q07_order_date_range",
-    "q08_segment_distinct_nations",
-    "q09_priority_status_matrix",
-    "q10_topk_brands",
-    "q11_distinct_flag_status",
-    "q14_first_order_per_customer",
+    # -- r15 rotation (r14 verdict item 1; the post-freeze queue is
+    #    EMPTY this round). The 31-entry r10-last-green tier leads:
+    #    the r10-stamped family reps first, then the r6-registered
+    #    q118-q136 remainder, then the q177-q179 cohort --
+    "q15_running_customer_revenue",
+    "q17_null_empty_guards",
+    "q19_orders_by_year",
+    "q22_url_extraction",
+    "q25_event_type_share",
+    "q28_doc_quality",
+    "q37_label_centroid_norms",
+    "q39_completeness_report",
+    "q42_cube_flag_status",
+    "q48_lineitem_unpivot",
+    "q50_bpe_token_count",
+    "q118_doc_chunking",
+    "q119_sq8_codes",
+    "q121_hybrid_rrf_search",
+    "q122_quality_canonical_dedup",
+    "q123_fuzzy_decontam",
+    "q124_grouping_sets",
+    "q125_price_histogram",
+    "q126_balance_outliers",
+    "q127_trained_langid_confusion",
+    "q128_percentile_rank_windows",
+    "q129_column_profile",
+    "q130_snapshot_diff",
+    "q131_daily_gapfill_interpolate",
+    "q132_url_canonicalization",
+    "q133_bigram_pmi",
+    "q135_unicode_clean",
+    "q136_within_doc_paragraph_dedup",
+    "q177_duplicate_span_excision",
+    "q178_selfrep_span_excision",
+    "q179_l_diversity_audit",
+    # -- the 19 oldest r11-last-green reps in registration order.
+    #    New-in-r15 registrations displace the TAIL of this fill
+    #    (the displaced rep stays r11-green, within the freshness
+    #    bound). The six standing anchors are r12-fresh and sit
+    #    out once more. --
+    "q12_active_nations_union",
+    "q16_like_filter",
+    "q18_price_buckets",
+    "q20_string_projection",
+    "q21_attribute_parse_explode",
+    "q23_hourly_event_rollup",
+    "q24_sessionization",
+    "q26_user_event_timeline",
+    "q27_doc_token_stats",
+    "q29_doc_fingerprint_dedup",
+    "q30_doc_script_langid",
+    "q31_minhash_signatures",
+    "q33_ngram_jaccard_pairs",
+    "q38_referential_integrity",
+    "q40_brand_dictionary",
+    "q41_rollup_region_nation",
+    "q45_price_band_range_join",
+    "q47_event_pivot",
+    "q49_distinct_users_by_type",
 ]
 
 

@@ -1497,6 +1497,7 @@ def stream_balanced_shard_append(
         shard_weight_totals(assigned, weight_col).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/batch={batch_id}")
+        _write_n_shards_marker(state_dir, n_shards)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -1504,6 +1505,34 @@ def stream_balanced_shard_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _write_n_shards_marker(state_dir: str, n_shards: int) -> None:
+    """Persist the shard count the state was written under
+    (``state_dir/_n_shards``, write-once) so ``read_shard_totals``
+    can compare it DIRECTLY: the id-range check alone only catches
+    state written under a LARGER previous count — state written
+    under a smaller count (4 then reconfigured to 8) has every id
+    in range and would silently deal as if shards 4-7 were empty
+    (r14 ADVICE finding). Raises on a mismatching existing marker —
+    a misconfigured restart fails at the first batch, not by
+    corrupting balance."""
+    import os
+
+    path = os.path.join(state_dir, "_n_shards")
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = int(f.read().strip())
+        if existing != n_shards:
+            raise ValueError(
+                f"shard state at {state_dir!r} was written under "
+                f"n_shards={existing}; refusing to append under "
+                f"n_shards={n_shards}"
+            )
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(str(n_shards))
 
 
 def read_shard_totals(
@@ -1517,9 +1546,12 @@ def read_shard_totals(
     no partial exists yet (empty manifests). ``before_batch``
     restricts the fold to strictly-lower batch ids (the replay
     determinism contract above). ``n_shards``, when given, validates
-    the folded state against the caller's shard count — stale state
-    written under a DIFFERENT count raises here with a clear message
-    instead of deep inside the deal."""
+    the state against the caller's shard count two ways: the
+    ``_n_shards`` marker the writer persists is compared DIRECTLY
+    (catches both larger AND smaller stale counts), and the folded
+    shard ids are range-checked as a fallback for stores written
+    before the marker existed (catches only a larger stale count —
+    the r14 ADVICE gap the marker closes)."""
     import os
 
     if "://" in state_dir:
@@ -1534,6 +1566,17 @@ def read_shard_totals(
             f"(got {state_dir!r}); the state readers use driver-local "
             "listing and cannot resolve URI schemes"
         )
+    marker = os.path.join(state_dir, "_n_shards")
+    if n_shards is not None and os.path.exists(marker):
+        with open(marker) as f:
+            written = int(f.read().strip())
+        if written != n_shards:
+            raise ValueError(
+                f"shard state at {state_dir!r} was written under "
+                f"n_shards={written}, caller asked for "
+                f"n_shards={n_shards}; refusing to deal against "
+                "stale-count state"
+            )
     if not os.path.isdir(state_dir) or not any(
         d.startswith("batch=") for d in os.listdir(state_dir)
     ):

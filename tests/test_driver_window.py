@@ -34,30 +34,31 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-14 rotation invariant (r13 verdict item 1 + the written
-    plan): every query with no GREEN driver row — the 7-entry
-    post-r13-freeze queue q219-q225 — is in this round's window,
-    plus the ENTIRE 24-entry r9-last-green remainder per the
-    COVERAGE.md ledger, q93~ rows-only, and 18 oldest-r10 fill reps
-    (q174-q176 cohort first, then r10-stamped family reps in
-    registration order; new-in-r14 registrations displace the fill
-    tail). The six standing anchors are r12-fresh and sit out."""
-    never_green_prefixes = {f"q{n}" for n in range(219, 231)}
-    r9_stale_prefixes = {
-        "q82", "q83", "q84", "q85", "q86", "q88", "q89", "q90", "q93",
-        "q100", "q101", "q103", "q104", "q105", "q106", "q107", "q108",
-        "q109", "q110", "q111", "q169", "q170", "q171", "q172", "q173",
+    """Round-15 rotation invariant (r14 verdict item 1 + the written
+    plan): the post-freeze queue is EMPTY, so the ENTIRE 31-entry
+    r10-last-green tier per the COVERAGE.md ledger leads, followed
+    by the 19 oldest r11-last-green reps in registration order
+    (new-in-r15 registrations displace the fill tail). The six
+    standing anchors are r12-fresh and sit out once more."""
+    r10_tier_prefixes = {
+        "q15", "q17", "q19", "q22", "q25", "q28", "q37", "q39", "q42",
+        "q48", "q50", "q118", "q119", "q121", "q122", "q123", "q124",
+        "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q132",
+        "q133", "q135", "q136", "q177", "q178", "q179",
     }
-    r10_fill_prefixes = {
-        "q174", "q175", "q176", "q03", "q04", "q05", "q06", "q07",
-        "q08", "q09", "q10", "q11", "q14",
+    r11_fill_prefixes = {
+        "q12", "q16", "q18", "q20", "q21", "q23", "q24", "q26", "q27",
+        "q29", "q30", "q31", "q33", "q38", "q40", "q41", "q45", "q47",
+        "q49",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    expect = never_green_prefixes | r9_stale_prefixes | r10_fill_prefixes
-    missing = expect - window_prefixes
-    assert not missing, f"never-driver-green queries left out: {missing}"
-    # the plan fills exactly 50 slots — nothing else slips in
-    assert window_prefixes == expect
+    missing = r10_tier_prefixes - window_prefixes
+    assert not missing, f"stale r10-tier queries left out: {missing}"
+    # the plan fills exactly 50 slots — nothing else slips in; the
+    # r11 fill tail may be displaced by new-in-r15 registrations
+    extras = window_prefixes - r10_tier_prefixes - r11_fill_prefixes
+    new_regs = {p for p in extras if int(p[1:]) >= 231}
+    assert extras == new_regs, f"unexpected non-r15-reg entries: {extras - new_regs}"
 
 
 def test_no_query_lost_in_reorder():
@@ -85,7 +86,7 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r14*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r15*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
 
 

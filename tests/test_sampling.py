@@ -626,3 +626,41 @@ def test_token_budget_select_fractional_weights(spark):
     got = {r["doc_id"]: r["cum_weight"] for r in token_budget_select(
         df, "w", ["doc_id"], budget=1).collect()}
     assert got == {1: Decimal("0.600000")}
+
+
+def test_null_group_keys_dropped_explicitly(spark):
+    """Regression (r14 ADVICE): curriculum_interleave and
+    stratified_quota_backfill DROP NULL-keyed rows up front — and the
+    NULL presence no longer perturbs the survivors (before the fix a
+    NULL source inflated n_sources, shifting every curriculum_key;
+    a NULL group entered the quota pool arithmetic)."""
+    from product_etl_spark.operators.sampling import (
+        curriculum_interleave,
+        stratified_quota_backfill,
+    )
+
+    rows = [(i, ["a", "b", None][i % 3], i % 7) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, diff long")
+    clean = df.filter(F.col("grp").isNotNull())
+
+    ci = curriculum_interleave(df, "grp", "diff", "doc_id")
+    assert ci.filter(F.col("grp").isNull()).count() == 0
+    got = {r["doc_id"]: r["curriculum_key"] for r in ci.collect()}
+    want = {
+        r["doc_id"]: r["curriculum_key"]
+        for r in curriculum_interleave(clean, "grp", "diff", "doc_id").collect()
+    }
+    assert got == want  # NULL rows dropped, survivors byte-identical
+
+    qb = stratified_quota_backfill(df, "grp", ["diff", "doc_id"], 5)
+    assert qb.filter(F.col("grp").isNull()).count() == 0
+    # kept total reads over non-NULL rows/groups: min(60, 5*2) = 10
+    assert qb.count() == 10
+    got_q = {r["doc_id"] for r in qb.collect()}
+    want_q = {
+        r["doc_id"]
+        for r in stratified_quota_backfill(
+            clean, "grp", ["diff", "doc_id"], 5
+        ).collect()
+    }
+    assert got_q == want_q

@@ -409,3 +409,32 @@ def test_read_shard_totals_uri_guard_and_stale_count(spark, tmp_path):
     assert read_shard_totals(spark, state, n_shards=8).count() == 1
     with pytest.raises(ValueError, match="different n_shards"):
         read_shard_totals(spark, state, n_shards=4)
+
+
+def test_n_shards_marker_catches_smaller_stale_count(spark, tmp_path):
+    """Regression (r14 ADVICE): the id-range check alone passes state
+    written under a SMALLER previous count (4 then reconfigured to
+    8 — every id in range, shards 4-7 silently 'empty'); the
+    persisted _n_shards marker catches it directly, and the writer
+    refuses to append under a mismatching count."""
+    import pytest
+
+    from product_etl_spark.streaming.pipeline import (
+        _write_n_shards_marker,
+        read_shard_totals,
+    )
+
+    state = str(tmp_path / "totals")
+    spark.createDataFrame(
+        [(0, 5.0), (3, 7.0)], "shard int, total_weight double"
+    ).write.parquet(f"{state}/batch=0")
+    _write_n_shards_marker(state, 4)
+    # correct count reads fine; ids alone would also pass n_shards=8,
+    # but the marker refuses it
+    assert read_shard_totals(spark, state, n_shards=4).count() == 2
+    with pytest.raises(ValueError, match="written under\\s+n_shards=4"):
+        read_shard_totals(spark, state, n_shards=8)
+    # writer-side guard: a misconfigured restart fails at batch one
+    with pytest.raises(ValueError, match="refusing to append"):
+        _write_n_shards_marker(state, 8)
+    _write_n_shards_marker(state, 4)  # idempotent under the true count
