@@ -959,15 +959,20 @@ def spearman_corr(
     yield NULL rho.
 
     Scale shape: ties collapse in two (group, value) map-side-
-    combined groupBys BEFORE any ordering; the cumulative sums run
-    over the DISTINCT-VALUE frames through the segmented two-level
-    prefix sum (suffixes._segmented_prefix_sum — repartitionByRange
-    on (group, value), per-(partition, group) windows, carries on
-    the (partition, group)-sized summary frame), so one group with
-    any number of distinct values is never a single window task
-    (r13 verdict item 2); two equi-join-backs on (group, value);
-    one map-side-combined final aggregate. Nothing pair-wise, no
-    global window, no window partitioned by group alone."""
+    combined groupBys BEFORE any ordering; BOTH axes' cumulative
+    sums then ride ONE segmented two-level prefix sum — the x and y
+    distinct-value frames union with an axis tag and the scan is
+    segmented by (group, axis) over a struct order key whose fields
+    stay in each axis's NATIVE type (the inactive axis's field is
+    NULL, constant within a segment, so per-axis value order is
+    preserved without a lossy common-type cast). One
+    repartitionByRange instead of two (r14 verdict item 3 — the
+    fusion halves the scan's job count; hash unchanged), and one
+    group with any number of distinct values is never a single
+    window task (r13 verdict item 2); two equi-join-backs on
+    (group, value); one map-side-combined final aggregate. Nothing
+    pair-wise, no global window, no window partitioned by group
+    alone."""
     from product_etl_spark.operators.suffixes import _segmented_prefix_sum
 
     # complete observations only (same NULL stance as rank_sum_test:
@@ -975,20 +980,31 @@ def spearman_corr(
     obs = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     )
+    x_t = obs.schema[x_col].dataType
+    y_t = obs.schema[y_col].dataType
 
-    def doubled_midranks(col: str, out: str) -> DataFrame:
-        g = obs.groupBy(F.col(group_col).alias("_g"), F.col(col).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        c = _segmented_prefix_sum(g, ["_g"], "_v", "_c", "_cum")
-        return c.select(
+    def value_counts(col: str, axis: int) -> DataFrame:
+        g = obs.groupBy(
+            F.col(group_col).alias("_g"), F.col(col).alias("_v")
+        ).agg(F.count(F.lit(1)).alias("_c"))
+        return g.select(
             "_g",
-            "_v",
-            (2 * F.col("_cum") - F.col("_c") + 1).alias(out),
+            F.lit(axis).alias("_axis"),
+            (F.col("_v") if axis == 0 else F.lit(None).cast(x_t)).alias("_vx"),
+            (F.col("_v") if axis == 1 else F.lit(None).cast(y_t)).alias("_vy"),
+            "_c",
         )
 
-    rx = doubled_midranks(x_col, "_rx")
-    ry = doubled_midranks(y_col, "_ry")
+    u = value_counts(x_col, 0).unionByName(value_counts(y_col, 1))
+    u = u.withColumn("_ord", F.struct(F.col("_vx"), F.col("_vy")))
+    c = _segmented_prefix_sum(u, ["_g", "_axis"], "_ord", "_c", "_cum")
+    doubled = 2 * F.col("_cum") - F.col("_c") + 1
+    rx = c.filter(F.col("_axis") == 0).select(
+        "_g", F.col("_vx").alias("_v"), doubled.alias("_rx")
+    )
+    ry = c.filter(F.col("_axis") == 1).select(
+        "_g", F.col("_vy").alias("_v"), doubled.alias("_ry")
+    )
     j = (
         obs.select(F.col(group_col), F.col(x_col), F.col(y_col))
         .join(
