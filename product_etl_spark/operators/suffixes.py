@@ -213,7 +213,24 @@ def _suffix_rank_tables(
     discriminate tail prefixes of length min(2^l, tail). Raises
     loudly if the partition has not stabilized by ``max_rounds`` —
     raise the bound deliberately, don't discover an unconverged rank
-    table as silently-wrong spans."""
+    table as silently-wrong spans.
+
+    TWO doubling levels ride each round (r14 verdict item 4): one
+    join of the current table with its offset/2*offset/3*offset
+    shifts builds the quad (r, r@+o, r@+2o, r@+3o), whose dense rank
+    is the level-L+2 table directly ((rank2o(p), rank2o(p+2o)) and
+    the raw quad are order-isomorphic, so the dense ranks are
+    IDENTICAL to two sequential rounds'). The intermediate ODD
+    level's table is an equality-faithful STRUCT projection of the
+    same checkpointed quad — binary lifting only ever tests rank
+    EQUALITY, and struct(r, r@+o) equality IS level-L+1 prefix
+    equality — so odd levels cost no counted rank, no join-back and
+    no checkpoint. Per two levels: one checkpointed join + one
+    counted rank + one join-back instead of two of each. The stable
+    partition can be detected one level later than the sequential
+    loop (a stop at an odd level surfaces at the next even one);
+    the extra table is refinement-free and equality-faithful, so
+    spans are unchanged — pytest-pinned identical to blocked."""
     vocab = tok.select("_tk").distinct()
     vr, nd_prev = global_sort_ranks_counted(vocab, ["_tk"], "_r")
     cur = (
@@ -224,56 +241,71 @@ def _suffix_rank_tables(
     tables = [cur]
     n_pos = tok.count()
     offset = 1
-    for _ in range(max_rounds):
-        shifted = cur.select(
-            F.col(id_col).alias("_sid"),
-            (F.col("pos") - F.lit(offset)).alias("_spos"),
-            F.col("_r").alias("_r2"),
-        )
-        paired = (
-            cur.join(
-                shifted,
-                (F.col(id_col) == F.col("_sid"))
-                & (F.col("pos") == F.col("_spos")),
+    level = 0
+    while level < max_rounds:
+        quad = cur
+        for k, rcol in ((1, "_r2"), (2, "_r3"), (3, "_r4")):
+            s = cur.select(
+                F.col(id_col).alias(f"_sid{k}"),
+                (F.col("pos") - F.lit(k * offset)).alias(f"_spos{k}"),
+                F.col("_r").alias(rcol),
+            )
+            quad = quad.join(
+                s,
+                (F.col(id_col) == F.col(f"_sid{k}"))
+                & (F.col("pos") == F.col(f"_spos{k}")),
                 "left",
+            ).drop(f"_sid{k}", f"_spos{k}")
+        quad = quad.select(
+            id_col,
+            "pos",
+            "_r",
+            *[
+                F.coalesce(F.col(c), F.lit(-1)).alias(c)
+                for c in ("_r2", "_r3", "_r4")
+            ],
+        ).localCheckpoint(eager=True)
+        # the ODD level (prefix length 2*offset) never needs dense
+        # ranks: binary lifting only tests EQUALITY, and the raw
+        # (r, r@+offset) struct is equality-faithful — a free
+        # projection of the quad just checkpointed
+        tables.append(
+            quad.select(
+                id_col, "pos", F.struct("_r", "_r2").alias("_r")
             )
-            .select(
-                id_col,
-                "pos",
-                "_r",
-                F.coalesce(F.col("_r2"), F.lit(-1)).alias("_r2"),
-            )
-            .localCheckpoint(eager=True)
         )
         # the counted rank fuses the all-distinct early-stop check
         # into the rank pass itself: its offsets collect totals the
         # distinct-key frame, so no separate COUNT job (and no second
         # evaluation of the distinct) per round — r13 verdict item 4
-        keys = paired.select("_r", "_r2").distinct()
-        kr, nd = global_sort_ranks_counted(keys, ["_r", "_r2"], "_nr")
+        keys = quad.select("_r", "_r2", "_r3", "_r4").distinct()
+        kr, nd = global_sort_ranks_counted(
+            keys, ["_r", "_r2", "_r3", "_r4"], "_nr"
+        )
         cur = (
-            paired.join(kr, ["_r", "_r2"])
+            quad.join(kr, ["_r", "_r2", "_r3", "_r4"])
             .select(
                 id_col, "pos", F.col("_nr").cast("bigint").alias("_r")
             )
             .localCheckpoint(eager=True)
         )
         tables.append(cur)
-        # nd == nd_prev: no refinement happened — ranks are stable
-        # (remaining ties are identical tails). nd == n_pos: every
-        # position already has a UNIQUE rank, so no later round can
-        # change anything either — stopping here saves one full
-        # doubling round AND one binary-lifting level on corpora
-        # without identical cross-doc tails (the common case), and
-        # the top-level equal-rank short-circuit stays correct
-        # (equality at an all-distinct level is simply vacuous).
+        level += 2
+        # nd == nd_prev: no refinement happened across the two
+        # levels — ranks are stable (remaining ties are identical
+        # tails; the doubling map's fixed point argument covers the
+        # intermediate level too). nd == n_pos: every position
+        # already has a UNIQUE rank, so no later round can change
+        # anything either. The top-level equal-rank short-circuit
+        # stays correct (equality at an all-distinct level is
+        # simply vacuous).
         if nd == nd_prev or nd == n_pos:
             return cur, tables, len(tables) - 1
         nd_prev = nd
-        offset *= 2
+        offset *= 4
     raise RuntimeError(
         f"suffix ranks did not stabilize within {max_rounds} doubling "
-        f"rounds (repeated spans longer than {1 << max_rounds} tokens); "
+        f"levels (repeated spans longer than {1 << max_rounds} tokens); "
         "raise max_rounds deliberately"
     )
 
