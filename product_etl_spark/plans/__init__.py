@@ -297,7 +297,10 @@ _DRIVER_WINDOW = [
     "q41_rollup_region_nation",
     "q45_price_band_range_join",
     "q47_event_pivot",
-    "q49_distinct_users_by_type",
+    # -- new in r15, scheduled same round (the q188 pattern; q49
+    #    ceded its fill slot and stays r11-green): the HTML->clean-
+    #    text extraction rung (r14 verdict item 2) --
+    "q231_html_clean_text",
 ]
 
 

@@ -365,3 +365,85 @@ def q230_kruskal_wallis(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer")
     return kruskal_wallis(c, "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "q231_html_clean_text",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             array_to_string(t[1:6], ' ') AS a,
+             array_to_string(t[7:14], ' ') AS b,
+             array_to_string(t[15:20], ' ') AS c
+      FROM tok WHERE LEN(t) >= 20
+    ), built AS (
+      SELECT doc_id,
+             a || chr(10) || b || ' & <' || c || '>' || chr(10)
+               || 'tail "line"' AS text
+      FROM f
+    )
+    SELECT doc_id, text, LENGTH(text) AS n_chars
+    FROM built ORDER BY doc_id
+    """,
+)
+def q231_html_clean_text(spark, sf_dir):
+    """HTML -> clean training text (operators/html_text.html_to_text,
+    the WET rung; r14 verdict item 2): each document's tokens are
+    wrapped in a deterministic HTML page — head with style AND
+    script blocks (script body containing '<' and quotes), an h1,
+    a comment hiding fake markup, a paragraph with escaped entities
+    (&amp; &lt; &gt;), and a div with &nbsp;/&quot; — and the
+    codegen extractor must recover exactly the visible text, one
+    line per block element. The oracle CONSTRUCTS the expected clean
+    text independently from the same tokens (the q132/q135
+    independent-derivation pattern) — it never runs a parser or a
+    regexp chain, so the two sides share nothing but the token
+    split.
+
+    Scale shape: the extractor is a fixed codegen
+    regexp_replace/replace chain — map-only, zero shuffles, cost
+    bounded by the scan. The tolerant html.parser path is pinned
+    equal to this chain on the same fixtures in
+    tests/test_html_text.py.
+
+    Reference anchor: details_html populated at
+    db_orchestrator.py:65-68, parsed for <img> at
+    1_image_extractor_from_html.py:21-23 — the reference harvests
+    URLs and never the text; this operator is the text side.
+    """
+    from product_etl_spark.functions import text as T
+    from product_etl_spark.operators.html_text import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("t")).filter(
+        F.size("t") >= 20
+    )
+    a = F.array_join(F.slice("t", 1, 6), " ")
+    b = F.array_join(F.slice("t", 7, 8), " ")
+    c = F.array_join(F.slice("t", 15, 6), " ")
+    html = F.concat(
+        F.lit(
+            '<html><head><style type="text/css">p { margin: 0; }'
+            '</style><script>if (a < b) { f("x&y"); }</script>'
+            '</head>\n<body>\n  <h1 class="t">'
+        ),
+        a,
+        F.lit('</h1>\n  <!-- hidden <p>not text</p> -->\n  <p>'),
+        b,
+        F.lit(" &amp; &lt;"),
+        c,
+        F.lit(
+            '&gt;</p>\n  <div>tail&nbsp;&quot;line&quot;</div>'
+            "\n</body></html>"
+        ),
+    )
+    return (
+        toks.select("doc_id", html_to_text(html).alias("text"))
+        .select("doc_id", "text", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
