@@ -64,8 +64,23 @@ def _erase_keyed_table(
     from product_etl_spark.fs import require_local, table_exists
 
     require_local(path, "erase_subjects")
+
+    def _batch_dir_committed() -> bool:
+        # the streaming fold writers commit PER-BATCH dirs
+        # (state/batch=N/_SUCCESS) with no root marker — without this
+        # probe, erasure on exactly the stores the docstring promises
+        # (fold state, shard manifests) silently no-oped (r15 finding,
+        # pinned in test_streaming_state's shard lifecycle test)
+        if not os.path.isdir(path):
+            return False
+        return any(
+            "=" in d
+            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+            for d in os.listdir(path)
+        )
+
     with _table_write_lock(path):
-        if not table_exists(spark, path):
+        if not table_exists(spark, path) and not _batch_dir_committed():
             return 0
         current = spark.read.parquet(path)
         cond = current[key_col] == keys["_subject"]

@@ -424,7 +424,18 @@ def append_balanced_shards(
     an n_shards-bounded literal array lookup for the lightest-first
     permutation. History is never read — the state is n_shards rows,
     the natural per-batch fold for the streaming wrapper
-    (streaming.pipeline.stream_balanced_shard_append)."""
+    (streaming.pipeline.stream_balanced_shard_append).
+
+    Erasure posture (r14 verdict item 5, pinned in
+    tests/test_streaming_state.py): after ``erase_from_stores`` on
+    the manifests + ``rebuild_shard_totals_state`` the totals are
+    EXACT again, but the balance contract above restarts from the
+    post-erasure spread — the snake's direction alternation cancels
+    within-pass bias by design, so appends bound the spread at
+    (post-erasure spread + 2x max weight) rather than healing the
+    hole. Light erasure therefore just rides along; after HEAVY
+    erasure, re-deal the remaining corpus with ``balanced_shards``
+    (one batch pass) to restore the 2x bound."""
     if n_shards < 1:
         raise ValueError(
             f"append_balanced_shards: need n_shards >= 1, got {n_shards}"
@@ -556,6 +567,97 @@ def token_budget_select(
     ).withColumn("_w", F.col(weight_col).cast("decimal(27,6)"))
     c = _prefix_sum(base, "_ord", "_w", "cum_weight", out_cast="decimal(38,6)")
     return c.filter(F.col("cum_weight") <= F.lit(budget)).drop("_ord", "_w")
+
+
+def append_token_budget_select(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[str],
+    budget: int,
+    state: tuple | None = None,
+) -> tuple[DataFrame, tuple]:
+    """Incremental twin of ``token_budget_select`` (r14 verdict item
+    6, the q226/q218 pattern): consume a NEW order-aligned batch
+    against a remaining-budget state so the selection extends
+    without re-scanning accepted documents. Returns
+    ``(selected, new_state)``; ``selected`` carries the same
+    ``cum_weight`` surface as the one-shot operator (the GLOBAL
+    inclusive cumulative weight, DECIMAL(38,6)), and folding batches
+    through this function equals ``token_budget_select`` on the
+    union EXACTLY (pytest-pinned, including the boundary document
+    and everything after it).
+
+    ``state`` is ``(spent, hwm)`` — ``spent`` the Decimal total
+    weight of ALL rows seen so far (kept AND dropped: the one-shot
+    cumulative includes overflow rows, so the fold must too) and
+    ``hwm`` the tuple high-water mark of the order key; ``None``
+    means nothing seen (the fold's identity, where the append EQUALS
+    the one-shot on the batch). Both are O(1) driver values — the
+    n_shards-rows-of-state discipline of ``append_balanced_shards``.
+
+    Order-aligned contract (validated LOUDLY, one count job): every
+    batch row's ``order_cols`` key must be STRICTLY ABOVE ``hwm`` —
+    the greedy prefix is only foldable when batches arrive in
+    nondecreasing total order (an out-of-order document would
+    rewrite history one-shot never saw). ``order_cols`` must be a
+    total order (tie-break with the id), which also makes cross-
+    batch key equality a violation, not a tie.
+
+    Scale shape: ONE two-level prefix sum over the BATCH plus a
+    1-row aggregate for the new state; history is never re-read."""
+    from product_etl_spark.operators.suffixes import _prefix_sum
+
+    if budget < 0:
+        raise ValueError(
+            f"append_token_budget_select: budget must be >= 0, got {budget}"
+        )
+    import decimal
+
+    spent, hwm = state if state is not None else (decimal.Decimal(0), None)
+    base = df.withColumn(
+        "_ord",
+        F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]),
+    ).withColumn("_w", F.col(weight_col).cast("decimal(27,6)"))
+    if hwm is not None:
+        hwm_lit = F.struct(
+            *[
+                F.lit(v).cast(df.schema[c].dataType).alias(f"o{i}")
+                for i, (c, v) in enumerate(zip(order_cols, hwm))
+            ]
+        )
+        n_bad = base.filter(F.col("_ord") <= hwm_lit).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                "append_token_budget_select: batch contains rows at or "
+                f"below the state's order high-water mark {hwm!r} — "
+                "batches must arrive order-aligned (strictly above the "
+                "previous batch's max key) for the greedy prefix to fold"
+            )
+    stats = base.agg(
+        F.sum("_w").alias("_tw"), F.max("_ord").alias("_mx")
+    ).collect()[0]
+    if stats["_tw"] is None:  # empty batch: identity
+        return (
+            base.withColumn(
+                "cum_weight", F.lit(None).cast("decimal(38,6)")
+            ).drop("_ord", "_w"),
+            (spent, hwm),
+        )
+    c = _prefix_sum(base, "_ord", "_w", "cum_weight", out_cast="decimal(38,6)")
+    c = c.withColumn(
+        "cum_weight",
+        (F.col("cum_weight") + F.lit(spent).cast("decimal(38,6)")).cast(
+            "decimal(38,6)"
+        ),
+    )
+    new_state = (
+        spent + decimal.Decimal(stats["_tw"]),
+        tuple(stats["_mx"]),
+    )
+    return (
+        c.filter(F.col("cum_weight") <= F.lit(budget)).drop("_ord", "_w"),
+        new_state,
+    )
 
 
 def stratified_quota_backfill(

@@ -296,11 +296,12 @@ _DRIVER_WINDOW = [
     "q40_brand_dictionary",
     "q41_rollup_region_nation",
     "q45_price_band_range_join",
-    "q47_event_pivot",
-    # -- new in r15, scheduled same round (the q188 pattern; q49
-    #    ceded its fill slot and stays r11-green): the HTML->clean-
-    #    text extraction rung (r14 verdict item 2) --
+    # -- new in r15, scheduled same round (the q188 pattern; q49 and
+    #    q47 ceded their fill slots and stay r11-green): the HTML->
+    #    clean-text extraction rung (r14 verdict item 2) and the
+    #    incremental budget-selection twin (r14 verdict item 6) --
     "q231_html_clean_text",
+    "q232_incremental_budget_select",
 ]
 
 

@@ -447,3 +447,69 @@ def q231_html_clean_text(spark, sf_dir):
         .select("doc_id", "text", F.length("text").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q232_incremental_budget_select",
+    r"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             LEN(list_filter(string_split_regex(COALESCE(text,''), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY n_chars DESC, doc_id) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 30000
+    ORDER BY doc_id
+    """,
+)
+def q232_incremental_budget_select(spark, sf_dir):
+    """Incremental twin of the greedy budget selection (r14 verdict
+    item 6; sampling.append_token_budget_select): the corpus arrives
+    as TWO order-aligned batches — richer documents (n_chars > 300)
+    first, the rest second — each folded against the (spent, hwm)
+    remaining-budget state, accepted documents never re-read. The
+    oracle is the ONE-SHOT greedy prefix over the union (the exact
+    fold-equals-one-shot contract, also pytest-pinned at the
+    operator level), so a fold that loses the boundary document,
+    double-counts dropped weight, or mis-carries the global
+    cum_weight across the batch seam hash-mismatches.
+
+    Scale shape: one two-level prefix sum PER BATCH plus a 1-row
+    state aggregate; the streaming posture is
+    streaming.pipeline.stream_token_budget_select (per-batch 1-row
+    partials, strictly-lower-fold replay determinism)."""
+    from product_etl_spark.functions import text as T_
+    from product_etl_spark.operators.sampling import (
+        append_token_budget_select,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (-F.col("n_chars")).alias("_negc"),
+        T_.token_count(F.col("text")).alias("n_tokens"),
+    )
+    b1 = sized.filter(F.col("_negc") < -300)
+    b2 = sized.filter(F.col("_negc") >= -300)
+    sel1, st = append_token_budget_select(
+        b1, "n_tokens", ["_negc", "doc_id"], 30000, None
+    )
+    sel2, _ = append_token_budget_select(
+        b2, "n_tokens", ["_negc", "doc_id"], 30000, st
+    )
+    return (
+        sel1.unionByName(sel2)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_weight").cast("bigint").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )

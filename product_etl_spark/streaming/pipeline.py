@@ -1507,6 +1507,184 @@ def stream_balanced_shard_append(
     )
 
 
+def stream_token_budget_select(
+    spark: SparkSession,
+    input_dir: str,
+    selected_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    score_col: str = "score",
+):
+    """Continuous greedy budget selection (the q228 operator's
+    incremental posture, r14 verdict item 6): scored documents land
+    as json-lines (id, weight, score) rows in ``input_dir`` in
+    ORDER-ALIGNED batches (each batch strictly above the previous
+    high-water mark on (score, id) — the producer contract
+    ``append_token_budget_select`` validates loudly); each
+    micro-batch's kept prefix lands under
+    ``selected_dir/batch=<id>`` and a 1-row state PARTIAL — the
+    batch's own total weight (kept AND dropped) and its max order
+    key — under ``state_dir/batch=<id>``. Reading only strictly-
+    lower partials makes availableNow replay byte-identical (the
+    stream_balanced_shard_append argument). State per batch is ONE
+    row regardless of volume; accepted documents are never re-read.
+
+    ``budget`` is part of the stream's identity: changing it between
+    runs changes only FUTURE batches' keeps (the fold state carries
+    weight seen, not budget)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from product_etl_spark.operators.sampling import (
+        append_token_budget_select,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(weight_col, DoubleType()),
+            StructField(score_col, LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        state = read_budget_state(
+            sess, state_dir, before_batch=batch_id
+        )
+        prior_spent = state[0] if state else 0
+        sel, new_state = append_token_budget_select(
+            batch_df, weight_col, [score_col, id_col], budget, state
+        )
+        sel.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{selected_dir}/batch={batch_id}"
+        )
+        import decimal as _dec
+
+        partial = sess.createDataFrame(
+            [
+                (
+                    _dec.Decimal(new_state[0]) - _dec.Decimal(prior_spent),
+                    int(new_state[1][0]),
+                    int(new_state[1][1]),
+                )
+            ],
+            "total_weight decimal(38,6), hwm_score long, hwm_id long",
+        )
+        partial.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_budget_state(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int | None = None,
+) -> tuple | None:
+    """Fold the per-batch budget partials into the
+    ``append_token_budget_select`` state tuple ``(spent, hwm)`` —
+    ``None`` when no partial exists yet. ``before_batch`` restricts
+    to strictly-lower batch ids (replay determinism). The hwm folds
+    as MAX over the (score, id) STRUCT — field-wise max would be
+    wrong on ties."""
+    import os
+
+    if "://" in state_dir:
+        raise ValueError(
+            "budget state_dir must be a PLAIN local filesystem path "
+            f"(got {state_dir!r}); the state readers use driver-local "
+            "listing and cannot resolve URI schemes"
+        )
+    if not os.path.isdir(state_dir) or not any(
+        d.startswith("batch=") for d in os.listdir(state_dir)
+    ):
+        return None
+    df = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*"
+    )
+    if before_batch is not None:
+        df = df.filter(F.col("batch") < before_batch)
+    row = df.agg(
+        F.sum("total_weight").alias("_s"),
+        F.max(F.struct("hwm_score", "hwm_id")).alias("_m"),
+    ).collect()[0]
+    if row["_s"] is None:
+        return None
+    return (row["_s"], tuple(row["_m"]))
+
+
+def rebuild_shard_totals_state(
+    spark: SparkSession,
+    manifest_dir: str,
+    state_dir: str,
+    weight_col: str,
+) -> list[int]:
+    """Re-derive every per-batch (shard, total_weight) partial from
+    the CURRENT manifest rows — the erasure companion of the shard
+    store (r14 verdict item 5): the persisted partials are DERIVED
+    state, so after ``erasure.erase_from_stores`` drops subject rows
+    from ``manifest_dir`` (id-keyed, ``partition_by=["batch"]``)
+    the totals must be recomputed or every future deal would keep
+    balancing against the erased weight — a doc-shaped ghost in the
+    state, the exact resurface class the gram-store erasure pins
+    close. Returns the batch ids rebuilt.
+
+    Scale shape: one map-side-combined groupBy per batch over that
+    batch's manifest partition only (n_shards rows out), published
+    by the same staged-rename swap as ``compact_partitions`` —
+    idempotent, convergent under crash-mid-loop. State stays
+    n_shards rows per batch; history manifests are read once each,
+    never joined."""
+    import os
+    import shutil
+    import uuid
+
+    from product_etl_spark.operators.sampling import shard_weight_totals
+
+    for d in (manifest_dir, state_dir):
+        if "://" in d:
+            raise ValueError(
+                "shard manifest/state dirs must be PLAIN local paths "
+                f"(got {d!r}); the state writers use driver-local "
+                "renames and cannot resolve URI schemes"
+            )
+    rebuilt = []
+    for name in sorted(os.listdir(manifest_dir)):
+        if not name.startswith("batch="):
+            continue
+        batch_id = int(name.split("=", 1)[1])
+        part = spark.read.parquet(f"{manifest_dir}/{name}")
+        totals = shard_weight_totals(part, weight_col)
+        staging = f"{state_dir}/{name}__rebuild_{uuid.uuid4().hex[:8]}"
+        totals.coalesce(1).write.mode("error").parquet(staging)
+        target = f"{state_dir}/{name}"
+        backup = f"{target}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(target):
+            os.rename(target, backup)
+        os.rename(staging, target)
+        shutil.rmtree(backup, ignore_errors=True)
+        rebuilt.append(batch_id)
+    spark.catalog.refreshByPath(state_dir)
+    return rebuilt
+
+
 def _write_n_shards_marker(state_dir: str, n_shards: int) -> None:
     """Persist the shard count the state was written under
     (``state_dir/_n_shards``, write-once) so ``read_shard_totals``

@@ -664,3 +664,70 @@ def test_null_group_keys_dropped_explicitly(spark):
         ).collect()
     }
     assert got_q == want_q
+
+
+def test_append_token_budget_select_folds_to_one_shot(spark):
+    """Incremental budget selection (r14 verdict item 6): folding
+    order-aligned batches through append_token_budget_select equals
+    token_budget_select on the union EXACTLY — membership AND the
+    global cum_weight surface, fractional weights included — with
+    the budget boundary landing mid-fold; out-of-order batches
+    raise; the empty batch is the fold identity."""
+    import decimal
+
+    import pytest
+
+    from product_etl_spark.operators.sampling import (
+        append_token_budget_select,
+        token_budget_select,
+    )
+
+    rows = [
+        (i, float(i % 7) + 0.5, i)  # (doc_id, weight, score)
+        for i in range(30)
+    ]
+    schema = "doc_id long, w double, score long"
+    full = spark.createDataFrame(rows, schema)
+    budget = 55  # cuts inside the second batch (sum of all = 100.0)
+    one = {
+        (r["doc_id"], r["cum_weight"])
+        for r in token_budget_select(
+            full, "w", ["score", "doc_id"], budget
+        ).collect()
+    }
+
+    state, got = None, set()
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        batch = spark.createDataFrame(rows[lo:hi], schema)
+        sel, state = append_token_budget_select(
+            batch, "w", ["score", "doc_id"], budget, state
+        )
+        got |= {(r["doc_id"], r["cum_weight"]) for r in sel.collect()}
+    assert got == one
+    assert state[0] == decimal.Decimal("100.0")  # ALL weight counted
+    assert tuple(state[1]) == (29, 29)
+
+    # empty batch: identity
+    empty = spark.createDataFrame([], schema)
+    sel, state2 = append_token_budget_select(
+        empty, "w", ["score", "doc_id"], budget, state
+    )
+    assert sel.count() == 0 and state2 == state
+
+    # out-of-order batch (key at/below the high-water mark) raises
+    with pytest.raises(ValueError, match="order-aligned"):
+        append_token_budget_select(
+            spark.createDataFrame([(99, 1.0, 5)], schema),
+            "w",
+            ["score", "doc_id"],
+            budget,
+            state,
+        )
+
+    # None state == one-shot on the batch
+    sel0, _ = append_token_budget_select(
+        full, "w", ["score", "doc_id"], budget, None
+    )
+    assert {
+        (r["doc_id"], r["cum_weight"]) for r in sel0.collect()
+    } == one

@@ -438,3 +438,211 @@ def test_n_shards_marker_catches_smaller_stale_count(spark, tmp_path):
     with pytest.raises(ValueError, match="refusing to append"):
         _write_n_shards_marker(state, 8)
     _write_n_shards_marker(state, 4)  # idempotent under the true count
+
+
+def test_shard_store_erasure_and_compaction_lifecycle(spark, tmp_path):
+    """Lifecycle pins for the shard-manifest/state store (r14 verdict
+    item 5), mirroring the gram-store pins: (1) erase_from_stores +
+    rebuild_shard_totals_state leaves NO trace of the subjects —
+    manifests drop their rows and the per-batch partials re-derive
+    so future deals stop balancing against erased weight; (2) the
+    folded state is EXACTLY the totals derived from the remaining
+    manifest rows; (3) post-erasure appends deal against the EXACT
+    erased totals and never worsen the spread beyond the
+    post-erasure imbalance plus the 2x-max-weight append band (the
+    snake's alternation cancels within-pass bias by design, so
+    appends do NOT heal a large erasure hole — the documented
+    heavy-erasure recipe is a full re-deal, pinned below to restore
+    the batch bound); (4) compact_partitions on the manifests is
+    row-identical and state-invariant."""
+    import hashlib
+
+    from product_etl_spark.operators.erasure import erase_from_stores
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        shard_weight_totals,
+    )
+    from product_etl_spark.operators.table_maintenance import (
+        compact_partitions,
+    )
+    from product_etl_spark.streaming.pipeline import (
+        _write_n_shards_marker,
+        read_shard_totals,
+        rebuild_shard_totals_state,
+    )
+
+    n_shards = 4
+    man, state = str(tmp_path / "man"), str(tmp_path / "state")
+
+    def batch(bid, n):
+        rows = [
+            (
+                bid * 1000 + i,
+                1
+                + int(
+                    hashlib.md5(f"{bid}-{i}".encode()).hexdigest()[:4], 16
+                )
+                % 50,
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, w long")
+
+    def deal(bid, df):
+        totals = read_shard_totals(spark, state, n_shards=n_shards)
+        a = append_balanced_shards(
+            df, "w", "doc_id", n_shards, totals
+        ).localCheckpoint(eager=True)
+        a.write.mode("overwrite").parquet(f"{man}/batch={bid}")
+        shard_weight_totals(a, "w").write.mode("overwrite").parquet(
+            f"{state}/batch={bid}"
+        )
+        _write_n_shards_marker(state, n_shards)
+
+    for b in range(3):
+        deal(b, batch(b, 80))
+
+    subjects = spark.createDataFrame(
+        [(i,) for i in range(0, 3000) if i % 3 == 0], "doc_id long"
+    )
+    erase_from_stores(
+        spark,
+        subjects,
+        [{"path": man, "id_col": "doc_id", "partition_by": ["batch"]}],
+    )
+    rebuilt = rebuild_shard_totals_state(spark, man, state, "w")
+    assert rebuilt == [0, 1, 2]
+
+    remaining = spark.read.option("basePath", man).parquet(f"{man}/batch=*")
+    assert remaining.join(subjects, "doc_id").count() == 0  # no resurface
+    got = {
+        r["shard"]: r["total_weight"]
+        for r in read_shard_totals(spark, state, n_shards=n_shards).collect()
+    }
+    want = {
+        r["shard"]: r["total_weight"]
+        for r in shard_weight_totals(remaining, "w").collect()
+    }
+    assert got == want  # state EXACTLY re-derived
+
+    # post-erasure appends: spread never exceeds the post-erasure
+    # imbalance plus the append band
+    t0 = sorted(want.values())
+    spread_post = t0[-1] - t0[0]
+    for b in (3, 4):
+        deal(b, batch(b, 300))
+    totals = sorted(
+        r["total_weight"]
+        for r in read_shard_totals(spark, state, n_shards=n_shards).collect()
+    )
+    spread = totals[-1] - totals[0]
+    assert spread <= spread_post + 2 * 50, (spread, spread_post)
+
+    # heavy-erasure recipe: a full re-deal of the REMAINING corpus
+    # restores the batch operator's 2x-max-weight bound
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.sampling import balanced_shards
+
+    alldocs = spark.read.option("basePath", man).parquet(f"{man}/batch=*")
+    redeal = balanced_shards(
+        alldocs.select("doc_id", "w"), "w", "doc_id", n_shards
+    )
+    rt = sorted(
+        r["t"]
+        for r in redeal.groupBy("shard").agg(F.sum("w").alias("t")).collect()
+    )
+    assert rt[-1] - rt[0] <= 2 * 50
+
+    # compaction: row-identical manifests, state read unchanged
+    pre = sorted(
+        map(tuple, spark.read.option("basePath", man)
+            .parquet(f"{man}/batch=*").collect())
+    )
+    compact_partitions(spark, man, target_bytes=1 << 30, min_files=1)
+    post = sorted(
+        map(tuple, spark.read.option("basePath", man)
+            .parquet(f"{man}/batch=*").collect())
+    )
+    assert pre == post
+    got2 = {
+        r["shard"]: r["total_weight"]
+        for r in read_shard_totals(spark, state, n_shards=n_shards).collect()
+    }
+    totals_now = sorted(got2.values())
+    assert totals_now[-1] - totals_now[0] == spread
+
+
+def test_stream_token_budget_select_end_to_end(spark, tmp_path):
+    """The q228 operator's incremental streaming posture: three
+    order-aligned json batches fold into exactly the one-shot
+    selection on the union (global cum_weight included); replaying
+    the whole stream against a fresh checkpoint is byte-identical
+    (strictly-lower state partials)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from product_etl_spark.operators.sampling import token_budget_select
+    from product_etl_spark.streaming.pipeline import (
+        read_budget_state,
+        stream_token_budget_select,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    rows = [(i, float(i % 7) + 0.5, i) for i in range(30)]
+    sel_dir, state, ckpt = (str(tmp_path / d) for d in ("sel", "state", "ck"))
+
+    def drop_and_run(fn, lo, hi, ck):
+        with open(inp / fn, "w") as f:
+            for i, w, s in rows[lo:hi]:
+                f.write(json.dumps({"doc_id": i, "weight": w, "score": s}) + "\n")
+        q = stream_token_budget_select(
+            spark, str(inp) + "/*.jsonl", sel_dir, state, ck, budget=55
+        )
+        q.awaitTermination()
+
+    # one availableNow run per drop: three REAL micro-batches, each
+    # folding the strictly-lower state partials
+    drop_and_run("a.jsonl", 0, 10, ckpt)
+    drop_and_run("b.jsonl", 10, 20, ckpt)
+    drop_and_run("c.jsonl", 20, 30, ckpt)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(state) if d.startswith("batch=")
+    ) == ["batch=0", "batch=1", "batch=2"]
+
+    one = {
+        (r["doc_id"], r["cum_weight"])
+        for r in token_budget_select(
+            spark.createDataFrame(rows, "doc_id long, weight double, score long"),
+            "weight",
+            ["score", "doc_id"],
+            55,
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["cum_weight"])
+        for r in spark.read.option("basePath", sel_dir)
+        .parquet(f"{sel_dir}/batch=*")
+        .collect()
+    }
+    assert got == one
+    spent, hwm = read_budget_state(spark, state)
+    assert float(spent) == 100.0 and tuple(hwm) == (29, 29)
+
+    # fresh-checkpoint replay: byte-identical outcome
+    q2 = stream_token_budget_select(
+        spark, str(inp) + "/*.jsonl", sel_dir, state,
+        str(tmp_path / "ck2"), budget=55,
+    )
+    q2.awaitTermination()
+    again = {
+        (r["doc_id"], r["cum_weight"])
+        for r in spark.read.option("basePath", sel_dir)
+        .parquet(f"{sel_dir}/batch=*")
+        .collect()
+    }
+    assert again == one
