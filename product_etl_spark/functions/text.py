@@ -412,3 +412,74 @@ def flesch_reading_ease(col: Column | str) -> Column:
         - F.lit(84.6) * (n_syll / n_words),
         4,
     )
+
+
+#: Line-keep markers for the C4 battery: a line containing any of
+#: these (case-insensitive) is boilerplate, not prose (Raffel et al.
+#: 2020 §2.2 drops javascript/cookie notices and code-ish lines).
+C4_LINE_MARKERS = ("javascript", "cookie", "{")
+
+#: Terminal punctuation a kept line must end with (after trim).
+C4_TERMINAL_PUNCT_RE = '[.!?"]$'
+
+
+def c4_line_filters(
+    col: Column | str,
+    min_words: int = 3,
+    markers: tuple[str, ...] = C4_LINE_MARKERS,
+) -> Column:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    rung between HTML extraction — operators/html_text — and the
+    document-level Gopher battery): keep only lines that (a) hold at
+    least ``min_words`` whitespace words, (b) end in terminal
+    punctuation, and (c) contain none of the boilerplate
+    ``markers``. Returns a struct ``(text, n_lines_kept, n_lines)``
+    — the reassembled kept lines plus the audit counts.
+
+    Pure higher-order expressions over the line array — map-only
+    codegen-adjacent, zero shuffles, cost bounded by the scan; at
+    100 TB this composes with html_to_text into one map stage."""
+    lines = F.split(F.coalesce(_c(col), F.lit("")), "\n")
+
+    def keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        wc = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+        cond = (wc >= min_words) & t.rlike(C4_TERMINAL_PUNCT_RE)
+        for m in markers:
+            cond = cond & ~F.contains(F.lower(t), F.lit(m))
+        return cond
+
+    kept = F.filter(lines, keep)
+    return F.struct(
+        # explicit unary lambda: bare F.trim has an optional second
+        # parameter, which F.transform would bind to the ELEMENT INDEX
+        # (arity-based dispatch) — silently trimming nothing
+        F.array_join(
+            F.transform(kept, lambda x: F.trim(x)), "\n"
+        ).alias("text"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+    )
+
+
+def c4_document_filters(col: Column | str) -> Column:
+    """C4-style DOCUMENT-level flags (Raffel et al. 2020 §2.2), the
+    companion of ``c4_line_filters``: sentence count (terminal
+    punctuation occurrences), the 'lorem ipsum' placeholder flag,
+    the curly-brace code flag, and the composite keep decision
+    (>= 3 sentences, no placeholder, no brace). Returns a struct
+    ``(n_sentences, has_lorem_ipsum, has_curly_brace, keep)``.
+
+    Pure expressions — map-only, composes with html_to_text +
+    c4_line_filters into one scan-bounded stage."""
+    s = F.coalesce(_c(col), F.lit(""))
+    low = F.lower(s)
+    n_sent = F.regexp_count(s, F.lit(r"[.!?]")).cast("bigint")
+    lorem = F.contains(low, F.lit("lorem ipsum"))
+    brace = F.contains(s, F.lit("{"))
+    return F.struct(
+        n_sent.alias("n_sentences"),
+        lorem.alias("has_lorem_ipsum"),
+        brace.alias("has_curly_brace"),
+        ((n_sent >= 3) & ~lorem & ~brace).alias("keep"),
+    )

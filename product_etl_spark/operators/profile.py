@@ -1182,3 +1182,180 @@ def kruskal_wallis_h(
             ),
         ).alias("h_tc"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns, with Cramer's V effect size — the contingency-table
+    rung next to the rank tests (Mann-Whitney q223 / Kruskal-Wallis
+    q230 compare distributions; this one tests association between
+    two LABELINGS, the canonical corpus-audit question "is source
+    independent of language / quality tier / license?").
+
+    Exactness (the kruskal_wallis float policy): every count is an
+    exact BIGINT; each cell's term
+    ``(o*N - r*c)^2 / (N*r*c)`` — the (o-e)^2/e expansion that
+    clears fractions — is ONE deterministic IEEE double tree over
+    integer-decided inputs (operands cast to double BEFORE the
+    multiplies, so no integer overflow at any corpus size),
+    ROUND(.,6)ed per cell; chi2 is the DECIMAL(38,6) sum of rounded
+    terms — order-free addition, identical on any engine and any
+    partitioning. ZERO cells are included explicitly (a missing
+    (a,b) combination contributes e, not nothing) via the
+    vocabulary-sized margin grid. NULL in either column drops the
+    observation (the rank ops' NULL stance). Degenerate contract:
+    dof = 0 (either margin single-valued) yields NULL cramers_v;
+    chi2 is still 0 there.
+
+    Scale shape: three map-side-combined groupBys (cells, row
+    margins, column margins) + a 1-row total; the grid is the
+    CARTESIAN of the two vocabularies — category-bounded, never
+    corpus-sized — and every join onto it is broadcast-sized.
+    Output is ONE row."""
+    obs = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
+    cells = obs.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    rows = obs.groupBy(F.col(a_col).alias("_a")).agg(
+        F.count(F.lit(1)).alias("_r")
+    )
+    cols = obs.groupBy(F.col(b_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("_n"))
+    grid = (
+        rows.crossJoin(cols)
+        .join(cells, ["_a", "_b"], "left")
+        .select(
+            "_a",
+            "_b",
+            "_r",
+            "_c",
+            F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("_o").cast("double")
+    rd = F.col("_r").cast("double")
+    cd = F.col("_c").cast("double")
+    nd = F.col("_n").cast("double")
+    term = F.round(
+        (od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd), 6
+    )
+    terms = grid.select(term.cast("decimal(38,6)").alias("_t"), "_n")
+    agg = (
+        terms.groupBy("_n")
+        .agg(F.sum("_t").alias("_chi2"))
+        .crossJoin(
+            F.broadcast(
+                rows.agg(F.count(F.lit(1)).alias("_ra"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cols.agg(F.count(F.lit(1)).alias("_cb"))
+            )
+        )
+    )
+    dof = (F.col("_ra") - 1) * (F.col("_cb") - 1)
+    chi2d = F.col("_chi2").cast("double")
+    mindim = F.least(F.col("_ra") - 1, F.col("_cb") - 1)
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("dof"),
+        chi2d.alias("chi2"),
+        F.when(
+            dof > 0,
+            F.round(
+                F.sqrt(
+                    chi2d
+                    / (F.col("_n").cast("double") * mindim.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the
+    PARAMETRIC rung next to the rank tests (q223/q230 ask "same
+    distribution?" without moments; this asks "same mean?" from
+    them), the standard A/B check over corpus metrics.
+
+    Exactness (the q102/q161 moment recipe): per-group moments
+    (n, SUM(x), SUM(x*x)) aggregate as EXACT decimals — order-free,
+    mergeable partials — and mean/var/t/df are single deterministic
+    IEEE double trees over those decided sums, ROUND(.,6)ed at the
+    surface; no float accumulation order enters the hash.
+    Degenerate contract (engine-identical by guard): either group
+    with n < 2, or zero pooled standard error, yields NULL t and
+    df_welch; means still report (NULL only when that group is
+    empty — then its row is simply absent and the single output row
+    carries NULL for the missing side). NULL values drop (no rank,
+    no moment).
+
+    Scale shape: ONE map-side-combined groupBy over the two groups'
+    rows, two 1-row frames broadcast-joined. Output is ONE row."""
+    dec = F.col(value_col).cast("decimal(18,6)")
+    obs = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    m = obs.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec).alias("_s"),
+        F.sum(dec * dec).alias("_ss"),
+    )
+
+    def side(val, suffix):
+        return m.filter(F.col("_g") == F.lit(val)).select(
+            F.col("_n").alias(f"_n{suffix}"),
+            F.col("_s").alias(f"_s{suffix}"),
+            F.col("_ss").alias(f"_ss{suffix}"),
+        )
+
+    one = (
+        obs.agg(F.count(F.lit(1)).alias("_tot"))
+        .join(F.broadcast(side(group_a, "a")), F.lit(True), "left")
+        .join(F.broadcast(side(group_b, "b")), F.lit(True), "left")
+    )
+
+    def stats(suffix):
+        n = F.col(f"_n{suffix}")
+        nd = n.cast("double")
+        sd = F.col(f"_s{suffix}").cast("double")
+        ssd = F.col(f"_ss{suffix}").cast("double")
+        mean = sd / nd
+        var = (ssd - sd * sd / nd) / (nd - F.lit(1.0))
+        return n, nd, mean, var
+
+    na, nad, ma, va = stats("a")
+    nb, nbd, mb, vb = stats("b")
+    se2 = va / nad + vb / nbd
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / nad) * (va / nad) / (nad - F.lit(1.0))
+        + (vb / nbd) * (vb / nbd) / (nbd - F.lit(1.0))
+    )
+    ok = (na >= 2) & (nb >= 2) & (se2 > F.lit(0.0))
+    return one.select(
+        F.coalesce(na, F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(nb, F.lit(0)).cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok, F.round(t, 6)).alias("t"),
+        F.when(ok, F.round(dfw, 6)).alias("df_welch"),
+    )

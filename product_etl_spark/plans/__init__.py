@@ -216,6 +216,7 @@ from product_etl_spark.plans import catalog_ext13  # noqa: F401  (registers q188
 from product_etl_spark.plans import catalog_ext14  # noqa: F401  (registers q212+)
 from product_etl_spark.plans import catalog_ext15  # noqa: F401  (registers q217+)
 from product_etl_spark.plans import catalog_ext16  # noqa: F401  (registers q226+)
+from product_etl_spark.plans import catalog_ext17  # noqa: F401  (registers q233+)
 
 # Queries that are iterative / not ANSI-SQL-expressible: registered in
 # queries() without an oracle_sql() entry; the driver records a weaker
@@ -292,16 +293,18 @@ _DRIVER_WINDOW = [
     "q30_doc_script_langid",
     "q31_minhash_signatures",
     "q33_ngram_jaccard_pairs",
-    "q38_referential_integrity",
-    "q40_brand_dictionary",
-    "q41_rollup_region_nation",
-    "q45_price_band_range_join",
-    # -- new in r15, scheduled same round (the q188 pattern; q49 and
-    #    q47 ceded their fill slots and stay r11-green): the HTML->
-    #    clean-text extraction rung (r14 verdict item 2) and the
-    #    incremental budget-selection twin (r14 verdict item 6) --
+    # -- new in r15, scheduled same round (the q188 pattern; q49/q47/
+    #    q45/q41/q40/q38 ceded their fill slots and stay r11-green):
+    #    the HTML->clean-text extraction rung (r14 verdict item 2),
+    #    the incremental budget-selection twin (r14 verdict item 6),
+    #    the chi-squared/Cramer's-V contingency rung, the C4 line- and
+    #    document-filter batteries downstream of q231, and Welch's t --
     "q231_html_clean_text",
     "q232_incremental_budget_select",
+    "q233_chi_square_priority_status",
+    "q234_c4_line_filters",
+    "q235_welch_t_acctbal",
+    "q236_c4_document_filters",
 ]
 
 

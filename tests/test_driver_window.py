@@ -63,7 +63,7 @@ def test_window_covers_all_never_driver_green():
 
 def test_no_query_lost_in_reorder():
     names = list(plans.queries())
-    assert len(names) == len(set(names)) == 232
+    assert len(names) == len(set(names)) == 236
 
 
 def test_coverage_doc_matches_window():

@@ -165,3 +165,30 @@ def test_quality_family_downstream(spark):
     assert by_id[1]["dup3"] < 0.2
     # repeated nav text dominates the boilerplate page's trigrams
     assert by_id[2]["dup3"] > 0.8
+
+
+def test_c4_line_filters_battery(spark):
+    """Line-level C4 rules: min-word, terminal-punctuation and
+    boilerplate-marker drops, trim-on-keep, and the counts
+    surface; NULL text behaves as empty."""
+    from product_etl_spark.functions.text import c4_line_filters
+
+    text = (
+        "This line is long enough to keep.\n"
+        "too short\n"
+        "This one mentions JavaScript cookies here.\n"
+        "this line has no terminal punctuation at all\n"
+        "   Indented but perfectly fine line!\n"
+        "function() { return 1; }.\n"
+    )
+    df = spark.createDataFrame([(1, text), (2, None)], "i long, x string")
+    out = {r["i"]: r["s"] for r in
+           df.select("i", c4_line_filters("x").alias("s")).collect()}
+    assert out[1]["text"] == (
+        "This line is long enough to keep.\n"
+        "Indented but perfectly fine line!"
+    )
+    assert out[1]["n_lines_kept"] == 2
+    # trailing newline yields a final empty line in the split
+    assert out[1]["n_lines"] == 7
+    assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0

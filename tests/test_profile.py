@@ -314,3 +314,97 @@ def test_kruskal_wallis_ties_and_degenerate(spark):
     )
     hn = kruskal_wallis_h(noisy, "v", "g").collect()[0]
     assert (hn["n"], hn["h"]) == (h["n"], h["h"])
+
+
+def test_chi_square_independence_matches_pandas(spark):
+    """Chi-squared + Cramer's V pinned against a pandas crosstab
+    replay (per-cell ROUND policy applied to both), including the
+    zero-cell contribution and the NULL-drop stance."""
+    import pandas as pd
+
+    from product_etl_spark.operators.profile import chi_square_independence
+
+    rows = [
+        (i, ["x", "y", "z"][i % 3] if i % 11 else None,
+         ["p", "q"][(i * 7) % 2])
+        for i in range(400)
+    ]
+    # plant a zero cell: no ('z', 'q') observations
+    rows = [
+        (i, a, "p" if a == "z" else b) for i, a, b in rows
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    got = chi_square_independence(df, "a", "b").collect()[0]
+
+    pdf = pd.DataFrame(rows, columns=["id", "a", "b"]).dropna()
+    ct = pd.crosstab(pdf.a, pdf.b)
+    n = int(ct.values.sum())
+    chi2 = 0.0
+    for ai in ct.index:
+        for bi in ct.columns:
+            o, r, c = int(ct.loc[ai, bi]), int(ct.loc[ai].sum()), int(ct[bi].sum())
+            chi2 += round((o * n - r * c) ** 2 / (n * r * c), 6)
+    assert got["n"] == n
+    assert got["dof"] == (len(ct.index) - 1) * (len(ct.columns) - 1)
+    assert abs(got["chi2"] - chi2) < 1e-9
+    import math
+
+    assert got["cramers_v"] == round(
+        math.sqrt(chi2 / (n * min(len(ct.index) - 1, len(ct.columns) - 1))), 6
+    )
+
+
+def test_chi_square_degenerate_single_category(spark):
+    """dof = 0 (one column single-valued): chi2 is 0 and cramers_v is
+    NULL — by guard, not by engine-specific 0/0."""
+    from product_etl_spark.operators.profile import chi_square_independence
+
+    df = spark.createDataFrame(
+        [(i, "only", ["p", "q"][i % 2]) for i in range(20)],
+        "id long, a string, b string",
+    )
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert r["dof"] == 0 and r["chi2"] == 0.0 and r["cramers_v"] is None
+
+
+def test_welch_t_matches_pandas_and_degenerates(spark):
+    """Welch t/df pinned against the numpy replay of the same trees;
+    n < 2 on either side and zero variance yield NULL by guard."""
+    from product_etl_spark.operators.profile import welch_t_test
+
+    rows = [(i, ["g1", "g2"][i % 2], float((i * 13) % 40) + 0.25)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = welch_t_test(df, "v", "g", "g1", "g2").collect()[0]
+
+    import numpy as np
+
+    a = np.array([v for _, g, v in rows if g == "g1"])
+    b = np.array([v for _, g, v in rows if g == "g2"])
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    dfw = se2 ** 2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["t"] - round(float(t), 6)) < 1e-6
+    assert abs(got["df_welch"] - round(float(dfw), 6)) < 1e-6
+
+    # degenerate: singleton group -> NULL t/df, counts still report
+    tiny = spark.createDataFrame(
+        [(1, "g1", 5.0), (2, "g2", 1.0), (3, "g2", 2.0)],
+        "id long, g string, v double",
+    )
+    r = welch_t_test(tiny, "v", "g", "g1", "g2").collect()[0]
+    assert r["n_a"] == 1 and r["t"] is None and r["df_welch"] is None
+    # zero variance both sides -> se2 = 0 -> NULL by guard
+    flat = spark.createDataFrame(
+        [(i, ["g1", "g2"][i % 2], 7.0) for i in range(10)],
+        "id long, g string, v double",
+    )
+    r2 = welch_t_test(flat, "v", "g", "g1", "g2").collect()[0]
+    assert r2["t"] is None and r2["df_welch"] is None
+    # absent group entirely: row still emits with zero count
+    r3 = welch_t_test(tiny.filter("g = 'g2'"), "v", "g", "g1", "g2").collect()[0]
+    assert r3["n_a"] == 0 and r3["t"] is None
