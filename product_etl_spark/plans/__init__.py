@@ -187,16 +187,20 @@ newest green row is older than r11.
 
 Round-16 ROTATION PLAN (for the session that composes it, written
 at the end of r15): post-freeze queue registrations lead, as every
-round. The stalest cohort per the COVERAGE.md ledger is then the
-six standing anchors (q01/q02/q32/q94/q112/q114, last green r12)
-— they MUST take slots this round, having sat out three rotations
-— plus the entire r11-last-green remainder (the q34-q40-tier reps
-displaced from the r15 fill, the r11-stamped family reps
-q51-q80-tier per the ledger, and q137-q148/q180-q188). Fill any
-remaining slots with the oldest r12 reps in registration order.
-New-in-r16 registrations displace the fill tail per the q188
-pattern. After r16 no entry's newest green row should be older
-than r12.
+round (the r15 queue is EMPTY — all six r15 registrations
+q231-q236 were scheduled same-round). The stalest cohort per the
+COVERAGE.md ledger is then the ENTIRE 37-entry r11-last-green tier:
+the six reps the r15 fill ceded to q231-q236
+(q38/q40/q41/q45/q47/q49), the r11-stamped family reps
+q51/q56/q57/q58/q64/q69/q92/q99/q120/q134, and the
+q137-q148/q180-q188 registration tiers — all of it. The remaining
+13 slots go to the oldest r12 rows: the six standing anchors FIRST
+(q01/q02/q32/q94/q112/q114, last green r12 — they have sat out
+three rotations and must not reach r13-stale), then the seven
+oldest r12 reps in registration order (q149-q155). That fills
+exactly 50. New-in-r16 registrations displace the r12-rep tail per
+the q188 pattern (never the anchors). After r16 no entry's newest
+green row should be older than r12.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
