@@ -1208,8 +1208,9 @@ def chi_square_independence(
     (a,b) combination contributes e, not nothing) via the
     vocabulary-sized margin grid. NULL in either column drops the
     observation (the rank ops' NULL stance). Degenerate contract:
-    dof = 0 (either margin single-valued) yields NULL cramers_v;
-    chi2 is still 0 there.
+    dof = 0 (either margin single-valued) yields NULL cramers_v
+    with chi2 still 0; an EMPTY corpus yields an empty frame (no
+    margins exist, so there is no row to emit).
 
     Scale shape: three map-side-combined groupBys (cells, row
     margins, column margins) + a 1-row total; the grid is the

@@ -1665,10 +1665,17 @@ def rebuild_shard_totals_state(
                 f"(got {d!r}); the state writers use driver-local "
                 "renames and cannot resolve URI schemes"
             )
+    manifest_batches = (
+        {
+            d
+            for d in os.listdir(manifest_dir)
+            if d.startswith("batch=")
+        }
+        if os.path.isdir(manifest_dir)
+        else set()  # erasure removed the whole table: absent == empty
+    )
     rebuilt = []
-    for name in sorted(os.listdir(manifest_dir)):
-        if not name.startswith("batch="):
-            continue
+    for name in sorted(manifest_batches):
         batch_id = int(name.split("=", 1)[1])
         part = spark.read.parquet(f"{manifest_dir}/{name}")
         totals = shard_weight_totals(part, weight_col)
@@ -1681,6 +1688,16 @@ def rebuild_shard_totals_state(
         os.rename(staging, target)
         shutil.rmtree(backup, ignore_errors=True)
         rebuilt.append(batch_id)
+    # a batch whose EVERY row was erased loses its manifest partition
+    # in the rewrite — its state partial must go too, or the fold
+    # would keep balancing against the erased weight forever (r15
+    # self-review finding, regression-pinned in the lifecycle test)
+    if os.path.isdir(state_dir):
+        for name in sorted(os.listdir(state_dir)):
+            if name.startswith("batch=") and name not in manifest_batches:
+                shutil.rmtree(
+                    os.path.join(state_dir, name), ignore_errors=True
+                )
     spark.catalog.refreshByPath(state_dir)
     return rebuilt
 

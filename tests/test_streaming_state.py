@@ -646,3 +646,46 @@ def test_stream_token_budget_select_end_to_end(spark, tmp_path):
         .collect()
     }
     assert again == one
+
+
+def test_rebuild_drops_orphaned_state_partial(spark, tmp_path):
+    """r15 self-review regression: erasing EVERY row of a batch drops
+    its manifest partition in the rewrite — the rebuild must remove
+    that batch's state partial too, or read_shard_totals keeps
+    balancing against the erased weight forever."""
+    import os
+
+    from product_etl_spark.operators.erasure import erase_from_stores
+    from product_etl_spark.operators.sampling import (
+        append_balanced_shards,
+        shard_weight_totals,
+    )
+    from product_etl_spark.streaming.pipeline import (
+        read_shard_totals,
+        rebuild_shard_totals_state,
+    )
+
+    man, state = str(tmp_path / "man"), str(tmp_path / "state")
+    for bid, rows in enumerate(
+        ([(1, 10), (2, 20), (3, 5)], [(11, 7), (12, 9)])
+    ):
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        totals = read_shard_totals(spark, state, n_shards=2)
+        a = append_balanced_shards(df, "w", "doc_id", 2, totals)
+        a.write.parquet(f"{man}/batch={bid}")
+        shard_weight_totals(a, "w").write.parquet(f"{state}/batch={bid}")
+
+    # erase EVERY document of batch 1
+    erase_from_stores(
+        spark,
+        spark.createDataFrame([(11,), (12,)], "doc_id long"),
+        [{"path": man, "id_col": "doc_id", "partition_by": ["batch"]}],
+    )
+    rebuilt = rebuild_shard_totals_state(spark, man, state, "w")
+    assert rebuilt == [0]
+    assert not os.path.exists(f"{state}/batch=1")  # orphan removed
+    got = {
+        r["shard"]: r["total_weight"]
+        for r in read_shard_totals(spark, state, n_shards=2).collect()
+    }
+    assert sum(got.values()) == 35.0  # batch-0 weight only
