@@ -106,30 +106,74 @@ from product_etl_spark.operators.linkage import (
 )
 
 
+def _dense_pid(order_col: str, buckets: int, total: int):
+    """Deterministic, perfectly balanced bucket id for a DENSE
+    1-based rank column: ``((rank - 1) * buckets) div total`` — pure
+    integer projection, no sampling, no exchange of its own. Used to
+    replace ``repartitionByRange + spark_partition_id()`` wherever the
+    order key is already a dense global rank: Catalyst cannot prove
+    range partitioning clusters the partition id, so the window over
+    ``spark_partition_id()`` planned a SECOND degenerate
+    ``Exchange hashpartitioning(_pid)`` after the range exchange — a
+    full extra shuffle per scan (verified in the physical plan, r15).
+    With a derived bucket id the window's own ENSURE_REQUIREMENTS
+    exchange is the ONLY shuffle."""
+    return F.expr(f"(({order_col} - 1) * {buckets}) div {total}")
+
+
+def _n_buckets(spark, total: int) -> int:
+    """Bucket count for dense-rank scans: 8x the shuffle-partition
+    count (hash collisions of bucket ids onto reduce tasks leave some
+    tasks 2 buckets and some 0 — 8 buckets/task keeps the imbalance
+    ~1.2x, guide §2.5), floored at the partition count and capped at
+    the row count."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(parts, min(8 * parts, max(total, 1)))
+
+
 def _prefix_sum(
     df: DataFrame,
     order_col: str,
     val_col: str,
     out_col: str,
     out_cast: str = "bigint",
+    dense_total: int | None = None,
 ) -> DataFrame:
     """Distributed inclusive prefix sum of ``val_col`` over the total
     order ``order_col`` — global_sort_ranks' two-level pattern with
-    SUM instead of row_number: repartitionByRange, per-partition
-    running-sum windows (parallel), #partitions-sized offset collect
-    broadcast back. Never a single-task global window. ``out_cast``
-    is the output type: the default bigint fits the integer-count
-    callers (runs, ranks, token sums); pass an exact decimal for
-    fractional values — a bigint cast would silently TRUNCATE them
-    (r14 review finding, token_budget_select)."""
-    parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    ranged = df.repartitionByRange(int(parts), F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    SUM instead of row_number: per-partition running-sum windows
+    (parallel), #partitions-sized offset collect broadcast back.
+    Never a single-task global window. ``out_cast`` is the output
+    type: the default bigint fits the integer-count callers (runs,
+    ranks, token sums); pass an exact decimal for fractional values —
+    a bigint cast would silently TRUNCATE them (r14 review finding,
+    token_budget_select).
+
+    ``dense_total`` (r15, guide §2.4): when ``order_col`` is a DENSE
+    1-based rank with this many rows, the bucket id is computed by
+    integer arithmetic (``_dense_pid``) instead of
+    ``repartitionByRange + spark_partition_id()`` — ONE exchange
+    (the window's own) instead of two, perfectly uniform buckets, no
+    boundary-sampling job. Without it the legacy two-exchange path
+    runs (arbitrary orderable keys)."""
+    spark = df.sparkSession
+    if dense_total is not None and dense_total > 0:
+        buckets = _n_buckets(spark, dense_total)
+        ranged = df.withColumn(
+            "_pid", _dense_pid(order_col, buckets, dense_total)
+        )
+    else:
+        parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        ranged = df.repartitionByRange(
+            int(parts), F.col(order_col)
+        ).withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(order_col)
+    # LAZY checkpoint: the offsets collect below is the materializing
+    # action, so pinning the (possibly sampled) partition split costs
+    # no extra job.
     local = ranged.withColumn(
         "_lps", F.sum(F.col(val_col)).over(w)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sizes = (
         local.groupBy("_pid").agg(F.sum(F.col(val_col)).alias("_t")).collect()
     )
@@ -201,6 +245,55 @@ def _segmented_prefix_sum(
         .withColumn(out_col, (F.col("_off") + F.col("_lps")).cast(out_cast))
         .drop("_pid", "_lps", "_off")
     )
+
+
+def _with_prev_row(
+    df: DataFrame,
+    rank_col: str,
+    n_rows: int,
+    cols: list[str],
+    prefix: str = "_prev_",
+) -> DataFrame:
+    """Attach each row's PREDECESSOR-in-rank values of ``cols`` as
+    ``<prefix><col>`` (null for rank 1) — the adjacent-suffix pairing
+    both LCP constructions need, WITHOUT the full two-sided self-join
+    on ``rank_col`` (which shuffled the fat suffix frame twice).
+    Shape (r15, guide §2.4): dense buckets from the rank
+    (``_dense_pid``), one hash exchange, per-bucket ``lag`` windows;
+    the ~buckets rows whose predecessor lives in the previous bucket
+    are patched by a BROADCAST join against the bucket-last rows —
+    driver/executor state is buckets-sized, never row-sized.
+
+    Correctness note: a lag of null on a bucket-first row is exactly
+    the rows the boundary frame patches; a GENUINE null value in a
+    lagged column stays null because non-first rows never match the
+    boundary frame (its keys are bucket-first ranks only)."""
+    if n_rows <= 0:
+        out = df
+        for c in cols:
+            out = out.withColumn(prefix + c, F.lit(None).cast(dict(df.dtypes)[c]))
+        return out
+    buckets = _n_buckets(df.sparkSession, n_rows)
+    pid = _dense_pid(rank_col, buckets, n_rows)
+    w = Window.partitionBy("_wpid").orderBy(rank_col)
+    out = df.withColumn("_wpid", pid)
+    for c in cols:
+        out = out.withColumn(prefix + c, F.lag(F.col(c)).over(w))
+    # bucket-last rows, keyed by their successor's rank: the rows the
+    # lag cannot see across the bucket boundary
+    succ_pid = F.expr(f"(({rank_col}) * {buckets}) div {n_rows}")
+    bnd = df.filter(succ_pid != pid).select(
+        (F.col(rank_col) + F.lit(1)).alias("_bnd_rank"),
+        *[F.col(c).alias(f"_bnd_{c}") for c in cols],
+    )
+    out = out.join(
+        F.broadcast(bnd), F.col(rank_col) == F.col("_bnd_rank"), "left"
+    )
+    for c in cols:
+        out = out.withColumn(
+            prefix + c, F.coalesce(F.col(prefix + c), F.col(f"_bnd_{c}"))
+        )
+    return out.drop("_wpid", "_bnd_rank", *[f"_bnd_{c}" for c in cols])
 
 
 def _suffix_rank_tables(
@@ -326,26 +419,26 @@ def _position_dup_lengths(
     module algorithm, by either construction method (pytest-pinned
     to agree)."""
     if method == "blocked":
-        sa = _position_dup_lengths_blocked(
+        sa, n_sfx = _position_dup_lengths_blocked(
             df, text_col, id_col, max_doc_tokens
         )
     elif method == "doubling":
-        sa = _position_dup_lengths_doubling(df, text_col, id_col, max_rounds)
+        sa, n_sfx = _position_dup_lengths_doubling(
+            df, text_col, id_col, max_rounds
+        )
     else:
         raise ValueError(f"unknown suffix method {method!r}")
     if color_col is None:
-        # cross-DOC semantics: the color IS the doc id; same-color
-        # runs in suffix order are doc-bounded, so plain per-run
-        # windows are safe
+        # cross-DOC semantics: the color IS the doc id
         sa = sa.withColumn(
             "_start",
             F.col("_ida").isNull() | (F.col("_ida") != F.col(id_col)),
         )
-        return _d_from_sa(sa, id_col, bounded_runs=True)
-    # cross-COLOR (e.g. corpus-vs-benchmark source) semantics: a
-    # same-color run can be corpus-sized (one source dominating a
-    # whole suffix-order region), so the per-run mins go through the
-    # segmented two-level scans instead of windows
+        return _d_from_sa(sa, id_col, n_sfx)
+    # cross-COLOR (e.g. corpus-vs-benchmark source) semantics; the
+    # fused _d_from_sa scan is run-length-agnostic (one source
+    # dominating a corpus-sized suffix-order region never becomes a
+    # single window task), so both semantics share one path
     colors = df.select(
         F.col(id_col), F.col(color_col).alias("_clr")
     ).distinct()
@@ -359,7 +452,7 @@ def _position_dup_lengths(
             "_start", ~F.col("_clra").eqNullSafe(F.col("_clr"))
         )
     )
-    return _d_from_sa(sa, id_col, bounded_runs=False)
+    return _d_from_sa(sa, id_col, n_sfx)
 
 
 def _position_dup_lengths_blocked(
@@ -428,34 +521,33 @@ def _position_dup_lengths_blocked(
     ).select(
         id_col, "pos", (F.col("_dl") - F.col("pos")).alias("_tail"), "_sfx"
     )
-    saf = global_sort_ranks(
+    saf, n_sfx = global_sort_ranks_counted(
         suf, ["_sfx", id_col, "pos"], "_s"
-    ).localCheckpoint(eager=True)
-    lo = saf.select(
-        F.col(id_col).alias("_ida"),
-        F.col("_sfx").alias("_sfxa"),
-        F.col("_tail").alias("_taila"),
-        (F.col("_s") + F.lit(1)).alias("_s"),
+    )
+    # adjacent-suffix pairing via the lag-with-boundary helper — one
+    # exchange instead of shuffling the fat array frame twice for a
+    # self-join on _s (r15, guide §2.4)
+    prev = _with_prev_row(
+        saf, "_s", n_sfx, ["_sfx", "_tail", id_col]
     )
     mism = F.expr(
-        "array_position(zip_with(_sfxa, _sfx, (x, y) -> NOT (x <=> y)),"
-        " true)"
+        f"array_position(zip_with(_prev__sfx, _sfx,"
+        " (x, y) -> NOT (x <=> y)), true)"
     )
-    return (
-        saf.join(lo, "_s", "left")
-        .select(
-            id_col,
-            "pos",
-            "_s",
-            "_tail",
-            F.when(F.col("_sfxa").isNull(), F.lit(0))
-            .when(mism > 0, (mism - 1).cast("bigint"))
-            .otherwise(F.least("_taila", "_tail").cast("bigint"))
-            .alias("_lcp"),
-            "_ida",
+    sa = prev.select(
+        id_col,
+        "pos",
+        "_s",
+        "_tail",
+        F.when(F.col("_prev__sfx").isNull(), F.lit(0))
+        .when(mism > 0, (mism - 1).cast("bigint"))
+        .otherwise(
+            F.least("_prev__tail", "_tail").cast("bigint")
         )
-        .localCheckpoint(eager=True)
+        .alias("_lcp"),
+        F.col(f"_prev_{id_col}").alias("_ida"),
     )
+    return sa, n_sfx
 
 
 def _position_dup_lengths_doubling(
@@ -478,9 +570,11 @@ def _position_dup_lengths_doubling(
     )
     final, tables, top = _suffix_rank_tables(tok, id_col, max_rounds)
     dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    ranked, n_sfx = global_sort_ranks_counted(
+        final, ["_r", id_col, "pos"], "_s"
+    )
     saf = (
-        global_sort_ranks(final, ["_r", id_col, "pos"], "_s")
-        .join(dl, id_col)
+        ranked.join(dl, id_col)
         .select(
             id_col,
             "pos",
@@ -490,23 +584,23 @@ def _position_dup_lengths_doubling(
         )
         .localCheckpoint(eager=True)
     )
-    lo = saf.select(
-        F.col(id_col).alias("_ida"),
-        F.col("pos").alias("_posa"),
-        F.col("_r").alias("_ra"),
-        F.col("_tail").alias("_taila"),
-        (F.col("_s") + F.lit(1)).alias("_s"),
+    # adjacent-suffix pairing via the lag-with-boundary helper — one
+    # exchange instead of a two-sided self-join on _s (r15, §2.4);
+    # the frame KEEPS the row's own columns, so the final join-back
+    # onto saf disappears too
+    prev = _with_prev_row(
+        saf, "_s", n_sfx, [id_col, "pos", "_r", "_tail"]
     )
-    pairs = saf.join(lo, "_s").select(
+    pairs = prev.select(
         "_s",
         F.col(id_col).alias("_idb"),
         F.col("pos").alias("_posb"),
         F.col("_r").alias("_rb"),
         F.col("_tail").alias("_tailb"),
-        "_ida",
-        "_posa",
-        "_ra",
-        "_taila",
+        F.col(f"_prev_{id_col}").alias("_ida"),
+        F.col("_prev_pos").alias("_posa"),
+        F.col("_prev__r").alias("_ra"),
+        F.col("_prev__tail").alias("_taila"),
         F.lit(0).cast("bigint").alias("_acc"),
     )
     # binary lifting, descending level; level `top` is the stable
@@ -540,27 +634,23 @@ def _position_dup_lengths_doubling(
             )
             .drop("_pla", "_plb", "_rla", "_rlb")
         )
-    lcp = pairs.select(
+    sa = pairs.select(
+        F.col("_idb").alias(id_col),
+        F.col("_posb").alias("pos"),
         "_s",
-        "_ida",
-        F.when(
-            F.col("_ra") == F.col("_rb"), F.least("_taila", "_tailb")
+        F.col("_tailb").alias("_tail"),
+        F.when(F.col("_ida").isNull(), F.lit(0).cast("bigint"))
+        .when(
+            F.col("_ra") == F.col("_rb"),
+            F.least("_taila", "_tailb").cast("bigint"),
         )
-        .otherwise(F.least("_acc", "_taila", "_tailb"))
+        .otherwise(
+            F.least("_acc", "_taila", "_tailb").cast("bigint")
+        )
         .alias("_lcp"),
+        "_ida",
     )
-    return (
-        saf.join(lcp, "_s", "left")
-        .select(
-            id_col,
-            "pos",
-            "_s",
-            "_tail",
-            F.coalesce(F.col("_lcp"), F.lit(0)).alias("_lcp"),
-            "_ida",
-        )
-        .localCheckpoint(eager=True)
-    )
+    return sa, n_sfx
 
 
 def _segmented_running_mins(
@@ -630,74 +720,154 @@ def _segmented_running_mins(
     )
 
 
-def _d_from_sa(
-    sa: DataFrame, id_col: str, bounded_runs: bool = True
-) -> DataFrame:
+def _d_from_sa(sa: DataFrame, id_col: str, n_rows: int) -> DataFrame:
     """Step 4 shared by both construction methods and both color
     semantics: from the suffix-ordered frame (id, pos, _s, _tail,
     _lcp = LCP to the previous suffix, _start = previous suffix has a
     different color), compute _d = longest shared prefix with any
     OTHER-color suffix via the nearest-different-color run machinery.
 
-    ``bounded_runs=True`` (color = doc id): runs are doc-bounded, so
-    per-run windows compute the running mins. ``bounded_runs=False``
-    (source colors): runs can be corpus-sized — the mins go through
-    ``_segmented_running_min`` two-level scans instead."""
-    runs = _prefix_sum(
-        sa.withColumn("_sv", F.col("_start").cast("int")), "_s", "_sv", "_run"
-    )
+    FUSED single-exchange segmented scan (r15, guide §2.4): run ids,
+    the inclusive forward per-run min, and the exclusive following
+    per-run min all ride ONE hash exchange on a dense bucket id
+    derived from the suffix rank (``_dense_pid`` — previously this
+    was a two-exchange prefix sum FOLLOWED BY either per-run windows
+    (one more exchange) or the two-exchange segmented-min scan).
+    Cross-bucket carries: only a bucket's FIRST group (local run 0)
+    can continue a run from an earlier bucket and only its LAST group
+    can continue into the next, so the carries are a buckets-sized
+    driver scan folded into the same offsets collect — never a
+    row-frame join. Safe for runs of ANY length (one color dominating
+    a corpus-sized suffix-order region never becomes one window
+    task), so ONE code path serves both the doc-color and
+    source-color semantics."""
     big = F.lit(1 << 62)
-    if bounded_runs:
-        wrun = Window.partitionBy("_run").orderBy("_s")
-        scored_in = runs.withColumn(
-            "_up",
-            F.min("_lcp").over(
-                wrun.rowsBetween(Window.unboundedPreceding, 0)
+    if n_rows <= 0:
+        return sa.select(
+            F.col(id_col),
+            "pos",
+            "_tail",
+            F.lit(None).cast("bigint").alias("_d"),
+        )
+    buckets = _n_buckets(sa.sparkSession, n_rows)
+    base = sa.withColumn("_sv", F.col("_start").cast("int")).withColumn(
+        "_pid", _dense_pid("_s", buckets, n_rows)
+    )
+    w1 = Window.partitionBy("_pid").orderBy("_s")
+    local1 = base.withColumn("_lrun", F.sum("_sv").over(w1)).withColumn(
+        # starts strictly AFTER this row in the bucket: 0 marks the
+        # bucket's last group (the only one that can continue right)
+        "_fs",
+        F.coalesce(
+            F.sum("_sv").over(
+                w1.rowsBetween(1, Window.unboundedFollowing)
             ),
-        ).withColumn(
-            "_tm",
+            F.lit(0),
+        ),
+    )
+    wg = Window.partitionBy("_pid", "_lrun").orderBy("_s")
+    local = (
+        local1.withColumn(
+            "_lf",
             F.min("_lcp").over(
-                wrun.rowsBetween(1, Window.unboundedFollowing)
+                wg.rowsBetween(Window.unboundedPreceding, 0)
             ),
+        )
+        .withColumn(
+            "_lt",
+            F.min("_lcp").over(
+                wg.rowsBetween(1, Window.unboundedFollowing)
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # ONE buckets-sized collect (also the checkpoint's materializing
+    # action): per-bucket start counts -> global run offsets, plus
+    # the first/last-group mins -> cross-bucket carry chains.
+    bnd = (
+        local.groupBy("_pid")
+        .agg(
+            F.sum("_sv").alias("_n"),
+            F.min(F.when(F.col("_lrun") == 0, F.col("_lcp"))).alias(
+                "_pm0"
+            ),
+            F.min(F.when(F.col("_fs") == 0, F.col("_lcp"))).alias(
+                "_pml"
+            ),
+        )
+        .collect()
+    )
+    bnd = sorted(bnd, key=lambda r: r["_pid"])
+    INF = 1 << 62
+    runoff: dict[int, int] = {}
+    fwd: dict[int, int] = {}
+    bwd: dict[int, int] = {}
+    acc = 0
+    open_min = INF
+    for r in bnd:
+        pid = r["_pid"]
+        runoff[pid] = acc
+        # min over earlier buckets' pieces of the run continuing into
+        # this bucket (consumed only by rows with _lrun == 0)
+        fwd[pid] = open_min
+        pml = r["_pml"] if r["_pml"] is not None else INF
+        if (r["_n"] or 0) > 0:
+            open_min = pml
+        else:
+            open_min = min(open_min, pml)
+        acc += r["_n"] or 0
+    open_min = INF
+    for r in reversed(bnd):
+        pid = r["_pid"]
+        # min over later buckets' pieces of the run continuing out of
+        # this bucket (consumed only by rows with _fs == 0)
+        bwd[pid] = open_min
+        if r["_pm0"] is None:
+            # bucket begins with a start row: no run crosses its left
+            # boundary — the chain breaks here
+            open_min = INF
+        elif (r["_n"] or 0) > 0:
+            open_min = r["_pm0"]
+        else:
+            open_min = min(open_min, r["_pm0"])
+    if runoff:
+        roff = F.create_map(
+            *[F.lit(x) for kv in runoff.items() for x in kv]
+        )
+        fmap = F.create_map(*[F.lit(x) for kv in fwd.items() for x in kv])
+        bmap = F.create_map(*[F.lit(x) for kv in bwd.items() for x in kv])
+        run_expr = (roff[F.col("_pid")] + F.col("_lrun")).cast("bigint")
+        fcarry = F.when(F.col("_lrun") == 0, fmap[F.col("_pid")]).otherwise(
+            big
+        )
+        bcarry = F.when(F.col("_fs") == 0, bmap[F.col("_pid")]).otherwise(
+            big
         )
     else:
-        bwd = _segmented_running_mins(
-            runs, "_s", "_run", "_lcp", "_up", "_bm"
-        ).localCheckpoint(eager=True)
-        # exclusive following-min = the NEXT row's inclusive backward
-        # min, valid only within the same run
-        nxt = bwd.select(
-            (F.col("_s") - F.lit(1)).alias("_s"),
-            F.col("_run").alias("_run2"),
-            F.col("_bm").alias("_tm0"),
+        run_expr = F.lit(None).cast("bigint")
+        fcarry = big
+        bcarry = big
+    scored_in = (
+        local.withColumn("_run", run_expr)
+        .withColumn("_up", F.least(F.col("_lf"), fcarry))
+        .withColumn(
+            "_tm", F.least(F.coalesce(F.col("_lt"), big), bcarry)
         )
-        scored_in = (
-            bwd.join(nxt, "_s", "left")
-            .withColumn(
-                "_tm",
-                F.when(
-                    F.col("_run2") == F.col("_run"), F.col("_tm0")
-                ),
-            )
-            .drop("_run2", "_tm0", "_bm")
-        )
-    run_starts = runs.filter(F.col("_start")).select(
+    )
+    run_starts = scored_in.filter(F.col("_start")).select(
         (F.col("_run") - F.lit(1)).alias("_run"),
         F.col("_lcp").alias("_nb"),
     )
-    scored = (
-        scored_in.join(run_starts, "_run", "left")
-        .select(
-            id_col,
-            "pos",
-            "_tail",
-            F.greatest(
-                F.col("_up"),
-                F.when(F.col("_nb").isNull(), F.lit(0)).otherwise(
-                    F.least(F.coalesce(F.col("_tm"), big), F.col("_nb"))
-                ),
-            ).alias("_d"),
-        )
+    scored = scored_in.join(run_starts, "_run", "left").select(
+        id_col,
+        "pos",
+        "_tail",
+        F.greatest(
+            F.col("_up"),
+            F.when(F.col("_nb").isNull(), F.lit(0)).otherwise(
+                F.least(F.col("_tm"), F.col("_nb"))
+            ),
+        ).alias("_d"),
     )
     return scored
 
