@@ -297,7 +297,10 @@ def _with_prev_row(
 
 
 def _suffix_rank_tables(
-    tok: DataFrame, id_col: str, max_rounds: int
+    tok: DataFrame,
+    id_col: str,
+    max_rounds: int,
+    stop_prefix: int | None = None,
 ) -> tuple[DataFrame, list[DataFrame], int]:
     """Prefix-doubling suffix ranks over per-doc token tails.
 
@@ -323,7 +326,18 @@ def _suffix_rank_tables(
     partition can be detected one level later than the sequential
     loop (a stop at an odd level surfaces at the next even one);
     the extra table is refinement-free and equality-faithful, so
-    spans are unchanged — pytest-pinned identical to blocked."""
+    spans are unchanged — pytest-pinned identical to blocked.
+
+    ``stop_prefix`` (r15): stop as soon as the top table
+    discriminates prefixes of ``stop_prefix`` tokens — the capped-LCP
+    callers (see _position_dup_lengths) never look past that length,
+    so the stabilization loop over the longest REPEAT collapses to
+    ceil(log2(stop_prefix)) levels. When the stop lands on an ODD
+    level, only the single +offset shift is joined (no quad, no
+    counted rank): the (r, r@+offset) struct is both equality- AND
+    ORDER-faithful for the level (-1 pad sorts before every real
+    rank, exactly the shorter-tail-first lexicographic convention),
+    so it can serve as the final sort key directly."""
     vocab = tok.select("_tk").distinct()
     vr, nd_prev = global_sort_ranks_counted(vocab, ["_tk"], "_r")
     cur = (
@@ -332,10 +346,41 @@ def _suffix_rank_tables(
         .localCheckpoint(eager=True)
     )
     tables = [cur]
+    if stop_prefix is not None and stop_prefix <= 1:
+        # level 0 already discriminates 1-token prefixes
+        return cur, tables, 0
     n_pos = tok.count()
     offset = 1
     level = 0
     while level < max_rounds:
+        if stop_prefix is not None and 2 * offset >= stop_prefix:
+            # the ODD level (prefix 2*offset) already covers the cap:
+            # one +offset shift join, struct projection, done — no
+            # quad, no counted rank, no join-back (see docstring)
+            s = cur.select(
+                F.col(id_col).alias("_sid1"),
+                (F.col("pos") - F.lit(offset)).alias("_spos1"),
+                F.col("_r").alias("_r2"),
+            )
+            pair = (
+                cur.join(
+                    s,
+                    (F.col(id_col) == F.col("_sid1"))
+                    & (F.col("pos") == F.col("_spos1")),
+                    "left",
+                )
+                .drop("_sid1", "_spos1")
+                .select(
+                    id_col,
+                    "pos",
+                    F.struct(
+                        "_r",
+                        F.coalesce(F.col("_r2"), F.lit(-1)).alias("_r2"),
+                    ).alias("_r"),
+                )
+            )
+            tables.append(pair)
+            return pair, tables, len(tables) - 1
         quad = cur
         for k, rcol in ((1, "_r2"), (2, "_r3"), (3, "_r4")):
             s = cur.select(
@@ -384,6 +429,9 @@ def _suffix_rank_tables(
         )
         tables.append(cur)
         level += 2
+        if stop_prefix is not None and 4 * offset >= stop_prefix:
+            # the even level (prefix 4*offset) covers the cap
+            return cur, tables, len(tables) - 1
         # nd == nd_prev: no refinement happened across the two
         # levels — ranks are stable (remaining ties are identical
         # tails; the doubling map's fixed point argument covers the
@@ -411,20 +459,40 @@ def _position_dup_lengths(
     method: str = "blocked",
     max_doc_tokens: int = 2048,
     color_col: str | None = None,
+    cap: int | None = None,
 ) -> DataFrame:
     """Per token position: (id, pos, _d) where _d is the length of
     the longest prefix of the suffix at (id, pos) that also occurs
     in a document of a DIFFERENT COLOR (default color = the doc id
     itself, i.e. any other document; 0 when none) — steps 1-4 of the
     module algorithm, by either construction method (pytest-pinned
-    to agree)."""
+    to agree).
+
+    ``cap`` (r15, guide §1.2 "don't compute what you throw away"):
+    when the CALLER only consumes _d through ``_d >= min_len`` and
+    the interval union of ``[pos, pos + _d)`` — true of every public
+    operator in this module — pass ``cap = min_len`` and the whole
+    construction is clipped at ``cap`` tokens: the blocked method
+    materializes/sorts ``min(tail, cap)``-token arrays instead of
+    whole tails (O(corpus·cap), not O(Σ len²/2) ids), and the
+    doubling method stops at ``2^level >= cap`` rounds and replaces
+    the binary-lifting LCP joins with ONE rank-table equality (the
+    two-overlapping-windows trick). Outputs are IDENTICAL by the
+    module's cover-equality contract: min(_d, cap) >= cap iff
+    _d >= cap, and the union of [pos, pos+min(_d,cap)) over kept
+    positions equals the union of the uncapped intervals — every
+    token of a shared span of length d >= cap sits inside SOME kept
+    position's cap-length window (the same argument that makes the
+    suffix family interval-equal to the cap-gram family, module
+    docstring). ``cap=None`` keeps the full construction (true
+    per-position _d magnitudes)."""
     if method == "blocked":
         sa, n_sfx = _position_dup_lengths_blocked(
-            df, text_col, id_col, max_doc_tokens
+            df, text_col, id_col, max_doc_tokens, cap
         )
     elif method == "doubling":
         sa, n_sfx = _position_dup_lengths_doubling(
-            df, text_col, id_col, max_rounds
+            df, text_col, id_col, max_rounds, cap
         )
     else:
         raise ValueError(f"unknown suffix method {method!r}")
@@ -460,6 +528,7 @@ def _position_dup_lengths_blocked(
     text_col: str,
     id_col: str,
     max_doc_tokens: int,
+    cap: int | None = None,
 ) -> DataFrame:
     """Bounded-document-block suffix construction: each suffix
     materializes as its token-id ARRAY (a slice of its document's
@@ -513,11 +582,15 @@ def _position_dup_lengths_blocked(
     docarr = docarr.withColumn(
         "_ids", F.when(guard.isNull(), F.col("_ids"))
     )
+    # cap: materialize only the first ``cap`` tokens of each suffix —
+    # the LCP below then computes min(true LCP, cap), which is all the
+    # interval-union consumers can observe (see _position_dup_lengths)
+    slice_len = "_dl - pos" if cap is None else f"least({int(cap)}, _dl - pos)"
     suf = docarr.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.col("_dl") - 1)).alias("pos"),
         F.col("_dl"),
-        F.expr("slice(_ids, pos + 1, _dl - pos)").alias("_sfx"),
+        F.expr(f"slice(_ids, pos + 1, {slice_len})").alias("_sfx"),
     ).select(
         id_col, "pos", (F.col("_dl") - F.col("pos")).alias("_tail"), "_sfx"
     )
@@ -542,7 +615,15 @@ def _position_dup_lengths_blocked(
         F.when(F.col("_prev__sfx").isNull(), F.lit(0))
         .when(mism > 0, (mism - 1).cast("bigint"))
         .otherwise(
-            F.least("_prev__tail", "_tail").cast("bigint")
+            # no mismatch within the materialized arrays: LCP is the
+            # shorter array's length — min(tails) uncapped, and
+            # additionally clipped at ``cap`` when suffixes were
+            # truncated (the arrays are min(tail, cap) tokens long)
+            (
+                F.least("_prev__tail", "_tail")
+                if cap is None
+                else F.least(F.lit(cap), F.col("_prev__tail"), F.col("_tail"))
+            ).cast("bigint")
         )
         .alias("_lcp"),
         F.col(f"_prev_{id_col}").alias("_ida"),
@@ -555,10 +636,22 @@ def _position_dup_lengths_doubling(
     text_col: str,
     id_col: str,
     max_rounds: int,
+    cap: int | None = None,
 ) -> DataFrame:
     """Prefix-doubling construction (steps 1-4 of the module
     algorithm) — document-length-agnostic: O(log repeat) linear
-    rounds, the scale path when documents are NOT bounded."""
+    rounds, the scale path when documents are NOT bounded.
+
+    ``cap`` (r15, see _position_dup_lengths): the rank loop stops at
+    ``2^level >= cap`` (no stabilization sweep over the longest
+    repeat), and the log-depth binary-lifting LCP joins collapse to
+    ONE rank-class equality per adjacent pair: LCP >= cap iff both
+    tails >= cap and the pair agrees on rank_L at positions p and
+    p + (cap - 2^L), L = floor(log2(cap)) — the classic
+    two-overlapping-windows decomposition; for power-of-two caps the
+    second window is the first (zero extra joins). Downstream only
+    ever tests ``_d >= cap`` and unions [pos, pos+_d), so the
+    {0, cap} flag is observationally identical to the true LCP."""
     tok = (
         df.select(
             F.col(id_col),
@@ -568,7 +661,9 @@ def _position_dup_lengths_doubling(
         )
         .localCheckpoint(eager=True)
     )
-    final, tables, top = _suffix_rank_tables(tok, id_col, max_rounds)
+    final, tables, top = _suffix_rank_tables(
+        tok, id_col, max_rounds, stop_prefix=cap
+    )
     dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     ranked, n_sfx = global_sort_ranks_counted(
         final, ["_r", id_col, "pos"], "_s"
@@ -584,6 +679,62 @@ def _position_dup_lengths_doubling(
         )
         .localCheckpoint(eager=True)
     )
+    if cap is not None:
+        L = cap.bit_length() - 1  # floor(log2(cap)), cap >= 1
+        o = cap - (1 << L)
+        covered = 1 << top
+        kcols = ["_k1"]
+        joined = False
+        if covered < cap:
+            # stabilization ended the loop before reaching the cap:
+            # equal top rank now means IDENTICAL complete tails, so
+            # LCP = min(tails) and the tails >= cap guard suffices
+            keyed = saf.withColumn("_k1", F.col("_r"))
+        elif o == 0 and L == top:
+            # the catalog case (cap a power of two, loop stopped
+            # exactly at it): the order rank IS the cap-class key
+            keyed = saf.withColumn("_k1", F.col("_r"))
+        else:
+            t1 = tables[L].select(
+                F.col(id_col), F.col("pos"), F.col("_r").alias("_k1")
+            )
+            keyed = saf.join(t1, [id_col, "pos"])
+            joined = True
+            if o > 0:
+                t2 = tables[L].select(
+                    F.col(id_col),
+                    (F.col("pos") - F.lit(o)).alias("pos"),
+                    F.col("_r").alias("_k2"),
+                )
+                keyed = keyed.join(t2, [id_col, "pos"], "left")
+                kcols = ["_k1", "_k2"]
+        if joined:
+            # _with_prev_row references its input twice (rows +
+            # boundary frame); pin the join result once
+            keyed = keyed.localCheckpoint(eager=False)
+        prev = _with_prev_row(
+            keyed, "_s", n_sfx, [id_col, "_tail", *kcols]
+        )
+        flag = (
+            (F.col("_tail") >= F.lit(cap))
+            & (F.col("_prev__tail") >= F.lit(cap))
+            & (F.col("_k1") == F.col("_prev__k1"))
+        )
+        if "_k2" in kcols:
+            flag = flag & F.col("_k2").eqNullSafe(F.col("_prev__k2"))
+        sa = prev.select(
+            F.col(id_col),
+            "pos",
+            "_s",
+            "_tail",
+            F.when(F.col(f"_prev_{id_col}").isNull(), F.lit(0))
+            .when(flag, F.lit(cap))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("_lcp"),
+            F.col(f"_prev_{id_col}").alias("_ida"),
+        )
+        return sa, n_sfx
     # adjacent-suffix pairing via the lag-with-boundary helper — one
     # exchange instead of a two-sided self-join on _s (r15, §2.4);
     # the frame KEEPS the row's own columns, so the final join-back
@@ -920,7 +1071,8 @@ def suffix_duplicated_spans(
     doubling; document-length-agnostic). Both produce identical
     results (pytest-pinned)."""
     dup = _position_dup_lengths(
-        df, text_col, id_col, max_rounds, method, max_doc_tokens
+        df, text_col, id_col, max_rounds, method, max_doc_tokens,
+        cap=min_len,
     )
     return (
         _merged_spans(dup, id_col, min_len)
@@ -950,7 +1102,8 @@ def suffix_dup_coverage(
     n = min_len (module contract; pytest-asserted), while also
     exposing the exact span inventory via suffix_duplicated_spans."""
     dup = _position_dup_lengths(
-        df, text_col, id_col, max_rounds, method, max_doc_tokens
+        df, text_col, id_col, max_rounds, method, max_doc_tokens,
+        cap=min_len,
     )
     spans = _merged_spans(dup, id_col, min_len)
     covered = spans.groupBy(id_col).agg(
@@ -1004,7 +1157,8 @@ def suffix_remove_duplicates(
     from product_etl_spark.operators.dedup import _excise_positions
 
     dup = _position_dup_lengths(
-        df, text_col, id_col, max_rounds, method, max_doc_tokens
+        df, text_col, id_col, max_rounds, method, max_doc_tokens,
+        cap=min_len,
     )
     removal = (
         dup.filter(F.col("_d") >= F.lit(min_len))
@@ -1058,6 +1212,7 @@ def suffix_shared_span_coverage(
         method,
         max_doc_tokens,
         color_col=color_col,
+        cap=min_len,
     )
     spans = _merged_spans(dup, id_col, min_len)
     covered = spans.groupBy(id_col).agg(
@@ -1125,6 +1280,7 @@ def suffix_remove_contaminated(
         method,
         max_doc_tokens,
         color_col=color_col,
+        cap=min_len,
     )
     removal = (
         dup.filter(F.col("_d") >= F.lit(min_len))
