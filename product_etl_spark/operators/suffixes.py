@@ -253,6 +253,7 @@ def _with_prev_row(
     n_rows: int,
     cols: list[str],
     prefix: str = "_prev_",
+    keep_pid: str | None = None,
 ) -> DataFrame:
     """Attach each row's PREDECESSOR-in-rank values of ``cols`` as
     ``<prefix><col>`` (null for rank 1) — the adjacent-suffix pairing
@@ -267,11 +268,21 @@ def _with_prev_row(
     Correctness note: a lag of null on a bucket-first row is exactly
     the rows the boundary frame patches; a GENUINE null value in a
     lagged column stays null because non-first rows never match the
-    boundary frame (its keys are bucket-first ranks only)."""
+    boundary frame (its keys are bucket-first ranks only).
+
+    ``keep_pid`` (r15, guide §2.4): expose the bucket column under
+    this name instead of dropping it. ``_d_from_sa`` hashes on the
+    SAME ``_dense_pid`` bucket id (same ``_n_buckets``/``n_rows``),
+    so a caller that threads the kept column through to it lets
+    Catalyst prove the clustering and elide the second full-data
+    hash exchange — the window here establishes the partitioning
+    once for both scans."""
     if n_rows <= 0:
         out = df
         for c in cols:
             out = out.withColumn(prefix + c, F.lit(None).cast(dict(df.dtypes)[c]))
+        if keep_pid is not None:
+            out = out.withColumn(keep_pid, F.lit(0).cast("bigint"))
         return out
     buckets = _n_buckets(df.sparkSession, n_rows)
     pid = _dense_pid(rank_col, buckets, n_rows)
@@ -293,7 +304,10 @@ def _with_prev_row(
         out = out.withColumn(
             prefix + c, F.coalesce(F.col(prefix + c), F.col(f"_bnd_{c}"))
         )
-    return out.drop("_wpid", "_bnd_rank", *[f"_bnd_{c}" for c in cols])
+    out = out.drop("_bnd_rank", *[f"_bnd_{c}" for c in cols])
+    if keep_pid is None:
+        return out.drop("_wpid")
+    return out.withColumnRenamed("_wpid", keep_pid)
 
 
 def _suffix_rank_tables(
@@ -601,7 +615,7 @@ def _position_dup_lengths_blocked(
     # exchange instead of shuffling the fat array frame twice for a
     # self-join on _s (r15, guide §2.4)
     prev = _with_prev_row(
-        saf, "_s", n_sfx, ["_sfx", "_tail", id_col]
+        saf, "_s", n_sfx, ["_sfx", "_tail", id_col], keep_pid="_pid"
     )
     mism = F.expr(
         f"array_position(zip_with(_prev__sfx, _sfx,"
@@ -611,6 +625,7 @@ def _position_dup_lengths_blocked(
         id_col,
         "pos",
         "_s",
+        "_pid",
         "_tail",
         F.when(F.col("_prev__sfx").isNull(), F.lit(0))
         .when(mism > 0, (mism - 1).cast("bigint"))
@@ -713,7 +728,7 @@ def _position_dup_lengths_doubling(
             # boundary frame); pin the join result once
             keyed = keyed.localCheckpoint(eager=False)
         prev = _with_prev_row(
-            keyed, "_s", n_sfx, [id_col, "_tail", *kcols]
+            keyed, "_s", n_sfx, [id_col, "_tail", *kcols], keep_pid="_pid"
         )
         flag = (
             (F.col("_tail") >= F.lit(cap))
@@ -726,6 +741,7 @@ def _position_dup_lengths_doubling(
             F.col(id_col),
             "pos",
             "_s",
+            "_pid",
             "_tail",
             F.when(F.col(f"_prev_{id_col}").isNull(), F.lit(0))
             .when(flag, F.lit(cap))
@@ -900,10 +916,14 @@ def _d_from_sa(sa: DataFrame, id_col: str, n_rows: int) -> DataFrame:
             "_tail",
             F.lit(None).cast("bigint").alias("_d"),
         )
-    buckets = _n_buckets(sa.sparkSession, n_rows)
-    base = sa.withColumn("_sv", F.col("_start").cast("int")).withColumn(
-        "_pid", _dense_pid("_s", buckets, n_rows)
-    )
+    base = sa.withColumn("_sv", F.col("_start").cast("int"))
+    if "_pid" not in sa.columns:
+        buckets = _n_buckets(sa.sparkSession, n_rows)
+        base = base.withColumn("_pid", _dense_pid("_s", buckets, n_rows))
+    # else: the caller kept _with_prev_row's bucket column (same
+    # _dense_pid over the same _n_buckets(n_rows)) — identical values,
+    # and when the lineage preserved the clustering Catalyst elides
+    # this scan's hash exchange entirely (guide §2.4)
     w1 = Window.partitionBy("_pid").orderBy("_s")
     local1 = base.withColumn("_lrun", F.sum("_sv").over(w1)).withColumn(
         # starts strictly AFTER this row in the bucket: 0 marks the
