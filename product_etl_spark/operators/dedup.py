@@ -478,6 +478,9 @@ def connected_components(
         O(diameter) rounds; near-dup clusters are shallow, so this is
         the cheap default, but a pathological long chain needs
         diameter rounds and every round shuffles the FULL label frame.
+        Round 1 is folded into the label initialization (one groupBy
+        over the edge list), so ``max_iter`` bounds the rounds run
+        AFTER that fold — distance max_iter+1 propagation total.
       'star' — alternating large-star / small-star contraction
         (Kiveris et al. 2014, "Connected Components in MapReduce and
         Beyond"): each round rewires every node's strictly-larger
@@ -511,16 +514,33 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        # Pin the layout every round's join needs: hash(dst) BEFORE
+        # the checkpoint, so the LogicalRDD's outputPartitioning
+        # already satisfies the join requirement and no round pays an
+        # edge-list exchange (r15, guide §2.4 — each round is its own
+        # action, so exchange reuse can never kick in across rounds;
+        # the labels side is partition-aligned for free because it
+        # exits each round's groupBy hash-partitioned on the id).
+        .repartition("dst")
         # Materialize ONCE: edges are referenced by every round's join
         # AND convergence count — without the checkpoint each of those
         # actions re-executes the whole upstream pair-generation DAG
         # (measured: q156's PPJoin pairs re-ran ~8x, 7.5s -> ~3s).
         .localCheckpoint(eager=True)
     )
+    # Round 1 folded into initialization (r15): starting from
+    # identity labels, round 1 produces min(id, min neighbor id) —
+    # one groupBy over the edge list, no join needed. This replaces
+    # the old distinct-nodes init (same exchange count) AND saves a
+    # full propagation round; converged labelings are unchanged
+    # (each round only accelerates toward the same fixpoint).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("_mn"), F.col("src")).alias("component"),
+        )
     )
     for _ in range(max_iter):
         # min(own label, every neighbor's label) in ONE groupBy: the
