@@ -101,7 +101,6 @@ from pyspark.sql import functions as F
 
 from product_etl_spark.functions import text as T
 from product_etl_spark.operators.linkage import (
-    global_sort_ranks,
     global_sort_ranks_counted,
 )
 
@@ -545,12 +544,13 @@ def _position_dup_lengths_blocked(
     cap: int | None = None,
 ) -> DataFrame:
     """Bounded-document-block suffix construction: each suffix
-    materializes as its token-id ARRAY (a slice of its document's
-    id sequence) and Spark's native lexicographic array ordering
-    sorts all suffixes in ONE two-level global rank — no doubling
-    rounds; the adjacent-pair LCP is a single first-mismatch
-    expression (array_position over a zip_with equality mask), no
-    lifting joins.
+    materializes as its token ARRAY (a slice of the document's token
+    sequence — strings, not vocab ids: contiguity of shared prefixes
+    holds under any total token order, so no id assignment is needed)
+    and Spark's native lexicographic array ordering sorts all
+    suffixes in ONE two-level global rank — no doubling rounds; the
+    adjacent-pair LCP is a single first-mismatch expression
+    (array_position over a zip_with equality mask), no lifting joins.
 
     Cost model: sum over docs of len*(len+1)/2 token ids
     materialized — the right trade when documents are BOUNDED (web
@@ -560,23 +560,22 @@ def _position_dup_lengths_blocked(
     quadratic-per-doc regime must be chosen, not discovered): switch
     to method='doubling', whose O(log repeat) linear rounds don't
     care about document length, or split the document upstream."""
-    tok = df.select(
+    # Suffixes sort as arrays of token STRINGS (r15, guide §1.2/§2.4):
+    # the result only depends on suffixes that share a prefix being
+    # CONTIGUOUS in the sort, which lexicographic array order gives
+    # under ANY total order on tokens — string order works as well as
+    # dense vocab ranks. That deletes the whole id-assignment front
+    # end the previous shape paid (posexplode + vocab distinct +
+    # global rank + join-back + groupBy/collect_list re-assembly:
+    # four exchanges and an offsets collect) — the token array from
+    # the scan IS the document array, so everything up to the one
+    # mandatory global suffix sort is now a pure map.
+    docarr = df.select(
         F.col(id_col),
-        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "_tk"),
-    )
-    vocab = tok.select("_tk").distinct()
-    vr = global_sort_ranks(vocab, ["_tk"], "_tid")
-    docarr = (
-        tok.join(vr, "_tk")
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_tid"))),
-                lambda s: s["_tid"],
-            ).alias("_ids"),
-            F.count(F.lit(1)).alias("_dl"),
-        )
-    )
+        T.tokens(F.lower(F.col(text_col))).alias("_ids"),
+    ).select(
+        F.col(id_col), "_ids", F.size("_ids").alias("_dl")
+    ).filter(F.col("_dl") > 0)
     guard = F.assert_true(
         F.col("_dl") <= F.lit(max_doc_tokens),
         F.concat(
