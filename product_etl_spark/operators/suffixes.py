@@ -501,7 +501,7 @@ def _position_dup_lengths(
     per-position _d magnitudes)."""
     if method == "blocked":
         sa, n_sfx = _position_dup_lengths_blocked(
-            df, text_col, id_col, max_doc_tokens, cap
+            df, text_col, id_col, max_doc_tokens, cap, color_col
         )
     elif method == "doubling":
         sa, n_sfx = _position_dup_lengths_doubling(
@@ -520,6 +520,14 @@ def _position_dup_lengths(
     # fused _d_from_sa scan is run-length-agnostic (one source
     # dominating a corpus-sized suffix-order region never becomes a
     # single window task), so both semantics share one path
+    if method == "blocked":
+        # the blocked construction threads each row's color and its
+        # rank-predecessor's through as columns (r15) — no attach-by-
+        # join (the old shape shuffled the suffix frame twice here)
+        sa = sa.withColumn(
+            "_start", ~F.col("_clra").eqNullSafe(F.col("_clr"))
+        ).drop("_clr", "_clra")
+        return _d_from_sa(sa, id_col, n_sfx)
     colors = df.select(
         F.col(id_col), F.col(color_col).alias("_clr")
     ).distinct()
@@ -542,6 +550,7 @@ def _position_dup_lengths_blocked(
     id_col: str,
     max_doc_tokens: int,
     cap: int | None = None,
+    color_col: str | None = None,
 ) -> DataFrame:
     """Bounded-document-block suffix construction: each suffix
     materializes as its token ARRAY (a slice of the document's token
@@ -570,11 +579,18 @@ def _position_dup_lengths_blocked(
     # four exchanges and an offsets collect) — the token array from
     # the scan IS the document array, so everything up to the one
     # mandatory global suffix sort is now a pure map.
+    # ``color_col`` (r15): the caller's cross-color semantics only
+    # need each suffix row's own color and its rank-predecessor's —
+    # carried here as plain columns (plus one more lag column below),
+    # they cost nothing, where the old attach-by-join shape shuffled
+    # the full suffix frame twice (two SortMergeJoins) after the fact.
+    clr = ["_clr"] if color_col is not None else []
     docarr = df.select(
         F.col(id_col),
+        *([F.col(color_col).alias("_clr")] if color_col is not None else []),
         T.tokens(F.lower(F.col(text_col))).alias("_ids"),
     ).select(
-        F.col(id_col), "_ids", F.size("_ids").alias("_dl")
+        F.col(id_col), *clr, "_ids", F.size("_ids").alias("_dl")
     ).filter(F.col("_dl") > 0)
     guard = F.assert_true(
         F.col("_dl") <= F.lit(max_doc_tokens),
@@ -601,11 +617,13 @@ def _position_dup_lengths_blocked(
     slice_len = "_dl - pos" if cap is None else f"least({int(cap)}, _dl - pos)"
     suf = docarr.select(
         F.col(id_col),
+        *clr,
         F.explode(F.sequence(F.lit(0), F.col("_dl") - 1)).alias("pos"),
         F.col("_dl"),
         F.expr(f"slice(_ids, pos + 1, {slice_len})").alias("_sfx"),
     ).select(
-        id_col, "pos", (F.col("_dl") - F.col("pos")).alias("_tail"), "_sfx"
+        id_col, *clr, "pos",
+        (F.col("_dl") - F.col("pos")).alias("_tail"), "_sfx"
     )
     saf, n_sfx = global_sort_ranks_counted(
         suf, ["_sfx", id_col, "pos"], "_s"
@@ -614,7 +632,7 @@ def _position_dup_lengths_blocked(
     # exchange instead of shuffling the fat array frame twice for a
     # self-join on _s (r15, guide §2.4)
     prev = _with_prev_row(
-        saf, "_s", n_sfx, ["_sfx", "_tail", id_col], keep_pid="_pid"
+        saf, "_s", n_sfx, ["_sfx", "_tail", id_col, *clr], keep_pid="_pid"
     )
     mism = F.expr(
         f"array_position(zip_with(_prev__sfx, _sfx,"
@@ -622,6 +640,8 @@ def _position_dup_lengths_blocked(
     )
     sa = prev.select(
         id_col,
+        *clr,
+        *([F.col("_prev__clr").alias("_clra")] if clr else []),
         "pos",
         "_s",
         "_pid",
