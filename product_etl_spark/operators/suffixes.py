@@ -351,13 +351,18 @@ def _suffix_rank_tables(
     ORDER-faithful for the level (-1 pad sorts before every real
     rank, exactly the shorter-tail-first lexicographic convention),
     so it can serve as the final sort key directly."""
-    vocab = tok.select("_tk").distinct()
-    vr, nd_prev = global_sort_ranks_counted(vocab, ["_tk"], "_r")
-    cur = (
-        tok.join(vr, "_tk")
-        .select(id_col, "pos", F.col("_r").cast("bigint").alias("_r"))
-        .localCheckpoint(eager=True)
-    )
+    # Level 0 ranks ARE the token strings (r15): the doubling ladder
+    # only needs level-0 to be equality- and order-faithful, and the
+    # token string itself is both — the old dense-vocab assignment
+    # (distinct + global rank + join-back + eager checkpoint) bought
+    # nothing. Round 1's quad dense-ranks string quads instead of
+    # int quads and every later level is bigint as before. The only
+    # cost is losing the free vocab count for the round-1
+    # stabilization check (nd_prev starts unknown); that check
+    # becomes active from round 2 — one possibly-redundant round on
+    # degenerate corpora, nothing else.
+    nd_prev = None
+    cur = tok.select(id_col, "pos", F.col("_tk").alias("_r"))
     tables = [cur]
     if stop_prefix is not None and stop_prefix <= 1:
         # level 0 already discriminates 1-token prefixes
@@ -366,6 +371,10 @@ def _suffix_rank_tables(
     offset = 1
     level = 0
     while level < max_rounds:
+        # missing-shift pad: must sort BEFORE every real value of the
+        # current level's rank type — "" for the string level 0 (no
+        # token is empty), -1 for the 1-based bigint ranks after
+        pad = F.lit("") if level == 0 else F.lit(-1)
         if stop_prefix is not None and 2 * offset >= stop_prefix:
             # the ODD level (prefix 2*offset) already covers the cap:
             # one +offset shift join, struct projection, done — no
@@ -388,7 +397,7 @@ def _suffix_rank_tables(
                     "pos",
                     F.struct(
                         "_r",
-                        F.coalesce(F.col("_r2"), F.lit(-1)).alias("_r2"),
+                        F.coalesce(F.col("_r2"), pad).alias("_r2"),
                     ).alias("_r"),
                 )
             )
@@ -412,7 +421,7 @@ def _suffix_rank_tables(
             "pos",
             "_r",
             *[
-                F.coalesce(F.col(c), F.lit(-1)).alias(c)
+                F.coalesce(F.col(c), pad).alias(c)
                 for c in ("_r2", "_r3", "_r4")
             ],
         ).localCheckpoint(eager=True)
