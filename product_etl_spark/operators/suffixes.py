@@ -309,6 +309,70 @@ def _with_prev_row(
     return out.withColumnRenamed("_wpid", keep_pid)
 
 
+def _shifted_ranks(
+    cur: DataFrame,
+    id_col: str,
+    offsets: list[int],
+    out_cols: list[str],
+    pad,
+) -> DataFrame:
+    """(id, pos, _r, out_cols[i] = _r at pos + offsets[i]) by
+    SCATTER-REGROUP: each (id, pos, _r) row is emitted once per slot
+    it feeds (slot 0 = its own position; slot i = the left-shifted
+    target pos - offsets[i-1]) and one groupBy(id, pos) pivots the
+    slots back into columns. ONE hash exchange of len(offsets)+1
+    narrow rows with map-side combine — a document's positions are
+    contiguous in the upstream checkpointed token frame, so the
+    slots of a target mostly collapse before the wire — instead of
+    one self-join (two corpus exchanges + a sort) per offset.
+    Missing shifts (target's source past the tail) coalesce to
+    ``pad``, which must sort/compare below every real rank value.
+    Work stays keyed on (id, pos): no per-document task, documents
+    of any length stay spread across partitions."""
+    emits = [
+        cur.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.lit(0).alias("_slot"),
+            F.col("_r").alias("_rv"),
+        )
+    ]
+    for i, off in enumerate(offsets, start=1):
+        emits.append(
+            cur.select(
+                F.col(id_col),
+                (F.col("pos") - F.lit(off)).alias("pos"),
+                F.lit(i).alias("_slot"),
+                F.col("_r").alias("_rv"),
+            )
+        )
+    allc = emits[0]
+    for e in emits[1:]:
+        allc = allc.unionByName(e)
+    # negative targets have no receiving position; every kept target
+    # has its own slot-0 row (positions are dense 0..len-1), so the
+    # regroup reproduces exactly the original row set
+    agged = (
+        allc.filter(F.col("pos") >= 0)
+        .groupBy(id_col, "pos")
+        .agg(
+            F.max(F.when(F.col("_slot") == 0, F.col("_rv"))).alias("_r"),
+            *[
+                F.max(
+                    F.when(F.col("_slot") == i, F.col("_rv"))
+                ).alias(c)
+                for i, c in enumerate(out_cols, start=1)
+            ],
+        )
+    )
+    return agged.select(
+        id_col,
+        "pos",
+        "_r",
+        *[F.coalesce(F.col(c), pad).alias(c) for c in out_cols],
+    )
+
+
 def _suffix_rank_tables(
     tok: DataFrame,
     id_col: str,
@@ -377,53 +441,34 @@ def _suffix_rank_tables(
         pad = F.lit("") if level == 0 else F.lit(-1)
         if stop_prefix is not None and 2 * offset >= stop_prefix:
             # the ODD level (prefix 2*offset) already covers the cap:
-            # one +offset shift join, struct projection, done — no
-            # quad, no counted rank, no join-back (see docstring)
-            s = cur.select(
-                F.col(id_col).alias("_sid1"),
-                (F.col("pos") - F.lit(offset)).alias("_spos1"),
-                F.col("_r").alias("_r2"),
-            )
-            pair = (
-                cur.join(
-                    s,
-                    (F.col(id_col) == F.col("_sid1"))
-                    & (F.col("pos") == F.col("_spos1")),
-                    "left",
-                )
-                .drop("_sid1", "_spos1")
-                .select(
-                    id_col,
-                    "pos",
-                    F.struct(
-                        "_r",
-                        F.coalesce(F.col("_r2"), pad).alias("_r2"),
-                    ).alias("_r"),
-                )
+            # one +offset SHIFT, struct projection, done — no quad,
+            # no counted rank, no join-back (see docstring). The
+            # shift is the scatter-regroup below (r15, guide §2.4):
+            # ONE hash exchange instead of a self-join's two.
+            pair = _shifted_ranks(
+                cur, id_col, [offset], ["_r2"], pad
+            ).select(
+                id_col,
+                "pos",
+                F.struct("_r", F.col("_r2")).alias("_r"),
             )
             tables.append(pair)
             return pair, tables, len(tables) - 1
-        quad = cur
-        for k, rcol in ((1, "_r2"), (2, "_r3"), (3, "_r4")):
-            s = cur.select(
-                F.col(id_col).alias(f"_sid{k}"),
-                (F.col("pos") - F.lit(k * offset)).alias(f"_spos{k}"),
-                F.col("_r").alias(rcol),
-            )
-            quad = quad.join(
-                s,
-                (F.col(id_col) == F.col(f"_sid{k}"))
-                & (F.col("pos") == F.col(f"_spos{k}")),
-                "left",
-            ).drop(f"_sid{k}", f"_spos{k}")
-        quad = quad.select(
+        # (r, r@+o, r@+2o, r@+3o) built by SCATTER-REGROUP rather
+        # than three sequential self-joins (r15, guide §2.3/§2.4):
+        # every rank row is emitted once per slot it feeds (its own
+        # position and the three left-shifted targets) and ONE
+        # groupBy(id, pos) pivots the slots back into columns — one
+        # hash exchange of 4x narrow rows with map-side combine
+        # (a doc's positions are contiguous in the checkpointed token
+        # frame, so slots of one target collapse before the wire)
+        # instead of six corpus-sized join exchanges + three sorts.
+        quad = _shifted_ranks(
+            cur,
             id_col,
-            "pos",
-            "_r",
-            *[
-                F.coalesce(F.col(c), pad).alias(c)
-                for c in ("_r2", "_r3", "_r4")
-            ],
+            [offset, 2 * offset, 3 * offset],
+            ["_r2", "_r3", "_r4"],
+            pad,
         ).localCheckpoint(eager=True)
         # the ODD level (prefix length 2*offset) never needs dense
         # ranks: binary lifting only tests EQUALITY, and the raw
