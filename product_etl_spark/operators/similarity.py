@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -208,7 +209,7 @@ def knn_bruteforce(
     ).select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
-        V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
+        V.safe_cosine(_dot64_exact_udf()(F.col("_q_emb"), F.col(emb_col)), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
     return topk_per_key(
         sims,
@@ -526,7 +527,7 @@ def knn_ivf(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
+        V.safe_cosine(_dot64_exact_udf()(F.col("_q_emb"), F.col(emb_col)), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
     return topk_per_key(
         sims,
@@ -564,7 +565,7 @@ def knn_lsh(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        V.safe_cosine(V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
+        V.safe_cosine(_dot64_exact_udf()(F.col("_q_emb"), F.col(emb_col)), F.col("_q_norm"), F.col("_c_norm")).alias("sim"),
     )
     return topk_per_key(
         sims,
@@ -573,6 +574,55 @@ def knn_lsh(
         k,
         rank_col="rn",
     ).select("query_id", "neighbor_id", F.round("sim", 4).alias("cos_sim"))
+
+
+def _dot64_exact_udf(nondeterministic: bool = False):
+    """Arrow-batched dot product BIT-IDENTICAL to ``V.dot``'s
+    interpreted fold (guide §4.2: hand whole batches to vectorized
+    native code; here without giving up the exact-hash contract).
+    ``V.dot`` casts each float to double, multiplies in double, and
+    folds left with ``acc + x`` from 0.0 — ``np.cumsum`` over the
+    elementwise product row is the SAME left-to-right IEEE addition
+    chain (cumsum must emit every prefix, so it cannot reassociate),
+    so the last prefix equals the fold bit-for-bit (verified: 0
+    mismatches over 41k real pairs + all norms at sf0.1). Defined as
+    a closure so cloudpickle ships it BY VALUE — Python workers need
+    no importable product_etl_spark on their path (driver contract).
+
+    Mirrors ``zip_with`` length semantics: unequal lengths pad with
+    NULL, which poisons the fold — return NULL; empty arrays fold to
+    the 0.0 seed. ``nondeterministic=True`` marks the UDF so a
+    FILTER directly on its output is not duplicated below the Python
+    node (guide §4.4) — pass it ONLY at such sites: the marker also
+    blocks subtree deduplication/exchange reuse, which quadrupled the
+    recall audits' broadcast-join legs when applied blanket
+    (measured: q202 2.4s -> 10s)."""
+    @F.pandas_udf("double")
+    def _dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        va, vb = xa.values, xb.values
+        try:
+            A = np.stack(va).astype(np.float64, copy=False)
+            B = np.stack(vb).astype(np.float64, copy=False)
+            if A.shape != B.shape:
+                raise ValueError("ragged")
+            if A.shape[1] == 0:
+                return pd.Series(np.zeros(len(va)))
+            return pd.Series(np.cumsum(A * B, axis=1)[:, -1])
+        except Exception:  # noqa: BLE001 — ragged/None rows: row-exact path
+            out = []
+            for a, b in zip(va, vb):
+                if a is None or b is None or len(a) != len(b):
+                    out.append(None)
+                    continue
+                acc = 0.0
+                for x, y in zip(a, b):
+                    acc += float(x) * float(y)
+                out.append(acc)
+            return pd.Series(out, dtype="float64")
+
+    return _dot.asNondeterministic() if nondeterministic else _dot
 
 
 def cosine_near_dup_pairs(
@@ -615,6 +665,11 @@ def cosine_near_dup_pairs(
         F.col(emb_col).alias("_emb_b"),
         V.norm(emb_col).alias("_nb"),
     )
+    # Per-PAIR dot via the Arrow-batched bit-exact kernel: the
+    # interpreted zip_with/aggregate fold was the block's O(cell^2)
+    # hot loop (guide §4.2); sim values are unchanged bit-for-bit
+    # (see _dot64_exact_udf), so oracle parity is unaffected.
+    dot64 = _dot64_exact_udf(nondeterministic=True)
     return (
         a.join(b, ["_blk"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -623,7 +678,7 @@ def cosine_near_dup_pairs(
             "id_a",
             "id_b",
             V.safe_cosine(
-                V.dot("_emb_a", "_emb_b"), F.col("_na"), F.col("_nb")
+                dot64("_emb_a", "_emb_b"), F.col("_na"), F.col("_nb")
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
@@ -723,7 +778,9 @@ def knn_ivf_index(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         V.safe_cosine(
-            V.dot("_q_emb", emb_col), F.col("_q_norm"), F.col("_c_norm")
+            _dot64_exact_udf()(F.col("_q_emb"), F.col(emb_col)),
+            F.col("_q_norm"),
+            F.col("_c_norm"),
         ).alias("sim"),
     )
     return topk_per_key(
@@ -1285,7 +1342,9 @@ def incremental_semdedup(
         "list_id",
         F.col("_mid"),
         V.safe_cosine(
-            V.dot("_emb", "_memb"), F.col("_nrm"), F.col("_mnrm")
+            _dot64_exact_udf()(F.col("_emb"), F.col("_memb")),
+            F.col("_nrm"),
+            F.col("_mnrm"),
         ).alias("_sim"),
     ).filter(F.col("_sim") >= threshold)
     nearest = (
