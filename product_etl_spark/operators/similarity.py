@@ -419,22 +419,29 @@ def ivf_centroids_kmeans(
                 ),
                 id_col,
             )
-        means = (
-            assigned.select("list_id", F.posexplode(emb_col).alias("pos", "val"))
+        # ONE shuffle per iteration: collect the k*dim per-dimension
+        # means directly (constant-size, driver-bounded) and assemble
+        # the centroid arrays driver-side — the old second
+        # groupBy(list_id)/array_sort/transform pass re-shuffled the
+        # k*dim frame just to reshape it (guide §2.4). float32
+        # rounding matches the old `cast(x.m as float)` exactly, so
+        # the next round's argmin literals are bit-identical.
+        import numpy as np  # noqa: PLC0415 — driver-side reshape only
+
+        dims: dict[int, dict[int, float]] = {}
+        for r in (
+            assigned.select(
+                "list_id", F.posexplode(emb_col).alias("pos", "val")
+            )
             .groupBy("list_id", "pos")
             .agg(F.avg("val").alias("m"))
-            .groupBy("list_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
-            )
-            .select(
-                "list_id",
-                F.expr("transform(s, x -> cast(x.m as float))").alias("centroid"),
-            )
-        )
-        # materialize k rows on the driver: constant-size, cuts lineage
-        for r in means.collect():
-            prev[r["list_id"]] = r["centroid"]
+            .collect()
+        ):
+            dims.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        for lid, by_pos in dims.items():
+            prev[lid] = [
+                float(np.float32(by_pos[p])) for p in range(len(by_pos))
+            ]
     corpus.unpersist()
     return spark.createDataFrame(
         sorted(prev.items()), "list_id int, centroid array<float>"
