@@ -513,7 +513,6 @@ def connected_components(
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .distinct()
         # Pin the layout every round's join needs: hash(dst) BEFORE
         # the checkpoint, so the LogicalRDD's outputPartitioning
         # already satisfies the join requirement and no round pays an
@@ -522,6 +521,13 @@ def connected_components(
         # the labels side is partition-aligned for free because it
         # exits each round's groupBy hash-partitioned on the id).
         .repartition("dst")
+        # Dedup RIDES that exchange (r15, guide §2.4): duplicates of
+        # (src, dst) share dst, so hash(dst) partitioning already
+        # satisfies the aggregate's ClusteredDistribution(src, dst) —
+        # dropDuplicates AFTER the repartition plans no exchange of
+        # its own, where the old distinct-then-repartition shape
+        # shuffled the symmetric edge frame twice.
+        .dropDuplicates(["src", "dst"])
         # Materialize ONCE: edges are referenced by every round's join
         # AND convergence count — without the checkpoint each of those
         # actions re-executes the whole upstream pair-generation DAG
