@@ -414,11 +414,38 @@ def quantile_sample_partials(
     # that to scheduler whim (caught live: driver-exact q169 flaked
     # under load until this). Uniformity degrades gracefully: the
     # duplicate key holds its extra slots deterministically.
+    #
+    # TWO-LEVEL cut (r15, guide §2.5/§4.2): a bare per-group window
+    # sorts the ENTIRE corpus in one task per group — with a handful
+    # of groups that is the classic single-task cliff at scale.
+    # Level 1 is a PURE MAP (mapInPandas, no exchange): each Arrow
+    # batch keeps only its own bottom-k rows per group — a superset
+    # of the global bottom-k by construction — so the final window
+    # sorts at most k * groups * batches rows instead of the corpus.
+    # The level-2 window re-cut makes the output multiset IDENTICAL
+    # to the single-window cut. The closure is pickled by value (no
+    # importable package needed on Python workers).
+    base = df.filter(
+        F.col(val_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(*group_cols, hv.alias("hv"), F.col(val_col).alias("val"))
+    gcols = list(group_cols)
+    kk = int(k)
+
+    def _prune(batches):
+        for pdf in batches:
+            if len(pdf) <= kk:
+                yield pdf
+                continue
+            yield (
+                pdf.sort_values(["hv", "val"], kind="mergesort")
+                .groupby(gcols, sort=False, dropna=False)
+                .head(kk)
+            )
+
+    pruned = base.mapInPandas(_prune, base.schema)
     w = Window.partitionBy(*group_cols).orderBy("hv", "val")
     return (
-        df.filter(F.col(val_col).isNotNull() & F.col(key_col).isNotNull())
-        .select(*group_cols, hv.alias("hv"), F.col(val_col).alias("val"))
-        .withColumn("_rk", F.row_number().over(w))
+        pruned.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
