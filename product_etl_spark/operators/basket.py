@@ -23,7 +23,7 @@ Scale shape (why this survives 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -51,8 +51,8 @@ def association_rules(
     fraction of the item vocabulary) turns a bounded join into a
     quadratic blow-up on one key. Any basket with more than
     ``max_basket_size`` distinct items therefore FAILS the job loudly
-    (assert_true on a per-basket window count, same pattern as
-    interval_overlap_pairs) — cap or pre-filter the basket
+    (assert_true on the collected basket array's size, same pattern
+    as interval_overlap_pairs) — cap or pre-filter the basket
     deliberately, don't discover it as an executor OOM. Real order
     baskets are dozens of items; the default bound never fires on
     sane data.
@@ -63,36 +63,60 @@ def association_rules(
     engine reproduces them bit-for-bit; ROUND(.,6) at the surface.
     Ordering is integer-decided (n_ab desc, item_a, item_b).
     """
-    b = baskets.select(
-        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
-    ).distinct()
-    bsz = F.count(F.lit(1)).over(Window.partitionBy("_bk"))
+    # ONE full-data exchange (r15, guide §2.3/§2.4): collect each
+    # basket's distinct items as a sorted array directly — collect_set
+    # dedups map-side inside the partial aggregate, so the old
+    # distinct + per-basket window + self-join chain (three shuffles
+    # of the item rows plus a sort-merge) collapses into one groupBy.
+    # Pairs then EXPLODE from the sorted array (a < b positionally),
+    # sized O(basket^2) exactly like the join output, and the size
+    # guard is a plain expression on the array — no window.
+    arr = (
+        baskets.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+        )
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_set("_it")).alias("_arr"))
+    )
     guard = F.assert_true(
-        bsz <= F.lit(max_basket_size),
+        F.size("_arr") <= F.lit(max_basket_size),
         F.concat(
             F.lit("association_rules: basket holds > "
                   f"{max_basket_size} distinct items (basket="),
             F.col("_bk").cast("string"),
-            F.lit("); the pair join is O(basket^2) — cap or "
+            F.lit("); the pair explode is O(basket^2) — cap or "
                   "pre-filter mega-baskets, or raise max_basket_size"),
         ),
     )
-    # assert_true returns NULL on success; folding it into the item
+    # assert_true returns NULL on success; folding it into the array
     # column keeps it in the evaluated plan (a free-standing guard
-    # column would be pruned as unused and never run)
-    b = b.withColumn("_it", F.when(guard.isNull(), F.col("_it")))
-    n_baskets = b.agg(
-        F.count_distinct(F.col("_bk")).alias("_n")
+    # column would be pruned as unused and never run). Materialize
+    # ONCE: the frame feeds the basket count, the item counts and the
+    # pair explode.
+    arr = arr.withColumn(
+        "_arr", F.when(guard.isNull(), F.col("_arr"))
+    ).localCheckpoint(eager=True)
+    # NULL-basket semantics of the old shape, preserved exactly: a
+    # NULL basket id never joined to itself (NULL != NULL), so it
+    # produced no pairs and was excluded from the distinct-basket
+    # count — but its items DID count into n_a/n_b.
+    n_baskets = arr.filter(F.col("_bk").isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    items = b.groupBy("_it").agg(F.count(F.lit(1)).alias("_ni"))
-    left = b.select("_bk", F.col("_it").alias("item_a"))
-    right = b.select(F.col("_bk").alias("_bk2"), F.col("_it").alias("item_b"))
+    items = (
+        arr.select(F.explode("_arr").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(_arr, (x, i) -> "
+        "transform(slice(_arr, i + 2, size(_arr)), "
+        "y -> struct(x AS item_a, y AS item_b))))"
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("_bk") == F.col("_bk2"))
-            & (F.col("item_a") < F.col("item_b")),
-        )
+        arr.filter(F.col("_bk").isNotNull())
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.item_a"), F.col("_p.item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)

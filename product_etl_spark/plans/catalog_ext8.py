@@ -261,13 +261,29 @@ def q141_copurchase_triangles(spark, sf_dir):
     blocked-pairs contract.
     """
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    y = op.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    # Basket pairs by collect-and-explode (r15, guide §2.3/§2.4) —
+    # the q203 shape: ONE groupBy(order) with map-side collect_set
+    # dedup replaces distinct + order-keyed self-join (three shuffles
+    # of the item rows); the sorted array yields each a < b pair
+    # positionally, identical counts.
+    arr = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("_arr"))
+    )
     edges = (
-        op.join(y, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("p2")))
-        .groupBy(F.col("p").alias("a"), F.col("p2").alias("b"))
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_arr, (x, i) -> "
+                    "transform(slice(_arr, i + 2, size(_arr)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.a"), F.col("_p.b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
     )
