@@ -162,13 +162,31 @@ def main() -> None:
     if job_count_floors:
         meta["job_count_floors"] = job_count_floors
     compact = {n.split("_")[0]: round(t, 2) for n, t in timings.items()}
+    # Per-query Spark JOB counts for the most expensive queries, in
+    # the stdout line itself (r15 verdict item 8, additions-only):
+    # jobs are deterministic per plan, so a round-over-round diff can
+    # separate plan changes from wall noise without BENCH_DETAIL.json.
+    # Within the byte budget the jobs dict is dropped FIRST (cheapest
+    # query's entry at a time) so the `queries` population is exactly
+    # what it was before this field existed.
+    jobs_compact = {
+        n.split("_")[0]: job_counts[n]
+        for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+        if job_counts.get(n, -1) >= 0
+    }
     line = json.dumps(
-        {**meta, "queries": compact}, separators=(",", ":")
+        {**meta, "jobs": jobs_compact, "queries": compact},
+        separators=(",", ":"),
     )
     while len(line) > 1900:  # belt-and-braces: drop cheapest queries
-        compact.pop(min(compact, key=compact.get))
+        dropped = min(compact, key=compact.get)
+        compact.pop(dropped)
+        jobs_compact.pop(dropped, None)  # keep jobs ⊆ printed queries
         meta["queries_omitted"] = len(timings) - len(compact)
-        line = json.dumps({**meta, "queries": compact}, separators=(",", ":"))
+        payload = {**meta, "queries": compact}
+        if jobs_compact:
+            payload["jobs"] = jobs_compact
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

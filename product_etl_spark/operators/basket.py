@@ -55,7 +55,11 @@ def association_rules(
     as interval_overlap_pairs) — cap or pre-filter the basket
     deliberately, don't discover it as an executor OOM. Real order
     baskets are dozens of items; the default bound never fires on
-    sane data.
+    sane data. Guard boundary note (r15 ADVICE, accepted drift): the
+    size counts DISTINCT NON-NULL items (collect_set drops NULLs),
+    so a basket of exactly max_basket_size real items plus NULL
+    items no longer trips it — NULL items never formed pairs, so
+    the quadratic exposure the guard bounds is unchanged.
 
     Float policy: all counts are exact BIGINTs; the three ratios are
     single-op trees on exact-integer doubles (the numerator/
@@ -108,15 +112,23 @@ def association_rules(
         .groupBy("_it")
         .agg(F.count(F.lit(1)).alias("_ni"))
     )
-    pair_structs = F.expr(
-        "flatten(transform(_arr, (x, i) -> "
-        "transform(slice(_arr, i + 2, size(_arr)), "
-        "y -> struct(x AS item_a, y AS item_b))))"
-    )
+    # a<b pairs via posexplode-then-slice (r16, ADVICE r15): explode
+    # the anchor index FIRST and emit only the O(basket) successor
+    # slice per row — the single-expression flatten(transform(...))
+    # form built the whole O(basket^2) pair array in ONE row before
+    # its explode, so a guard-passing basket near max_basket_size
+    # concentrated gigabytes on one executor (the OOM shape the
+    # fail-loudly guard exists to prevent). Same pairs, same counts;
+    # per-row memory is now O(basket).
     pairs = (
         arr.filter(F.col("_bk").isNotNull())
-        .select(F.explode(pair_structs).alias("_p"))
-        .select(F.col("_p.item_a"), F.col("_p.item_b"))
+        .select(F.posexplode("_arr").alias("_i", "item_a"), F.col("_arr"))
+        .select(
+            "item_a",
+            F.explode(
+                F.expr("slice(_arr, _i + 2, size(_arr))")
+            ).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)

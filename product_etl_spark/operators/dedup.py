@@ -901,18 +901,20 @@ def remove_duplicate_spans(
         .filter(F.col("_df") >= min_df)
         .select("sh", "_keep")
     )
-    removal = (
+    # r16: the non-keeper occurrences go to the islands merge as
+    # INTERVALS (pos, _d = n) directly — the per-token explode and
+    # its (id, pos) distinct (an n-times-larger exchange) are
+    # redundant, because the merged islands of the intervals ARE the
+    # union of the exploded positions (the q214 argument)
+    from product_etl_spark.operators.suffixes import _merged_spans
+
+    ivals = (
         grams.join(dup, "sh")
         .filter(F.col(id_col) != F.col("_keep"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+        .select(F.col(id_col), "pos", F.lit(n).cast("bigint").alias("_d"))
     )
-    return _excise_positions(df, text_col, id_col, removal)
+    spans = _merged_spans(ivals, id_col, n)
+    return _excise_intervals(df, text_col, id_col, spans)
 
 
 def _excise_positions(
@@ -923,34 +925,73 @@ def _excise_positions(
     rebuild ``text_clean`` from the surviving ORIGINAL-CASE tokens
     (single-space joined), and report exact removed-token counts.
 
-    Scale shape: one (id,pos)-keyed anti-join plus one per-doc
-    groupBy whose collect_list is doc-sized (a document's own
-    tokens — bounded by the row that carried them in)."""
-    tok = df.select(
+    Scale shape (r16): the removal positions islands-merge per doc
+    (ONE window over only the REMOVED positions — the duplicated
+    fraction of the corpus, never the corpus) and the intervals
+    excise via ``_excise_intervals``: the old corpus-sized token
+    posexplode, the (id, pos) anti-join and the per-doc collect_list
+    rebuild groupBy (three full-corpus exchanges) never materialize.
+    Removal rows may repeat; the merge is duplicate-insensitive."""
+    from product_etl_spark.operators.suffixes import _merged_spans
+
+    iv = removal.select(
+        F.col(id_col), "pos", F.lit(1).cast("bigint").alias("_d")
+    )
+    spans = _merged_spans(iv, id_col, 1)
+    return _excise_intervals(df, text_col, id_col, spans)
+
+
+def _excise_intervals(
+    df: DataFrame, text_col: str, id_col: str, spans: DataFrame
+) -> DataFrame:
+    """Interval-form excision/reconstruction tail (r16, guide
+    §2.3/§2.4): same output as ``_excise_positions`` when the removal
+    set equals the union of ``spans``' half-open token intervals
+    (id, span_start, _se) — which is exactly what the suffix removal
+    ops produce via ``_merged_spans`` — but none of the heavy frames
+    ever materialize. The old tail exploded every covered (id, pos)
+    row, distinct-ed them (corpus-dup-sized exchange), posexploded
+    the documents' tokens (corpus-sized), anti-joined on (id, pos)
+    (another corpus exchange) and re-assembled each document with a
+    doc-sized collect_list groupBy (a third). Here the merged
+    intervals aggregate to ONE span array per document (span-count
+    bounded, already merged so it is small by construction) and a
+    higher-order filter drops covered tokens positionally in place:
+    one small groupBy + one doc-id join; the token frame never
+    exists and the rebuild groupBy disappears.
+
+    Reconstruction contract is ``_excise_positions``'s exactly:
+    original-case tokens, single-space joined (untouched documents
+    are whitespace-normalized the same way), empty result -> ""."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("bigint").alias("s"),
+                F.col("_se").cast("bigint").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "_toks", T.tokens(F.col(text_col))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_spans"), lambda s: (i >= s["s"]) & (i < s["e"])
+        ),
+    )
+    return joined.select(
         F.col(id_col),
-        F.posexplode(T.tokens(F.col(text_col))).alias("pos", "tok"),
-    )
-    kept = tok.join(removal, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text_clean"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    base = df.select(
-        F.col(id_col), T.token_count(F.col(text_col)).alias("n_tokens")
-    )
-    return base.join(rebuilt, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-        "n_tokens",
-        (
-            F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
-        ).cast("bigint").alias("n_removed"),
+        F.when(
+            F.col("_spans").isNull(), F.array_join(F.col("_toks"), " ")
+        )
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_clean"),
+        F.size("_toks").alias("n_tokens"),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size("_toks") - F.size(kept))
+        .cast("bigint")
+        .alias("n_removed"),
     )
 
 

@@ -924,19 +924,22 @@ def probe_suffix_excision(
     batch doc) is excised; the q177/q214 original-case
     reconstruction tail. History documents are untouched — excising
     THEM retroactively is the batch operator's job
-    (suffixes.suffix_remove_duplicates), not an ingest path's."""
-    from product_etl_spark.operators.dedup import _excise_positions
+    (suffixes.suffix_remove_duplicates), not an ingest path's.
+
+    r16 shape: interval excision (dedup._excise_intervals over the
+    merged islands — the q214 rewrite): the per-position explode +
+    (id, pos) distinct + anti-join + doc reconstruction groupBy never
+    materialize; the removal set is identical (every dup position
+    carries _d = min_len, so the islands ARE the union of the old
+    exploded intervals)."""
+    from product_etl_spark.operators.dedup import _excise_intervals
+    from product_etl_spark.operators.suffixes import _merged_spans
 
     dup = _suffix_probe_dup_positions(
         index, batch, text_col, id_col, min_len
     )
-    removal = dup.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
-        ).alias("pos"),
-    ).distinct()
-    return _excise_positions(batch, text_col, id_col, removal)
+    spans = _merged_spans(dup, id_col, min_len)
+    return _excise_intervals(batch, text_col, id_col, spans)
 
 
 def ingest_suffix_spans(

@@ -598,7 +598,16 @@ def _dot64_exact_udf(nondeterministic: bool = False):
 
     Mirrors ``zip_with`` length semantics: unequal lengths pad with
     NULL, which poisons the fold — return NULL; empty arrays fold to
-    the 0.0 seed. ``nondeterministic=True`` marks the UDF so a
+    the 0.0 seed. NULL contract caveat (r15 ADVICE): a NULL *element*
+    inside an equal-length pair reaches the vectorized path as NaN
+    (Arrow has no per-element null lane in the numpy conversion), so
+    the kernel yields NaN where ``V.dot``'s fold yields NULL. Every
+    current caller consumes the dot through ``safe_cosine`` whose
+    ``V.norm`` leg nulls the same rows, so the difference is
+    unobservable; a future caller filtering on the RAW dot must not
+    rely on NULL-vs-NaN distinction for in-array nulls (the row-exact
+    fallback below does return NULL for them). ``nondeterministic=True``
+    marks the UDF so a
     FILTER directly on its output is not duplicated below the Python
     node (guide §4.4) — pass it ONLY at such sites: the marker also
     blocks subtree deduplication/exchange reuse, which quadrupled the
@@ -625,6 +634,13 @@ def _dot64_exact_udf(nondeterministic: bool = False):
                     continue
                 acc = 0.0
                 for x, y in zip(a, b):
+                    if x is None or y is None:
+                        # a NULL element poisons V.dot's fold to NULL;
+                        # float(None) would instead kill the task — at
+                        # 100 TB one corrupt row must not fail the
+                        # stage (r15 verdict item 2)
+                        acc = None
+                        break
                     acc += float(x) * float(y)
                 out.append(acc)
             return pd.Series(out, dtype="float64")

@@ -436,11 +436,15 @@ def quantile_sample_partials(
             if len(pdf) <= kk:
                 yield pdf
                 continue
-            yield (
-                pdf.sort_values(["hv", "val"], kind="mergesort")
-                .groupby(gcols, sort=False, dropna=False)
-                .head(kk)
-            )
+            srt = pdf.sort_values(["hv", "val"], kind="mergesort")
+            if not gcols:
+                # ungrouped/global sample: pandas groupby([]) raises
+                # "No group keys passed" — the single-window shape this
+                # prune replaced supported Window.partitionBy() with no
+                # cols (r15 ADVICE)
+                yield srt.head(kk)
+                continue
+            yield srt.groupby(gcols, sort=False, dropna=False).head(kk)
 
     pruned = base.mapInPandas(_prune, base.schema)
     w = Window.partitionBy(*group_cols).orderBy("hv", "val")

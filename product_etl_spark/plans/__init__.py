@@ -201,6 +201,28 @@ oldest r12 reps in registration order (q149-q155). That fills
 exactly 50. New-in-r16 registrations displace the r12-rep tail per
 the q188 pattern (never the anchors). After r16 no entry's newest
 green row should be older than r12.
+
+Round-16 ROTATION (executes the plan above, per the r15 verdict's
+item 9): the post-freeze queue is EMPTY (all six r15 registrations
+q231-q236 were scheduled same-round), so the window is exactly the
+written 50: the 37-entry r11-last-green tier
+(q38/q40/q41/q45/q47/q49, q51/q56/q57/q58/q64/q69/q92/q99/q120/
+q134, q137-q148, q180-q188), the six standing anchors
+(q01/q02/q32/q94/q112/q114), and the seven oldest r12 reps
+(q149-q155). After r16 no entry's newest green row is older
+than r12.
+
+Round-17 ROTATION PLAN (for the session that composes it, written
+at the end of r16): post-freeze queue registrations lead, as every
+round (the r16 optimization round registers nothing, so the queue
+is expected EMPTY). The stalest cohort per the COVERAGE.md ledger
+is then the ENTIRE 36-entry r12-last-green tier: the q156-q168
+registration tier and the q189-q211 tier. The remaining 14 slots
+take the oldest r13 rows in registration order
+(q13/q34/q35/q36/q43/q44/q46/q52/q53/q54/q55/q59/q60/q61).
+That fills exactly 50. New-in-r17 registrations displace the
+r13-rep tail per the q188 pattern. After r17 no entry's newest
+green row should be older than r13.
 """
 
 from product_etl_spark.plans.catalog import CATALOG, oracle_sql, queries  # noqa: F401
@@ -244,71 +266,64 @@ _NEXT_WINDOW_QUEUE: list[str] = [
 ]
 
 _DRIVER_WINDOW = [
-    # -- r15 rotation (r14 verdict item 1; the post-freeze queue is
-    #    EMPTY this round). The 31-entry r10-last-green tier leads:
-    #    the r10-stamped family reps first, then the r6-registered
-    #    q118-q136 remainder, then the q177-q179 cohort --
-    "q15_running_customer_revenue",
-    "q17_null_empty_guards",
-    "q19_orders_by_year",
-    "q22_url_extraction",
-    "q25_event_type_share",
-    "q28_doc_quality",
-    "q37_label_centroid_norms",
-    "q39_completeness_report",
-    "q42_cube_flag_status",
-    "q48_lineitem_unpivot",
-    "q50_bpe_token_count",
-    "q118_doc_chunking",
-    "q119_sq8_codes",
-    "q121_hybrid_rrf_search",
-    "q122_quality_canonical_dedup",
-    "q123_fuzzy_decontam",
-    "q124_grouping_sets",
-    "q125_price_histogram",
-    "q126_balance_outliers",
-    "q127_trained_langid_confusion",
-    "q128_percentile_rank_windows",
-    "q129_column_profile",
-    "q130_snapshot_diff",
-    "q131_daily_gapfill_interpolate",
-    "q132_url_canonicalization",
-    "q133_bigram_pmi",
-    "q135_unicode_clean",
-    "q136_within_doc_paragraph_dedup",
-    "q177_duplicate_span_excision",
-    "q178_selfrep_span_excision",
-    "q179_l_diversity_audit",
-    # -- the 19 oldest r11-last-green reps in registration order.
-    #    New-in-r15 registrations displace the TAIL of this fill
-    #    (the displaced rep stays r11-green, within the freshness
-    #    bound). The six standing anchors are r12-fresh and sit
-    #    out once more. --
-    "q12_active_nations_union",
-    "q16_like_filter",
-    "q18_price_buckets",
-    "q20_string_projection",
-    "q21_attribute_parse_explode",
-    "q23_hourly_event_rollup",
-    "q24_sessionization",
-    "q26_user_event_timeline",
-    "q27_doc_token_stats",
-    "q29_doc_fingerprint_dedup",
-    "q30_doc_script_langid",
-    "q31_minhash_signatures",
-    "q33_ngram_jaccard_pairs",
-    # -- new in r15, scheduled same round (the q188 pattern; q49/q47/
-    #    q45/q41/q40/q38 ceded their fill slots and stay r11-green):
-    #    the HTML->clean-text extraction rung (r14 verdict item 2),
-    #    the incremental budget-selection twin (r14 verdict item 6),
-    #    the chi-squared/Cramer's-V contingency rung, the C4 line- and
-    #    document-filter batteries downstream of q231, and Welch's t --
-    "q231_html_clean_text",
-    "q232_incremental_budget_select",
-    "q233_chi_square_priority_status",
-    "q234_c4_line_filters",
-    "q235_welch_t_acctbal",
-    "q236_c4_document_filters",
+    # -- r16 rotation (r15 verdict item 9; the post-freeze queue is
+    #    EMPTY this round). The ENTIRE 37-entry r11-last-green tier
+    #    leads: the six reps the r15 fill ceded to q231-q236, the
+    #    r11-stamped family reps, then the q137-q148 and q180-q188
+    #    registration tiers --
+    "q38_referential_integrity",
+    "q40_brand_dictionary",
+    "q41_rollup_region_nation",
+    "q45_price_band_range_join",
+    "q47_event_pivot",
+    "q49_distinct_users_by_type",
+    "q51_props_json_extract",
+    "q56_ivf_assignment",
+    "q57_winnowing_fingerprints",
+    "q58_gopher_quality_filters",
+    "q64_pii_redaction",
+    "q69_null_aware_not_in",
+    "q92_cosine_near_dup_pairs",
+    "q99_tfidf_top_terms",
+    "q120_binary_hash_hamming",
+    "q134_changelog_snapshot",
+    "q137_entity_resolution_pairs",
+    "q138_dsir_importance",
+    "q139_price_psi_drift",
+    "q140_k_anonymity_audit",
+    "q141_copurchase_triangles",
+    "q142_kmeans_one_iter_lists",
+    "q143_order_partition_checksums",
+    "q144_dup_ngram_fraction",
+    "q145_flesch_readability",
+    "q146_part_price_size_skyline",
+    "q147_crossdoc_dup_span_coverage",
+    "q148_price_ks_drift",
+    "q180_hard_negative_pairs",
+    "q181_sorted_neighborhood_pairs",
+    "q182_k_anonymity_suppression",
+    "q183_kfold_assignment",
+    "q184_woe_price_bins",
+    "q185_user_burstiness",
+    "q186_next_event_pairs",
+    "q187_dedup_cluster_histogram",
+    "q188_unigram_min_pieces",
+    # -- the six standing anchors, last green r12: they have sat out
+    #    three rotations and must not reach r13-stale --
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q32_lsh_near_dup_pairs",
+    "q94_corpus_curation",
+    "q112_benchmark_decontam",
+    "q114_transition_pagerank",
+    # -- the seven oldest r12 reps in registration order --
+    "q149_fd_violations",
+    "q150_benford_first_digit",
+    "q151_user_event_entropy",
+    "q152_segment_balance_gini",
+    "q153_mad_balance_outliers",
+    "q154_exact_jaccard_join",
+    "q155_trigram_substring_search",
 ]
 
 

@@ -272,17 +272,15 @@ def q141_copurchase_triangles(spark, sf_dir):
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("p")).alias("_arr"))
     )
+    # posexplode-then-slice (r16, ADVICE r15): anchor index first,
+    # O(basket) successor slice per row — never the whole O(basket^2)
+    # pair array in one row (the basket.py shape, applied here too)
     edges = (
-        arr.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(_arr, (x, i) -> "
-                    "transform(slice(_arr, i + 2, size(_arr)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("_p")
+        arr.select(F.posexplode("_arr").alias("_i", "a"), F.col("_arr"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(_arr, _i + 2, size(_arr))")).alias("b"),
         )
-        .select(F.col("_p.a"), F.col("_p.b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)

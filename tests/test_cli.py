@@ -8,6 +8,7 @@ import pytest
 from product_etl_spark.__main__ import main
 
 
+@pytest.mark.slow
 def test_ingest_translate_enrich_cli(spark, tmp_path, capsys):
     import test_ingest as TI
 
@@ -48,6 +49,7 @@ def test_ingest_translate_enrich_cli(spark, tmp_path, capsys):
     assert "image_urls\t1" in out
 
 
+@pytest.mark.slow
 def test_curate_and_profile_cli(spark, tmp_path, capsys, sf_dir):
     docs = f"{sf_dir}/documents.parquet"
     outdir = str(tmp_path / "cur")

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from product_etl_spark.pipelines.corpus import CurateConfig, curate_corpus
+import pytest
 
 GOOD = (  # 64 words: clears Gopher's >=50-word floor with margin
     "the quick brown fox jumps over the lazy dog while fifty two "
@@ -35,6 +36,7 @@ def _corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_curate_corpus_end_to_end(spark):
     train, val, rep = curate_corpus(
         _corpus(spark),
@@ -107,6 +109,7 @@ def test_curate_with_packing(spark):
     assert all(200 <= v <= 256 + 70 for v in full_packs)
 
 
+@pytest.mark.slow
 def test_curate_with_decontam_and_leakage_safe_split(spark):
     from pyspark.sql import functions as F
 

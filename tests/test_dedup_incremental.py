@@ -467,6 +467,7 @@ def test_suffix_probe_excision_matches_batch_strip(spark):
     assert got[12][2] == 0
 
 
+@pytest.mark.slow
 def test_ingest_suffix_spans_idempotent_replay(spark, tmp_path):
     """Replaying an ingested batch reproduces the first run's spans
     byte-identically and appends nothing (owner==self matches are
@@ -506,6 +507,7 @@ def test_ingest_suffix_spans_idempotent_replay(spark, tmp_path):
     assert read_signature_store(spark, store).count() == rows_after_2
 
 
+@pytest.mark.slow
 def test_suffix_gram_store_compaction_and_erasure_lifecycle(spark, tmp_path):
     """Gram-store lifecycle (r13 verdict item 3): repeated ingests
     fragment the bucket partitions into per-batch small files;
@@ -598,6 +600,7 @@ def test_suffix_gram_store_compaction_and_erasure_lifecycle(spark, tmp_path):
     ) == set()
 
 
+@pytest.mark.slow
 def test_stream_suffix_span_probe_end_to_end(spark, tmp_path):
     """Streaming twin of the suffix-span probe: batches of json-lines
     docs are probed against the gram store; a later drop names the

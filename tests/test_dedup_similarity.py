@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from product_etl_spark.operators import dedup as D
 from product_etl_spark.operators import similarity as S
+import pytest
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog near the river bank"),
@@ -368,6 +369,7 @@ def test_cosine_near_dup_pairs_blocked(spark):
     assert pairs[0]["cos_sim"] > 0.99
 
 
+@pytest.mark.slow
 def test_segment_dedup_invariants(spark):
     # 40 docs: shared boilerplate head (one 4-word segment), unique
     # middles, and a shared 4-word tail segment planted in half.
@@ -421,6 +423,7 @@ def test_cosine_near_dup_pairs_salted_identical(spark):
     assert as_set(plain) == as_set(salted) and plain.count() > 0
 
 
+@pytest.mark.slow
 def test_ivf_index_persist_and_pruned_probe(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
@@ -471,6 +474,7 @@ def test_ivf_index_nprobe_widens_candidates(spark, sf_dir, tmp_path):
     assert n4 == emb.count() - 1
 
 
+@pytest.mark.slow
 def test_hash_seeding_robust_to_id_correlated_layout(spark):
     """Adversarial layout: FOUR tight planted clusters, ids assigned
     cluster-sorted so the lowest-id seeds all land in cluster 0 and
@@ -931,6 +935,7 @@ def test_star_components_equal_propagation_on_fixtures(spark):
     assert star2 == prop2
 
 
+@pytest.mark.slow
 def test_star_components_long_chain_and_hub(spark):
     """The shapes star contraction exists for: a 60-node path (the
     propagation default would need 60 rounds — diameter — while star

@@ -34,31 +34,37 @@ def test_rows_only_set_matches_catalog():
 
 
 def test_window_covers_all_never_driver_green():
-    """Round-15 rotation invariant (r14 verdict item 1 + the written
-    plan): the post-freeze queue is EMPTY, so the ENTIRE 31-entry
-    r10-last-green tier per the COVERAGE.md ledger leads, followed
-    by the 19 oldest r11-last-green reps in registration order
-    (new-in-r15 registrations displace the fill tail). The six
-    standing anchors are r12-fresh and sit out once more."""
-    r10_tier_prefixes = {
-        "q15", "q17", "q19", "q22", "q25", "q28", "q37", "q39", "q42",
-        "q48", "q50", "q118", "q119", "q121", "q122", "q123", "q124",
-        "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q132",
-        "q133", "q135", "q136", "q177", "q178", "q179",
+    """Round-16 rotation invariant (r15 verdict item 9 + the written
+    plan): the post-freeze queue is EMPTY, so the ENTIRE 37-entry
+    r11-last-green tier per the COVERAGE.md ledger leads, followed
+    by the six standing anchors (last green r12 — three rotations
+    out, must not reach r13-stale) and the seven oldest r12 reps in
+    registration order (new-in-r16 registrations displace the
+    r12-rep tail, never the anchors)."""
+    r11_tier_prefixes = {
+        "q38", "q40", "q41", "q45", "q47", "q49", "q51", "q56", "q57",
+        "q58", "q64", "q69", "q92", "q99", "q120", "q134", "q137",
+        "q138", "q139", "q140", "q141", "q142", "q143", "q144", "q145",
+        "q146", "q147", "q148", "q180", "q181", "q182", "q183", "q184",
+        "q185", "q186", "q187", "q188",
     }
-    r11_fill_prefixes = {
-        "q12", "q16", "q18", "q20", "q21", "q23", "q24", "q26", "q27",
-        "q29", "q30", "q31", "q33", "q38", "q40", "q41", "q45", "q47",
-        "q49",
+    anchor_prefixes = {"q01", "q02", "q32", "q94", "q112", "q114"}
+    r12_fill_prefixes = {
+        "q149", "q150", "q151", "q152", "q153", "q154", "q155",
     }
     window_prefixes = {n.split("_")[0] for n in plans._DRIVER_WINDOW}
-    missing = r10_tier_prefixes - window_prefixes
-    assert not missing, f"stale r10-tier queries left out: {missing}"
+    missing = r11_tier_prefixes - window_prefixes
+    assert not missing, f"stale r11-tier queries left out: {missing}"
+    missing_anchors = anchor_prefixes - window_prefixes
+    assert not missing_anchors, f"anchors left out: {missing_anchors}"
     # the plan fills exactly 50 slots — nothing else slips in; the
-    # r11 fill tail may be displaced by new-in-r15 registrations
-    extras = window_prefixes - r10_tier_prefixes - r11_fill_prefixes
-    new_regs = {p for p in extras if int(p[1:]) >= 231}
-    assert extras == new_regs, f"unexpected non-r15-reg entries: {extras - new_regs}"
+    # r12 fill tail may be displaced by new-in-r16 registrations
+    extras = (
+        window_prefixes - r11_tier_prefixes - anchor_prefixes
+        - r12_fill_prefixes
+    )
+    new_regs = {p for p in extras if int(p[1:]) >= 237}
+    assert extras == new_regs, f"unexpected non-r16-reg entries: {extras - new_regs}"
 
 
 def test_no_query_lost_in_reorder():
@@ -86,7 +92,7 @@ def test_coverage_doc_matches_window():
     assert set(rows) == set(CATALOG), (
         set(rows) ^ set(CATALOG)
     )
-    scheduled = {n for n, stamps in rows.items() if "r15*" in stamps}
+    scheduled = {n for n, stamps in rows.items() if "r16*" in stamps}
     assert scheduled == set(plans._DRIVER_WINDOW)
 
 

@@ -28,6 +28,7 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow
 def test_cross_batch_and_in_batch_dedup(spark, tmp_path):
     store = str(tmp_path / "sigstore")
     base = _bits(1, 5, 9, 40)

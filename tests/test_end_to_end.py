@@ -23,8 +23,10 @@ from product_etl_spark.plans.warehouse import (
     resolve_names,
 )
 from product_etl_spark.sources.csv_reader import read_raw_products
+import pytest
 
 
+@pytest.mark.slow
 def test_full_reference_journey(spark, tmp_path):
     import test_ingest as TI
 

@@ -26,6 +26,7 @@ import os
 import re
 import subprocess
 import sys
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -311,6 +312,7 @@ AdaptiveSparkPlan (9)
     }
 
 
+@pytest.mark.drift
 def test_plans_md_matches_generator(tmp_path):
     committed = open(os.path.join(ROOT, "PLANS.md")).read()
     lsec = _split_sections(committed)

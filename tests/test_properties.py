@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -192,6 +194,7 @@ def test_bpe_encode_reconstructs_words(words):
         min_size=1, max_size=20, unique_by=lambda t: t[0],
     )
 )
+@pytest.mark.slow
 def test_cms_one_sided_error_property(spark, freq_spec):
     """For ANY corpus: CMS estimate >= exact count for every item,
     and the whole-corpus sketch equals the merge of per-part
@@ -339,6 +342,7 @@ def test_pq_codes_in_range_and_stable_under_repartition(spark, vecs):
     ),
 )
 @settings(max_examples=20, deadline=None)
+@pytest.mark.slow
 def test_min_pieces_bounds_and_maxmunch_roundtrip(spark, words, extra):
     """Model properties over random words/vocabs: (1) min-piece cost
     is always defined when chars are in the inventory and bounded by

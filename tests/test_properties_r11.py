@@ -17,6 +17,7 @@ from datetime import datetime
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+import pytest
 
 
 @settings(max_examples=8, deadline=None)
@@ -70,6 +71,7 @@ def test_kaplan_meier_monotone_and_uncensored_empirical(spark, spans):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_ann_recall_audit_bounds_and_duplicate_guarantee(spark, vecs):
     """recall and hits/candidates are always within bounds, and a
     vector IDENTICAL to the query (same signs by construction) is
@@ -119,6 +121,7 @@ def test_cusum_telescopes_to_zero(spark, daily_counts):
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(1, 30), min_size=2, max_size=9))
+@pytest.mark.slow
 def test_mad_flags_are_scale_free(spark, counts):
     """Multiplying every daily count by 2 cannot change which days
     flag (median and MAD scale together; the compare is

@@ -12,6 +12,7 @@ import math
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+import pytest
 
 _rows = st.lists(
     st.tuples(st.integers(0, 2), st.text("abc", min_size=0, max_size=3)),
@@ -22,6 +23,7 @@ _rows = st.lists(
 
 @settings(max_examples=12, deadline=None)
 @given(_rows, st.integers(1, 5))
+@pytest.mark.slow
 def test_checksum_split_invariance(spark, rows, cut):
     """Any 2-way split of the rows folds to the same checksums as the
     whole — and therefore any batching does (associativity)."""

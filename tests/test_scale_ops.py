@@ -616,6 +616,7 @@ def test_balanced_shards_no_single_task_window(spark):
     assert sorted(agg) == list(range(8)) and sum(agg.values()) == 5000
 
 
+@pytest.mark.slow
 def test_balanced_shards_spread_bound_property(spark):
     """Snake-deal balance property on adversarial weight shapes: the
     max-min shard-total spread stays within 2x the largest single

@@ -5,6 +5,7 @@ plan shape (cell-keyed pair join, no cartesian pair explosion)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+import pytest
 
 from product_etl_spark.operators.similarity import (
     _assign_exact_map,
@@ -203,6 +204,7 @@ def test_incremental_store_is_cell_partitioned_and_erasable(spark, tmp_path):
     assert [(r["vec_id"], r["matched_id"]) for r in got] == [(101, 1)]
 
 
+@pytest.mark.slow
 def test_stream_semdedup_end_to_end(spark, tmp_path):
     """Streaming twin: vector drops drain against the cell store; the
     cross-cell perfect dup survives across batches, the in-cell dup is

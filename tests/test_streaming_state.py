@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import pytest
 
 from product_etl_spark.streaming.pipeline import (
     stream_user_running_totals,
@@ -440,6 +441,7 @@ def test_n_shards_marker_catches_smaller_stale_count(spark, tmp_path):
     _write_n_shards_marker(state, 4)  # idempotent under the true count
 
 
+@pytest.mark.slow
 def test_shard_store_erasure_and_compaction_lifecycle(spark, tmp_path):
     """Lifecycle pins for the shard-manifest/state store (r14 verdict
     item 5), mirroring the gram-store pins: (1) erase_from_stores +

@@ -12,6 +12,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from product_etl_spark.operators.dedup import crossdoc_dup_span_coverage
+import pytest
 from product_etl_spark.operators.suffixes import (
     suffix_dup_coverage,
     suffix_duplicated_spans,
@@ -114,6 +115,7 @@ def test_identical_docs_full_coverage(spark):
     assert cov[3] == (9, round(9 / 10, 4))
 
 
+@pytest.mark.slow
 def test_brute_force_hash_corpus(spark):
     """Deterministic small-vocab corpus (md5-driven, 8 docs x 30
     tokens over a 12-word vocab — dense accidental repeats): the
