@@ -194,6 +194,12 @@ def fold_contamination_audit(
         .select(id_col, "sh", "fold")
     )
     gf = dgf.select("sh", "fold").distinct()
+    # r16 note (measured, kept deliberately): deriving a crossing-
+    # gram set via groupBy(sh).agg(min(fold) != max(fold)) and
+    # equi-joining it — instead of these two `fold != fold` residual
+    # self-joins — was built and REJECTED: at n_folds=3 the residual
+    # fan-out is bounded by 3x while the extra aggregate adds a
+    # stage per leg (jobs 15 -> ~17/rep, wall flat-to-worse).
     other = gf.select(
         F.col("sh").alias("_osh"), F.col("fold").alias("_ofold")
     )

@@ -807,12 +807,25 @@ def crossdoc_dup_span_coverage(
     text.hash64(sh) at both the count and join (identical shape,
     8-byte keys)."""
     grams = positional_shingles(df, text_col, id_col, n)
-    dup_grams = (
-        grams.groupBy("sh")
-        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("sh")
-    )
+    if min_df == 2:
+        # the default gate "in >= 2 distinct docs" is exactly
+        # min(id) != max(id): ONE single-phase map-side-combined
+        # aggregate instead of COUNT(DISTINCT)'s two-level
+        # (sh, id)-keyed dedup aggregate (r16, guide §2.3)
+        dup_grams = (
+            grams.groupBy("sh")
+            .agg(F.min(F.col(id_col)).alias("_i0"),
+                 F.max(F.col(id_col)).alias("_i1"))
+            .filter(F.col("_i0") != F.col("_i1"))
+            .select("sh")
+        )
+    else:
+        dup_grams = (
+            grams.groupBy("sh")
+            .agg(F.countDistinct(F.col(id_col)).alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select("sh")
+        )
     dup_pos = grams.join(dup_grams, "sh").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
@@ -892,15 +905,29 @@ def remove_duplicate_spans(
     gram string for text.hash64(sh) at the count and join.
     """
     grams = positional_shingles(df, text_col, id_col, n)
-    dup = (
-        grams.groupBy("sh")
-        .agg(
-            F.countDistinct(F.col(id_col)).alias("_df"),
-            F.min(F.col(id_col)).alias("_keep"),
+    if min_df == 2:
+        # ">= 2 distinct docs" == min(id) != max(id): single-phase
+        # map-side-combined aggregate, no COUNT(DISTINCT) dedup level
+        # (r16, guide §2.3); min(id) doubles as the keeper
+        dup = (
+            grams.groupBy("sh")
+            .agg(
+                F.min(F.col(id_col)).alias("_keep"),
+                F.max(F.col(id_col)).alias("_imax"),
+            )
+            .filter(F.col("_keep") != F.col("_imax"))
+            .select("sh", "_keep")
         )
-        .filter(F.col("_df") >= min_df)
-        .select("sh", "_keep")
-    )
+    else:
+        dup = (
+            grams.groupBy("sh")
+            .agg(
+                F.countDistinct(F.col(id_col)).alias("_df"),
+                F.min(F.col(id_col)).alias("_keep"),
+            )
+            .filter(F.col("_df") >= min_df)
+            .select("sh", "_keep")
+        )
     # r16: the non-keeper occurrences go to the islands merge as
     # INTERVALS (pos, _d = n) directly — the per-token explode and
     # its (id, pos) distinct (an n-times-larger exchange) are
@@ -1433,6 +1460,12 @@ def hard_negative_pairs(
     candidate rows ranks the survivors.
     """
     sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    # r16 note (measured, kept deliberately): localCheckpoint-pinning
+    # the candidate frame (it feeds both the intersection count and
+    # the scored left join) was tried and REJECTED — AQE's
+    # ReusedExchange already dedupes the repeated signature subtree,
+    # and the eager pin replaced that reuse with its own
+    # materialization job: q180 2.87 -> 3.69 s, jobs 10 -> 12/rep.
     cand = lsh_candidate_pairs(
         sig, id_col, bands=bands, rows_per_band=rows_per_band
     )

@@ -713,15 +713,14 @@ def incremental_span_excision(
     rows. History cost per batch = one join against a
     vocab-of-history-sized store, not a corpus scan.
     """
-    from product_etl_spark.operators.dedup import (
-        _excise_positions,
-        positional_shingles,
-    )
+    from product_etl_spark.operators.dedup import positional_shingles
 
     grams = positional_shingles(batch, text_col, id_col, n)
+    # "duplicated within the batch" == min(id) != max(id) — single-
+    # phase aggregate instead of COUNT(DISTINCT) (r16, guide §2.3)
     batch_first = grams.groupBy("sh").agg(
-        F.countDistinct(F.col(id_col)).alias("_df"),
         F.min(F.col(id_col)).alias("_bkeep"),
+        F.max(F.col(id_col)).alias("_bmax"),
     )
     store = read_signature_store(spark, store_path)
     if store is not None:
@@ -733,7 +732,9 @@ def incremental_span_excision(
             "_bkeep",
             F.coalesce(
                 F.col("_skeep"),
-                F.when(F.col("_df") >= 2, F.col("_bkeep")),
+                F.when(
+                    F.col("_bkeep") != F.col("_bmax"), F.col("_bkeep")
+                ),
             ).alias("_keep"),
             F.col("_skeep").isNotNull().alias("_stored"),
         )
@@ -741,7 +742,9 @@ def incremental_span_excision(
         keepers = batch_first.select(
             "sh",
             "_bkeep",
-            F.when(F.col("_df") >= 2, F.col("_bkeep")).alias("_keep"),
+            F.when(
+                F.col("_bkeep") != F.col("_bmax"), F.col("_bkeep")
+            ).alias("_keep"),
             F.lit(False).alias("_stored"),
         )
     keepers = keepers.localCheckpoint(eager=True)  # one store read; the
@@ -749,18 +752,19 @@ def incremental_span_excision(
     # call is itself appending to
 
     dup = keepers.filter(F.col("_keep").isNotNull()).select("sh", "_keep")
-    removal = (
+    # non-keeper occurrences feed the islands merge as INTERVALS
+    # (pos, _d = n) — the per-token explode + (id, pos) distinct are
+    # redundant, the merged islands ARE the union (the q177 shape)
+    from product_etl_spark.operators.dedup import _excise_intervals
+    from product_etl_spark.operators.suffixes import _merged_spans
+
+    ivals = (
         grams.join(dup, "sh")
         .filter(F.col(id_col) != F.col("_keep"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+        .select(F.col(id_col), "pos", F.lit(n).cast("bigint").alias("_d"))
     )
-    cleaned = _excise_positions(batch, text_col, id_col, removal)
+    spans = _merged_spans(ivals, id_col, n)
+    cleaned = _excise_intervals(batch, text_col, id_col, spans)
 
     new_grams = (
         keepers.filter(~F.col("_stored"))
@@ -844,8 +848,12 @@ def _suffix_probe_dup_positions(
     from product_etl_spark.operators.dedup import positional_shingles
 
     grams = positional_shingles(batch, text_col, id_col, min_len)
+    # "shared by >= 2 batch docs" == min(id) != max(id): single-phase
+    # map-side-combined aggregate, no COUNT(DISTINCT) dedup level
+    # (r16, guide §2.3)
     bdf = grams.groupBy("sh").agg(
-        F.countDistinct(F.col(id_col)).alias("_bdf")
+        F.min(F.col(id_col)).alias("_bi0"),
+        F.max(F.col(id_col)).alias("_bi1"),
     )
     if index is not None:
         joined = grams.join(
@@ -857,14 +865,16 @@ def _suffix_probe_dup_positions(
             "sh",
         )
         dup = joined.filter(
-            (F.col("_bdf") >= 2)
+            (F.col("_bi0") != F.col("_bi1"))
             | (
                 F.col("_skeep").isNotNull()
                 & (F.col("_skeep") != F.col(id_col))
             )
         )
     else:
-        dup = grams.join(bdf.filter(F.col("_bdf") >= 2), "sh")
+        dup = grams.join(
+            bdf.filter(F.col("_bi0") != F.col("_bi1")), "sh"
+        )
     return dup.select(
         F.col(id_col), "pos", F.lit(min_len).cast("bigint").alias("_d")
     )
